@@ -1,0 +1,77 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is measured with the noop sink (full plan runs, nothing is
+collected to the driver) after a warm-up of the session + file listing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "m1_spearman_by_era",
+    "w1_pct_rank_by_era",
+    "p9_permute_column",
+    "j4_star_broadcast",
+    "d4_pairwise_corr_matrix",
+    "c1_kfold_era_counts",
+    "f8_mutual_info",
+    "a8_cube",
+    "o2_topk_per_group",
+    "s1_scan_projection",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    import __spark_entry__ as e
+    from reduction_dask_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = e.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # extend with any registered bench-tagged extras
+    from reduction_dask_spark.registry import REGISTRY
+
+    names += [n for n, s in REGISTRY.items() if "bench" in s.tags and n not in names]
+
+    # warm-up: JVM, parquet footers, shuffle machinery
+    qs["m1_spearman_by_era"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

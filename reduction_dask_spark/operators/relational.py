@@ -1,0 +1,533 @@
+"""Phase-1 relational operator library (SURVEY.md §2.1-2.2, §2.3-2.8).
+
+Every operator here is a pure Catalyst built-in composition — no UDFs,
+so predicate pushdown / column pruning / whole-stage codegen all apply.
+Each @query carries a DuckDB oracle; column names and float rounding
+are pinned identically on both sides (see functions/ module docstring).
+
+Scale notes are inline per operator; the common ones:
+- scans project/filter early → parquet pushdown (checked in plans/).
+- joins: dims are broadcast; fact-fact joins shuffle on the join key
+  and rely on AQE for skew.
+- top-k uses TakeOrderedAndProject (no global sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..functions import (
+    ERA_EVENTS_SQL,
+    PRED_EVENTS_SQL,
+    era_events,
+    phash,
+    phash_sql,
+    pred_events,
+)
+from ..registry import query
+from ..sources import load_table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+# ---------------------------------------------------------------- S1
+
+@query(
+    "s1_scan_projection",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+    """,
+    doc="S1 CSV/parquet scan + positional projection (nb cell 4; "
+        "reference reads the wide CSV then slices columns). Projection "
+        "reaches the parquet reader as ReadSchema (column pruning).",
+    tags=("scan",),
+)
+def s1_scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+# ------------------------------------------------------------- P3-P8
+
+@query(
+    "p3_filter_isin",
+    oracle="""
+        SELECT event_id, event_type, value
+        FROM events
+        WHERE event_type IN ('purchase', 'signup') AND value > 50
+    """,
+    doc="P3 membership + comparison predicate (utils.py:34 "
+        "`era.isin(i)`; nb cell 7 `num_era==2`). Pushed to parquet.",
+    tags=("filter",),
+)
+def p3_filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type").isin("purchase", "signup") & (F.col("value") > 50)).select(
+        "event_id", "event_type", "value"
+    )
+
+
+@query(
+    "p4_dropna",
+    oracle="""
+        SELECT event_id, value AS v_big FROM events WHERE value > 100
+    """,
+    doc="P4 dropna after a null-introducing transform (metrics.py:17 "
+        "`.join(era).dropna()`; tuners.py:431).",
+    tags=("filter",),
+)
+def p4_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("v_big", F.when(F.col("value") > 100, F.col("value")))
+        .na.drop(subset=["v_big"])
+        .select("event_id", "v_big")
+    )
+
+
+@query(
+    "p5_limit_pinned",
+    oracle="SELECT event_id, value FROM events ORDER BY event_id LIMIT 100",
+    doc="P5 head/slice (utils.py:151 `train_x[:num_fit_rows]`). The "
+        "reference slice is positional; Spark pins determinism with an "
+        "explicit ordering key (SURVEY.md §2.2 P5 note).",
+    tags=("limit",),
+)
+def p5_limit_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.orderBy("event_id").limit(100).select("event_id", "value")
+
+
+@query(
+    "p6_sample_hash",
+    oracle=f"""
+        SELECT event_id, value FROM events
+        WHERE {phash_sql('event_id', 100)} < 10
+    """,
+    doc="P6 deterministic 10% row sample (nb cell 7 `num_x.sample`). "
+        "Engine-native sample() differs across engines and retries; "
+        "portable hash-gate instead (FIXTURES.md §4).",
+    tags=("sample",),
+)
+def p6_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(phash("event_id", 100) < 10).select("event_id", "value")
+
+
+@query(
+    "p8_union",
+    oracle="""
+        SELECT event_id, value FROM events WHERE value > 150
+        UNION ALL
+        SELECT event_id, value FROM events WHERE value < 10
+    """,
+    doc="P8 vertical concat (utils.py:167 `np.concatenate`; "
+        "tuners.py:306-309 `np.append`). unionByName, never positional.",
+    tags=("union",),
+)
+def p8_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    return ev.filter(F.col("value") > 150).unionByName(ev.filter(F.col("value") < 10))
+
+
+# ------------------------------------------------------------- F1-F2, F9
+
+@query(
+    "f1_strip_prefix_cast",
+    oracle=f"""
+        SELECT event_id,
+               CAST(regexp_replace('era' || CAST({ERA_EVENTS_SQL} AS VARCHAR), '^era', '') AS INTEGER) AS era
+        FROM events
+    """,
+    doc="F1 string strip-prefix + int cast (nb cell 6: "
+        "`era.map(lambda x: x.lstrip('era'))` → int). Round-trips the "
+        "era label to prove the string path.",
+    tags=("scalar",),
+)
+def f1_strip_prefix_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    label = F.concat(F.lit("era"), era_events().cast("string"))
+    return ev.select(
+        "event_id",
+        F.regexp_replace(label, "^era", "").cast("int").alias("era"),
+    )
+
+
+@query(
+    "f2_onehot_pivot",
+    oracle="""
+        SELECT user_id,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        FROM events GROUP BY user_id
+    """,
+    doc="F2 one-hot encoding (nb cell 6 `pd.get_dummies`). Pivot with a "
+        "pinned value list — at scale an unpinned pivot needs an extra "
+        "distinct pass; pinning keeps it one shuffle.",
+    tags=("pivot",),
+)
+def f2_onehot_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+@query(
+    "f9_math_scalars",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(ln(l_extendedprice), 6) AS log_price,
+               CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_ceil,
+               CAST(floor(l_discount * 100) AS BIGINT) AS disc_floor
+        FROM lineitem WHERE l_extendedprice > 0
+    """,
+    doc="F9 log/ceil/floor scalars (tuners.py:449 np.log, :455 np.ceil; "
+        "utils.py:111 np.floor). Whole-stage-codegen'd JVM expressions.",
+    tags=("scalar",),
+)
+def f9_math_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_extendedprice") > 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("log_price"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("qty_ceil"),
+        F.floor(F.col("l_discount") * 100).alias("disc_floor"),
+    )
+
+
+# ---------------------------------------------------------------- joins
+
+@query(
+    "j1_index_align_join",
+    oracle=f"""
+        WITH pred AS (
+            SELECT event_id, {PRED_EVENTS_SQL} AS pred FROM events
+        ), era AS (
+            SELECT event_id, {ERA_EVENTS_SQL} AS era FROM events WHERE value >= 1
+        )
+        SELECT p.event_id, p.pred, e.era
+        FROM pred p JOIN era e ON p.event_id = e.event_id
+    """,
+    doc="J1+P7 index equi-join then dropna ⇒ inner (metrics.py:15-17: "
+        "`pd.DataFrame(y_pred, index=y_true.index).join(era).dropna()`). "
+        "Spark has no row index — the key is materialized (event_id). "
+        "Era side is small → broadcast hint, no shuffle.",
+    tags=("join",),
+)
+def j1_index_align_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pred = ev.select("event_id", pred_events().alias("pred"))
+    era = ev.filter(F.col("value") >= 1).select("event_id", era_events().alias("era"))
+    return pred.join(F.broadcast(era), "event_id", "inner").select("event_id", "pred", "era")
+
+
+@query(
+    "j2_semi_join",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left-semi join (engine-completeness suite, SURVEY.md §2.4 "
+        "closing note). Catalyst built-in; EXISTS pushdown.",
+    tags=("join",),
+)
+def j2_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "j3_anti_join",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left-anti join (completeness suite). NOT EXISTS.",
+    tags=("join",),
+)
+def j3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "j4_star_broadcast",
+    oracle="""
+        SELECT r.r_name AS region, n.n_name AS nation,
+               round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    """,
+    doc="Star-schema join chain with broadcast dims (TPC-H Q5 shape). "
+        "At 100 TB: lineitem⋈orders is the only shuffle (both huge, "
+        "co-partition on orderkey); customer/nation/region broadcast. "
+        "Revenue rounded(2) — float sum order is engine-dependent.",
+    tags=("join", "agg"),
+)
+def j4_star_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "j5_range_join",
+    oracle="""
+        SELECT b.band_id, CAST(count(*) AS BIGINT) AS n, round(CAST(sum(l.l_extendedprice) AS DOUBLE), 2) AS price_sum
+        FROM lineitem l
+        JOIN (VALUES (0, 0.0, 10.0), (1, 10.0, 20.0), (2, 20.0, 30.0),
+                     (3, 30.0, 40.0), (4, 40.0, 51.0)) AS b(band_id, lo, hi)
+          ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+        GROUP BY b.band_id
+    """,
+    doc="Range (inequality) join against a small band dim — the "
+        "completeness-suite range join (SURVEY.md §2.4). Broadcast "
+        "nested-loop on the tiny side; at scale prefer bucketing the "
+        "range key to an equi-join (see dedup/similarity operators).",
+    tags=("join",),
+)
+def j5_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [(0, 0.0, 10.0), (1, 10.0, 20.0), (2, 20.0, 30.0), (3, 30.0, 40.0), (4, 40.0, 51.0)],
+        "band_id int, lo double, hi double",
+    )
+    cond = (li.l_quantity >= bands.lo) & (li.l_quantity < bands.hi)
+    return (
+        li.join(F.broadcast(bands), cond)
+        .groupBy("band_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("price_sum"))
+    )
+
+
+# ---------------------------------------------------------- aggregates
+
+@query(
+    "a2_distinct",
+    oracle=f"SELECT DISTINCT {ERA_EVENTS_SQL} AS era FROM events",
+    doc="A2 distinct era list (utils.py:23 `np.unique(era)`).",
+    tags=("agg",),
+)
+def a2_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(era_events().alias("era")).distinct()
+
+
+@query(
+    "a3_grouped_mean",
+    oracle="""
+        SELECT event_type, round(avg(value), 6) AS mean_value,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    """,
+    doc="A3 grouped mean (tuners.py:93-94 `np.mean(s, axis=1)` per "
+        "param). Partial aggregation map-side, single shuffle.",
+    tags=("agg",),
+)
+def a3_grouped_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mean_value"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "a6_collect_group_members",
+    oracle="""
+        SELECT label, string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id) AS members
+        FROM embeddings GROUP BY label
+    """,
+    doc="A6 dict-accumulate cluster members (feature_clustering.py:73-80 "
+        "zip(labels, names) → {cluster: [feature,...]}). Sorted "
+        "comma-joined string so the value hash is order-stable.",
+    tags=("agg",),
+)
+def a6_collect_group_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    members = F.array_join(
+        F.transform(F.array_sort(F.collect_list("vec_id")), lambda x: x.cast("string")), ","
+    )
+    return emb.groupBy("label").agg(members.alias("members"))
+
+
+@query(
+    "a8_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="Grouping-sets completeness (SURVEY.md §2.5 closing note): CUBE.",
+    tags=("agg",),
+)
+def a8_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "a9_rollup",
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderpriority,
+               round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY ROLLUP (yr, o_orderpriority)
+    """,
+    doc="Grouping-sets completeness: ROLLUP over (year, priority).",
+    tags=("agg",),
+)
+def a9_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("yr", F.year("o_orderdate").cast("int"))
+        .rollup("yr", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"), F.count("*").alias("n"))
+    )
+
+
+# ----------------------------------------------------- windows / top-k
+
+@query(
+    "w2_rank_importance",
+    oracle="""
+        WITH score AS (
+            SELECT l_partkey, round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS score
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey, score,
+               CAST(rank() OVER (ORDER BY score DESC, l_partkey) AS BIGINT) AS rnk
+        FROM score
+    """,
+    doc="W2 rank of an importance table (feature_selection_numerai.py:"
+        "151-153 sort by Score desc). Tie-break by key pins determinism.",
+    tags=("window",),
+)
+def w2_rank_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    score = li.groupBy("l_partkey").agg(F.round(F.sum("l_extendedprice"), 2).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("l_partkey"))
+    return score.withColumn("rnk", F.rank().over(w).cast("bigint"))
+
+
+@query(
+    "o2_topk_per_group",
+    oracle="""
+        SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    doc="O2 top-n per group (forward selection takes top-n ranked "
+        "features, feature_selection_numerai.py:197-204). Window "
+        "row_number ≤ k — per-partition partial top-k at scale.",
+    tags=("window", "limit"),
+)
+def o2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "o3_argmax",
+    oracle="""
+        SELECT event_id, value FROM events
+        ORDER BY value DESC, event_id LIMIT 1
+    """,
+    doc="O3 argmax row (feature_clustering.py:67 idxmax; tuners.py:492 "
+        "np.argmax). orderBy desc + limit 1 → TakeOrderedAndProject "
+        "(partial top-k per partition, no global sort).",
+    tags=("limit",),
+)
+def o3_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.orderBy(F.desc("value"), F.asc("event_id")).limit(1).select("event_id", "value")
+
+
+# ------------------------------------------------------------- set ops
+
+@query(
+    "set_intersect",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="Set-op completeness (SURVEY.md §2.8): INTERSECT (distinct).",
+    tags=("setop",),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="Set-op completeness: EXCEPT (distinct).",
+    tags=("setop",),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="Set-op completeness: EXCEPT ALL (bag difference).",
+    tags=("setop",),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)

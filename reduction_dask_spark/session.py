@@ -1,0 +1,51 @@
+"""SparkSession factory.
+
+Local-mode defaults follow the public Spark tuning guidance: shuffle
+partitions ≈ cores (not 200), AQE on (runtime coalesce + skew-join —
+era sizes are skewed, SURVEY.md §7 "What's hard" #5), Arrow enabled for
+the pandas-UDF boundary. On a real cluster the same code runs with
+executor-level configs; nothing here assumes single-node.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# The driver testdata stores timestamps as parquet TIMESTAMP(NANOS),
+# which Spark's vectorized reader rejects unless told to surface them
+# as nanosecond longs; sources/ converts them to proper timestamps.
+NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def get_spark(app: str = "reduction_dask_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or min(os.cpu_count() or 4, 32)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config(NANOS_CONF, "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_engine_confs(spark: SparkSession) -> SparkSession:
+    """Set runtime-settable confs this engine depends on.
+
+    The driver may hand us a session it built itself; these confs are
+    all runtime-settable and required for correct reads/comparisons.
+    """
+    spark.conf.set(NANOS_CONF, "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

@@ -1,0 +1,90 @@
+"""Sources: loaders for the test star schema + generic readers.
+
+Reference mapping (SURVEY.md §2.1): the reference's only source is a
+headered CSV read with inferred dtypes (S1, nb cell 4) plus CSV/pickle
+round-trips of intermediates (S2/S3). Here the primary format is
+parquet (columnar, predicate pushdown, column pruning); CSV/JSON
+readers are provided for parity.
+
+Scale note: loaders return *lazy* DataFrames — no driver
+materialization. At 100 TB these reads are partition-parallel scans
+whose filters/projections Catalyst pushes into the parquet footers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..session import ensure_engine_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Columns stored as parquet TIMESTAMP(NANOS): surfaced by Spark as
+# nanosecond longs (session.NANOS_CONF) and converted here to proper
+# microsecond timestamps — bit-identical to what DuckDB reads.
+_NANO_TS_COLS = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one star-schema table from ``sf_dir`` as a lazy DataFrame."""
+    ensure_engine_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANO_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view for the SQL API."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
+    """S1: headered CSV scan (nb cell 4). Explicit schema preferred;
+    inferSchema kept for parity with the reference's ``pd.read_csv``."""
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        return reader.schema(schema).csv(path)
+    return reader.option("inferSchema", True).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_append(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """S2: append sink (results-log pattern, nb cells 22/54/67/...)."""
+    df.write.mode("append").format(fmt).save(path)
+
+
+def write_overwrite(df: DataFrame, path: str, fmt: str = "parquet", partition_by: tuple[str, ...] = ()) -> None:
+    """S3: intermediate-result round-trip (CSV/pickle caches in the
+    reference, nb cells 27-28) — parquet here, optionally partitioned."""
+    w = df.write.mode("overwrite").format(fmt)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)

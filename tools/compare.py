@@ -1,0 +1,113 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every registered query on Spark and its DuckDB oracle on the same
+parquet tables, then compares row count, schema (names + dtype kinds)
+and values (columns sorted by name, rows sorted by all columns,
+requiring EXACT equality — stricter than any value-hash the driver
+could use, so passing here implies passing there).
+
+Usage: python tools/compare.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            dt = df[c]
+            if getattr(dt.dtype, "tz", None) is not None:
+                dt = dt.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = dt.astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    errs: list[str] = []
+    if len(spark_pdf) != len(duck_pdf):
+        errs.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        errs.append(f"columns: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}")
+        return errs
+    s, d = canon(spark_pdf), canon(duck_pdf)
+    for c in s.columns:
+        if str(s[c].dtype) != str(d[c].dtype):
+            errs.append(f"dtype[{c}]: spark={s[c].dtype} duck={d[c].dtype}")
+    if errs:
+        return errs
+    if len(s) != len(d):
+        return errs
+    for c in s.columns:
+        a, b = s[c].to_numpy(), d[c].to_numpy()
+        if pd.api.types.is_float_dtype(s[c]):
+            bad = ~((a == b) | (np.isnan(a) & np.isnan(b)))
+        else:
+            bad = ~(pd.Series(a).eq(pd.Series(b)) | (pd.Series(a).isna() & pd.Series(b).isna())).to_numpy()
+        if bad.any():
+            i = int(np.argmax(bad))
+            errs.append(f"value[{c}] {int(bad.sum())} diffs, first at row {i}: spark={a[i]!r} duck={b[i]!r}")
+    return errs
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from reduction_dask_spark.session import get_spark
+
+    spark = get_spark("compare")
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events documents embeddings").split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    n_pass = n_fail = n_noracle = 0
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            print(f"FAIL {name}: spark error: {ex}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle (rows-only: {len(sdf)} rows, {time.time()-t0:.1f}s)")
+            n_noracle += 1
+            continue
+        try:
+            ddf = con.execute(oracles[name]).fetchdf()
+        except Exception as ex:
+            print(f"FAIL {name}: duckdb error: {ex}")
+            n_fail += 1
+            continue
+        errs = compare(name, sdf, ddf)
+        if errs:
+            n_fail += 1
+            print(f"FAIL {name} ({time.time()-t0:.1f}s)")
+            for er in errs:
+                print(f"     {er}")
+        else:
+            n_pass += 1
+            print(f"PASS {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
