@@ -1,0 +1,393 @@
+"""Deduplication operators for LLM-data pipelines (BASELINE.json
+north-star; first-class alongside SURVEY.md §2).
+
+Pipeline shapes (all shuffle-on-key relational plans, no driver
+materialization, no crossJoin on the full corpus):
+
+- dd1 exact:      hash-groupBy on a normalized fingerprint.
+- dd2 jaccard:    shingle inverted index → pair counts → |A∩B|/|A∪B|.
+- dd3 minhash-lsh: shingle → universal-hash minhash signature → banded
+                  bucket join → candidates → exact-jaccard verify.
+- dd4 simhash:    token-hash sign-sum fingerprint → banded hamming join.
+- dd3b ml:        Spark MLlib MinHashLSH (HashingTF + approxSimilarityJoin)
+                  — the built-in scale path (rows-only check; MLlib's
+                  hash seeds aren't portable to DuckDB).
+
+Determinism: every hash is md5/arithmetic (functions.md5i / universal
+hashing h_s(x) = (a_s·md5i(x) + b_s) mod p) so Spark and DuckDB agree
+bit-for-bit. Shingles with document frequency > DF_CAP are dropped on
+both sides — the standard guard against hot-shingle join blowup at
+scale (a shingle shared by 1M docs would otherwise produce 10^12 pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..functions import md5i, md5i_sql
+from ..registry import query
+from ..sources import load_table
+from .text import normalized_fingerprint
+
+K_SHINGLE = 3
+DF_CAP = 100          # drop shingles appearing in more docs than this
+N_HASHES = 32         # minhash signature length
+N_BANDS = 8           # LSH bands (r = 4 rows/band)
+MERSENNE = 2147483647
+JACCARD_TAU = 0.7
+SIM_BITS = 60         # simhash width (bits 0..59 from two md5 halves)
+SIM_BANDS = 4         # 15-bit bands ⇒ guaranteed recall for hd ≤ 3
+SIM_TAU = 3
+
+
+# ------------------------------------------------------- shingle base
+
+def shingle_array(col: Column, k: int = K_SHINGLE) -> Column:
+    """Distinct k-word shingles of a whitespace-tokenized text."""
+    toks = F.split(col, " ")
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+    )
+    return F.array_distinct(sh)
+
+
+def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) inverted-index rows, df-capped."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.filter(F.size(F.split(F.col("text"), " ")) >= K_SHINGLE)
+        .select("doc_id", F.explode(shingle_array(F.col("text"))).alias("shingle"))
+    )
+    df_tab = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    return sh.join(df_tab.filter(F.col("df") <= DF_CAP).select("shingle"), "shingle")
+
+
+# DuckDB mirror of shingle_table
+SHINGLE_SQL = f"""
+    d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh0 AS (
+        SELECT doc_id,
+               unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                     for i in range(1, len(toks) - 1)])) AS shingle
+        FROM d WHERE len(toks) >= {K_SHINGLE}
+    ),
+    dfreq AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {DF_CAP}),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN dfreq USING (shingle))
+"""
+
+# Exact pairwise Jaccard over the inverted index (used by dd2 and as
+# the verify stage of dd3): only pairs sharing ≥1 shingle materialize.
+_JACCARD_SQL = f"""
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    jac AS (
+        SELECT i.doc_a, i.doc_b,
+               round(i.ninter::DOUBLE / (sa.n + sb.n - i.ninter), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+    )
+"""
+
+
+def jaccard_pairs(sh: DataFrame, tau: float) -> DataFrame:
+    """Exact shingle-Jaccard for all pairs sharing a shingle, ≥ tau."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("ninter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("ninter").cast("double") / (F.col("na") + F.col("nb") - F.col("ninter")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= tau)
+    )
+
+
+# ---------------------------------------------------------------- dd1
+
+@query(
+    "dd1_exact_dedup",
+    oracle="""
+        SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+               CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+               CAST(count(*) AS BIGINT) AS n_dups
+        FROM documents GROUP BY 1
+    """,
+    doc="dd1 exact dedup: hash-groupBy on the normalized fingerprint, "
+        "keep the smallest doc_id per group. One shuffle on the "
+        "fingerprint; at 100 TB this is the cheapest dedup pass and "
+        "runs first to shrink the corpus for the fuzzy passes.",
+    tags=("dedup",),
+)
+def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(normalized_fingerprint(F.col("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dups"))
+    )
+
+
+# ---------------------------------------------------------------- dd2
+
+@query(
+    "dd2_shingle_jaccard",
+    oracle=f"""
+        WITH {SHINGLE_SQL}, {_JACCARD_SQL}
+        SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
+    """,
+    doc="dd2 exact n-gram Jaccard near-dup pairs via the shingle "
+        "inverted index — no crossJoin: only pairs sharing a shingle "
+        "are generated (df-capped). The exact-but-quadratic-worst-case "
+        "baseline that dd3 approximates.",
+    tags=("dedup",),
+)
+def dd2_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(shingle_table(spark, sf_dir), tau=0.5)
+
+
+# ---------------------------------------------------------------- dd3
+
+_MINHASH_SQL = f"""
+    h0 AS (SELECT DISTINCT shingle, {md5i_sql('shingle')} AS h FROM sh),
+    seeds AS (SELECT CAST(range AS INTEGER) AS s FROM range({N_HASHES})),
+    mh AS (
+        SELECT sh.doc_id, seeds.s,
+               min(((2 * seeds.s + 3) * h0.h + seeds.s * 40503 + 1) % {MERSENNE}) AS mhv
+        FROM sh JOIN h0 USING (shingle) CROSS JOIN seeds
+        GROUP BY sh.doc_id, seeds.s
+    ),
+    bands AS (
+        SELECT doc_id, CAST(s // {N_HASHES // N_BANDS} AS INTEGER) AS band,
+               string_agg(CAST(mhv AS VARCHAR), ',' ORDER BY s) AS bkey
+        FROM mh GROUP BY doc_id, band
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+"""
+
+
+def minhash_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) LSH band keys from universal-hash minhash."""
+    spark = sh.sparkSession
+    h0 = sh.select("shingle").distinct().select("shingle", md5i("shingle").alias("h"))
+    seeds = spark.range(N_HASHES).select(F.col("id").cast("int").alias("s"))
+    r = N_HASHES // N_BANDS
+    mh = (
+        sh.join(h0, "shingle")
+        .crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "s",
+            (((2 * F.col("s") + 3) * F.col("h") + F.col("s") * 40503 + 1) % MERSENNE).alias("hv"),
+        )
+        .groupBy("doc_id", "s")
+        .agg(F.min("hv").alias("mhv"))
+    )
+    return (
+        mh.withColumn("band", F.expr(f"s div {r}").cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "mhv"))),
+                    lambda x: x["mhv"].cast("string"),
+                ),
+                ",",
+            ).alias("bkey")
+        )
+    )
+
+
+@query(
+    "dd3_minhash_lsh_dedup",
+    oracle=f"""
+        WITH {SHINGLE_SQL}, {_MINHASH_SQL}, {_JACCARD_SQL}
+        SELECT c.doc_a, c.doc_b, j.jaccard
+        FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+        WHERE j.jaccard >= {JACCARD_TAU}
+    """,
+    doc="dd3 MinHash-LSH dedup: shingle → 32-hash minhash signature "
+        "(universal hashing over one md5 per shingle — one expensive "
+        "hash, 32 cheap ones) → 8×4 banded bucket join → candidate "
+        "pairs → exact-Jaccard verify ≥ 0.7. The 100 TB fuzzy-dedup "
+        "workhorse: cost is O(corpus) + O(candidates), never O(n²).",
+    tags=("dedup", "bench"),
+)
+def dd3_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingle_table(spark, sf_dir)
+    bands = minhash_bands(sh)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = jaccard_pairs(sh, tau=JACCARD_TAU)
+    return cand.join(verified, ["doc_a", "doc_b"])
+
+
+@query(
+    "dd3b_minhash_lsh_ml",
+    oracle=None,  # MLlib hash seeds aren't portable; rows-only check
+    doc="dd3b MinHash-LSH via Spark MLlib (HashingTF on shingles + "
+        "MinHashLSH.approxSimilarityJoin) — the built-in scale path; "
+        "same pipeline shape as dd3 with JVM-native hashing.",
+    tags=("dedup",),
+)
+def dd3b_minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.filter(F.size(F.split(F.col("text"), " ")) >= K_SHINGLE).select(
+        "doc_id", shingle_array(F.col("text")).alias("shingles")
+    )
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(docs)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 1.0 - JACCARD_TAU, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1.0 - F.col("dist"), 6).alias("jaccard_est"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- dd4
+
+_SIMHASH_SQL = f"""
+    tokw AS (
+        SELECT doc_id, tok, count(*) AS w
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY doc_id, tok
+    ),
+    tokh AS (
+        SELECT DISTINCT tok,
+               {md5i_sql("'s1:' || tok")} AS h1,
+               {md5i_sql("'s2:' || tok")} AS h2
+        FROM tokw
+    ),
+    bits AS (SELECT CAST(range AS INTEGER) AS b FROM range({SIM_BITS})),
+    votes AS (
+        SELECT t.doc_id, bits.b,
+               sum(t.w * (2 * (CASE WHEN bits.b < 30
+                                    THEN (h.h1 // (1 << bits.b)) % 2
+                                    ELSE (h.h2 // (1 << (bits.b - 30))) % 2 END) - 1)) AS v
+        FROM tokw t JOIN tokh h USING (tok) CROSS JOIN bits
+        GROUP BY t.doc_id, bits.b
+    ),
+    fp AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS f
+        FROM votes GROUP BY doc_id
+    ),
+    fpb AS (
+        SELECT doc_id, f, CAST(range AS INTEGER) AS k,
+               (f // (1::BIGINT << (15 * CAST(range AS INTEGER)))) % 32768 AS bandv
+        FROM fp, range({SIM_BANDS})
+    ),
+    scand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.f AS fa, b.f AS fb
+        FROM fpb a JOIN fpb b
+          ON a.k = b.k AND a.bandv = b.bandv AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@query(
+    "dd4_simhash_dedup",
+    oracle=f"""
+        WITH {_SIMHASH_SQL}
+        SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+        FROM scand
+        WHERE bit_count(xor(fa, fb)) <= {SIM_TAU}
+    """,
+    doc="dd4 SimHash dedup: 60-bit weighted token-hash sign-sum "
+        "fingerprint; 4×15-bit banded join (pigeonhole: hamming ≤ 3 ⇒ "
+        "some band equal, so banding loses nothing) then exact hamming "
+        "filter. Fingerprinting is one groupBy; candidate join is "
+        "equi-join on band value — no all-pairs scan.",
+    tags=("dedup",),
+)
+def dd4_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tokw = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("w"))
+    )
+    tokh = tokw.select("tok").distinct().select(
+        "tok",
+        md5i(F.concat(F.lit("s1:"), F.col("tok"))).alias("h1"),
+        md5i(F.concat(F.lit("s2:"), F.col("tok"))).alias("h2"),
+    )
+    bits = tokw.sparkSession.range(SIM_BITS).select(F.col("id").cast("int").alias("b"))
+    bit_val = F.expr(
+        "CASE WHEN b < 30 THEN (h1 div shiftleft(cast(1 as bigint), b)) % 2 "
+        "ELSE (h2 div shiftleft(cast(1 as bigint), b - 30)) % 2 END"
+    )
+    votes = (
+        tokw.join(tokh, "tok")
+        .crossJoin(F.broadcast(bits))
+        .select("doc_id", "b", (F.col("w") * (2 * bit_val - 1)).alias("vote"))
+        .groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("v"))
+    )
+    fp = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") >= 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(F.lit(0))
+        ).alias("f")
+    )
+    ks = tokw.sparkSession.range(SIM_BANDS).select(F.col("id").cast("int").alias("k"))
+    fpb = fp.crossJoin(F.broadcast(ks)).select(
+        "doc_id",
+        "f",
+        "k",
+        F.expr("(f div shiftleft(cast(1 as bigint), 15 * k)) % 32768").alias("bandv"),
+    )
+    a, b = fpb.alias("a"), fpb.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bandv") == F.col("b.bandv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.f").alias("fa"),
+            F.col("b.f").alias("fb"),
+        )
+        .distinct()
+    )
+    hd = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("int")
+    return cand.select("doc_a", "doc_b", hd.alias("hamming")).filter(F.col("hamming") <= SIM_TAU)

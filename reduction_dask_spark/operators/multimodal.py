@@ -1,0 +1,146 @@
+"""Multimodal-column operators (BASELINE.json north-star).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata; decode / feature-extract / frame-sample run as Arrow-batched
+pandas UDFs over ``mapInPandas``. The container has no media libraries,
+so the *decode* step is stubbed (deterministic byte-level fake behind
+``DECODERS``, or NotImplementedError for real codecs) — the Spark-side
+plumbing (binary schema, batch iteration, partitioning, UDF signatures)
+is real and tested.
+
+The testdata has no binary table, so payloads are materialized
+in-query from documents.text via encode() — schema-wise identical to a
+real blob column read from parquet.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+N_FEAT = 16          # fake feature-vector width (byte-histogram bins)
+FRAME_STRIDE = 64    # bytes per sampled "frame"
+N_FRAMES = 4
+
+
+def blob_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, kind, payload binary, n_bytes) — the multimodal schema."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        (F.when(F.col("doc_id") % 3 == 0, "image")
+         .when(F.col("doc_id") % 3 == 1, "audio")
+         .otherwise("video")).alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.octet_length(F.encode(F.col("text"), "utf-8")).cast("bigint").alias("n_bytes"),
+    )
+
+
+# --------------------------------------------------------------- decode
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: normalized 16-bin
+    byte histogram. Replace with PIL/librosa/pyav when available."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist, _ = np.histogram(arr, bins=N_FEAT, range=(0, 256))
+    total = hist.sum()
+    return (hist / total if total else hist).astype(np.float64)
+
+
+def _real_decode(payload: bytes) -> np.ndarray:
+    raise NotImplementedError(
+        "real media decode requires PIL/librosa/pyav — not in this "
+        "container; wire the codec here and keep the same signature"
+    )
+
+
+DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
+    "fake": _fake_decode,
+    "real": _real_decode,
+}
+
+
+@query(
+    "mm1_blob_metadata",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    """,
+    doc="mm1 typed metadata over opaque payloads — the catalog query a "
+        "multimodal pipeline filters on before touching bytes "
+        "(predicate pushdown on metadata, payload column never read).",
+    tags=("multimodal",),
+)
+def mm1_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return blob_table(spark, sf_dir).select("doc_id", "kind", "n_bytes")
+
+
+@query(
+    "mm2_feature_extract",
+    oracle=None,  # pandas-UDF decode path; rows-only + unit test vs numpy
+    doc="mm2 decode + feature-extract via mapInPandas: Arrow-batched "
+        "binary in, fixed-width float vector out. At scale this is the "
+        "GPU-adjacent stage — partition-parallel, no shuffle; the "
+        "decoder is per-batch vectorized Python.",
+    tags=("multimodal",),
+)
+def mm2_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blobs = blob_table(spark, sf_dir)
+    decode = DECODERS["fake"]
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = np.stack([decode(bytes(p)) for p in pdf["payload"]])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "features": list(feats),
+                }
+            )
+
+    return blobs.mapInPandas(
+        extract, schema="doc_id bigint, kind string, features array<double>"
+    )
+
+
+@query(
+    "mm3_frame_sample",
+    oracle=None,  # rows-only; byte-slice framing is a decode stand-in
+    doc="mm3 frame sampling: one payload row → N frame rows (stride "
+        "byte-slices standing in for video frames). The explode-shaped "
+        "mapInPandas pattern — output cardinality > input, schema "
+        "(doc_id, frame_idx, frame) — used by any video pipeline.",
+    tags=("multimodal",),
+)
+def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blobs = blob_table(spark, sf_dir).filter(F.col("kind") == "video")
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_frame = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                for i in range(N_FRAMES):
+                    start = i * FRAME_STRIDE
+                    if start >= len(raw):
+                        break
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_frame.append(raw[start : start + FRAME_STRIDE])
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame_idx": out_idx, "frame": out_frame}
+            )
+
+    return blobs.mapInPandas(frames, schema="doc_id bigint, frame_idx int, frame binary")

@@ -1,0 +1,295 @@
+"""Similarity search over embedding columns (BASELINE.json north-star).
+
+- ss1 brute-force cosine top-k: broadcast the (small) query set, one
+  scan of the corpus, per-query heap via window top-k. The exact
+  baseline: O(|Q|·n) flops but a single pass, no shuffle of the corpus.
+- ss2 random-hyperplane LSH top-k: sign-of-projection bucket (SimHash
+  for vectors), equi-join on bucket, exact re-rank inside the bucket.
+  The scale path: candidate set shrinks by the bucket fan-out; recall
+  trades against bucket count. Planes are derived from portable md5
+  hashes, so the whole pipeline is oracle-checkable in DuckDB.
+- ss3 kNN label vote: top-k neighbors → majority label (the standard
+  embedding-quality probe).
+- dd5 embedding near-dup: LSH-bucketed candidate pairs + exact cosine
+  threshold (near-dup dedup for embedded corpora).
+
+Dot products run as sequential array folds (F.aggregate / DuckDB
+list_dot_product) over identical doubles → bit-identical across
+engines; cosines are rounded(5) before ranking with vec_id tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..functions import md5i_sql
+from ..registry import query
+from ..sources import load_table
+
+TOP_K = 5
+QUERY_MOD = 50       # query set = vec_id % 50 == 0
+N_PLANES = 6         # 64 LSH buckets
+DIM = 64
+NEARDUP_TAU = 0.4
+
+
+def as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+_COS_SQL = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+# ---------------------------------------------------------------- ss1
+
+_BRUTE_SQL = f"""
+    q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id % {QUERY_MOD} = 0),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+        SELECT q.qid, c.vec_id,
+               round({_COS_SQL.format(a='q.qv', b='c.cv')}, 5) AS cos
+        FROM q CROSS JOIN c WHERE q.qid <> c.vec_id
+    ),
+    topk AS (
+        SELECT qid, vec_id, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+        FROM scored
+    )
+"""
+
+
+def brute_force_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qv")
+    )
+    c = emb.select("vec_id", as_double(F.col("embedding")).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", F.round(cosine(F.col("qv"), F.col("cv")), 5).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "cos")
+    )
+
+
+@query(
+    "ss1_cosine_topk_brute",
+    oracle=f"""
+        WITH {_BRUTE_SQL}
+        SELECT qid, vec_id AS neighbor_id, cos FROM topk WHERE rn <= {TOP_K}
+    """,
+    doc="ss1 exact cosine top-k: broadcast queries × one corpus scan "
+        "(brute-force ANN baseline).",
+    tags=("similarity", "bench"),
+)
+def ss1_cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return brute_force_topk(spark, sf_dir)
+
+
+# ---------------------------------------------------------------- ss2
+
+# Portable random hyperplanes: w[p][d] = (md5i('pl:p:d') % 2001 - 1000)/1000
+_PLANES_SQL = f"""
+    planes AS (
+        SELECT CAST(p.range AS INTEGER) AS p, CAST(d.range AS INTEGER) AS d,
+               (({md5i_sql("'pl:' || p.range || ':' || d.range")}) % 2001 - 1000) / 1000.0 AS w
+        FROM range({N_PLANES}) p, range({DIM}) d
+    ),
+    melted AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    sig AS (
+        SELECT m.vec_id,
+               CAST(sum(CASE WHEN proj >= 0 THEN 1 << p ELSE 0 END) AS INTEGER) AS bucket
+        FROM (
+            SELECT m.vec_id, pl.p, sum(m.val * pl.w) AS proj
+            FROM melted m JOIN planes pl ON m.d = pl.d
+            GROUP BY m.vec_id, pl.p
+        ) m GROUP BY m.vec_id
+    )
+"""
+
+
+def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, bucket) sign-of-projection LSH bucket per vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = (
+        spark.range(N_PLANES)
+        .select(F.col("id").cast("int").alias("p"))
+        .crossJoin(spark.range(DIM).select(F.col("id").cast("int").alias("d")))
+        .select(
+            "p",
+            "d",
+            (
+                (
+                    F.conv(
+                        F.substring(F.md5(F.concat_ws("", F.lit("pl:"), F.col("p"), F.lit(":"), F.col("d"))), 1, 8),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % 2001
+                    - 1000
+                )
+                / 1000.0
+            ).alias("w"),
+        )
+    )
+    melted = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("d", "valf")
+    ).select("vec_id", "d", F.col("valf").cast("double").alias("val"))
+    proj = (
+        melted.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("val") * F.col("w")).alias("proj"))
+    )
+    return proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("proj") >= 0, F.expr("shiftleft(1, p)")).otherwise(F.lit(0))
+        ).cast("int").alias("bucket")
+    )
+
+
+@query(
+    "ss2_cosine_topk_lsh",
+    oracle=f"""
+        WITH {_BRUTE_SQL.rstrip()}, {_PLANES_SQL},
+        cand AS (
+            SELECT s.qid, s.vec_id, s.cos
+            FROM scored s
+            JOIN sig a ON a.vec_id = s.qid
+            JOIN sig b ON b.vec_id = s.vec_id AND b.bucket = a.bucket
+        ),
+        ctop AS (
+            SELECT qid, vec_id, cos,
+                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+            FROM cand
+        )
+        SELECT qid, vec_id AS neighbor_id, cos FROM ctop WHERE rn <= {TOP_K}
+    """,
+    doc="ss2 LSH-bucketed approximate top-k: 6 portable random "
+        "hyperplanes → 64 sign buckets; candidates = same-bucket "
+        "vectors; exact cosine re-rank inside the bucket. At 100 TB "
+        "the bucket equi-join replaces the O(|Q|·n) scan; recall is "
+        "tunable via plane count / multi-probe.",
+    tags=("similarity",),
+)
+def ss2_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = lsh_buckets(spark, sf_dir)
+    q = (
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qv"))
+        .join(buckets.select(F.col("vec_id").alias("qid"), "bucket"), "qid")
+    )
+    c = emb.select("vec_id", as_double(F.col("embedding")).alias("cv")).join(buckets, "vec_id")
+    cand = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", F.round(cosine(F.col("qv"), F.col("cv")), 5).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "cos")
+    )
+
+
+# ---------------------------------------------------------------- ss3
+
+@query(
+    "ss3_knn_label_vote",
+    oracle=f"""
+        WITH {_BRUTE_SQL},
+        nb AS (
+            SELECT t.qid, e.label FROM topk t
+            JOIN embeddings e ON e.vec_id = t.vec_id
+            WHERE t.rn <= {TOP_K}
+        ),
+        votes AS (
+            SELECT qid, label, count(*) AS n FROM nb GROUP BY qid, label
+        ),
+        best AS (
+            SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY n DESC, label) AS rn
+            FROM votes
+        )
+        SELECT qid, label AS pred_label FROM best WHERE rn = 1
+    """,
+    doc="ss3 kNN majority-label vote over ss1's top-k — embedding "
+        "quality probe (labels are the embeddings table's clusters).",
+    tags=("similarity",),
+)
+def ss3_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = brute_force_topk(spark, sf_dir)
+    nb = topk.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+    )
+    votes = nb.groupBy("qid", "label").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("qid").orderBy(F.desc("n"), F.asc("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("label").alias("pred_label"))
+    )
+
+
+# ---------------------------------------------------------------- dd5
+
+@query(
+    "dd5_embedding_neardup",
+    oracle=f"""
+        WITH {_PLANES_SQL},
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        cand AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT c.id_a, c.id_b,
+               round({_COS_SQL.format(a='va.ev', b='vb.ev')}, 5) AS cos
+        FROM cand c
+        JOIN v va ON va.vec_id = c.id_a
+        JOIN v vb ON vb.vec_id = c.id_b
+        WHERE {_COS_SQL.format(a='va.ev', b='vb.ev')} >= {NEARDUP_TAU}
+    """,
+    doc="dd5 embedding-cosine near-dup pairs: LSH bucket candidates + "
+        "exact cosine ≥ τ. Same banded-candidates shape as dd3/dd4 — "
+        "cost scales with bucket collisions, not n².",
+    tags=("dedup", "similarity"),
+)
+def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("ev"))
+    buckets = lsh_buckets(spark, sf_dir)
+    a = buckets.select(F.col("vec_id").alias("id_a"), "bucket")
+    b = buckets.select(F.col("vec_id").alias("id_b"), "bucket")
+    cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    va = v.select(F.col("vec_id").alias("id_a"), F.col("ev").alias("ea"))
+    vb = v.select(F.col("vec_id").alias("id_b"), F.col("ev").alias("eb"))
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(cos >= NEARDUP_TAU)
+        .select("id_a", "id_b", F.round(cos, 5).alias("cos"))
+    )

@@ -1,0 +1,200 @@
+"""Text-analysis operators for LLM-data pipelines (BASELINE.json
+north-star extensions; not in the reference, which is numeric-only).
+
+All pure DataFrame/SQL — tokenization and n-gram statistics are array
+expressions (JVM-side, codegen), no Python UDFs in the hot path. Each
+operator is oracle-checked against DuckDB.
+
+Scale: every operator is a per-row expression or a token-level
+explode→agg; no driver materialization, partition-parallel at any size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources import load_table
+
+STOPWORDS = ("a", "the")
+_STOP_SQL = "('a', 'the')"
+
+
+def tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+# ---------------------------------------------------------------- T1
+
+@query(
+    "t1_token_stats",
+    oracle="""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+               round(list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks), 6) AS avg_tok_len
+        FROM d
+    """,
+    doc="T1 token counting (whitespace tokenizer): total/unique tokens "
+        "and mean token length per document.",
+    tags=("text",),
+)
+def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    total_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
+        F.round(total_len.cast("double") / F.size(toks), 6).alias("avg_tok_len"),
+    )
+
+
+# ---------------------------------------------------------------- T2
+
+@query(
+    "t2_quality_score",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents
+        ), s AS (
+            SELECT doc_id, n_chars,
+                   len(toks) AS n_tokens,
+                   len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE / len(toks) AS stop_ratio,
+                   len(list_distinct(toks))::DOUBLE / len(toks) AS uniq_ratio
+            FROM d
+        )
+        SELECT doc_id,
+               round(stop_ratio, 6) AS stop_ratio,
+               round(uniq_ratio, 6) AS uniq_ratio,
+               round(least(1.0, n_tokens / 50.0) * (1.0 - stop_ratio) * uniq_ratio, 6) AS quality
+        FROM s
+    """,
+    doc="T2 quality scoring: stopword ratio, lexical diversity "
+        "(type/token ratio) and a composite [0,1] quality heuristic — "
+        "the standard pre-training corpus filter shape (length × "
+        "non-boilerplate × diversity).",
+    tags=("text",),
+)
+def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / n
+    )
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    quality = F.least(F.lit(1.0), n / F.lit(50.0)) * (F.lit(1.0) - stop_ratio) * uniq_ratio
+    return d.select(
+        "doc_id",
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------- T3
+
+@query(
+    "t3_lang_id_naive_bayes",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        langs AS (SELECT DISTINCT lang FROM documents),
+        counts AS (
+            SELECT d.lang, t.tok, count(*) AS n_lt
+            FROM tok t JOIN documents d USING (doc_id)
+            GROUP BY d.lang, t.tok
+        ),
+        lang_tot AS (SELECT lang, sum(n_lt) AS n_l FROM counts GROUP BY lang),
+        vocab AS (SELECT count(DISTINCT tok) AS v FROM tok),
+        model AS (
+            SELECT l.lang, t.tok,
+                   ln((coalesce(c.n_lt, 0) + 1.0) / (lt.n_l + vocab.v)) AS logp
+            FROM (SELECT DISTINCT tok FROM tok) t
+            CROSS JOIN langs l
+            LEFT JOIN counts c ON c.lang = l.lang AND c.tok = t.tok
+            JOIN lang_tot lt ON lt.lang = l.lang
+            CROSS JOIN vocab
+        ),
+        scores AS (
+            SELECT t.doc_id, m.lang, round(sum(m.logp), 6) AS score
+            FROM tok t JOIN model m ON t.tok = m.tok
+            GROUP BY t.doc_id, m.lang
+        ),
+        ranked AS (
+            SELECT doc_id, lang, score,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+            FROM scores
+        )
+        SELECT doc_id, lang AS pred_lang FROM ranked WHERE rn = 1
+    """,
+    doc="T3 language-ID: corpus-trained token naive-Bayes (unigram "
+        "log-likelihood with Laplace smoothing, argmax over languages). "
+        "Fully relational — explode, model join, window argmax; the "
+        "'n-gram heuristic' langid pattern at any corpus size.",
+    tags=("text",),
+)
+def t3_lang_id_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    langs = d.select("lang").distinct()
+    counts = (
+        tok.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("n_lt"))
+    )
+    lang_tot = counts.groupBy("lang").agg(F.sum("n_lt").alias("n_l"))
+    vocab = tok.agg(F.countDistinct("tok").alias("v"))
+    model = (
+        tok.select("tok").distinct()
+        .crossJoin(F.broadcast(langs))
+        .join(counts, ["lang", "tok"], "left")
+        .join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "tok",
+            F.log((F.coalesce(F.col("n_lt"), F.lit(0)) + 1.0) / (F.col("n_l") + F.col("v"))).alias("logp"),
+        )
+    )
+    scores = (
+        tok.join(model, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.sum("logp"), 6).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"))
+    )
+
+
+# ---------------------------------------------------------------- T4
+
+@query(
+    "t4_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    """,
+    doc="T4 document fingerprint: md5 of whitespace-normalized, "
+        "lowercased text — the exact-dedup key.",
+    tags=("text", "dedup"),
+)
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return d.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def normalized_fingerprint(col: Column) -> Column:
+    return F.md5(F.lower(F.regexp_replace(F.trim(col), r"\s+", " ")))

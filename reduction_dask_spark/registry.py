@@ -47,6 +47,6 @@ def query(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, 
 
 def load_all_operators() -> None:
     """Import every operator module so its @query decorators run."""
-    from . import operators  # noqa: F401
+    from . import operators, streaming  # noqa: F401
 
     operators.load_all()

@@ -1,0 +1,133 @@
+"""Structured Streaming variants of the era-bucketed operators.
+
+The reference has no streaming (SURVEY.md §2.15) — its only temporal
+notion is the static era bucket. Here the same era semantics run as a
+stream: events arrive, a watermark bounds lateness, tumbling windows
+play the role of eras, and the flagship-adjacent aggregations run
+incrementally. This is the stretch-goal capability: the batch and
+streaming plans share the same expressions.
+
+Local smoke path: file source over the testdata parquet + memory sink +
+processAllAvailable() drives the query to completion synchronously
+(public Spark testing idiom). In production the source is Kafka and the
+sink a Delta/parquet table via foreachBatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..registry import query
+from ..session import ensure_engine_confs
+
+_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) → long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stage_dir(sf_dir: str) -> str:
+    """FileStreamSource requires a directory; stage a symlink to the
+    single-file events parquet under a stable temp dir."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"rds_stream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir.rstrip('/')}/events.parquet", link)
+    return d
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table with proper timestamps."""
+    ensure_engine_confs(spark)
+    raw = spark.readStream.schema(_EVENT_SCHEMA).parquet(_stage_dir(sf_dir))
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def windowed_value_stats(stream: DataFrame, window: str = "1 day", watermark: str = "1 hour") -> DataFrame:
+    """Tumbling-window (≙ era) per-type aggregate with late-data bound."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("era_win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def run_to_memory(agg: DataFrame, name: str) -> DataFrame:
+    """Drive a streaming aggregation over all available input, then
+    return the materialized result as a batch DataFrame."""
+    spark = agg.sparkSession
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    return spark.table(name)
+
+
+@query(
+    "st1_stream_windowed_agg",
+    oracle="""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS era_day, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    doc="st1 streaming tumbling-window aggregate (era ≙ 1-day window) "
+        "with watermark, driven to completion over the file source and "
+        "checked against the equivalent batch SQL — stream/batch "
+        "result parity.",
+    tags=("streaming",),
+)
+def st1_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_event_stream(spark, sf_dir)
+    agg = windowed_value_stats(stream)
+    result = run_to_memory(agg, "st1_out")
+    return result.select(
+        F.date_format(F.col("era_win.start"), "yyyy-MM-dd").alias("era_day"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@query(
+    "st2_stream_sessionization",
+    oracle=None,  # stateful session windows aren't batch-SQL expressible
+    doc="st2 stateful sessionization: per-user session windows with a "
+        "30-minute gap over the event stream (session_window + "
+        "watermark) — the custom-stateful-operator pattern "
+        "(applyInPandasWithState generalizes it).",
+    tags=("streaming",),
+)
+def st2_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_event_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    result = run_to_memory(agg, "st2_out")
+    return result.select(
+        "user_id",
+        F.col("sess.start").alias("session_start"),
+        "n_events",
+        "sum_value",
+    ).orderBy("user_id", "session_start")
