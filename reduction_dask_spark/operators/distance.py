@@ -225,3 +225,175 @@ def d4_pairwise_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.fid").alias("fi"), F.col("b.fid").alias("fj"))
         .agg(F.round(F.corr(F.col("a.val"), F.col("b.val")), 6).alias("corr"))
     )
+
+
+# ------------------------------------------------------------ D2
+
+@query(
+    "d2_pairwise_spearman",
+    oracle="""
+        WITH melted AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS fid,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        ),
+        ranked AS (
+            SELECT vec_id, fid,
+                   CAST(row_number() OVER (PARTITION BY fid ORDER BY val, vec_id) AS DOUBLE) AS r
+            FROM melted
+        )
+        SELECT a.fid AS fi, b.fid AS fj,
+               round(corr(a.r, b.r), 6) AS spearman
+        FROM ranked a JOIN ranked b ON a.vec_id = b.vec_id AND a.fid < b.fid
+        GROUP BY a.fid, b.fid
+    """,
+    doc="D2 max_corr distance kernel slot (distance_func.py:26-35 wraps "
+        "the `ace` package — unavailable and notebook-global-dependent, "
+        "SURVEY.md §2.16). The shipped kernel is rank (Spearman) "
+        "correlation per feature pair — monotone-maximal correlation, "
+        "fully relational and oracle-checked; an ACE kernel plugs into "
+        "the same pair fan-out as an applyInPandas kernel (see D3).",
+    tags=("distance",),
+)
+def d2_pairwise_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    melted = emb.select("vec_id", F.posexplode("embedding").alias("pos", "valf")).select(
+        "vec_id", (F.col("pos") + 1).alias("fid"), F.col("valf").cast("double").alias("val")
+    )
+    w = Window.partitionBy("fid").orderBy(F.asc("val"), F.asc("vec_id"))
+    ranked = melted.select("vec_id", "fid", F.row_number().over(w).cast("double").alias("r"))
+    a, b = ranked.alias("a"), ranked.alias("b")
+    return (
+        a.join(b, (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.fid") < F.col("b.fid")))
+        .groupBy(F.col("a.fid").alias("fi"), F.col("b.fid").alias("fj"))
+        .agg(F.round(F.corr(F.col("a.r"), F.col("b.r")), 6).alias("spearman"))
+    )
+
+
+# ------------------------------------------------------------ D3
+
+def _dcor(x, y) -> float:
+    """Distance correlation (Székely) via double-centered pairwise
+    distance matrices — the reference's O(n²) kernel
+    (distance_func.py:38-74, reimplemented; the original has undefined
+    names and works only with notebook globals, SURVEY.md §2.16)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=float)
+    y = np.asarray(y, dtype=float)
+    a = np.abs(x[:, None] - x[None, :])
+    b = np.abs(y[:, None] - y[None, :])
+    A = a - a.mean(0) - a.mean(1)[:, None] + a.mean()
+    B = b - b.mean(0) - b.mean(1)[:, None] + b.mean()
+    dcov2 = (A * B).mean()
+    dvarx = (A * A).mean()
+    dvary = (B * B).mean()
+    denom = np.sqrt(dvarx * dvary)
+    return float(np.sqrt(max(dcov2, 0.0) / denom)) if denom > 0 else 0.0
+
+
+@query(
+    "d3_distance_corr",
+    oracle=None,  # O(n²) pair kernel; pinned by tests vs direct numpy
+    doc="D3 distance correlation on the era-subsample "
+        "(distance_func.py:38-74; run only on a subsample in the "
+        "reference too, nb cell 7): pair fan-out (J2) + applyInPandas "
+        "kernel over gathered column pairs — the arbitrary-Python "
+        "distance-kernel slot (D2's ACE would ride the same path).",
+    tags=("distance", "ml"),
+)
+def d3_distance_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    n_sample, n_feats = 100, 8
+    emb = load_table(spark, sf_dir, "embeddings")
+    melted = (
+        emb.filter(F.col("vec_id") < n_sample)
+        .select("vec_id", F.posexplode("embedding").alias("fid", "valf"))
+        .filter(F.col("fid") < n_feats)
+        .select("vec_id", "fid", F.col("valf").cast("double").alias("val"))
+    )
+    cols = melted.groupBy("fid").agg(
+        F.array_sort(F.collect_list(F.struct("vec_id", "val"))).alias("pairs")
+    ).select("fid", F.transform("pairs", lambda p: p["val"]).alias("vals"))
+    a, b = cols.alias("a"), cols.alias("b")
+    paired = a.join(b, F.col("a.fid") < F.col("b.fid")).select(
+        F.col("a.fid").alias("fi"), F.col("b.fid").alias("fj"),
+        F.col("a.vals").alias("xs"), F.col("b.vals").alias("ys"),
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf["dcor"] = [round(_dcor(x, y), 6) for x, y in zip(pdf["xs"], pdf["ys"])]
+        return pdf[["fi", "fj", "dcor"]]
+
+    return paired.groupBy("fi").applyInPandas(kernel, schema="fi int, fj int, dcor double")
+
+
+# ------------------------------------------------------------ D5
+
+@query(
+    "d5_optimal_clusters",
+    oracle=None,  # driver-local sweep on the collected p×p matrix
+    doc="D5 get_optimal_clusters (feature_clustering.py:39-132): sweep "
+        "a clustering hyperparameter on the collected feature-distance "
+        "matrix (p×p, driver-resident — milliseconds), score each by "
+        "mean silhouette, keep the argmax (O3). Kernel here: "
+        "single-linkage connected components over a distance threshold "
+        "(numpy); agglomerative/K-Medoids/HDBSCAN plug into the same "
+        "sweep. Membership returned as (fid, label) rows (A6).",
+    tags=("distance", "ml"),
+)
+def d5_optimal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    pairs = d4_pairwise_corr_matrix(spark, sf_dir).toPandas()
+    p = int(max(pairs["fi"].max(), pairs["fj"].max()))
+    D = np.zeros((p, p))
+    for fi, fj, c in pairs.itertuples(index=False):
+        d = 1.0 - abs(c)
+        D[fi - 1, fj - 1] = D[fj - 1, fi - 1] = d
+
+    def components(thresh: float) -> np.ndarray:
+        adj = D < thresh
+        labels = -np.ones(p, dtype=int)
+        cur = 0
+        for i in range(p):
+            if labels[i] >= 0:
+                continue
+            stack = [i]
+            labels[i] = cur
+            while stack:
+                u = stack.pop()
+                for v in np.nonzero(adj[u])[0]:
+                    if labels[v] < 0:
+                        labels[v] = cur
+                        stack.append(v)
+            cur += 1
+        return labels
+
+    def silhouette(labels: np.ndarray) -> float:
+        uniq = np.unique(labels)
+        if len(uniq) < 2:
+            return -1.0
+        s = np.zeros(p)
+        for i in range(p):
+            own = labels == labels[i]
+            own[i] = False
+            a = D[i, own].mean() if own.any() else 0.0
+            bs = [D[i, labels == c].mean() for c in uniq if c != labels[i]]
+            b = min(bs)
+            s[i] = 0.0 if max(a, b) == 0 else (b - a) / max(a, b)
+        return float(s.mean())
+
+    best = None
+    for q in (0.02, 0.05, 0.1, 0.2, 0.3, 0.4, 0.5):
+        t = float(np.quantile(D[np.triu_indices(p, 1)], q))
+        labels = components(t)
+        score = silhouette(labels)
+        if best is None or score > best[0]:
+            best = (score, t, labels)
+    _, thresh, labels = best
+    rows = [(i + 1, int(l), float(thresh)) for i, l in enumerate(labels)]
+    return spark.createDataFrame(rows, "fid int, label int, threshold double")

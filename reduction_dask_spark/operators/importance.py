@@ -1,0 +1,248 @@
+"""Feature-importance / selection operators (SURVEY.md §2.12).
+
+X1 MDA permutation importance re-architected for Spark (SURVEY.md §3.2):
+the reference's driver materializes F×k shuffled copies of every
+validation fold (feature_selection_numerai.py:124-134 — its biggest
+scalability sin). Here:
+
+1. fold models come from the one-pass sufficient-statistics fit (ml.py);
+2. shuffled-column scoring happens LAZILY inside applyInPandas per
+   (fold, era) group — each group permutes each feature column once
+   with a seed derived from (fold, era, feature), predicts with the
+   broadcast coefficient vector, and emits (feature, fold, row, y,
+   pred) rows. No driver copies, no whole-fold materialization; memory
+   is one (era-group × features) pandas frame per task;
+3. importance = mean over folds of (base − shuf)/(1 − shuf)
+   (feature_selection_numerai.py:54-55), scored with the M1 metric.
+
+X4's SHAP is TreeExplainer in the reference
+(feature_selection_numerai.py:271-288); with the linear kernel the
+exact SHAP value is w_j·(x_j − μ_j), computed here in closed form —
+same mean-|SHAP| table shape (A4), no shap package needed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..ml import (
+    DIM,
+    coef_frame,
+    fit_fold_models,
+    fit_global_model,
+    fold_suffstats,
+    score_by_group,
+    supervised_frame,
+    with_prediction,
+)
+from ..registry import query
+from .cv import kfold_era
+
+K_FOLDS = 5
+LAM = 1.0
+SEED = 42
+
+
+def _mda_mapper(models: dict[int, np.ndarray], seed: int):
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        fold, era = int(key[0]), int(key[1])
+        coef = np.asarray(models[fold])
+        X = np.stack(pdf["features"].to_numpy()).astype(np.float64)
+        y = pdf["y"].to_numpy(dtype=np.float64)
+        vec_id = pdf["vec_id"].to_numpy()
+        base = coef[0] + X @ coef[1:]
+        out = [pd.DataFrame({"feature": -1, "fold": fold, "era": era,
+                             "vec_id": vec_id, "y": y, "pred": base})]
+        for f in range(X.shape[1]):
+            rng = np.random.default_rng((seed * 1_000_003 + fold * 10_007 + era * 101 + f) % 2**32)
+            perm = rng.permutation(len(X))
+            # only feature f moves: pred_shuf = base + w_f·(x_f[perm] − x_f)
+            shuf = base + coef[1 + f] * (X[perm, f] - X[:, f])
+            out.append(pd.DataFrame({"feature": f, "fold": fold, "era": era,
+                                     "vec_id": vec_id, "y": y, "pred": shuf}))
+        return pd.concat(out, ignore_index=True)
+
+    return fn
+
+
+def mda_importance(
+    spark: SparkSession, sf_dir: str, k: int = K_FOLDS, lam: float = LAM, seed: int = SEED
+) -> DataFrame:
+    """X1: (feature, importance) table, sorted descending."""
+    df = kfold_era(supervised_frame(spark, sf_dir), "era", k=k)
+    stats = fold_suffstats(df)
+    models = {g: np.asarray(c) for g, c in fit_fold_models(stats, lam).items()}
+    preds = df.groupBy("fold", "era").applyInPandas(
+        _mda_mapper(models, seed),
+        schema="feature int, fold int, era int, vec_id long, y double, pred double",
+    )
+    per = score_by_group(preds, ["feature", "fold"])  # spearman per (feature, fold)
+    base = per.filter(F.col("feature") == -1).select(
+        F.col("fold").alias("bfold"), F.col("spearman").alias("base_s")
+    )
+    shuf = per.filter(F.col("feature") >= 0)
+    imp = (
+        shuf.join(F.broadcast(base), shuf.fold == base.bfold)
+        .withColumn(
+            "imp_fold",
+            (F.col("base_s") - F.col("spearman")) / (1.0 - F.col("spearman")),
+        )
+        .groupBy("feature")
+        .agg(F.round(F.avg("imp_fold"), 6).alias("importance"))
+        .orderBy(F.desc("importance"), F.asc("feature"))
+    )
+    return imp
+
+
+@query(
+    "x1_mda_importance",
+    oracle=None,
+    doc="X1 mean-decrease-accuracy permutation importance "
+        "(feature_selection_numerai.py:13-154): per-(fold,era) lazy "
+        "column permutation + broadcast-model scoring, importance = "
+        "mean over folds of (base−shuf)/(1−shuf), sorted table (O1).",
+    tags=("importance", "ml", "bench"),
+)
+def x1_mda_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mda_importance(spark, sf_dir)
+
+
+# ---------------------------------------------------------------- X4
+
+def linear_shap_scores(
+    spark: SparkSession, sf_dir: str, n_rows: int = 1000, lam: float = LAM
+) -> DataFrame:
+    """X4: mean |SHAP| per feature on a pinned head sample. For the
+    linear kernel, SHAP_j(x) = w_j·(x_j − μ_j) exactly."""
+    df = kfold_era(supervised_frame(spark, sf_dir), "era", k=K_FOLDS)
+    coef = fit_global_model(fold_suffstats(df), lam)
+    w = Window.orderBy("vec_id")
+    sample = (
+        df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= n_rows)
+    )
+    melted = sample.select(
+        "vec_id", F.posexplode("features").alias("feature", "val")
+    )
+    means = melted.groupBy("feature").agg(F.avg("val").alias("mu"))
+    weights = spark.createDataFrame(
+        [(j, float(coef[1 + j])) for j in range(DIM)], "feature int, w double"
+    )
+    return (
+        melted.join(F.broadcast(means), "feature")
+        .join(F.broadcast(weights), "feature")
+        .groupBy("feature")
+        .agg(F.round(F.avg(F.abs(F.col("w") * (F.col("val") - F.col("mu")))), 6).alias("mean_abs_shap"))
+        .orderBy(F.desc("mean_abs_shap"), F.asc("feature"))
+    )
+
+
+@query(
+    "x4_linear_shap",
+    oracle=None,
+    doc="X4 shapely_values (feature_selection_numerai.py:271-288): "
+        "mean |SHAP| per feature over the first 1000 rows (A4 "
+        "melt+groupBy); closed-form linear SHAP w_j·(x_j−μ_j) replaces "
+        "TreeExplainer.",
+    tags=("importance", "ml"),
+)
+def x4_linear_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return linear_shap_scores(spark, sf_dir)
+
+
+# ------------------------------------------------------------ X2 / X5
+
+def forward_selection(
+    spark: SparkSession, sf_dir: str, sizes=(4, 8, 16, 32, 64), lam: float = LAM
+) -> DataFrame:
+    """X2/X5 forward selection (feature_selection_numerai.py:157-246):
+    for each n take the top-n features by importance rank (O2), run
+    era-aware CV (T2) on the projected features, report mean scores.
+
+    The projection happens on the SUFFICIENT STATISTICS, not the data:
+    top-n selection just slices rows/cols of XtX/Xty, so the whole
+    sweep costs one stats pass + one scoring pass per n (scoring uses
+    zero-padded coefficients over the full feature array)."""
+    rank_pdf = linear_shap_scores(spark, sf_dir).toPandas()
+    order = rank_pdf["feature"].to_list()
+    df = kfold_era(supervised_frame(spark, sf_dir), "era", k=K_FOLDS)
+    stats = fold_suffstats(df)
+    results = []
+    for n in sizes:
+        keep = sorted(order[:n])
+        idx = np.array([0] + [1 + f for f in keep])
+        sub_stats = {
+            g: (xtx[np.ix_(idx, idx)], xty[idx], cnt) for g, (xtx, xty, cnt) in stats.items()
+        }
+        models = fit_fold_models(sub_stats, lam)
+        full = {}
+        for g, c in models.items():
+            w = np.zeros(DIM + 1)
+            w[idx] = c
+            full[g] = w
+        coefs = coef_frame(spark, full)
+        scored = with_prediction(df, coefs)
+        per = score_by_group(scored, ["fold"]).agg(
+            F.round(F.avg("spearman"), 6).alias("s"), F.round(F.avg("quartic"), 6).alias("q")
+        ).collect()[0]
+        results.append((int(n), per["s"], per["q"]))
+    return spark.createDataFrame(results, "n_features int, spearman_mean double, quartic_mean double")
+
+
+@query(
+    "x2_forward_selection",
+    oracle=None,
+    doc="X2/X5 forward-selection CV sweep over top-n features "
+        "(feature_selection_numerai.py:157-246, 291-376): result table "
+        "(n, mean spearman/quartic). Selection operates on sufficient "
+        "statistics — no per-n data pass.",
+    tags=("importance", "ml"),
+)
+def x2_forward_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return forward_selection(spark, sf_dir)
+
+
+# ------------------------------------------------------------ P2 / X3
+
+@query(
+    "x3_projection_by_rank",
+    oracle="""
+        WITH melted AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS fid,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        ),
+        imp AS (
+            SELECT fid, round(var_samp(val), 6) AS score FROM melted GROUP BY fid
+        ),
+        topn AS (
+            SELECT fid, score,
+                   row_number() OVER (ORDER BY score DESC, fid) AS rn
+            FROM imp
+        )
+        SELECT m.vec_id, m.fid, m.val
+        FROM melted m JOIN topn t ON m.fid = t.fid AND t.rn <= 8
+    """,
+    doc="P2/X3 selector: project the top-n feature columns by an "
+        "importance rank (feature_selection_numerai.py:249-268) — "
+        "variance-ranked here so the oracle is SQL; membership stays a "
+        "proper column, never stringified (the reference round-trips "
+        "cluster lists through str + ast.literal_eval, :202/:265).",
+    tags=("importance",),
+)
+def x3_projection_by_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    melted = emb.select("vec_id", F.posexplode("embedding").alias("fid", "valf")).select(
+        "vec_id", "fid", F.col("valf").cast("double").alias("val")
+    )
+    imp = melted.groupBy("fid").agg(F.round(F.var_samp("val"), 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("fid"))
+    topn = imp.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 8)
+    return melted.join(F.broadcast(topn.select("fid")), "fid").select("vec_id", "fid", "val")

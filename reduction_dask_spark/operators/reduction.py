@@ -1,0 +1,143 @@
+"""Dimensionality-reduction transform operators (SURVEY.md §2.13
+T3/T4/T7, §2.14).
+
+The reference's pattern (utils.py:132-167 fit_transform_dask;
+tuners.py:255-373 chunked variant): fit the reducer on a driver-side
+subsample, then transform the full matrix in parallel splits. That IS
+Spark's native model: fit on `limit(n).toPandas()`, broadcast the
+fitted components, transform via expressions or mapInPandas — the
+chunking the reference hand-codes is free (partitions), and the
+memory choreography of T6 (psutil gather, tuners.py:673-705) is
+subsumed by lazy pipelining + spill.
+
+The reducer kernel here is PCA by numpy SVD (deterministic sign
+convention). sklearn/umap kernels from §2.14 plug into the same two
+functions unchanged — the operator is the *pattern*, the kernel is
+swappable (reference ships them as arbitrary pickled estimators).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..ml import (
+    DIM,
+    fit_fold_models,
+    fold_suffstats,
+    score_by_group,
+    supervised_frame,
+    with_prediction,
+    coef_frame,
+)
+from ..registry import query
+from .cv import kfold_era
+
+FIT_ROWS = 200
+N_COMPONENTS = 2
+SEED = 42
+
+
+def fit_pca(spark: SparkSession, sf_dir: str, n_components: int, fit_rows: int = FIT_ROWS):
+    """T7 phase 1: fit on a pinned head subsample, driver-side
+    (utils.py:151 `train_x[:num_fit_rows]`). Returns (mean, components)."""
+    df = supervised_frame(spark, sf_dir)
+    w = Window.orderBy("vec_id")
+    head = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= fit_rows)
+        .select("features")
+        .toPandas()
+    )
+    X = np.stack(head["features"].to_numpy()).astype(np.float64)
+    mu = X.mean(axis=0)
+    _, _, vt = np.linalg.svd(X - mu, full_matrices=False)
+    comps = vt[:n_components]
+    # deterministic sign: largest-|loading| coordinate positive
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mu, comps
+
+
+def pca_transform(df: DataFrame, mu: np.ndarray, comps: np.ndarray) -> DataFrame:
+    """T7 phase 2: distributed transform as pure zip_with expressions —
+    one projection column per component, JVM-side, no Python. The
+    broadcast is the literal coefficient arrays in the plan."""
+    out = df
+    for i, comp in enumerate(comps):
+        carr = F.array(*[F.lit(float(c)) for c in comp])
+        centered_dot = F.aggregate(
+            F.zip_with(F.col("features"), carr, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ) - F.lit(float(mu @ comp))
+        out = out.withColumn(f"pc{i + 1}", F.round(centered_dot, 6))
+    return out
+
+
+@query(
+    "t7_fit_transform_pca",
+    oracle=None,
+    doc="T7 fit_transform_dask (utils.py:132-167): PCA fit on a pinned "
+        "head subsample, distributed transform of the full table via "
+        "broadcast component expressions. T4's chunked variant "
+        "(tuners.py:255-373) is the same plan — partitions are the "
+        "chunks.",
+    tags=("reduction", "ml"),
+)
+def t7_fit_transform_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mu, comps = fit_pca(spark, sf_dir, N_COMPONENTS)
+    df = supervised_frame(spark, sf_dir)
+    return pca_transform(df, mu, comps).select("vec_id", "pc1", "pc2")
+
+
+def reduction_sweep(
+    spark: SparkSession, sf_dir: str, components=(2, 4, 8, 16), lam: float = 1.0, k: int = 5
+) -> DataFrame:
+    """T3 tune_reduction_dask (tuners.py:149-252): sweep reducer
+    hyperparameters; per config: transform → era-CV model fit/score.
+    Failed configs get a status column, not index bookkeeping
+    (reference drops Nones with positional arithmetic, tuners.py:219-248)."""
+    results = []
+    for nc in components:
+        try:
+            mu, comps = fit_pca(spark, sf_dir, nc)
+            base = supervised_frame(spark, sf_dir)
+            reduced = pca_transform(base, mu, comps).select(
+                "vec_id",
+                "era",
+                F.array(*[F.col(f"pc{i + 1}") for i in range(nc)]).alias("features"),
+                "y",
+            )
+            folded = kfold_era(reduced, "era", k=k)
+            stats = fold_suffstats(folded, dim=nc)
+            models = fit_fold_models(stats, lam)
+            coefs = coef_frame(spark, models)
+            scored = with_prediction(folded, coefs)
+            row = (
+                score_by_group(scored, ["fold"])
+                .agg(F.round(F.avg("spearman"), 6).alias("s"), F.round(F.avg("quartic"), 6).alias("q"))
+                .collect()[0]
+            )
+            results.append((int(nc), row["s"], row["q"], "ok"))
+        except Exception as e:  # status column instead of dropped index
+            results.append((int(nc), None, None, f"error: {type(e).__name__}"))
+    return spark.createDataFrame(
+        results, "n_components int, spearman_mean double, quartic_mean double, status string"
+    )
+
+
+@query(
+    "t3_reduction_sweep",
+    oracle=None,
+    doc="T3 tune_reduction_dask sweep (tuners.py:149-252): "
+        "(n_components → CV score) result table with status column "
+        "for failed configs.",
+    tags=("reduction", "ml"),
+)
+def t3_reduction_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return reduction_sweep(spark, sf_dir)
