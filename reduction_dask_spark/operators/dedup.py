@@ -23,6 +23,7 @@ scale (a shingle shared by 1M docs would otherwise produce 10^12 pairs).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from ..functions import md5i, md5i_sql
 from ..registry import query
@@ -42,26 +43,44 @@ SIM_TAU = 3
 
 # ------------------------------------------------------- shingle base
 
-def shingle_array(col: Column, k: int = K_SHINGLE) -> Column:
-    """Distinct k-word shingles of a whitespace-tokenized text."""
-    toks = F.split(col, " ")
+def shingles_of_tokens(toks: Column, k: int = K_SHINGLE) -> Column:
+    """Distinct k-word shingles of a MATERIALIZED token-array column.
+
+    Built from zip_with over k shifted slices — O(k·len) array ops per
+    document. (The token array must be a real column, not an inline
+    split(text): expressions inside array lambdas are not
+    subexpression-eliminated, so an inline split would be recomputed
+    per element — O(len²) per document. Likewise element_at-per-index
+    generation benches ~2× slower than the slice/zip_with form.)"""
     n = F.size(toks)
-    sh = F.transform(
-        F.sequence(F.lit(1), n - F.lit(k - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
-    )
-    return F.array_distinct(sh)
+    out = F.slice(toks, 1, n - (k - 1))
+    for j in range(1, k):
+        out = F.zip_with(out, F.slice(toks, 1 + j, n - (k - 1)), lambda a, b: F.concat_ws(" ", a, b))
+    return F.array_distinct(out)
+
+
+def shingle_array(col: Column, k: int = K_SHINGLE) -> Column:
+    """Shingles straight from a text column (for single-pass consumers
+    that project the token array themselves, prefer shingles_of_tokens)."""
+    return shingles_of_tokens(F.split(col, " "), k)
 
 
 def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) inverted-index rows, df-capped."""
     d = load_table(spark, sf_dir, "documents")
-    sh = (
-        d.filter(F.size(F.split(F.col("text"), " ")) >= K_SHINGLE)
-        .select("doc_id", F.explode(shingle_array(F.col("text"))).alias("shingle"))
+    toked = d.select("doc_id", F.split(F.col("text"), " ").alias("toks")).filter(
+        F.size("toks") >= K_SHINGLE
     )
-    df_tab = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    return sh.join(df_tab.filter(F.col("df") <= DF_CAP).select("shingle"), "shingle")
+    sh = toked.select("doc_id", F.explode(shingles_of_tokens(F.col("toks"))).alias("shingle"))
+    # df-cap: aggregate the (small) distinct-shingle side and broadcast
+    # the keep-list back — the big exploded side is never shuffled
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= DF_CAP)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(keep), "shingle")
 
 
 # DuckDB mirror of shingle_table
@@ -159,7 +178,8 @@ def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dd2_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return jaccard_pairs(shingle_table(spark, sf_dir), tau=0.5)
+    # sizes + both sides of the pair join reuse the index → persist
+    return jaccard_pairs(shingle_table(spark, sf_dir).persist(), tau=0.5)
 
 
 # ---------------------------------------------------------------- dd3
@@ -187,34 +207,43 @@ _MINHASH_SQL = f"""
 
 
 def minhash_bands(sh: DataFrame) -> DataFrame:
-    """(doc_id, band, bkey) LSH band keys from universal-hash minhash."""
-    spark = sh.sparkSession
-    h0 = sh.select("shingle").distinct().select("shingle", md5i("shingle").alias("h"))
-    seeds = spark.range(N_HASHES).select(F.col("id").cast("int").alias("s"))
-    r = N_HASHES // N_BANDS
-    mh = (
-        sh.join(h0, "shingle")
-        .crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "s",
-            (((2 * F.col("s") + 3) * F.col("h") + F.col("s") * 40503 + 1) % MERSENNE).alias("hv"),
-        )
-        .groupBy("doc_id", "s")
-        .agg(F.min("hv").alias("mhv"))
+    """(doc_id, band, bkey) LSH band keys from universal-hash minhash.
+
+    Shape matters at scale: the shingle hashes are gathered into ONE
+    per-doc array (a single shuffle of |corpus shingles| rows) and the
+    32 minhashes are then `array_min(transform(...))` EXPRESSIONS —
+    whole-stage-codegen JVM array math, no (doc × seed) row explosion
+    through a shuffle (a naive task-per-(doc,seed) plan moves 32× the
+    data; the reference would scatter exactly that way)."""
+    doc_hashes = (
+        sh.select("doc_id", md5i("shingle").alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("h").alias("hs"))
     )
-    return (
-        mh.withColumn("band", F.expr(f"s div {r}").cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("s", "mhv"))),
-                    lambda x: x["mhv"].cast("string"),
-                ),
-                ",",
-            ).alias("bkey")
+    r = N_HASHES // N_BANDS
+
+    def _uhash(a: int, b: int):
+        return lambda x: (x * a + b) % MERSENNE
+
+    sig_cols = []
+    for s in range(N_HASHES):
+        sig_cols.append(
+            F.array_min(
+                F.transform(F.col("hs"), _uhash(2 * s + 3, s * 40503 + 1))
+            ).alias(f"mh{s}")
         )
+    sig = doc_hashes.select("doc_id", *sig_cols)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).cast("int").alias("band"),
+                F.concat_ws(",", *[F.col(f"mh{band * r + j}").cast("string") for j in range(r)]).alias("bkey"),
+            )
+            for band in range(N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
 
 
@@ -234,8 +263,11 @@ def minhash_bands(sh: DataFrame) -> DataFrame:
     tags=("dedup", "bench"),
 )
 def dd3_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingle_table(spark, sf_dir)
-    bands = minhash_bands(sh)
+    # the shingle index feeds 4 plan branches (signatures, sizes, both
+    # sides of the pair join) — persist it once instead of re-scanning
+    # and re-shuffling per branch
+    sh = shingle_table(spark, sf_dir).persist()
+    bands = minhash_bands(sh).persist()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -246,8 +278,18 @@ def dd3_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        .persist()
     )
-    verified = jaccard_pairs(sh, tau=JACCARD_TAU)
+    # exact-Jaccard verify restricted to candidate docs only: the
+    # expensive inverted-index pair join runs on the (tiny) candidate
+    # subset, not the whole corpus — same result, O(candidates) cost.
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id")
+    verified = jaccard_pairs(sh_cand, tau=JACCARD_TAU)
     return cand.join(verified, ["doc_a", "doc_b"])
 
 
@@ -263,8 +305,10 @@ def dd3b_minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     d = load_table(spark, sf_dir, "documents")
-    docs = d.filter(F.size(F.split(F.col("text"), " ")) >= K_SHINGLE).select(
-        "doc_id", shingle_array(F.col("text")).alias("shingles")
+    docs = (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .filter(F.size("toks") >= K_SHINGLE)
+        .select("doc_id", shingles_of_tokens(F.col("toks")).alias("shingles"))
     )
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
     feats = tf.transform(docs)

@@ -143,7 +143,8 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t3_lang_id_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    # the token table feeds counts/vocab/model/scores branches → persist
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).persist()
     langs = d.select("lang").distinct()
     counts = (
         tok.join(d.select("doc_id", "lang"), "doc_id")
