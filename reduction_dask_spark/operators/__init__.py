@@ -15,6 +15,7 @@ _MODULES = (
     "tuning",
     "reduction",
     "multimodal",
+    "udf_surface",
 )
 
 

@@ -531,3 +531,32 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.exceptAll(s)
+
+
+@query(
+    "w3_lead_lag_frames",
+    oracle="""
+        SELECT event_id,
+               round(lag(value) OVER w, 6) AS prev_value,
+               round(lead(value) OVER w, 6) AS next_value,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_sum
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Window-function completeness (SURVEY.md §2.6 closing note): "
+        "lead/lag and an explicit rowsBetween running frame per user "
+        "timeline. One shuffle on user_id; frame order pinned by "
+        "(ts, event_id) so the running float sum is deterministic.",
+    tags=("window",),
+)
+def w3_lead_lag_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        F.round(F.lag("value").over(w), 6).alias("prev_value"),
+        F.round(F.lead("value").over(w), 6).alias("next_value"),
+        F.round(F.sum("value").over(frame), 6).alias("running_sum"),
+    )

@@ -1,0 +1,158 @@
+"""The pandas-UDF quartet (SURVEY.md §2.15): the engine's replacement
+for the reference's arbitrary-callable `client.submit` surface.
+
+Coverage across the repo:
+- scalar pandas_udf            → u1 here
+- grouped-agg pandas_udf       → u2 here
+- applyInPandas (grouped map)  → X1 MDA (importance.py), D3 kernel
+- mapInPandas (partition map)  → ml.fold_suffstats, mm2/mm3
+
+u1/u2 intentionally compute SQL-expressible things so the Arrow
+UDF path itself is oracle-checked end-to-end (same values as the
+relational plan) — proving the boundary is lossless, not just present.
+
+Plus J3: the explicit-key task table that replaces positional
+zip-joins of futures lists (tuners.py:88-94).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import DoubleType
+
+from ..registry import query
+from ..sources import load_table
+
+
+@F.pandas_udf(DoubleType())
+def _clip_payout(v: pd.Series) -> pd.Series:
+    return ((v - 50.0) / 20.0).clip(lower=-1.0, upper=1.0)
+
+
+@query(
+    "u1_scalar_pandas_udf",
+    oracle="""
+        SELECT event_id,
+               round(least(1.0, greatest(-1.0, (value - 50) / 20.0)), 6) AS payout
+        FROM events
+    """,
+    doc="u1 scalar pandas_udf (Arrow-vectorized): the M4 payout clip "
+        "computed in Python batch-at-a-time, oracle-matched against "
+        "the pure-SQL spelling — the Arrow boundary is value-exact.",
+    tags=("udf",),
+)
+def u1_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", F.round(_clip_payout(F.col("value")), 6).alias("payout"))
+
+
+@F.pandas_udf(DoubleType())
+def _weighted_mean(v: pd.Series, w: pd.Series) -> float:
+    return float((v * w).sum() / w.sum())
+
+
+@query(
+    "u2_grouped_agg_pandas_udf",
+    oracle="""
+        SELECT event_type,
+               round(sum(value * (user_id + 1)) / sum(user_id + 1), 6) AS wmean
+        FROM events GROUP BY event_type
+    """,
+    doc="u2 grouped-aggregate pandas_udf: per-group weighted mean in "
+        "Python, oracle-matched against the SQL aggregate.",
+    tags=("udf",),
+)
+def u2_grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    weighted = ev.select("event_type", "value", (F.col("user_id") + 1).cast("double").alias("w"))
+    return weighted.groupBy("event_type").agg(
+        F.round(_weighted_mean(F.col("value"), F.col("w")), 6).alias("wmean")
+    )
+
+
+@query(
+    "j6_zip_join_task_table",
+    oracle="""
+        SELECT CAST(p.range AS INTEGER) AS param_id, CAST(f.range AS INTEGER) AS fold
+        FROM range(4) p, range(3) f
+    """,
+    doc="J3 zip-join replacement (tuners.py:88-94, 236-248): the "
+        "reference pairs futures lists positionally and np.splits "
+        "results; the engine uses an explicit (param_id × fold) task "
+        "table — keys, never positions (SURVEY.md §2.4 J3).",
+    tags=("join", "tuning"),
+)
+def j6_zip_join_task_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    params = spark.range(4).select(F.col("id").cast("int").alias("param_id"))
+    folds = spark.range(3).select(F.col("id").cast("int").alias("fold"))
+    return params.crossJoin(folds)
+
+
+# --------------------------------------------------- TPC-H anchors
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+               round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base,
+               round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc,
+               round(CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE), 2) AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_discount), 6) AS avg_disc,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary on the driver star schema — the "
+        "canonical scan → pushdown filter → 8-agg groupBy anchor; one "
+        "shuffle of ≤6 groups after map-side partial aggregation.",
+    tags=("agg", "bench"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(disc), 2).alias("sum_disc"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+        SELECT round(CAST(sum(l_extendedprice * l_discount) AS DOUBLE), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 forecast-revenue: pure pushdown-filter + scalar "
+        "aggregate — the all-predicates-at-the-scan anchor.",
+    tags=("agg",),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )

@@ -1,0 +1,102 @@
+"""S2/S3 sink round-trips, dedup-pipeline equivalences, multimodal
+batch semantics."""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from reduction_dask_spark.sources import load_table, read_csv, write_append, write_overwrite
+
+from .conftest import SF_SMALL
+
+
+def test_s3_parquet_roundtrip(spark):
+    df = load_table(spark, SF_SMALL, "events").select("event_id", "value")
+    with tempfile.TemporaryDirectory() as d:
+        out = str(Path(d) / "cache")
+        write_overwrite(df, out)
+        back = spark.read.parquet(out)
+        assert back.count() == df.count()
+        assert set(back.columns) == {"event_id", "value"}
+
+
+def test_s2_append_sink(spark):
+    df = load_table(spark, SF_SMALL, "events").select("event_id", "value").limit(10)
+    with tempfile.TemporaryDirectory() as d:
+        out = str(Path(d) / "log")
+        write_append(df, out)
+        write_append(df, out)  # results-log accumulation (nb cells 22/54/...)
+        assert spark.read.parquet(out).count() == 20
+
+
+def test_s1_csv_roundtrip(spark):
+    df = load_table(spark, SF_SMALL, "events").select("event_id", "event_type", "value")
+    with tempfile.TemporaryDirectory() as d:
+        out = str(Path(d) / "csv")
+        df.write.option("header", True).csv(out)
+        back = read_csv(spark, out)
+        assert back.count() == df.count()
+        assert dict(back.dtypes)["event_id"] in ("int", "bigint")  # inferSchema
+
+
+def test_partitioned_write(spark):
+    """Partition-by write — the layout a 100 TB corpus would use."""
+    df = load_table(spark, SF_SMALL, "documents")
+    with tempfile.TemporaryDirectory() as d:
+        out = str(Path(d) / "bylang")
+        write_overwrite(df, out, partition_by=("lang",))
+        files = list(Path(out).glob("lang=*/*.parquet"))
+        assert files
+        back = spark.read.parquet(out)
+        assert back.count() == df.count()
+        # partition pruning: a lang filter reads only that directory
+        pruned = back.filter(F.col("lang") == "en")
+        assert pruned.count() == df.filter(F.col("lang") == "en").count()
+
+
+def test_dedup_pipelines_agree(spark):
+    """dd2 (exact), dd3 (portable LSH) and dd3b (MLlib LSH) must find
+    the same planted near-dup pairs at jaccard ≥ 0.7."""
+    from reduction_dask_spark.operators.dedup import (
+        dd2_shingle_jaccard,
+        dd3_minhash_lsh_dedup,
+        dd3b_minhash_lsh_ml,
+    )
+
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd2_shingle_jaccard(spark, SF_SMALL).collect()
+        if r["jaccard"] >= 0.7
+    }
+    lsh = {(r["doc_a"], r["doc_b"]) for r in dd3_minhash_lsh_dedup(spark, SF_SMALL).collect()}
+    ml = {(r["doc_a"], r["doc_b"]) for r in dd3b_minhash_lsh_ml(spark, SF_SMALL).collect()}
+    assert exact, "no planted near-dups found at all"
+    assert lsh == exact
+    assert ml == exact
+
+
+def test_mm2_feature_extract_matches_numpy(spark):
+    from reduction_dask_spark.operators.multimodal import N_FEAT, _fake_decode, mm2_feature_extract
+
+    pdf = mm2_feature_extract(spark, SF_SMALL).toPandas().set_index("doc_id")
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text").toPandas()
+    for _, row in docs.head(20).iterrows():
+        expected = _fake_decode(row["text"].encode("utf-8"))
+        got = np.array(pdf.loc[row["doc_id"], "features"])
+        np.testing.assert_allclose(got, expected, atol=1e-12)
+        assert len(got) == N_FEAT
+        assert abs(got.sum() - 1.0) < 1e-9  # normalized histogram
+
+
+def test_mm3_frame_sample_shapes(spark):
+    from reduction_dask_spark.operators.multimodal import FRAME_STRIDE, mm3_frame_sample
+
+    pdf = mm3_frame_sample(spark, SF_SMALL).toPandas()
+    assert (pdf["frame_idx"] >= 0).all() and (pdf["frame_idx"] < 4).all()
+    assert pdf["frame"].map(len).max() <= FRAME_STRIDE
+    # one payload expands to multiple frame rows
+    assert pdf.groupby("doc_id").size().max() > 1
