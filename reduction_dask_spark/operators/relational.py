@@ -560,3 +560,83 @@ def w3_lead_lag_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lead("value").over(w), 6).alias("next_value"),
         F.round(F.sum("value").over(frame), 6).alias("running_sum"),
     )
+
+
+@query(
+    "sk1_salted_aggregation",
+    oracle="""
+        SELECT event_type, round(avg(value), 6) AS mean_value
+        FROM events GROUP BY event_type
+    """,
+    doc="Skew-mitigation pattern: two-stage salted aggregation — stage "
+        "1 aggregates on (key, salt) spreading a hot key over "
+        "partitions, stage 2 merges the partials. Oracle = the plain "
+        "single-stage aggregate (mathematically identical). At 100 TB "
+        "this is the manual fallback where AQE skew handling doesn't "
+        "reach (aggregations, not joins).",
+    tags=("agg", "skew"),
+)
+def sk1_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", phash("event_id", 8))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.sum("value").alias("s"), F.count("*").alias("c")
+    )
+    return partial.groupBy("event_type").agg(
+        F.round(F.sum("s") / F.sum("c"), 6).alias("mean_value")
+    )
+
+
+@query(
+    "a10_approx_stats",
+    oracle=None,  # sketches are engine-specific; rows-only + tolerance test
+    doc="Approximate aggregates for the 100 TB fast path: HyperLogLog++ "
+        "distinct counts and approx_percentile sketches per event type "
+        "(exact variants: a2/f5). Checked by a tolerance test against "
+        "exact values, not the value-hash oracle.",
+    tags=("agg", "approx"),
+)
+def a10_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median"),
+    )
+
+
+@query(
+    "m1b_spearman_orders_era",
+    oracle="""
+        WITH base AS (
+            SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INTEGER) AS era,
+                   o_totalprice AS y_true,
+                   (o_totalprice + ((o_orderkey) * 2654435761) % 1000 / 1000.0 - 0.5) AS pred,
+                   o_orderkey
+            FROM orders
+        ),
+        ranked AS (
+            SELECT era, y_true,
+                   CAST(row_number() OVER (PARTITION BY era ORDER BY pred, o_orderkey) AS DOUBLE)
+                   / CAST(count(*) OVER (PARTITION BY era) AS DOUBLE) AS pred_rank
+            FROM base
+        )
+        SELECT round(corr(y_true, pred_rank), 6) AS spearman_era_corr FROM ranked
+    """,
+    doc="M1 flagship on a second era mapping: orders with era = "
+        "year*12+month (~80 monthly buckets over 1995-2001) — the "
+        "era abstraction is a parameter, not a hard-coded column "
+        "(FIXTURES.md §2 hvac_weather bridge pattern).",
+    tags=("metrics",),
+)
+def m1b_spearman_orders_era(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import era_orders
+    from ..operators.metrics import spearman_by_era
+
+    o = load_table(spark, sf_dir, "orders")
+    scored = o.select(
+        era_orders().alias("era"),
+        F.col("o_totalprice").alias("y_true"),
+        (F.col("o_totalprice") + phash("o_orderkey", 1000) / 1000.0 - 0.5).alias("pred"),
+        F.col("o_orderkey").alias("okey"),
+    )
+    return spearman_by_era(scored, key="okey")

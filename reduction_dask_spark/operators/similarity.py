@@ -293,3 +293,89 @@ def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= NEARDUP_TAU)
         .select("id_a", "id_b", F.round(cos, 5).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------- ss4
+
+CENT_MOD = 53     # centroid set = vec_id % 53 == 0 (IVF coarse quantizer)
+N_PROBE = 2
+
+
+_IVF_SQL = f"""
+    cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvv FROM embeddings
+             WHERE vec_id % {CENT_MOD} = 0),
+    allv AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+    assign0 AS (
+        SELECT a.vec_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY round({_COS_SQL.format(a='a.vv', b='c.cvv')}, 5) DESC, c.cid
+               ) AS crn
+        FROM allv a CROSS JOIN cent c
+    ),
+    assign AS (SELECT vec_id, cid FROM assign0 WHERE crn = 1),
+    qprobe AS (
+        SELECT vec_id AS qid, cid, crn FROM assign0
+        WHERE vec_id % {QUERY_MOD} = 0 AND crn <= {N_PROBE}
+    )
+"""
+
+
+@query(
+    "ss4_cosine_topk_ivf",
+    oracle=f"""
+        WITH {_IVF_SQL},
+        cand AS (
+            SELECT q.qid, a.vec_id,
+                   round({_COS_SQL.format(a='qv.vv', b='cv.vv')}, 5) AS cos
+            FROM qprobe q
+            JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.qid
+            JOIN allv qv ON qv.vec_id = q.qid
+            JOIN allv cv ON cv.vec_id = a.vec_id
+        ),
+        ctop AS (
+            SELECT qid, vec_id, cos,
+                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+            FROM cand
+        )
+        SELECT qid, vec_id AS neighbor_id, cos FROM ctop WHERE rn <= {TOP_K}
+    """,
+    doc="ss4 IVF-style approximate top-k: a deterministic coarse "
+        "quantizer (hash-chosen centroid vectors) partitions the corpus "
+        "into inverted lists; queries probe their N_PROBE nearest lists "
+        "and exact-rerank inside. The centroid assignment is one "
+        "broadcast-centroids scan; at 100 TB the inverted lists are the "
+        "partitioning scheme itself (cluster-pruned scans), the "
+        "standard IVF-flat trade of recall vs probes.",
+    tags=("similarity",),
+)
+def ss4_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    allv = emb.select("vec_id", as_double(F.col("embedding")).alias("vv"))
+    cent = (
+        emb.filter(F.col("vec_id") % CENT_MOD == 0)
+        .select(F.col("vec_id").alias("cid"), as_double(F.col("embedding")).alias("cvv"))
+    )
+    scored = allv.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", F.round(cosine(F.col("vv"), F.col("cvv")), 5).alias("ccos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    assign0 = scored.withColumn("crn", F.row_number().over(w))
+    assign = assign0.filter(F.col("crn") == 1).select("vec_id", "cid").persist()
+    qprobe = (
+        assign0.filter((F.col("vec_id") % QUERY_MOD == 0) & (F.col("crn") <= N_PROBE))
+        .select(F.col("vec_id").alias("qid"), "cid")
+    )
+    cand = (
+        qprobe.join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(allv.select(F.col("vec_id").alias("qid"), F.col("vv").alias("qv")), "qid")
+        .join(allv, "vec_id")
+        .select("qid", "vec_id", F.round(cosine(F.col("qv"), F.col("vv")), 5).alias("cos"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "cos")
+    )

@@ -131,3 +131,52 @@ def st2_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     ).orderBy("user_id", "session_start")
+
+
+@query(
+    "st3_stream_corr_by_era",
+    oracle="""
+        WITH base AS (
+            SELECT CAST(day(ts) AS INTEGER) AS era, value AS y,
+                   (value + ((event_id) * 2654435761) % 1000 / 1000.0 - 0.5) AS p
+            FROM events
+        ),
+        stats AS (
+            SELECT era, CAST(count(*) AS DOUBLE) AS n,
+                   sum(y) AS sy, sum(p) AS sp, sum(y * p) AS syp,
+                   sum(y * y) AS syy, sum(p * p) AS spp
+            FROM base GROUP BY era
+        )
+        SELECT era,
+               round((n * syp - sy * sp)
+                     / (sqrt(n * syy - sy * sy) * sqrt(n * spp - sp * sp)), 6) AS corr
+        FROM stats
+    """,
+    doc="st3 streaming per-era Pearson correlation via incremental "
+        "sufficient statistics (sums of y, p, yp, y², p²) — the "
+        "moment-sketch pattern that turns a batch-only metric (F4/M1's "
+        "corr) into an incrementally-maintainable streaming aggregate; "
+        "oracle-checked against the closed-form batch SQL.",
+    tags=("streaming", "metrics"),
+)
+def st3_stream_corr_by_era(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_event_stream(spark, sf_dir)
+    base = stream.select(
+        F.dayofmonth("ts").cast("int").alias("era"),
+        F.col("value").alias("y"),
+        (F.col("value") + ((F.col("event_id") * 2654435761) % 1000) / 1000.0 - 0.5).alias("p"),
+    )
+    agg = base.groupBy("era").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("p").alias("sp"),
+        F.sum(F.col("y") * F.col("p")).alias("syp"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("p") * F.col("p")).alias("spp"),
+    )
+    result = run_to_memory(agg, "st3_out")
+    corr = (F.col("n") * F.col("syp") - F.col("sy") * F.col("sp")) / (
+        F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        * F.sqrt(F.col("n") * F.col("spp") - F.col("sp") * F.col("sp"))
+    )
+    return result.select("era", F.round(corr, 6).alias("corr"))

@@ -100,3 +100,39 @@ def test_mm3_frame_sample_shapes(spark):
     assert pdf["frame"].map(len).max() <= FRAME_STRIDE
     # one payload expands to multiple frame rows
     assert pdf.groupby("doc_id").size().max() > 1
+
+
+def test_a10_approx_within_tolerance(spark):
+    """Approx sketches must land near the exact values."""
+    from reduction_dask_spark.operators.relational import a10_approx_stats
+
+    approx = a10_approx_stats(spark, SF_SMALL).toPandas().set_index("event_type")
+    ev = load_table(spark, SF_SMALL, "events")
+    exact = (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("median"),
+        )
+        .toPandas()
+        .set_index("event_type")
+    )
+    for t in exact.index:
+        assert abs(approx.loc[t, "approx_users"] - exact.loc[t, "users"]) <= max(2, 0.1 * exact.loc[t, "users"])
+        assert abs(approx.loc[t, "approx_median"] - exact.loc[t, "median"]) <= 30
+
+
+def test_ivf_recall_vs_brute(spark):
+    """IVF with 2 probes must recover most of the exact top-5."""
+    from reduction_dask_spark.operators.similarity import (
+        brute_force_topk,
+        ss4_cosine_topk_ivf,
+    )
+
+    exact = brute_force_topk(spark, SF_SMALL).toPandas()
+    ivf = ss4_cosine_topk_ivf(spark, SF_SMALL).toPandas()
+    exact_pairs = set(zip(exact["qid"], exact["neighbor_id"]))
+    ivf_pairs = set(zip(ivf["qid"], ivf["neighbor_id"]))
+    recall = len(exact_pairs & ivf_pairs) / len(exact_pairs)
+    assert recall >= 0.3  # honest ANN: partial recall at 2 probes
+    assert ivf_pairs  # and it does return neighbors
