@@ -180,3 +180,51 @@ def st3_stream_corr_by_era(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(F.col("n") * F.col("spp") - F.col("sp") * F.col("sp"))
     )
     return result.select("era", F.round(corr, 6).alias("corr"))
+
+
+@query(
+    "st4_stateful_user_totals",
+    oracle=None,  # custom state machine; parity-tested vs batch groupBy
+    doc="st4 custom stateful operator via applyInPandasWithState: "
+        "per-user running (count, sum) state updated batch-by-batch — "
+        "the applyInPandasWithState slot SURVEY.md §2.15 names for "
+        "arbitrary stateful reference patterns; state is a typed "
+        "struct, output emitted per update.",
+    tags=("streaming",),
+)
+def st4_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    stream = read_event_stream(spark, sf_dir)
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 2)]}
+        )
+
+    agg = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    spark_q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("st4_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    spark_q.awaitTermination(timeout=300)
+    # keep the LAST emitted state per user (updates may appear per batch)
+    from pyspark.sql.window import Window
+
+    result = spark.table("st4_out")
+    w = F.row_number().over(Window.partitionBy("user_id").orderBy(F.desc("n_events")))
+    return result.withColumn("rn", w).filter(F.col("rn") == 1).drop("rn")
