@@ -30,6 +30,11 @@ HEADLINE = [
     "a8_cube",
     "o2_topk_per_group",
     "s1_scan_projection",
+    "q1_pricing_summary",
+    "w3_lead_lag_frames",
+    "dd1_exact_dedup",
+    "t3_lang_id_naive_bayes",
+    "ss4_cosine_topk_ivf",
 ]
 
 

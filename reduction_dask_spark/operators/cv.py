@@ -12,8 +12,6 @@ is not reproducible cross-engine, the *invariants* are what we keep).
 
 from __future__ import annotations
 
-import itertools
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 

@@ -10,6 +10,7 @@ executor-level configs; nothing here assumes single-node.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -34,6 +35,11 @@ def get_spark(app: str = "reduction_dask_spark", cpus: int | None = None) -> Spa
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config(NANOS_CONF, "true")
+        # static conf: bucketed tables (saveAsTable) land here
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "rds_warehouse"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

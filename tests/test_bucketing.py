@@ -1,0 +1,52 @@
+"""Bucketing: pre-shuffled storage so joins on the bucket key need no
+exchange — the co-located-join technique the brief calls out for
+100 TB fact⋈fact joins (lineitem⋈orders on orderkey)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from reduction_dask_spark.plans import count_exchanges, simple_plan
+from reduction_dask_spark.sources import load_table
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark):
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_totalprice")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("o_b")
+    yield spark.table("li_b"), spark.table("o_b")
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed):
+    li_b, o_b = bucketed
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        j = li_b.join(o_b, li_b.l_orderkey == o_b.o_orderkey)
+        assert count_exchanges(j) == 0, simple_plan(j)
+        # and the result is still right
+        plain = load_table(spark, SF_SMALL, "lineitem").join(
+            load_table(spark, SF_SMALL, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert j.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_unbucketed_join_does_shuffle(spark):
+    """Control: the same join without bucketing exchanges both sides."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+        o = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_totalprice")
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        assert count_exchanges(j) == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
