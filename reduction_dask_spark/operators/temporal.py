@@ -1,0 +1,201 @@
+"""Temporal / semi-structured operators — custom operators the brief
+calls out that Spark lacks natively, plus function-library breadth.
+
+j7 as-of join: Spark has no ASOF JOIN; the idiomatic distributed form
+is carry-forward-over-a-window — union both sides' events on the
+partition key timeline, take the running max of the build side's
+(ts, id) struct over preceding rows. One shuffle on the key, no UDF,
+no range-explosion. The DuckDB oracle uses its NATIVE ASOF JOIN — our
+implementation must reproduce the native semantic exactly.
+
+w4 batch sessionization: lag-gap → cumulative-sum session ids — the
+batch twin of streaming/st2's session_window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources import load_table
+
+SESSION_GAP_MIN = 30
+
+
+@query(
+    "j7_asof_join",
+    oracle="""
+        WITH purchases AS (
+            SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+        )
+        SELECT e.event_id,
+               p.event_id AS prev_purchase_id,
+               epoch_us(p.ts) AS prev_purchase_us
+        FROM events e
+        ASOF LEFT JOIN purchases p
+          ON e.user_id = p.user_id AND p.ts < e.ts
+    """,
+    doc="j7 as-of join (most recent prior purchase per user): Spark "
+        "lacks ASOF JOIN — implemented as a carry-forward window (max "
+        "of (ts,id) struct over preceding purchase rows on the shared "
+        "user timeline), checked against DuckDB's NATIVE ASOF JOIN. "
+        "One shuffle on user_id; at 100 TB this beats the bucketize+ "
+        "filter emulation because no candidate range explodes.",
+    tags=("join", "temporal"),
+)
+def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    purchase_mark = F.when(
+        F.col("event_type") == "purchase",
+        F.struct(F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")),
+    )
+    out = ev.withColumn("prev_p", F.max(purchase_mark).over(w))
+    return out.select(
+        "event_id",
+        F.col("prev_p.p_id").alias("prev_purchase_id"),
+        F.unix_micros(F.col("prev_p.p_ts")).alias("prev_purchase_us"),
+    )
+
+
+@query(
+    "w4_sessionize_batch",
+    oracle=f"""
+        WITH g AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN ts - lag(ts) OVER w <= INTERVAL {SESSION_GAP_MIN} MINUTE
+                        THEN 0 ELSE 1 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT user_id, event_id,
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+            FROM g
+        )
+        SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, session_id
+    """,
+    doc="w4 batch sessionization: lag-gap flag → running sum = session "
+        "id (the lag+cumsum idiom); batch twin of st2's streaming "
+        "session_window — and its oracle-checkable face.",
+    tags=("window", "temporal"),
+)
+def w4_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    ) <= SESSION_GAP_MIN * 60 * 1_000_000
+    g = ev.withColumn("new_sess", F.when(gap_ok, 0).otherwise(1))
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = g.withColumn("session_id", F.sum("new_sess").over(frame).cast("bigint"))
+    return s.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))
+
+
+@query(
+    "f10_json_extract",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS INTEGER) AS k
+        FROM events
+    """,
+    doc="f10 semi-structured extraction: JSON string column → typed "
+        "field (get_json_object / from_json). Schema-on-read for the "
+        "props map without widening the storage schema.",
+    tags=("scalar", "json"),
+)
+def f10_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+@query(
+    "f11_datetime_extract",
+    oracle="""
+        SELECT event_id,
+               CAST(year(ts) AS INTEGER) AS yr,
+               CAST(month(ts) AS INTEGER) AS mo,
+               CAST(day(ts) AS INTEGER) AS dy,
+               CAST(hour(ts) AS INTEGER) AS hr,
+               CAST(isodow(ts) AS INTEGER) AS iso_dow,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket
+        FROM events
+    """,
+    doc="f11 datetime field extraction + truncation. ISO day-of-week is "
+        "the portable spelling (Spark weekday is 0=Monday, DuckDB "
+        "isodow is 1=Monday — engines disagree on raw dayofweek).",
+    tags=("scalar", "temporal"),
+)
+def f11_datetime_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").cast("int").alias("yr"),
+        F.month("ts").cast("int").alias("mo"),
+        F.dayofmonth("ts").cast("int").alias("dy"),
+        F.hour("ts").cast("int").alias("hr"),
+        (F.weekday("ts") + 1).cast("int").alias("iso_dow"),
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour_bucket"),
+    )
+
+
+@query(
+    "f12_string_funcs",
+    oracle="""
+        SELECT doc_id,
+               upper(substring(text, 1, 10)) AS head10,
+               CAST(length(text) AS INTEGER) AS n,
+               CAST(strpos(text, 'spark') AS INTEGER) AS spark_pos,
+               CASE WHEN text LIKE '%query%' THEN 1 ELSE 0 END AS has_query,
+               replace(substring(text, 1, 20), ' ', '_') AS snake20
+        FROM documents
+    """,
+    doc="f12 string-function breadth: substring/upper/length/instr/"
+        "like/replace — all JVM-codegen scalar expressions.",
+    tags=("scalar", "text"),
+)
+def f12_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 10)).alias("head10"),
+        F.length("text").cast("int").alias("n"),
+        F.instr(F.col("text"), "spark").cast("int").alias("spark_pos"),
+        F.when(F.col("text").like("%query%"), 1).otherwise(0).alias("has_query"),
+        F.replace(F.substring(F.col("text"), 1, 20), F.lit(" "), F.lit("_")).alias("snake20"),
+    )
+
+
+@query(
+    "f13_null_semantics",
+    oracle="""
+        SELECT event_id,
+               coalesce(nullif(event_type, 'error'), 'recovered') AS type_or_recovered,
+               CASE WHEN nullif(value, 0.0) IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END AS value_was_zero,
+               CASE WHEN value > 250 THEN 'high' WHEN value > 50 THEN 'mid' ELSE 'low' END AS band
+        FROM events
+    """,
+    doc="f13 null-handling semantics: nullif/coalesce, null-safe "
+        "equality (<=> ≙ IS NOT DISTINCT FROM), searched CASE.",
+    tags=("scalar",),
+)
+def f13_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("recovered")).alias("type_or_recovered"),
+        F.when(F.nullif("value", F.lit(0.0)).eqNullSafe(F.lit(None).cast("double")), 1)
+        .otherwise(0)
+        .alias("value_was_zero"),
+        F.when(F.col("value") > 250, "high")
+        .when(F.col("value") > 50, "mid")
+        .otherwise("low")
+        .alias("band"),
+    )

@@ -52,7 +52,7 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table with proper timestamps."""
     ensure_engine_confs(spark)
     raw = spark.readStream.schema(_EVENT_SCHEMA).parquet(_stage_dir(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def windowed_value_stats(stream: DataFrame, window: str = "1 day", watermark: str = "1 hour") -> DataFrame:
