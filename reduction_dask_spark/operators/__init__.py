@@ -17,6 +17,7 @@ _MODULES = (
     "multimodal",
     "udf_surface",
     "temporal",
+    "pipeline",
 )
 
 

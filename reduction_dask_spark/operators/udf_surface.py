@@ -156,3 +156,55 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
     )
+
+
+@query(
+    "u3_map_in_arrow",
+    oracle="""
+        SELECT event_id, round(value * 2.0 + 1.0, 6) AS scaled
+        FROM events
+    """,
+    doc="u3 mapInArrow: zero-copy RecordBatch-level partition map — the "
+        "lowest-overhead Python boundary (no pandas materialization), "
+        "the path a GPU/numpy-heavy multimodal stage would use; "
+        "oracle-matched against the SQL spelling.",
+    tags=("udf",),
+)
+def u3_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+
+    def scale(batches):
+        for batch in batches:
+            scaled = pc.round(pc.add(pc.multiply(batch.column("value"), 2.0), 1.0), 6)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("event_id"), scaled], names=["event_id", "scaled"]
+            )
+
+    return ev.mapInArrow(scale, schema="event_id bigint, scaled double")
+
+
+@query(
+    "u4_python_udtf",
+    oracle="""
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < 10
+    """,
+    doc="u4 Python UDTF (Spark 4 table function): one doc row → N token "
+        "rows via a lateral join — the UDTF slot for expansion-shaped "
+        "Python logic; oracle-matched against SQL unnest.",
+    tags=("udf",),
+)
+def u4_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok: string")
+    class Tokenize:
+        def eval(self, text: str):
+            for t in text.split(" "):
+                yield (t,)
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    return d.lateralJoin(Tokenize(F.col("text").outer())).select("doc_id", "tok")
