@@ -141,3 +141,64 @@ def reduction_sweep(
 )
 def t3_reduction_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduction_sweep(spark, sf_dir)
+
+
+def _cov_suffstats(df: DataFrame, dim: int):
+    """One mapInPandas pass → (n, sum_x, sum_xxT) — the covariance
+    sufficient statistics. The IncrementalPCA pattern (§2.14) without
+    incrementality: partial batch moments merge by addition."""
+    import numpy as np
+    import pandas as pd
+
+    width = dim + dim * dim + 1
+
+    def mapper(batches):
+        flat = np.zeros(width)
+        for pdf in batches:
+            X = np.stack(pdf["features"].to_numpy()).astype(np.float64)
+            flat[0] += len(X)
+            flat[1 : dim + 1] += X.sum(axis=0)
+            flat[dim + 1 :] += (X.T @ X).ravel()
+        yield pd.DataFrame({"idx": np.arange(width), "val": flat})
+
+    rows = df.mapInPandas(mapper, schema="idx int, val double")
+    pdf = rows.groupBy("idx").agg(F.sum("val").alias("val")).toPandas()
+    flat = np.zeros(width)
+    flat[pdf["idx"].to_numpy()] = pdf["val"].to_numpy()
+    n = flat[0]
+    mu = flat[1 : dim + 1] / n
+    cov = flat[dim + 1 :].reshape(dim, dim) / n - np.outer(mu, mu)
+    return n, mu, cov
+
+
+def fit_pca_distributed(df: DataFrame, n_components: int, dim: int = DIM):
+    """T7/IncrementalPCA upgrade: exact full-data PCA from ONE
+    distributed pass (covariance suffstats + driver eigendecomposition
+    of the d×d matrix) — no subsample approximation, no data collect."""
+    import numpy as np
+
+    _, mu, cov = _cov_suffstats(df, dim)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = vecs[:, order].T
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mu, comps
+
+
+@query(
+    "t8_distributed_pca",
+    oracle=None,
+    doc="t8 exact full-data PCA in one distributed pass: covariance "
+        "sufficient statistics via mapInPandas partial moments, d×d "
+        "eigendecomposition on the driver, transform as broadcast "
+        "expressions — the scalable upgrade over T7's subsample fit "
+        "(and the reference's IncrementalPCA sweep, nb cells 93-103).",
+    tags=("reduction", "ml", "bench"),
+)
+def t8_distributed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = supervised_frame(spark, sf_dir)
+    mu, comps = fit_pca_distributed(df, N_COMPONENTS)
+    return pca_transform(df, mu, comps).select("vec_id", "pc1", "pc2")

@@ -640,3 +640,31 @@ def m1b_spearman_orders_era(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("okey"),
     )
     return spearman_by_era(scored, key="okey")
+
+
+@query(
+    "a11_sql_grouping_sets",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+               CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+               CAST(grouping(l_linestatus) AS INTEGER) AS g_status
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+    doc="Explicit GROUPING SETS with grouping() markers, written "
+        "through the SQL front-end (spark.sql over registered views) — "
+        "the SQL API produces the same Catalyst plan as the DataFrame "
+        "API (SURVEY.md §3 'SQL API').",
+    tags=("agg", "sql"),
+)
+def a11_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """)

@@ -148,3 +148,23 @@ def test_suffstats_additivity(spark):
     xtx_all = sum(s[0] for s in stats.values())
     np.testing.assert_allclose(xtx_all, X1.T @ X1, rtol=1e-9)
     assert sum(s[2] for s in stats.values()) == len(pdf)
+
+
+def test_distributed_pca_matches_numpy(spark):
+    from reduction_dask_spark.operators.reduction import fit_pca_distributed
+
+    df = supervised_frame(spark, SF_SMALL)
+    mu, comps = fit_pca_distributed(df, 2)
+    pdf = df.toPandas()
+    X = np.stack(pdf["features"].to_numpy()).astype(float)
+    np.testing.assert_allclose(mu, X.mean(axis=0), atol=1e-9)
+    cov = np.cov(X.T, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    top = vecs[:, np.argsort(vals)[::-1][:2]].T
+    for i in range(2):  # sign-fixed comparison
+        j = int(np.argmax(np.abs(top[i])))
+        if top[i, j] < 0:
+            top[i] = -top[i]
+    np.testing.assert_allclose(np.abs(comps), np.abs(top), atol=1e-6)
+    # components are orthonormal
+    np.testing.assert_allclose(comps @ comps.T, np.eye(2), atol=1e-9)
