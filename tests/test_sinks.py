@@ -136,3 +136,39 @@ def test_ivf_recall_vs_brute(spark):
     recall = len(exact_pairs & ivf_pairs) / len(exact_pairs)
     assert recall >= 0.3  # honest ANN: partial recall at 2 probes
     assert ivf_pairs  # and it does return neighbors
+
+
+def test_orc_and_json_roundtrip(spark):
+    """Source-format breadth: ORC and JSON readers (SURVEY §2.1)."""
+    import tempfile
+    from pathlib import Path
+
+    from reduction_dask_spark.sources import read_json
+
+    df = load_table(spark, SF_SMALL, "events").select("event_id", "event_type", "value")
+    with tempfile.TemporaryDirectory() as d:
+        orc = str(Path(d) / "orc")
+        df.write.orc(orc)
+        assert spark.read.orc(orc).count() == df.count()
+        js = str(Path(d) / "json")
+        df.write.json(js)
+        back = read_json(spark, js, schema="event_id bigint, event_type string, value double")
+        assert back.count() == df.count()
+
+
+def test_hvac_weather_bridge(spark):
+    """FIXTURES.md §2: the framework is domain-agnostic — an
+    hvac_weather-shaped frame (ts + weather gauges + usage target)
+    runs the same flagship scoring with era derived from ts."""
+    from reduction_dask_spark import api
+
+    ev = load_table(spark, SF_SMALL, "events")
+    hvac = ev.select(
+        F.dayofmonth("ts").cast("int").alias("era"),
+        F.col("event_id").alias("gauge_id"),
+        (F.col("value") / 10).alias("air_temp"),
+        F.col("value").alias("y_true"),
+        (F.col("value") + (F.col("event_id") % 17) / 17.0).alias("pred"),
+    )
+    s = api.spearman_rank(hvac, key="gauge_id")
+    assert 0.5 < s <= 1.0
