@@ -87,3 +87,16 @@ PRED_EVENTS_SQL = f"(value + {phash_sql('event_id', 1000)} / 1000.0 - 0.5)"
 def clip(col: Column, lo: float, hi: float) -> Column:
     """P10 / M4 clamp (utils.py:51-55)."""
     return F.least(F.lit(hi), F.greatest(F.lit(lo), col))
+
+
+def corr_safe(x: Column | str, y: Column | str) -> Column:
+    """Sample Pearson correlation that returns NULL on zero variance.
+
+    Spark 4 runs ANSI mode by default and the built-in `corr` THROWS
+    DIVIDE_BY_ZERO when either side is constant; covar/stddev with
+    try_divide reproduces corr's value exactly and degrades to NULL
+    (matching DuckDB's corr and the reference's np.corrcoef nan).
+    """
+    cx = F.col(x) if isinstance(x, str) else x
+    cy = F.col(y) if isinstance(y, str) else y
+    return F.try_divide(F.covar_samp(cx, cy), F.stddev_samp(cx) * F.stddev_samp(cy))

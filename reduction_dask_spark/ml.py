@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from .functions import corr_safe
 from .sources import load_table
 
 DIM = 64  # embeddings feature width
@@ -88,26 +89,42 @@ def _suffstat_mapper(group: str, dim: int):
                 flat[: (dim + 1) ** 2] += (X.T @ X).ravel()
                 flat[(dim + 1) ** 2 : -1] += X.T @ y
                 flat[-1] += len(sub)
-        rows = [
-            (g, i, float(v)) for g, flat in acc.items() for i, v in enumerate(flat)
-        ]
-        yield pd.DataFrame(rows, columns=[group, "idx", "val"])
+        if acc:  # empty partitions yield nothing (Arrow can't type an
+            # empty ndarray column as list<double>)
+            yield pd.DataFrame(
+                {group: list(acc.keys()), "vals": [flat.tolist() for flat in acc.values()]}
+            )
 
     return fn
 
 
 def fold_suffstats(df: DataFrame, group: str = "fold", dim: int = DIM) -> dict[int, tuple[np.ndarray, np.ndarray, float]]:
-    """One distributed pass → {group: (XtX, Xty, n)}."""
+    """One distributed pass → {group: (XtX, Xty, n)}.
+
+    Partial statistics travel as ONE array row per (partition, group) —
+    ~(partitions×k) rows of (d+1)²+d+2 doubles — and merge by
+    element-wise array addition in the aggregate, not (group, idx)
+    scalar rows (which would shuffle (d+1)²× more rows)."""
+    width = (dim + 1) * (dim + 1) + (dim + 1) + 1
     rows = df.mapInPandas(
-        _suffstat_mapper(group, dim), schema=f"{group} int, idx int, val double"
+        _suffstat_mapper(group, dim), schema=f"{group} int, vals array<double>"
     )
-    pdf = rows.groupBy(group, "idx").agg(F.sum("val").alias("val")).toPandas()
+    zero = F.array_repeat(F.lit(0.0), width)
+    merged = rows.groupBy(group).agg(
+        F.aggregate(
+            F.collect_list("vals"), zero, lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b)
+        ).alias("vals")
+    )
+    pdf = merged.toPandas()
     out: dict[int, tuple[np.ndarray, np.ndarray, float]] = {}
     d1 = dim + 1
-    for g, sub in pdf.groupby(group):
-        flat = np.zeros(d1 * d1 + d1 + 1)
-        flat[sub["idx"].to_numpy()] = sub["val"].to_numpy()
-        out[int(g)] = (flat[: d1 * d1].reshape(d1, d1), flat[d1 * d1 : -1], float(flat[-1]))
+    for _, row in pdf.iterrows():
+        flat = np.asarray(row["vals"])
+        out[int(row[group])] = (
+            flat[: d1 * d1].reshape(d1, d1),
+            flat[d1 * d1 : -1],
+            float(flat[-1]),
+        )
     return out
 
 
@@ -175,6 +192,6 @@ def score_by_group(
         F.row_number().over(w).cast("double") / F.count("*").over(cnt).cast("double"),
     )
     return ranked.groupBy(*group).agg(
-        F.round(F.corr("y", "pred_rank"), 6).alias("spearman"),
+        F.round(corr_safe("y", "pred_rank"), 6).alias("spearman"),
         F.round(F.avg(F.pow(F.col("y") - F.col("pred"), 4)), 6).alias("quartic"),
     )

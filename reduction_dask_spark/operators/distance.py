@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from ..functions import PRED_EVENTS_SQL, pred_events
+from ..functions import PRED_EVENTS_SQL, corr_safe, pred_events
 from ..registry import query
 from ..sources import load_table
 
@@ -223,7 +223,7 @@ def d4_pairwise_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.fid") < F.col("b.fid")))
         .groupBy(F.col("a.fid").alias("fi"), F.col("b.fid").alias("fj"))
-        .agg(F.round(F.corr(F.col("a.val"), F.col("b.val")), 6).alias("corr"))
+        .agg(F.round(corr_safe(F.col("a.val"), F.col("b.val")), 6).alias("corr"))
     )
 
 
@@ -268,7 +268,7 @@ def d2_pairwise_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.fid") < F.col("b.fid")))
         .groupBy(F.col("a.fid").alias("fi"), F.col("b.fid").alias("fj"))
-        .agg(F.round(F.corr(F.col("a.r"), F.col("b.r")), 6).alias("spearman"))
+        .agg(F.round(corr_safe(F.col("a.r"), F.col("b.r")), 6).alias("spearman"))
     )
 
 

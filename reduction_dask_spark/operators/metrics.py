@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from ..functions import ERA_EVENTS_SQL, PRED_EVENTS_SQL, clip, era_events, pred_events
+from ..functions import ERA_EVENTS_SQL, PRED_EVENTS_SQL, clip, corr_safe, era_events, pred_events
 from ..registry import query
 from ..sources import load_table
 
@@ -78,7 +78,7 @@ def spearman_by_era(scored: DataFrame, y_true: str = "y_true", pred: str = "pred
         F.col(y_true).alias("y_true"),
         pct_rank_first(scored, era, pred, key).alias("pred_rank"),
     )
-    return ranked.agg(F.round(F.corr("y_true", "pred_rank"), 6).alias("spearman_era_corr"))
+    return ranked.agg(F.round(corr_safe("y_true", "pred_rank"), 6).alias("spearman_era_corr"))
 
 
 @query(
@@ -124,7 +124,7 @@ def m2_quartic_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f4_pearson_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = scored_events(spark, sf_dir)
-    return df.agg(F.round(F.corr("y_true", "pred"), 6).alias("pearson"))
+    return df.agg(F.round(corr_safe("y_true", "pred"), 6).alias("pearson"))
 
 
 @query(
