@@ -668,3 +668,43 @@ def a11_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem_v
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
     """)
+
+
+@query(
+    "sk2_salted_join",
+    oracle="""
+        WITH dim AS (
+            SELECT CAST(range AS INTEGER) AS hot_key,
+                   CAST(range * 100 AS DOUBLE) AS boost
+            FROM range(3)
+        )
+        SELECT e.event_id, round(e.value + d.boost, 6) AS boosted
+        FROM (SELECT event_id, value, CAST(event_id % 3 AS INTEGER) AS hot_key
+              FROM events) e
+        JOIN dim d ON e.hot_key = d.hot_key
+    """,
+    doc="Skew-mitigation: salted join of a fact with 3 pathologically "
+        "hot keys against a small dim — the dim is exploded ×SALTS and "
+        "the fact's salt spreads each hot key over SALTS partitions; "
+        "oracle = the plain (unsalted) join, proving the rewrite is "
+        "result-identical. At 100 TB this is the manual fallback when "
+        "the hot side is too big to broadcast and AQE's skew split "
+        "does not apply (e.g. aggregate-after-join pipelines).",
+    tags=("join", "skew"),
+)
+def sk2_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    SALTS = 8
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "value", (F.col("event_id") % 3).cast("int").alias("hot_key")
+    )
+    dim = spark.range(3).select(
+        F.col("id").cast("int").alias("hot_key"), (F.col("id") * 100.0).alias("boost")
+    )
+    salted_fact = ev.withColumn("salt", phash("event_id", SALTS).cast("int"))
+    salted_dim = dim.crossJoin(
+        spark.range(SALTS).select(F.col("id").cast("int").alias("salt"))
+    )
+    return (
+        salted_fact.join(salted_dim, ["hot_key", "salt"])
+        .select("event_id", F.round(F.col("value") + F.col("boost"), 6).alias("boosted"))
+    )

@@ -89,3 +89,24 @@ def test_flagship_single_era_shuffle(spark):
 
     q = m1_spearman_by_era(spark, SF_SMALL)
     assert count_exchanges(q) <= 2  # era hash partitioning + final agg
+
+
+def test_global_sort_uses_range_partitioning(spark):
+    """O1 global sort → Exchange rangepartitioning (total order across
+    partitions, not a single-partition sort)."""
+    from reduction_dask_spark.plans import simple_plan
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    q = li.orderBy(F.desc("l_extendedprice"), "l_orderkey").select("l_orderkey", "l_extendedprice")
+    assert "rangepartitioning" in simple_plan(q)
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    """sk2: the join key becomes (hot_key, salt) — partition count on
+    the fact side grows by the salt fan-out."""
+    from reduction_dask_spark.operators.relational import sk2_salted_join
+
+    q = sk2_salted_join(spark, SF_SMALL)
+    out = q.toPandas()
+    ev = load_table(spark, SF_SMALL, "events").toPandas()
+    assert len(out) == len(ev)  # every fact row matched exactly once
