@@ -199,3 +199,28 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def normalized_fingerprint(col: Column) -> Column:
     return F.md5(F.lower(F.regexp_replace(F.trim(col), r"\s+", " ")))
+
+
+@query(
+    "t1b_token_count_regex",
+    oracle=r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS n_uniq
+        FROM documents
+    """,
+    doc="T1b BPE-ish regex tokenization: alpha runs / digit runs / "
+        "single non-alphanumeric — the pre-tokenizer split shape GPT-2 "
+        "style BPE applies before merges; regexp_extract_all is "
+        "JVM-side, identical pattern semantics in DuckDB.",
+    tags=("text",),
+)
+def t1b_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    toks = F.regexp_extract_all(F.col("text"), F.lit(pat), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
+    )

@@ -208,3 +208,92 @@ def u4_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
     return d.lateralJoin(Tokenize(F.col("text").outer())).select("doc_id", "tok")
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+        SELECT l.l_orderkey,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * CAST(round(100 - l.l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    """,
+    doc="TPC-H Q3 shipping priority: selective dim filter → semi-join "
+        "reduction of orders → fact join + grouped revenue. Catalyst "
+        "reorders so the filtered customer side broadcasts first.",
+    tags=("join", "agg"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-03-15")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+                    * F.round(100 - F.col("l_discount") * 100, 0).cast("bigint")
+                ).cast("double")
+                / 10000.0
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+        )
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               round(CAST(o.o_totalprice AS DOUBLE), 2) AS totalprice,
+               round(CAST(sum(l.l_quantity) AS DOUBLE), 2) AS qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
+    """,
+    doc="TPC-H Q18 large-volume customers: HAVING-filtered aggregate as "
+        "a semi-join reduction before the 3-way join — the "
+        "aggregate-then-join shape whose reduction must happen EARLY at "
+        "scale (the big-orders set is tiny and broadcasts).",
+    tags=("join", "agg"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select(F.col("l_orderkey").alias("big_okey"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    o_big = o.join(F.broadcast(big), o.o_orderkey == F.col("big_okey"), "left_semi")
+    return (
+        c.join(o_big, c.c_custkey == o_big.o_custkey)
+        .join(li, o_big.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.round(F.col("o_totalprice"), 2).alias("totalprice"), "qty",
+        )
+    )
