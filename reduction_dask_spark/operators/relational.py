@@ -21,6 +21,7 @@ from ..functions import (
     ERA_EVENTS_SQL,
     PRED_EVENTS_SQL,
     era_events,
+    md5i_sql,
     phash,
     phash_sql,
     pred_events,
@@ -707,4 +708,109 @@ def sk2_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         salted_fact.join(salted_dim, ["hot_key", "salt"])
         .select("event_id", F.round(F.col("value") + F.col("boost"), 6).alias("boosted"))
+    )
+
+
+@query(
+    "p11_stratified_sample",
+    oracle=f"""
+        WITH r AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY {md5i_sql("'strat:' || CAST(doc_id AS VARCHAR)")}, doc_id
+                   ) AS rn
+            FROM documents
+        )
+        SELECT doc_id, lang FROM r WHERE rn <= 50
+    """,
+    doc="P11 stratified sampling: exactly n docs per language via "
+        "seeded-hash ordering + per-group row_number — the corpus "
+        "balancing op (equalize language/domain mix before training). "
+        "Deterministic under retries, one shuffle on the stratum key.",
+    tags=("sample", "text"),
+)
+def p11_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import md5i
+
+    d = load_table(spark, sf_dir, "documents")
+    salt = md5i(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(salt, F.col("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "p12_winsorize",
+    oracle="""
+        WITH b AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.05) AS lo,
+                   quantile_cont(value, 0.95) AS hi
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id,
+               round(least(b.hi, greatest(b.lo, e.value)), 6) AS value_w
+        FROM events e JOIN b USING (event_type)
+    """,
+    doc="P12 winsorization: clamp values to per-group [p05, p95] — "
+        "exact group quantiles (F5) + clip (P10) + broadcast bounds "
+        "join; the outlier-taming prep step. At 100 TB use "
+        "approx_percentile bounds (a10) — same plan shape.",
+    tags=("scalar", "agg"),
+)
+def p12_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            F.round(F.least(F.col("hi"), F.greatest(F.col("lo"), F.col("value"))), 6).alias("value_w"),
+        )
+    )
+
+
+@query(
+    "p13_standardize_features",
+    oracle="""
+        WITH melted AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS fid,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        ),
+        stats AS (
+            SELECT fid, avg(val) AS mu, stddev_samp(val) AS sd
+            FROM melted GROUP BY fid
+        )
+        SELECT m.vec_id, m.fid, round((m.val - s.mu) / s.sd, 6) AS z
+        FROM melted m JOIN stats s USING (fid)
+    """,
+    doc="P13 feature standardization (z-score per dimension): melt → "
+        "per-dim moments → broadcast-join transform — the scaling prep "
+        "every distance/DR operator assumes; single shuffle on fid for "
+        "the moments, transform is expression-only.",
+    tags=("scalar", "ml"),
+)
+def p13_standardize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    melted = emb.select("vec_id", F.posexplode("embedding").alias("pos", "valf")).select(
+        "vec_id", (F.col("pos") + 1).alias("fid"), F.col("valf").cast("double").alias("val")
+    )
+    stats = melted.groupBy("fid").agg(
+        F.avg("val").alias("mu"), F.stddev_samp("val").alias("sd")
+    )
+    return (
+        melted.join(F.broadcast(stats), "fid")
+        .select(
+            "vec_id",
+            "fid",
+            F.round((F.col("val") - F.col("mu")) / F.col("sd"), 6).alias("z"),
+        )
     )
