@@ -435,3 +435,67 @@ def dd4_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hd = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("int")
     return cand.select("doc_a", "doc_b", hd.alias("hamming")).filter(F.col("hamming") <= SIM_TAU)
+
+
+@query(
+    "dd6_dup_clusters",
+    oracle=f"""
+        WITH RECURSIVE {SHINGLE_SQL}, {_JACCARD_SQL},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM jac WHERE jaccard >= {JACCARD_TAU}
+            UNION ALL
+            SELECT doc_b, doc_a FROM jac WHERE jaccard >= {JACCARD_TAU}
+        ),
+        nodes AS (SELECT DISTINCT a AS n FROM edges),
+        reach AS (
+            SELECT n AS src, n AS dst FROM nodes
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        )
+        SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY src
+    """,
+    doc="dd6 duplicate-cluster formation: connected components over the "
+        "near-dup pair graph by iterative min-label propagation — the "
+        "final fuzzy-dedup step (pick one canonical doc per component; "
+        "pairs alone are not transitive). Driver loop of O(graph "
+        "diameter) join rounds, each fully distributed; dup components "
+        "are tiny and diameters short in practice. Oracle: recursive "
+        "SQL transitive closure.",
+    tags=("dedup", "graph"),
+)
+def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingle_table(spark, sf_dir).persist()
+    pairs = jaccard_pairs(sh, tau=JACCARD_TAU)
+    fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = fwd.unionByName(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    ).persist()
+    labels = edges.select(F.col("a").alias("n")).distinct().select(
+        "n", F.col("n").alias("label")
+    ).persist()
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.n)
+            .groupBy(F.col("a").alias("n"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "n", "left")
+            .select(
+                "n",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("x")
+            .join(labels.alias("y"), "n")
+            .filter(F.col("x.label") != F.col("y.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias("doc_id"), F.col("label").cast("bigint").alias("cluster_id"))

@@ -379,3 +379,92 @@ def ss4_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("qid", F.col("vec_id").alias("neighbor_id"), "cos")
     )
+
+
+# ------------------------------------------------------------- kmeans
+
+KM_K = 10
+KM_ITERS = 5
+
+
+def kmeans_fit(df: DataFrame, k: int = KM_K, iters: int = KM_ITERS):
+    """Distributed Lloyd's k-means over a (vec_id, vv array<double>)
+    frame — the trained coarse quantizer ss4's IVF would use instead of
+    hash-chosen centroids.
+
+    Per iteration: broadcast the k×d centroid table, assign by min
+    squared-L2 (window argmin over the small crossJoin), recompute
+    centroids as element-wise array means (zip_with-fold aggregate).
+    Driver holds only k×d floats; each iteration is one pass.
+    Deterministic: init = hash-chosen rows, ties by centroid id."""
+    import numpy as np
+
+    spark = df.sparkSession
+    cents = (
+        df.filter(F.col("vec_id") % CENT_MOD == 0)
+        .orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id"), F.col("vv"))
+        .toPandas()
+    )
+    centroids = np.stack(cents["vv"].to_numpy()).astype(float)
+
+    dim = centroids.shape[1]
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(
+            [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cid int, cv array<double>",
+        )
+        d2 = F.aggregate(
+            F.zip_with(F.col("vv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = df.crossJoin(F.broadcast(cent_df)).select(
+            "vec_id", "vv", "cid", d2.alias("d2")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+        assign = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        zero = F.array_repeat(F.lit(0.0), dim)
+        sums = assign.groupBy("cid").agg(
+            F.aggregate(
+                F.collect_list("vv"), zero, lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b)
+            ).alias("s"),
+            F.count("*").alias("n"),
+        )
+        pdf = sums.toPandas()
+        new_centroids = centroids.copy()
+        for _, row in pdf.iterrows():
+            new_centroids[int(row["cid"])] = np.asarray(row["s"]) / row["n"]
+        if np.allclose(new_centroids, centroids, atol=1e-12):
+            centroids = new_centroids
+            break
+        centroids = new_centroids
+    return centroids
+
+
+@query(
+    "km1_kmeans_quantizer",
+    oracle=None,  # iterative fit; numpy-parity tested
+    doc="km1 distributed Lloyd's k-means (trained IVF coarse "
+        "quantizer): per iteration one broadcast-assign pass + one "
+        "array-mean aggregation; driver state is k×d floats. Returns "
+        "final (vec_id, cid, d2) assignments.",
+    tags=("similarity", "ml"),
+)
+def km1_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = emb.select("vec_id", as_double(F.col("embedding")).alias("vv"))
+    centroids = kmeans_fit(df)
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cid int, cv array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("vv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = df.crossJoin(F.broadcast(cent_df)).select("vec_id", "cid", F.round(d2, 5).alias("d2"))
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")

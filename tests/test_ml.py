@@ -168,3 +168,39 @@ def test_distributed_pca_matches_numpy(spark):
     np.testing.assert_allclose(np.abs(comps), np.abs(top), atol=1e-6)
     # components are orthonormal
     np.testing.assert_allclose(comps @ comps.T, np.eye(2), atol=1e-9)
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    """Distributed Lloyd's iterations == local numpy Lloyd's from the
+    same deterministic init."""
+    from pyspark.sql import functions as F2
+
+    from reduction_dask_spark.operators.similarity import (
+        CENT_MOD,
+        KM_ITERS,
+        KM_K,
+        as_double,
+        kmeans_fit,
+    )
+    from reduction_dask_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    df = emb.select("vec_id", as_double(F2.col("embedding")).alias("vv"))
+    got = kmeans_fit(df)
+
+    pdf = df.toPandas().sort_values("vec_id")
+    X = np.stack(pdf["vv"].to_numpy()).astype(float)
+    ids = pdf["vec_id"].to_numpy()
+    C = X[np.isin(ids, ids[(ids % CENT_MOD) == 0][:KM_K])][:KM_K].copy()
+    for _ in range(KM_ITERS):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        lab = d2.argmin(axis=1)
+        newC = C.copy()
+        for c in range(KM_K):
+            if (lab == c).any():
+                newC[c] = X[lab == c].mean(axis=0)
+        if np.allclose(newC, C, atol=1e-12):
+            C = newC
+            break
+        C = newC
+    np.testing.assert_allclose(got, C, atol=1e-8)

@@ -172,3 +172,40 @@ def test_hvac_weather_bridge(spark):
     )
     s = api.spearman_rank(hvac, key="gauge_id")
     assert 0.5 < s <= 1.0
+
+
+def test_dup_clusters_are_connected_components(spark):
+    """dd6 labels must equal the min doc_id of each transitive
+    component of the pair graph (networkx-free union-find check)."""
+    from reduction_dask_spark.operators.dedup import (
+        JACCARD_TAU,
+        dd2_shingle_jaccard,
+        dd6_dup_clusters,
+    )
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in dd2_shingle_jaccard(spark, SF_SMALL).collect()
+        if r["jaccard"] >= JACCARD_TAU
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in dd6_dup_clusters(spark, SF_SMALL).collect()
+    }
+    assert got == expected
