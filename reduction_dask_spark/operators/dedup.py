@@ -499,3 +499,111 @@ def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("n").alias("doc_id"), F.col("label").cast("bigint").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------- dd7
+
+@query(
+    "dd7_domain_dedup_stats",
+    oracle=f"""
+        WITH {SHINGLE_SQL}, {_JACCARD_SQL},
+        pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+        ann AS (
+            SELECT least(da.source, db.source) AS src_a,
+                   greatest(da.source, db.source) AS src_b
+            FROM pairs p
+            JOIN documents da ON da.doc_id = p.doc_a
+            JOIN documents db ON db.doc_id = p.doc_b
+        )
+        SELECT src_a, src_b,
+               CAST(src_a = src_b AS BOOLEAN) AS same_source,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM ann GROUP BY src_a, src_b
+    """,
+    doc="dd7 per-domain dedup provenance: near-dup pairs (dd2 index, "
+        "jaccard >= 0.5) annotated with their documents' source "
+        "domains — the matrix that decides whether dedup can be "
+        "PARTITION-SCOPED. At 100 TB you first dedup within each "
+        "source/crawl (repartition by source → LSH within partitions, "
+        "no global shuffle), and this query measures what that scoping "
+        "forfeits: the cross-source pair mass. Doc sides broadcast "
+        "(source map is 2 cols).",
+    tags=("dedup",),
+)
+def dd7_domain_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = jaccard_pairs(shingle_table(spark, sf_dir).persist(), tau=0.5)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            "src_a", "src_b",
+            (F.col("src_a") == F.col("src_b")).alias("same_source"),
+            "n_pairs",
+        )
+    )
+
+
+# ---------------------------------------------------------------- dd8
+
+PASSAGE_LEN = 10      # tokens per passage chunk
+
+
+@query(
+    "dd8_passage_dedup",
+    oracle=f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        ch AS (
+            SELECT doc_id,
+                   unnest([array_to_string(toks[1 + {PASSAGE_LEN}*i : {PASSAGE_LEN} + {PASSAGE_LEN}*i], ' ')
+                           for i in range(0, CAST(floor(len(toks) / {PASSAGE_LEN}) AS BIGINT))]) AS passage
+            FROM d WHERE len(toks) >= {PASSAGE_LEN}
+        )
+        SELECT md5(passage) AS passage_hash,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+        FROM ch GROUP BY passage
+        HAVING count(DISTINCT doc_id) > 1
+    """,
+    doc="dd8 passage-level dedup: split each document into fixed "
+        f"{PASSAGE_LEN}-token chunks and hash-groupBy the chunks — "
+        "finds boilerplate/quoted passages shared across documents "
+        "that whole-doc fingerprints (dd1) and doc-level Jaccard "
+        "(dd2/dd3) both miss. Sub-document granularity is the "
+        "standard third pass of an LLM-corpus dedup funnel (exact → "
+        "fuzzy → passage). One explode + one shuffle on the passage "
+        "hash; chunking is pure array expressions (no UDF).",
+    tags=("dedup", "text"),
+)
+def dd8_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", F.split(F.col("text"), " ").alias("toks")).filter(
+        F.size("toks") >= PASSAGE_LEN
+    )
+    n_chunks = F.floor(F.size("toks") / PASSAGE_LEN).cast("int")
+    chunks = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i * PASSAGE_LEN + 1, PASSAGE_LEN)),
+            )
+        ).alias("passage"),
+    )
+    return (
+        chunks.groupBy("passage")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(F.md5("passage").alias("passage_hash"), "n_docs", "keep_doc_id")
+    )

@@ -300,6 +300,74 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q4_order_priority",
+    oracle="""
+        SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+        GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 order-priority checking (EXISTS adapted to the "
+        "driver schema: lineitem has no commit/receipt dates, so the "
+        "correlated predicate is l_returnflag='R'). The left-SEMI-join "
+        "anchor: the lineitem side is reduced to distinct orderkeys "
+        "before the join and never widens the output; at scale the "
+        "date filter prunes orders partitions first and the semi-join "
+        "shuffles only (orderkey) pairs, never lineitem payload.",
+    tags=("join", "agg"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT OUTER JOIN orders o
+              ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """,
+    doc="TPC-H Q13 customer order-count distribution: LEFT OUTER join "
+        "with a predicate on the JOIN clause (not WHERE — null-extended "
+        "rows must survive), then a two-level aggregate. The outer-join "
+        "anchor: customers with zero orders land in the c_count=0 "
+        "bucket. At scale the first groupBy reuses the join's "
+        "custkey partitioning (no extra shuffle); the second "
+        "aggregates ~100 distinct counts — map-side partials collapse "
+        "it to nothing.",
+    tags=("join", "agg"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    joined = c.join(
+        o,
+        (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+        "left_outer",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
     "q7_volume_shipping",
     oracle="""
         SELECT n1.n_name AS supp_nation,

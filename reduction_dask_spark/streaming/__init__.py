@@ -228,3 +228,68 @@ def st4_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.table("st4_out")
     w = F.row_number().over(Window.partitionBy("user_id").orderBy(F.desc("n_events")))
     return result.withColumn("rn", w).filter(F.col("rn") == 1).drop("rn")
+
+
+@query(
+    "st5_stream_stream_join",
+    oracle="""
+        SELECT a.user_id,
+               a.event_id AS click_id,
+               b.event_id AS purchase_id,
+               CAST(date_diff('microsecond', a.ts, b.ts) AS BIGINT) AS lat_us
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'click' AND b.event_type = 'purchase'
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+    doc="st5 watermarked stream-stream interval join: click→purchase "
+        "attribution within 1 hour. Both sides carry watermarks, so "
+        "the join state store evicts a click's state once the purchase "
+        "stream's watermark passes click.ts + 1h — bounded state at "
+        "100 TB/day event volume, the property a naive cache-the-left- "
+        "side design lacks. Driven to completion on the file source "
+        "(append mode) and oracle-checked against the batch self-join "
+        "— stream/batch parity for joins, not just aggregates.",
+    tags=("streaming", "join"),
+)
+def st5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("st5_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    return spark.table("st5_out").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lat_us"),
+    )
