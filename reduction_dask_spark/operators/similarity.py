@@ -468,3 +468,226 @@ def km1_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = df.crossJoin(F.broadcast(cent_df)).select("vec_id", "cid", F.round(d2, 5).alias("d2"))
     w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
+# ---------------------------------------------------------------- ss5
+
+@query(
+    "ss5_multiprobe_lsh",
+    oracle=f"""
+        WITH {{BRUTE}}, {{PLANES}},
+        probes AS (
+            SELECT a.vec_id AS qid,
+                   CASE WHEN p.range = 0 THEN a.bucket
+                        ELSE xor(a.bucket, CAST(1 << (p.range - 1) AS INTEGER)) END AS bucket
+            FROM sig a, range({N_PLANES} + 1) p
+            WHERE a.vec_id % {QUERY_MOD} = 0
+        ),
+        cand AS (
+            SELECT DISTINCT s.qid, s.vec_id, s.cos
+            FROM scored s
+            JOIN probes pr ON pr.qid = s.qid
+            JOIN sig b ON b.vec_id = s.vec_id AND b.bucket = pr.bucket
+        ),
+        ctop AS (
+            SELECT qid, vec_id, cos,
+                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+            FROM cand
+        )
+        SELECT qid, vec_id AS neighbor_id, cos FROM ctop WHERE rn <= {TOP_K}
+    """.format(BRUTE=_BRUTE_SQL.rstrip(), PLANES=_PLANES_SQL),
+    doc="ss5 multi-probe LSH top-k: each query probes its own sign "
+        "bucket PLUS the 6 buckets at Hamming distance 1 (one plane "
+        "flipped) — the standard recall lever that avoids doubling the "
+        "table count. Candidate set grows ~7× but stays "
+        "bucket-bounded; the probe fan-out is an exploded broadcast "
+        "join, never a corpus shuffle. Recall vs ss2 is asserted in "
+        "tests.",
+    tags=("similarity",),
+)
+def ss5_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = lsh_buckets(spark, sf_dir)
+    probe_arr = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)]
+    )
+    q = (
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qv"))
+        .join(buckets.select(F.col("vec_id").alias("qid"), "bucket"), "qid")
+        .select("qid", "qv", F.explode(probe_arr).alias("bucket"))
+    )
+    c = emb.select("vec_id", as_double(F.col("embedding")).alias("cv")).join(buckets, "vec_id")
+    cand = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", F.round(cosine(F.col("qv"), F.col("cv")), 5).alias("cos"))
+        .distinct()
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "cos")
+    )
+
+
+# ---------------------------------------------------------------- ss6
+
+PQ_M = 8              # subspaces (64 dims → 8 dims per subspace)
+PQ_SUB = DIM // PQ_M
+PQ_K = 16             # codewords per subspace
+PQ_MOD = 31           # codebook rows = first 16 vectors with vec_id % 31 == 0
+
+_PQ_SQL = f"""
+    cb AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding::DOUBLE[] AS cw
+        FROM embeddings WHERE vec_id % {PQ_MOD} = 0 ORDER BY vec_id LIMIT {PQ_K}
+    ),
+    cbm AS (
+        SELECT c, CAST(m.range AS INTEGER) AS m,
+               cw[1 + {PQ_SUB} * m.range : {PQ_SUB} + {PQ_SUB} * m.range] AS sub,
+               list_dot_product(cw[1 + {PQ_SUB} * m.range : {PQ_SUB} + {PQ_SUB} * m.range],
+                                cw[1 + {PQ_SUB} * m.range : {PQ_SUB} + {PQ_SUB} * m.range]) AS n2
+        FROM cb, range({PQ_M}) m
+    ),
+    vm AS (
+        SELECT vec_id, CAST(m.range AS INTEGER) AS m,
+               (embedding::DOUBLE[])[1 + {PQ_SUB} * m.range : {PQ_SUB} + {PQ_SUB} * m.range] AS sub
+        FROM embeddings, range({PQ_M}) m
+    ),
+    codes AS (
+        SELECT vec_id, m, c FROM (
+            SELECT vm.vec_id, vm.m, cbm.c,
+                   row_number() OVER (PARTITION BY vm.vec_id, vm.m
+                                      ORDER BY list_distance(vm.sub, cbm.sub), cbm.c) AS rn
+            FROM vm JOIN cbm USING (m)
+        ) WHERE rn = 1
+    ),
+    qm AS (
+        SELECT e.vec_id AS qid, vm.m, vm.sub,
+               sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS qnorm
+        FROM embeddings e JOIN vm ON vm.vec_id = e.vec_id
+        WHERE e.vec_id % {QUERY_MOD} = 0
+    ),
+    qdot AS (
+        SELECT q.qid, q.m, cbm.c, q.qnorm,
+               list_dot_product(q.sub, cbm.sub) AS dp, cbm.n2
+        FROM qm q JOIN cbm ON q.m = cbm.m
+    ),
+    adc AS (
+        SELECT d.qid, co.vec_id,
+               round(sum(d.dp) / (max(d.qnorm) * sqrt(sum(d.n2))), 5) AS adc_cos
+        FROM codes co JOIN qdot d ON d.m = co.m AND d.c = co.c
+        WHERE d.qid <> co.vec_id
+        GROUP BY d.qid, co.vec_id
+    ),
+    atop AS (
+        SELECT qid, vec_id, adc_cos,
+               row_number() OVER (PARTITION BY qid ORDER BY adc_cos DESC, vec_id) AS rn
+        FROM adc
+    )
+"""
+
+
+@query(
+    "ss6_pq_adc_topk",
+    oracle=f"""
+        WITH {_PQ_SQL}
+        SELECT qid, vec_id AS neighbor_id, adc_cos FROM atop WHERE rn <= {TOP_K}
+    """,
+    doc=f"ss6 product-quantization ANN: vectors compressed to {PQ_M} "
+        f"sub-space codes ({PQ_K} deterministic codewords each — "
+        f"{PQ_M}×4 bits/vector vs {DIM}×4 bytes, a 128× memory cut), "
+        "queries scored by Asymmetric Distance Computation: "
+        "score(q, x) ≈ Σ_m  dot(q_m, codeword[m][code_m(x)]), i.e. "
+        f"{PQ_M} table lookups per candidate instead of {DIM} "
+        "multiplies. All relational: encode = broadcast-codebook "
+        "argmin, ADC = melted-code join on (m, code) + groupBy sum — "
+        "at 100 TB the scored relation carries 2 ints + 1 double per "
+        "(query, vector, subspace), never the raw vectors.",
+    tags=("similarity",),
+)
+def ss6_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("vv"))
+    cb = (
+        v.filter(F.col("vec_id") % PQ_MOD == 0)
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("c"),
+            F.col("vv").alias("cw"),
+        )
+    )
+    m_ids = list(range(PQ_M))
+    sub = lambda col, m: F.slice(col, 1 + PQ_SUB * m, PQ_SUB)  # noqa: E731
+    # (c, m, sub, n2): codebook melted per subspace, broadcast everywhere
+    cbm = cb.select(
+        "c",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(m).cast("int").alias("m"),
+                    sub(F.col("cw"), m).alias("sub"),
+                    dot(sub(F.col("cw"), m), sub(F.col("cw"), m)).alias("n2"),
+                )
+                for m in m_ids
+            ])
+        ).alias("s"),
+    ).select("c", "s.m", "s.sub", "s.n2")
+    # encode: per (vec, m) argmin_c ||v_m - cw_c,m||² — min over a struct
+    # gives deterministic c tie-break
+    vm = v.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(m).cast("int").alias("m"), sub(F.col("vv"), m).alias("sub"))
+                for m in m_ids
+            ])
+        ).alias("s"),
+    ).select("vec_id", "s.m", F.col("s.sub").alias("vsub"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("vsub"), F.col("sub"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    codes = (
+        vm.join(F.broadcast(cbm), "m")
+        .select("vec_id", "m", F.struct(F.sqrt(d2).alias("d"), F.col("c").cast("double").alias("cd")).alias("k"), "c")
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("k.d"), F.col("k.cd"))).alias("best"))
+        .select("vec_id", "m", F.col("best.cd").cast("int").alias("c"))
+    )
+    # qdot: per (query, m, c) partial dot + codeword norm²  (|Q|·M·K rows)
+    q = v.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("vv").alias("qv"), F.sqrt(dot(F.col("vv"), F.col("vv"))).alias("qnorm")
+    )
+    qm = q.select(
+        "qid", "qnorm",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(m).cast("int").alias("m"), sub(F.col("qv"), m).alias("qsub"))
+                for m in m_ids
+            ])
+        ).alias("s"),
+    ).select("qid", "qnorm", "s.m", "s.qsub")
+    qdot = qm.join(F.broadcast(cbm), "m").select(
+        "qid", "m", "c", "qnorm", dot(F.col("qsub"), F.col("sub")).alias("dp"), "n2"
+    )
+    adc = (
+        codes.join(F.broadcast(qdot), ["m", "c"])
+        .filter(F.col("qid") != F.col("vec_id"))
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.round(
+                F.sum("dp") / (F.max("qnorm") * F.sqrt(F.sum("n2"))), 5
+            ).alias("adc_cos")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("adc_cos"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "adc_cos")
+    )

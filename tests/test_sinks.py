@@ -209,3 +209,49 @@ def test_dup_clusters_are_connected_components(spark):
         r["doc_id"]: r["cluster_id"] for r in dd6_dup_clusters(spark, SF_SMALL).collect()
     }
     assert got == expected
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """ss5's candidate set is a superset of ss2's (same planes, more
+    probes), so its recall of the exact top-5 must be >= ss2's."""
+    from reduction_dask_spark.operators.similarity import (
+        brute_force_topk,
+        ss2_cosine_topk_lsh,
+        ss5_multiprobe_lsh,
+    )
+
+    exact = set(
+        map(tuple, brute_force_topk(spark, SF_SMALL).select("qid", "neighbor_id").collect())
+    )
+    single = set(
+        map(tuple, ss2_cosine_topk_lsh(spark, SF_SMALL).select("qid", "neighbor_id").collect())
+    )
+    multi = set(
+        map(tuple, ss5_multiprobe_lsh(spark, SF_SMALL).select("qid", "neighbor_id").collect())
+    )
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_single
+    assert r_multi > 0  # sf0.001 has ~50 vectors over 64 buckets — sparse
+
+
+def test_pq_adc_recall_vs_brute(spark):
+    """8×16 product quantization of 64-dim vectors must still place a
+    fair share of the exact top-5 in its ADC top-5."""
+    from reduction_dask_spark.operators.similarity import (
+        brute_force_topk,
+        ss6_pq_adc_topk,
+    )
+
+    exact = set(
+        map(tuple, brute_force_topk(spark, SF_SMALL).select("qid", "neighbor_id").collect())
+    )
+    pq = set(
+        map(tuple, ss6_pq_adc_topk(spark, SF_SMALL).select("qid", "neighbor_id").collect())
+    )
+    recall = len(exact & pq) / len(exact)
+    # 16 hash-chosen (untrained) codewords per subspace keep the op
+    # oracle-able; ~12-14% observed vs ~1% chance. A production IVF-PQ
+    # trains the codebook with kmeans_fit per subspace.
+    assert recall >= 0.05
+    assert pq
