@@ -16,6 +16,7 @@ _MODULES = (
     "reduction",
     "multimodal",
     "udf_surface",
+    "tpch",
     "temporal",
     "pipeline",
 )

@@ -110,3 +110,38 @@ def test_salted_join_spreads_hot_keys(spark):
     out = q.toPandas()
     ev = load_table(spark, SF_SMALL, "events").toPandas()
     assert len(out) == len(ev)  # every fact row matched exactly once
+
+
+def test_q10_topk_is_take_ordered(spark):
+    """Q10's LIMIT 20 over a sort must plan per-partition heaps, never
+    a global sort — the difference between O(n log k) and a full
+    range-partitioned shuffle at 100 TB."""
+    from reduction_dask_spark.operators.tpch import q10_returned_items
+    from reduction_dask_spark.plans import simple_plan
+
+    q = q10_returned_items(spark, SF_SMALL)
+    assert "TakeOrderedAndProject" in simple_plan(q)
+    assert has_broadcast_join(q)
+
+
+def test_q19_disjunction_keeps_hash_join(spark):
+    """The 3-branch OR predicate must not degrade the part join to a
+    nested loop: the equi-key is common to all branches."""
+    from reduction_dask_spark.operators.tpch import q19_disjunctive_revenue
+    from reduction_dask_spark.plans import simple_plan
+
+    q = q19_disjunctive_revenue(spark, SF_SMALL)
+    plan = simple_plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_decorrelated_avg_shares_partkey_exchange(spark):
+    """Q17's probe and its per-part average must both hash-partition on
+    partkey; the broadcast part filter must not force a third fact
+    shuffle."""
+    from reduction_dask_spark.operators.tpch import q17_small_quantity_revenue
+
+    q = q17_small_quantity_revenue(spark, SF_SMALL)
+    assert has_broadcast_join(q)
