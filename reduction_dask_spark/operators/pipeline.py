@@ -21,8 +21,15 @@ QUALITY_TAU = 0.3
 KEEP_LANGS = ("en", "de", "fr", "es")
 
 
-def curated_docs(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Each curation stage as a DataFrame of surviving doc_ids."""
+def doc_survival_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per document with a boolean column per curation stage.
+
+    Single-pass design: the quality expression, the fingerprint
+    groupBy, and the (expensive) Jaccard pair join each run exactly
+    ONCE, and stages compose as flag conjunctions — vs the naive
+    per-stage-subquery funnel that re-executes the whole upstream
+    chain for every stage count (the Jaccard join twice, the quality
+    scan four times). At 100 TB that difference is the job."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
@@ -30,26 +37,45 @@ def curated_docs(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n
     quality = F.least(F.lit(1.0), n / F.lit(50.0)) * (1.0 - stop_ratio) * uniq_ratio
 
-    staged = d.select("doc_id", "lang", "text", quality.alias("quality"))
-    q = staged.filter(F.col("quality") >= QUALITY_TAU)
+    staged = d.select(
+        "doc_id", "lang",
+        normalized_fingerprint(F.col("text")).alias("fp"),
+        (quality >= QUALITY_TAU).alias("q_ok"),
+    )
 
-    # exact dedup: keep the smallest doc_id per normalized fingerprint
-    fp = q.select("doc_id", "lang", normalized_fingerprint(F.col("text")).alias("fp"))
-    keep_exact = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    exact = fp.join(keep_exact, ["fp", "doc_id"]).select("doc_id", "lang")
+    # exact dedup: survivor = smallest doc_id per fingerprint among
+    # quality survivors
+    keep_exact = (
+        staged.filter("q_ok")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.lit(True).alias("is_keeper"))
+    )
+    flagged = staged.join(keep_exact, ["fp", "doc_id"], "left").withColumn(
+        "exact_ok", F.col("q_ok") & F.coalesce("is_keeper", F.lit(False))
+    )
 
     # near-dup dedup: drop the higher-id member of each verified pair
     pairs = jaccard_pairs(shingle_table(spark, sf_dir).persist(), tau=JACCARD_TAU)
-    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    neardup = exact.join(drop, "doc_id", "left_anti")
+    drop = pairs.select(F.col("doc_b").alias("doc_id"), F.lit(True).alias("is_dup")).distinct()
+    flagged = flagged.join(drop, "doc_id", "left").withColumn(
+        "near_ok", F.col("exact_ok") & ~F.coalesce("is_dup", F.lit(False))
+    )
 
-    lang = neardup.filter(F.col("lang").isin(*KEEP_LANGS))
+    return flagged.select(
+        "doc_id", "q_ok", "exact_ok", "near_ok",
+        (F.col("near_ok") & F.col("lang").isin(*KEEP_LANGS)).alias("lang_ok"),
+    )
+
+
+def curated_docs(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Each curation stage as a DataFrame of surviving doc_ids."""
+    flags = doc_survival_flags(spark, sf_dir)
     return {
-        "total": d.select("doc_id"),
-        "quality": q.select("doc_id"),
-        "exact_dedup": exact.select("doc_id"),
-        "near_dedup": neardup.select("doc_id"),
-        "lang": lang.select("doc_id"),
+        "total": flags.select("doc_id"),
+        "quality": flags.filter("q_ok").select("doc_id"),
+        "exact_dedup": flags.filter("exact_ok").select("doc_id"),
+        "near_dedup": flags.filter("near_ok").select("doc_id"),
+        "lang": flags.filter("lang_ok").select("doc_id"),
     }
 
 
@@ -104,15 +130,23 @@ _FUNNEL_SQL = f"""
     tags=("pipeline", "dedup", "text", "bench"),
 )
 def pipe1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stages = curated_docs(spark, sf_dir)
-    parts = [
-        df.agg(F.count("*").alias("n")).select(F.lit(name).alias("stage"), "n")
-        for name, df in stages.items()
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    flags = doc_survival_flags(spark, sf_dir)
+    counts = flags.agg(
+        F.count("*").alias("total"),
+        F.sum(F.col("q_ok").cast("long")).alias("quality"),
+        F.sum(F.col("exact_ok").cast("long")).alias("exact_dedup"),
+        F.sum(F.col("near_ok").cast("long")).alias("near_dedup"),
+        F.sum(F.col("lang_ok").cast("long")).alias("lang"),
+    )
+    # unpivot the 1-row aggregate to the (stage, n) funnel shape
+    stages = ("total", "quality", "exact_dedup", "near_dedup", "lang")
+    return counts.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(s).alias("stage"), F.col(s).alias("n")) for s in stages
+            ])
+        ).alias("r")
+    ).select("r.stage", "r.n")
 
 
 @query(

@@ -224,3 +224,103 @@ def t1b_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
     )
+
+
+# ---------------------------------------------------------------- tq1
+
+REP_TAU = 0.12  # top-token frequency ratio above which a doc is repetitive
+
+
+@query(
+    "tq1_repetition_stats",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        cnt AS (
+            SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
+        ),
+        top AS (
+            SELECT doc_id, tok, c,
+                   sum(c) OVER (PARTITION BY doc_id) AS n_tokens,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, tok DESC) AS rn
+            FROM cnt
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               tok AS top_tok, CAST(c AS BIGINT) AS top_count,
+               round(c::DOUBLE / n_tokens, 6) AS top_ratio,
+               c::DOUBLE / n_tokens > {REP_TAU} AS repetitive
+        FROM top WHERE rn = 1
+    """,
+    doc="tq1 repetition statistics (Gopher-rule family): per document, "
+        "the most frequent token and its frequency share; documents "
+        f"whose top token exceeds {REP_TAU} of all tokens are flagged "
+        "repetitive — the boilerplate/spam signal used alongside t2's "
+        "quality score in curation funnels. Shape: token explode → "
+        "two-level count → per-doc argmax (max-over-struct, no second "
+        "shuffle since the window reuses the doc_id partitioning).",
+    tags=("text",),
+)
+def tq1_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    # single groupBy: total tokens + argmax(count, token) over a struct
+    best = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max(F.struct(F.col("c"), F.col("tok"))).alias("top"),
+    )
+    ratio = F.col("top.c").cast("double") / F.col("n_tokens")
+    return best.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("top.tok").alias("top_tok"),
+        F.col("top.c").cast("bigint").alias("top_count"),
+        F.round(ratio, 6).alias("top_ratio"),
+        (ratio > REP_TAU).alias("repetitive"),
+    )
+
+
+# ---------------------------------------------------------------- mw1
+
+MIX_TEMP = 2.0  # temperature: sampling share ∝ count^(1/T)
+
+
+@query(
+    "mw1_mix_weights",
+    oracle=f"""
+        WITH n AS (
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        ),
+        z AS (SELECT sum(pow(n_docs, 1.0 / {MIX_TEMP})) AS z, sum(n_docs) AS total FROM n)
+        SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+               round(pow(n_docs, 1.0 / {MIX_TEMP}) / z.z, 6) AS share,
+               round(least(1.0, (pow(n_docs, 1.0 / {MIX_TEMP}) / z.z) * z.total / n_docs), 6)
+                 AS sample_rate
+        FROM n, z
+    """,
+    doc="mw1 data-mixing weights: temperature-resampled language "
+        f"shares (share ∝ n^(1/T), T={MIX_TEMP}) and the per-language "
+        "sampling rate that realizes them — the multilingual/"
+        "multi-source rebalancing step of a pre-training data recipe "
+        "(upsamples tail languages, downsamples the head). The "
+        "per-group counts are a one-shuffle aggregate; the normalizer "
+        "is a 1-row broadcast — no driver round-trip.",
+    tags=("text", "pipeline"),
+)
+def mw1_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    w = F.pow(F.col("n_docs"), 1.0 / MIX_TEMP)
+    z = n.agg(F.sum(w).alias("z"), F.sum("n_docs").alias("total"))
+    share = w / F.col("z")
+    return n.crossJoin(F.broadcast(z)).select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(share, 6).alias("share"),
+        F.round(F.least(F.lit(1.0), share * F.col("total") / F.col("n_docs")), 6).alias("sample_rate"),
+    )
