@@ -204,3 +204,22 @@ def test_kmeans_matches_numpy_lloyd(spark):
             break
         C = newC
     np.testing.assert_allclose(got, C, atol=1e-8)
+
+
+def test_mda_suffstats_matches_rowwise(spark):
+    """x1b (in-UDF sufficient-statistics scoring) must reproduce x1's
+    (row-emitting) importance table: same seeds, same rank semantics,
+    corr assembled from sums instead of Spark's covar/stddev."""
+    from reduction_dask_spark.operators.importance import (
+        mda_importance,
+        mda_importance_suffstats,
+    )
+
+    a = {r["feature"]: r["importance"] for r in mda_importance(spark, SF_SMALL).collect()}
+    b = {
+        r["feature"]: r["importance"]
+        for r in mda_importance_suffstats(spark, SF_SMALL).collect()
+    }
+    assert set(a) == set(b)
+    for f in a:
+        assert abs(a[f] - b[f]) < 1e-6, f
