@@ -293,3 +293,112 @@ def st5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lat_us"),
     )
+
+
+def st6_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st6 transformWithStateInPandas (the Spark 4 arbitrary-state API
+    that replaces applyInPandasWithState): per-user (count, sum, max)
+    held in a typed ValueState, updated per input batch, emitted in
+    update mode. Compared to st4's applyInPandasWithState, state here
+    is a named, schema'd, independently evolvable store (multiple
+    states, TTL, timers) — the engine's slot for custom stateful
+    patterns at production depth.
+
+    NOT registered as a driver query: the TWS Python state server
+    speaks protobuf and this container has no google.protobuf —
+    parity-tested (skipped when protobuf is absent) so the code path
+    lights up on any standard Spark 4 deployment."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n BIGINT, total DOUBLE, vmax DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, vmax = self._agg.get() if self._agg.exists() else (0, 0.0, float("-inf"))
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                vmax = max(vmax, float(pdf["value"].max()))
+            self._agg.update((n, total, vmax))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [round(total, 2)],
+                    "max_value": [round(vmax, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = read_event_stream(spark, sf_dir)
+    agg = stream.groupBy("user_id").transformWithStateInPandas(
+        UserTotals(),
+        outputStructType="user_id bigint, n_events bigint, sum_value double, max_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("st6_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    from pyspark.sql.window import Window
+
+    result = spark.table("st6_out")
+    w = F.row_number().over(Window.partitionBy("user_id").orderBy(F.desc("n_events")))
+    return result.withColumn("rn", w).filter(F.col("rn") == 1).drop("rn")
+
+
+# ------------------------------------------------------- kafka source
+
+def kafka_stream_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """Production source config for the event stream (the container has
+    no Kafka connector jar, so this is the tested-pure part; see
+    read_event_stream_kafka)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        # fail fast on topic deletion/offset loss instead of silently
+        # re-reading from earliest
+        "failOnDataLoss": "true",
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def read_event_stream_kafka(
+    spark: SparkSession, bootstrap_servers: str, topic: str, **kw
+) -> DataFrame:
+    """Kafka-source variant of read_event_stream: value is the JSON
+    event payload, parsed to the same schema the file source yields —
+    downstream operators (st1–st6) are source-agnostic.
+
+    Requires the spark-sql-kafka connector on the classpath (not in
+    this container; raises Spark's DATA_SOURCE_NOT_FOUND otherwise)."""
+    ensure_engine_confs(spark)
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_stream_options(bootstrap_servers, topic, **kw).items():
+        reader = reader.option(k, v)
+    raw = reader.load()
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), _EVENT_SCHEMA).alias("e")
+    ).select("e.*")
+    return parsed.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

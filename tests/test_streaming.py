@@ -59,3 +59,43 @@ def test_st5_stream_join_matches_batch(spark):
     }
     assert got == exact
     assert all(0 <= lat <= 3_600_000_000 for _, _, lat in got)
+
+
+def test_st6_transform_with_state_matches_batch(spark):
+    """transformWithStateInPandas totals == batch groupBy totals.
+    Skipped where google.protobuf (the TWS state-server wire format)
+    is not installed — as in this container."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from reduction_dask_spark.sources import load_table
+    from reduction_dask_spark.streaming import st6_transform_with_state
+    from pyspark.sql import functions as F
+
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"], r["max_value"])
+        for r in st6_transform_with_state(spark, SF_SMALL).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["s"], r["m"])
+        for r in load_table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+            F.round(F.max("value"), 2).alias("m"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_kafka_stream_options():
+    from reduction_dask_spark.streaming import kafka_stream_options
+
+    opts = kafka_stream_options("broker:9092", "events", max_offsets_per_trigger=100000)
+    assert opts["kafka.bootstrap.servers"] == "broker:9092"
+    assert opts["subscribe"] == "events"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["failOnDataLoss"] == "true"
+    assert opts["maxOffsetsPerTrigger"] == "100000"
