@@ -199,3 +199,120 @@ def f13_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("low")
         .alias("band"),
     )
+
+
+# ---------------------------------------------------------------- an1
+
+@query(
+    "an1_cohort_retention",
+    oracle="""
+        WITH activity AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+        ),
+        cohort AS (
+            SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id
+        ),
+        sizes AS (
+            SELECT cohort_day, count(*) AS cohort_n FROM cohort GROUP BY cohort_day
+        ),
+        cells AS (
+            SELECT c.cohort_day,
+                   CAST(date_diff('day', c.cohort_day, a.day) AS INTEGER) AS offset_days,
+                   count(*) AS n_active
+            FROM activity a JOIN cohort c USING (user_id)
+            GROUP BY 1, 2
+        )
+        SELECT strftime(x.cohort_day, '%Y-%m-%d') AS cohort_day,
+               x.offset_days,
+               CAST(x.n_active AS BIGINT) AS n_active,
+               CAST(s.cohort_n AS BIGINT) AS cohort_n,
+               round(x.n_active::DOUBLE / s.cohort_n, 6) AS retention
+        FROM cells x JOIN sizes s USING (cohort_day)
+    """,
+    doc="an1 cohort retention matrix: users bucketed by first-activity "
+        "day, each cohort's active-user count per day offset, and the "
+        "retention rate — the canonical product-analytics double "
+        "aggregate. Plan shape: one distinct on (user, day), a min-"
+        "window cohort derivation reusing the user partitioning, one "
+        "join back on user_id, and a tiny (days × days) output. At "
+        "scale the only wide exchange is on user_id and AQE coalesces "
+        "the final cell aggregate.",
+    tags=("agg", "temporal"),
+)
+def an1_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    # cohort via min-over-window: reuses activity's user_id clustering
+    # instead of a second groupBy+join on the same key
+    w = Window.partitionBy("user_id")
+    flagged = activity.withColumn("cohort_day", F.min("day").over(w))
+    sizes = (
+        flagged.filter(F.col("day") == F.col("cohort_day"))
+        .groupBy("cohort_day")
+        .agg(F.count("*").alias("cohort_n"))
+    )
+    cells = flagged.groupBy(
+        "cohort_day", F.datediff("day", "cohort_day").cast("int").alias("offset_days")
+    ).agg(F.count("*").alias("n_active"))
+    return cells.join(F.broadcast(sizes), "cohort_day").select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "offset_days",
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.col("cohort_n").cast("bigint").alias("cohort_n"),
+        F.round(F.col("n_active").cast("double") / F.col("cohort_n"), 6).alias("retention"),
+    )
+
+
+# ---------------------------------------------------------------- w5
+
+SESSION_GAP_MIN = 30
+
+
+@query(
+    "w5_session_window_builtin",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL {SESSION_GAP_MIN} MINUTE
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, ts, value,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sess_no
+            FROM e
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+        FROM s GROUP BY user_id, sess_no
+    """,
+    doc=f"w5 built-in session windows (F.session_window, "
+        f"{SESSION_GAP_MIN}-min inactivity gap) run in BATCH mode, "
+        "oracle-matched against the classic gaps-and-islands SQL "
+        "(lag > gap ⇒ new island) — proving the built-in's semantics "
+        "equal the manual w4 pattern. In streaming this same "
+        "expression runs incrementally with watermark-driven state "
+        "eviction; in batch it is one shuffle on user_id with the "
+        "session merge done sort-locally per partition.",
+    tags=("window", "temporal"),
+)
+def w5_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", f"{SESSION_GAP_MIN} minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -24,7 +24,11 @@ SCALING_QUERIES = [
     "ss1_cosine_topk_brute",
     "t3_lang_id_naive_bayes",
     "x1_mda_importance",
+    "x1b_mda_suffstats",
     "t2_kfold_cv_eval",
+    "pipe1_corpus_curation",
+    "q10_returned_items",
+    "dc1_benchmark_decontam",
 ]
 PLAN_QUERIES = {
     "m1_spearman_by_era": "flagship: era window + pooled corr — expect ONE "
@@ -36,6 +40,11 @@ PLAN_QUERIES = {
     "s1_scan_projection": "scan — expect ReadSchema limited to 4 columns",
     "j7_asof_join": "as-of join — expect a single exchange on user_id + "
     "window, no nested-loop",
+    "q10_returned_items": "TPC-H Q10 top-20 — expect TakeOrderedAndProject "
+    "(per-partition heaps, no global sort) and a broadcast nation join",
+    "q17_small_quantity_revenue": "TPC-H Q17 correlated avg — expect the "
+    "decorrelated aggregate and probe to share one partkey exchange, "
+    "part side broadcast",
 }
 
 
