@@ -691,3 +691,70 @@ def ss6_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("qid", F.col("vec_id").alias("neighbor_id"), "adc_cos")
     )
+
+
+# ---------------------------------------------------------------- ss1b
+
+@query(
+    "ss1b_cosine_topk_blas",
+    oracle=f"""
+        WITH {{BRUTE}}
+        SELECT qid, vec_id AS neighbor_id, cos FROM topk WHERE rn <= {TOP_K}
+    """.format(BRUTE=_BRUTE_SQL.rstrip()),
+    doc="ss1b exact cosine top-k, BLAS form: the one hot path where "
+        "per-element JVM expressions lose to Python — dense linear "
+        "algebra. The query matrix broadcasts once; each Arrow batch "
+        "of the corpus is scored with a single numpy matmul "
+        "(batch × dim) @ (dim × |Q|) and reduced to a per-partition "
+        "partial top-k, so the shuffle carries |partitions|·|Q|·k "
+        "candidate rows instead of |corpus|·|Q| scored pairs. Same "
+        "result set as ss1 (parity-tested); the pattern that wins at "
+        "100 TB: brute-force scoring stays scan-shaped, only partial "
+        "heaps move.",
+    tags=("similarity", "bench"),
+)
+def ss1b_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qpdf = (
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select("vec_id", as_double(F.col("embedding")).alias("qv"))
+        .toPandas()
+    )
+    qids = qpdf["vec_id"].to_numpy()
+    Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
+    qnorm = np.sqrt((Q * Q).sum(axis=1))
+    bq = spark.sparkContext.broadcast((qids, Q, qnorm))
+    k = TOP_K
+
+    def score(batches):
+        qids, Q, qnorm = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            vid = pdf["vec_id"].to_numpy()
+            xnorm = np.sqrt((X * X).sum(axis=1))
+            S = (X @ Q.T) / (xnorm[:, None] * qnorm[None, :])
+            out = []
+            for j, qid in enumerate(qids):
+                idx = np.nonzero(vid != qid)[0]
+                svals = np.round(S[idx, j], 5)
+                order = np.lexsort((vid[idx], -svals))[:k]
+                sel = idx[order]
+                out.append(
+                    pd.DataFrame({"qid": qid, "vec_id": vid[sel], "cos": svals[order]})
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    part = emb.select("vec_id", as_double(F.col("embedding")).alias("cv")).mapInPandas(
+        score, "qid long, vec_id long, cos double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "cos")
+    )

@@ -255,3 +255,17 @@ def test_pq_adc_recall_vs_brute(spark):
     # trains the codebook with kmeans_fit per subspace.
     assert recall >= 0.05
     assert pq
+
+
+def test_blas_topk_matches_expression_topk(spark):
+    """ss1b (numpy matmul + partial heaps) must return exactly ss1's
+    (JVM expression) result set — same cosines at 5 decimals, same
+    tie-breaks."""
+    from reduction_dask_spark.operators.similarity import (
+        brute_force_topk,
+        ss1b_cosine_topk_blas,
+    )
+
+    a = sorted(map(tuple, brute_force_topk(spark, SF_SMALL).collect()))
+    b = sorted(map(tuple, ss1b_cosine_topk_blas(spark, SF_SMALL).collect()))
+    assert a == b
