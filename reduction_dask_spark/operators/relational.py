@@ -814,3 +814,44 @@ def p13_standardize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("val") - F.col("mu")) / F.col("sd"), 6).alias("z"),
         )
     )
+
+
+# ---------------------------------------------------------------- w6
+
+@query(
+    "w6_rank_family",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderpriority,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+               round(percent_rank() OVER w, 6) AS prnk,
+               round(cume_dist() OVER w, 6) AS cdist,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        FROM orders
+        WHERE o_orderkey % 20 = 0
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="w6 ranking-family breadth (SURVEY.md §2.6 'ranking family "
+        "beyond W1/W2'): rank, dense_rank, percent_rank, cume_dist, "
+        "ntile in one per-priority window — one exchange on the "
+        "partition key serves all five functions (a single Window "
+        "physical node), with a unique-key tie-break so every engine "
+        "agrees.",
+    tags=("window",),
+)
+def w6_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
