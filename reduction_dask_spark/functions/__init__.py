@@ -46,6 +46,19 @@ def md5i_sql(expr: str) -> str:
     return f"(('0x' || substring(md5(CAST(({expr}) AS VARCHAR)), 1, 8))::BIGINT)"
 
 
+def md5h60(col: Column | str) -> Column:
+    """First 60 bits of md5(expr) as a non-negative bigint — the
+    portable content-key hash: wide enough that collisions are
+    negligible at corpus scale, and identical in DuckDB (md5h60_sql),
+    so even a collision would collide in BOTH engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("bigint")
+
+
+def md5h60_sql(expr: str) -> str:
+    return f"(('0x' || substring(md5(CAST(({expr}) AS VARCHAR)), 1, 15))::BIGINT)"
+
+
 # ---------- era derivation (the reference's time bucket) ----------
 # Reference: era is a static int time bucket ("eras represent a unit of
 # time", /root/reference/utils.py:18). Driver data carries real

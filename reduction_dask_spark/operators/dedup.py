@@ -13,9 +13,11 @@ materialization, no crossJoin on the full corpus):
                   — the built-in scale path (rows-only check; MLlib's
                   hash seeds aren't portable to DuckDB).
 
-Determinism: every hash is md5/arithmetic (functions.md5i / universal
-hashing h_s(x) = (a_s·md5i(x) + b_s) mod p) so Spark and DuckDB agree
-bit-for-bit. Shingles with document frequency > DF_CAP are dropped on
+Determinism: every hash is md5/arithmetic (functions.md5h60/md5i /
+universal hashing h_s(x) = (a_s·(x mod p) + b_s) mod p) so Spark and
+DuckDB agree bit-for-bit. Shingles are 60-bit md5h60 ints from the
+moment they are exploded — all inverted-index shuffles move 8-byte
+keys, never n-gram strings. Shingles with document frequency > DF_CAP are dropped on
 both sides — the standard guard against hot-shingle join blowup at
 scale (a shingle shared by 1M docs would otherwise produce 10^12 pairs).
 """
@@ -25,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from ..functions import md5i, md5i_sql
+from ..functions import md5h60, md5h60_sql, md5i, md5i_sql
 from ..registry import query
 from ..sources import load_table
 from .text import normalized_fingerprint
@@ -66,12 +68,24 @@ def shingle_array(col: Column, k: int = K_SHINGLE) -> Column:
 
 
 def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) inverted-index rows, df-capped."""
+    """(doc_id, shingle) inverted-index rows, df-capped.
+
+    Shingles are hashed to 60-bit ints AT EXPLODE TIME (md5h60,
+    portable): every downstream shuffle/join/groupBy — the df-cap
+    aggregate, the Jaccard pair join, minhash, decontamination — moves
+    8-byte keys instead of ~20-30-byte 3-gram strings, a ~3× shuffle-
+    byte cut on the dedup family's hottest path. The hash is identical
+    in DuckDB, so oracle equality is exact by construction."""
     d = load_table(spark, sf_dir, "documents")
     toked = d.select("doc_id", F.split(F.col("text"), " ").alias("toks")).filter(
         F.size("toks") >= K_SHINGLE
     )
-    sh = toked.select("doc_id", F.explode(shingles_of_tokens(F.col("toks"))).alias("shingle"))
+    sh = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(shingles_of_tokens(F.col("toks")), lambda s: md5h60(s))
+        ).alias("shingle"),
+    )
     # df-cap: aggregate the (small) distinct-shingle side and broadcast
     # the keep-list back — the big exploded side is never shuffled
     keep = (
@@ -86,12 +100,13 @@ def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB mirror of shingle_table
 SHINGLE_SQL = f"""
     d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    sh0 AS (
+    shs AS (
         SELECT doc_id,
                unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                                     for i in range(1, len(toks) - 1)])) AS shingle
+                                     for i in range(1, len(toks) - 1)])) AS shingle_s
         FROM d WHERE len(toks) >= {K_SHINGLE}
     ),
+    sh0 AS (SELECT doc_id, {md5h60_sql('shingle_s')} AS shingle FROM shs),
     dfreq AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {DF_CAP}),
     sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN dfreq USING (shingle))
 """
@@ -185,7 +200,7 @@ def dd2_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- dd3
 
 _MINHASH_SQL = f"""
-    h0 AS (SELECT DISTINCT shingle, {md5i_sql('shingle')} AS h FROM sh),
+    h0 AS (SELECT DISTINCT shingle, shingle % {MERSENNE} AS h FROM sh),
     seeds AS (SELECT CAST(range AS INTEGER) AS s FROM range({N_HASHES})),
     mh AS (
         SELECT sh.doc_id, seeds.s,
@@ -215,8 +230,10 @@ def minhash_bands(sh: DataFrame) -> DataFrame:
     whole-stage-codegen JVM array math, no (doc × seed) row explosion
     through a shuffle (a naive task-per-(doc,seed) plan moves 32× the
     data; the reference would scatter exactly that way)."""
+    # shingle is already a portable 60-bit hash; fold to the universal-
+    # hash domain (mod p) instead of re-hashing through md5
     doc_hashes = (
-        sh.select("doc_id", md5i("shingle").alias("h"))
+        sh.select("doc_id", (F.col("shingle") % MERSENNE).alias("h"))
         .groupBy("doc_id")
         .agg(F.collect_list("h").alias("hs"))
     )
