@@ -7,12 +7,17 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Execution is measured with the noop sink (full plan runs, nothing is
 collected to the driver) after a warm-up of the session + file listing.
+Each query is timed $SPARK_GRAFT_BENCH_REPS times (default 3) and the
+MEDIAN is reported — single cold runs at sf0.1 swing ±50% from GC and
+page-cache effects, which would otherwise dominate round-over-round
+comparisons.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -67,12 +72,16 @@ def main() -> None:
 
     spark.range(1000).join(broadcast(spark.range(10)), "id").count()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(
