@@ -758,3 +758,171 @@ def ss1b_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= k)
         .select("qid", F.col("vec_id").alias("neighbor_id"), "cos")
     )
+
+
+# ---------------------------------------------------------------- ss7
+
+IVFPQ_NPROBE = 3
+IVFPQ_SAMPLE = 2000   # driver-side residual sample for codebook training
+
+
+def _train_subcodebooks(residuals, m: int = PQ_M, k: int = PQ_K, iters: int = 10):
+    """Per-subspace Lloyd's k-means on a driver-resident residual sample
+    (n×d numpy). Codebooks are tiny (m·k·(d/m) floats); training on a
+    bounded sample is the standard IVF-PQ recipe (Jégou et al. 2011) —
+    at 100 TB the sample is still IVFPQ_SAMPLE rows, collected via a
+    deterministic hash-ordered limit, never a full-corpus pull.
+    Deterministic: init = first k distinct subvectors in row order."""
+    import numpy as np
+
+    d = residuals.shape[1]
+    sub_d = d // m
+    books = []
+    for mi in range(m):
+        X = residuals[:, mi * sub_d : (mi + 1) * sub_d]
+        _, first = np.unique(X.round(9), axis=0, return_index=True)
+        init = X[np.sort(first)[:k]]
+        C = np.vstack([init, np.zeros((max(0, k - len(init)), sub_d))])
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            lab = d2.argmin(axis=1)
+            newC = C.copy()
+            for c in range(k):
+                hit = lab == c
+                if hit.any():
+                    newC[c] = X[hit].mean(axis=0)
+            if np.allclose(newC, C, atol=1e-12):
+                C = newC
+                break
+            C = newC
+        books.append(C)
+    return books
+
+
+@query(
+    "ss7_ivfpq_topk",
+    oracle=None,  # iterative training; recall-vs-exact asserted in tests
+    doc="ss7 trained IVF-PQ (km1 ∘ ss6 composed into the real index): "
+        "(1) coarse quantizer = distributed Lloyd's k-means (km1's "
+        "kmeans_fit) → inverted lists; (2) residuals v − centroid[cid] "
+        f"PQ-encoded with per-subspace codebooks ({PQ_M}×{PQ_K} "
+        "codewords) trained on a deterministic driver-side sample; "
+        "(3) queries probe their IVFPQ_NPROBE nearest lists and score "
+        "candidates by Asymmetric Distance: per (query, probed-list) a "
+        f"{PQ_M}×{PQ_K} lookup table of ||q'_m − cw||² is built once, "
+        "then each candidate costs PQ_M joins-by-code + a sum — the "
+        "scored relation carries ints, never vectors. At 100 TB the "
+        "inverted lists ARE the partitioning (cluster-pruned scans), "
+        "codes are 4 bits/subspace (128× memory cut), and the lookup "
+        "tables broadcast at |Q|·nprobe·m·k doubles.",
+    tags=("similarity", "ml"),
+)
+def ss7_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("vv"))
+    centroids = kmeans_fit(v)  # coarse quantizer, KM_K × DIM
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cid int, cv array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("vv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+    assign = (
+        v.crossJoin(F.broadcast(cent_df))
+        .select("vec_id", "vv", "cv", "cid", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", F.zip_with("vv", "cv", lambda a, b: a - b).alias("rv"))
+        .persist()
+    )
+
+    # codebooks from a deterministic residual sample (hash-ordered limit)
+    sample = (
+        assign.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(IVFPQ_SAMPLE)
+        .select("rv")
+        .toPandas()
+    )
+    books = _train_subcodebooks(np.stack(sample["rv"].to_numpy()).astype(float))
+    cbm = spark.createDataFrame(
+        [
+            (int(m), int(c), [float(x) for x in books[m][c]])
+            for m in range(PQ_M)
+            for c in range(PQ_K)
+        ],
+        "m int, c int, sub array<double>",
+    )
+
+    # encode residuals: per (vec, m) argmin_c ||r_m − cw||², 4-bit codes
+    sub = lambda col, m: F.slice(col, 1 + PQ_SUB * m, PQ_SUB)  # noqa: E731
+    vm = assign.select(
+        "vec_id",
+        "cid",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(m).cast("int").alias("m"), sub(F.col("rv"), m).alias("rsub"))
+                for m in range(PQ_M)
+            ])
+        ).alias("s"),
+    ).select("vec_id", "cid", "s.m", "s.rsub")
+    sd2 = F.aggregate(
+        F.zip_with(F.col("rsub"), F.col("sub"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    codes = (
+        vm.join(F.broadcast(cbm), "m")
+        .select("vec_id", "cid", "m", sd2.alias("sd2"), "c")
+        .groupBy("vec_id", "cid", "m")
+        .agg(F.min(F.struct(F.col("sd2"), F.col("c").cast("double").alias("cd"))).alias("b"))
+        .select("vec_id", "cid", "m", F.col("b.cd").cast("int").alias("c"))
+    )
+
+    # query side: nprobe nearest lists, then per (qid, cid, m, c) the ADC
+    # lookup table ||(q − centroid)_m − cw||² — |Q|·nprobe·m·k rows, broadcast
+    probes = (
+        v.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .crossJoin(F.broadcast(cent_df))
+        .select(F.col("vec_id").alias("qid"), "vv", "cv", "cid", d2.alias("d2"))
+        .withColumn("crn", F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("cid"))
+        ))
+        .filter(F.col("crn") <= IVFPQ_NPROBE)
+        .select("qid", "cid", F.zip_with("vv", "cv", lambda a, b: a - b).alias("qr"))
+    )
+    qm = probes.select(
+        "qid",
+        "cid",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(m).cast("int").alias("m"), sub(F.col("qr"), m).alias("rsub"))
+                for m in range(PQ_M)
+            ])
+        ).alias("s"),
+    ).select("qid", "cid", "s.m", F.col("s.rsub").alias("qsub"))
+    qd2 = F.aggregate(
+        F.zip_with(F.col("qsub"), F.col("sub"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qtab = qm.join(F.broadcast(cbm), "m").select("qid", "cid", "m", "c", qd2.alias("dt"))
+
+    # ADC score: candidates come ONLY from probed lists (join on cid)
+    adc = (
+        codes.join(F.broadcast(qtab), ["cid", "m", "c"])
+        .filter(F.col("qid") != F.col("vec_id"))
+        .groupBy("qid", "vec_id")
+        .agg(F.round(F.sum("dt"), 5).alias("adc_d2"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "adc_d2")
+    )

@@ -257,6 +257,51 @@ def test_pq_adc_recall_vs_brute(spark):
     assert pq
 
 
+def test_ivfpq_recall_vs_exact_l2(spark):
+    """ss7 (trained coarse quantizer + residual PQ + ADC over probed
+    lists) must recover a fair share of the exact L2 top-5 and respect
+    the top-k contract (≤ k rows per query, no self-matches)."""
+    from pyspark.sql.window import Window
+
+    from reduction_dask_spark.operators.similarity import (
+        QUERY_MOD,
+        TOP_K,
+        as_double,
+        ss7_ivfpq_topk,
+    )
+    from reduction_dask_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("vv"))
+    q = v.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("vv").alias("qv")
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("vv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("vec_id"))
+    exact = set(
+        map(
+            tuple,
+            v.crossJoin(F.broadcast(q))
+            .filter(F.col("qid") != F.col("vec_id"))
+            .select("qid", "vec_id", l2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("qid", "vec_id")
+            .collect(),
+        )
+    )
+    got = ss7_ivfpq_topk(spark, SF_SMALL).toPandas()
+    assert (got.groupby("qid").size() <= TOP_K).all()
+    assert (got["qid"] != got["neighbor_id"]).all()
+    pairs = set(zip(got["qid"], got["neighbor_id"]))
+    recall = len(exact & pairs) / len(exact)
+    assert recall >= 0.2  # 3 probes of 10 trained lists; honest partial recall
+
+
 def test_blas_topk_matches_expression_topk(spark):
     """ss1b (numpy matmul + partial heaps) must return exactly ss1's
     (JVM expression) result set — same cosines at 5 decimals, same
