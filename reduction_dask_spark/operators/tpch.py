@@ -3,13 +3,17 @@
 The reference has exactly one join pattern (SURVEY.md §2.4 J1 —
 index equi-join, metrics.py:15-17), so these anchors exist for engine
 completeness: each exercises a distinct Catalyst plan shape —
-correlated-min rewrite (Q2), top-k join aggregate (Q10), conditional
-aggregation (Q12), ratio aggregate (Q14), view + scalar-max join-back
-(Q15), correlated-avg rewrite (Q17), disjunctive multi-column
-predicates (Q19), and anti-join + scalar subquery (Q22) — adapted to
-the driver's reduced star schema (no partsupp table, no
-commit/receipt dates, no shipmode; lineitem is the part↔supplier
-bridge where partsupp is required).
+correlated-min rewrite (Q2), 6-way star with a fact↔fact nation
+equality (Q5), national market share (Q8), multi-table arithmetic
+measure (Q9), top-k join aggregate (Q10), scalar-HAVING threshold
+(Q11), conditional aggregation (Q12), ratio aggregate (Q14), view +
+scalar-max join-back (Q15), anti-join + count-distinct (Q16),
+correlated-avg rewrite (Q17), disjunctive multi-column predicates
+(Q19), nested-aggregate semi-join (Q20), exists/not-exists (Q21),
+and anti-join + scalar subquery (Q22) — adapted to the driver's
+reduced star schema (no partsupp table, no commit/receipt dates, no
+shipmode; lineitem is the part↔supplier bridge where partsupp is
+required).
 
 Determinism rules (FIXTURES.md §4): money aggregates run in exact
 integer cents (`round(x*100)::bigint`) so float summation order can
@@ -397,4 +401,387 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("numcust"),
             F.round(F.sum(F.round(F.col("c_acctbal"), 2)), 2).alias("totacctbal"),
         )
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle=f"""
+        SELECT n.n_name, CAST(sum({_DISC_CENTS_SQL}) AS DOUBLE) / 10000.0 AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 local supplier volume: the 6-way star join whose "
+        "distinguishing predicate is c_nationkey = s_nationkey — an "
+        "equality BETWEEN two fact-side dimensions, not a dim lookup, "
+        "so it can only be applied after both customer and supplier "
+        "are joined in. nation/region broadcast; orders carries the "
+        "year filter to the scan. At scale the single big shuffle is "
+        "lineitem⋈orders on orderkey; everything after is broadcast.",
+    tags=("join", "agg"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg((F.sum(_disc_cents()).cast("double") / 10000.0).alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+        WITH vol AS (
+            SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+                   {_DISC_CENTS_SQL} AS v, s.s_nationkey
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            JOIN region r ON cn.n_regionkey = r.r_regionkey
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        )
+        SELECT o_year,
+               round(CAST(sum(CASE WHEN s_nationkey = 7 THEN v ELSE 0 END) AS DOUBLE)
+                     / sum(v), 6) AS mkt_share
+        FROM vol GROUP BY o_year
+    """,
+    doc="TPC-H Q8 national market share: NATION_7's share of ECONOMY-"
+        "part revenue sold into ASIA, by order year. The anchor for "
+        "conditional-share aggregation over a deep join tree: the "
+        "supplier-nation CASE rides the fact rows so one aggregation "
+        "produces numerator and denominator — never two scans. Both "
+        "sums are exact integer cents; the share division is the only "
+        "float op, rounded(6) on both engines.",
+    tags=("join", "agg"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cn = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    v = _disc_cents()
+    tgt = F.when(F.col("s_nationkey") == 7, v).otherwise(F.lit(0).cast("bigint"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == cn.n_nationkey)
+        .join(F.broadcast(r), cn.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.round(F.sum(tgt).cast("double") / F.sum(v), 6).alias("mkt_share"))
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    oracle=f"""
+        SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               CAST(sum({_DISC_CENTS_SQL}
+                        - CAST(round(p.p_retailprice * 100) AS BIGINT) * 90
+                          * CAST(round(l.l_quantity) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS profit
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE p.p_name LIKE 'blue%'
+        GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 product-type profit (adapted: no partsupp, so unit "
+        "cost is 90% of p_retailprice — deterministic and exact in "
+        "cents): profit on 'blue%' parts by supplier nation × order "
+        "year. The anchor for an arithmetic measure spanning THREE "
+        "tables (lineitem price/qty, part cost, orders year) — column "
+        "pruning must carry exactly four fact columns through the "
+        "join tree. part filtered-then-broadcast; profit summed as "
+        "bigint hundredths-of-cents.",
+    tags=("join", "agg"),
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("blue%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    cost = (
+        F.round(F.col("p_retailprice") * 100, 0).cast("bigint")
+        * F.lit(90).cast("bigint")
+        * F.round(F.col("l_quantity"), 0).cast("bigint")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(((F.sum(_disc_cents() - cost)).cast("double") / 10000.0).alias("profit"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+        WITH av AS (
+            SELECT l.l_partkey,
+                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS val_cents
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_regionkey = 2
+            GROUP BY l.l_partkey
+        ),
+        tot AS (SELECT sum(val_cents) AS t FROM av)
+        SELECT av.l_partkey AS partkey,
+               CAST(av.val_cents AS DOUBLE) / 100.0 AS value
+        FROM av, tot
+        WHERE av.val_cents * 1000 > tot.t
+    """,
+    doc="TPC-H Q11 important stock (adapted: lineitem is the "
+        "part↔supplier bridge; 'stock value' = traded value through "
+        "region-2 suppliers): parts whose value exceeds 1/1000 of the "
+        "region total. The scalar-HAVING anchor: the same grouped "
+        "relation feeds a 1-row global sum that broadcasts back as a "
+        "cross-join threshold, compared by integer cross-"
+        "multiplication (val*1000 > t) — no float division, no "
+        "second scan of lineitem. At scale: one partkey shuffle, "
+        "reused by both the group-by and (via AQE) the threshold pass.",
+    tags=("join", "agg"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    av = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents("l_extendedprice")).alias("val_cents"))
+        .persist()
+    )
+    tot = av.agg(F.sum("val_cents").alias("t"))
+    return (
+        av.crossJoin(F.broadcast(tot))
+        .filter(F.col("val_cents") * 1000 > F.col("t"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            (F.col("val_cents").cast("double") / 100.0).alias("value"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+        SELECT p.p_brand, p.p_type, p.p_size,
+               CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+          AND l.l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+        GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q16 parts/supplier relationship (adapted: the supplier "
+        "blacklist is s_name LIKE '%7%' standing in for the comment-"
+        "based complaints filter): distinct suppliers per (brand, "
+        "type, size) excluding blacklisted suppliers. Anchors NOT IN "
+        "→ left-anti join (the keys are non-null, so no null-aware "
+        "plan needed) feeding count(DISTINCT) — a two-level shuffle "
+        "(dedup then count) that AQE coalesces; the part IN-list "
+        "prunes at the dim scan and the blacklist broadcasts.",
+    tags=("join", "agg"),
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%7%"))
+        .select("s_suppkey")
+    )
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_dominant_supplier",
+    oracle="""
+        WITH shipped AS (
+            SELECT l.l_partkey, l.l_suppkey,
+                   CAST(round(sum(l.l_quantity)) AS BIGINT) AS qty
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_name LIKE 'blue%'
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY 1, 2
+        ),
+        tot AS (SELECT l_partkey, sum(qty) AS t FROM shipped GROUP BY 1),
+        qual AS (
+            SELECT DISTINCT sh.l_suppkey
+            FROM shipped sh JOIN tot ON sh.l_partkey = tot.l_partkey
+            WHERE sh.qty * 2 > tot.t
+        )
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s JOIN qual ON s.s_suppkey = qual.l_suppkey
+    """,
+    doc="TPC-H Q20 potential part promotion (adapted: no partsupp "
+        "availqty — a supplier qualifies by DOMINATING a part instead: "
+        "their 1996 shipped quantity of some 'blue%' part exceeds "
+        "half that part's total). The nested-aggregate semi-join "
+        "anchor: per-(part,supplier) agg → per-part total → integer "
+        "cross-multiplied share test → DISTINCT supplier set → "
+        "semi-join into the supplier dim. Both aggregates share the "
+        "partkey shuffle; the qualifying set is tiny and broadcasts.",
+    tags=("join", "agg"),
+)
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("blue%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.sum("l_quantity"), 0).cast("bigint").alias("qty"))
+        .persist()
+    )
+    tot = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("t"))
+    qual = (
+        shipped.join(tot, "l_partkey")
+        .filter(F.col("qty") * 2 > F.col("t"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return s.join(F.broadcast(qual), s.s_suppkey == qual.l_suppkey, "semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+        WITH l2 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        late AS (
+            SELECT DISTINCT l.l_orderkey, l.l_suppkey
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+              AND date_diff('day', o.o_orderdate, l.l_shipdate) > 60
+        )
+        SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM late l1
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        WHERE EXISTS (SELECT 1 FROM l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late lx
+                          WHERE lx.l_orderkey = l1.l_orderkey
+                            AND lx.l_suppkey <> l1.l_suppkey)
+        GROUP BY 1, 2
+        ORDER BY numwait DESC, s.s_suppkey
+        LIMIT 20
+    """,
+    doc="TPC-H Q21 suppliers who kept orders waiting (adapted: 'late' "
+        "= shipped >60 days after the order date — the driver schema "
+        "has no commit/receipt dates): for finalized orders, count "
+        "per supplier the orders where they were the SOLE late "
+        "supplier among several. The exists/not-exists anchor: one "
+        "semi-join (another supplier participated) and one anti-join "
+        "(no other supplier was late) against self-derived relations "
+        "sharing the orderkey shuffle; top-20 by exact integer count "
+        "with suppkey tie-break → TakeOrderedAndProject.",
+    tags=("join", "agg"),
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l2 = li.select("l_orderkey", "l_suppkey").distinct()
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.datediff("l_shipdate", "o_orderdate") > 60)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .persist()
+    )
+    other = l2.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    waiting = (
+        late.join(
+            other,
+            (late.l_orderkey == other.o_key) & (late.l_suppkey != other.o_supp),
+            "semi",
+        )
+        .join(
+            other_late,
+            (late.l_orderkey == other_late.o_key) & (late.l_suppkey != other_late.o_supp),
+            "anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(20)
     )
