@@ -29,6 +29,8 @@ SCALING_QUERIES = [
     "pipe1_corpus_curation",
     "q10_returned_items",
     "dc1_benchmark_decontam",
+    "q21_suppliers_kept_waiting",
+    "ss7_ivfpq_topk",
 ]
 PLAN_QUERIES = {
     "m1_spearman_by_era": "flagship: era window + pooled corr — expect ONE "
@@ -45,6 +47,12 @@ PLAN_QUERIES = {
     "q17_small_quantity_revenue": "TPC-H Q17 correlated avg — expect the "
     "decorrelated aggregate and probe to share one partkey exchange, "
     "part side broadcast",
+    "q21_suppliers_kept_waiting": "TPC-H Q21 exists/not-exists — expect "
+    "LeftSemi + LeftAnti against the self-derived late/other relations, "
+    "pushed o_orderstatus filter, TakeOrderedAndProject top-20",
+    "q11_important_stock": "TPC-H Q11 scalar HAVING — expect the grouped "
+    "relation reused (InMemoryTableScan) under a broadcast 1-row "
+    "threshold cross-join, integer cross-multiplied compare",
 }
 
 
