@@ -360,6 +360,41 @@ def st6_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.withColumn("rn", w).filter(F.col("rn") == 1).drop("rn")
 
 
+@query(
+    "st7_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="st7 streaming exact dedup via dropDuplicatesWithinWatermark: "
+        "first-arrival-wins on the dedup key with state bounded by the "
+        "watermark — the streaming-ingest twin of dd1 for a training-"
+        "data pipeline (late re-sends of the same record are dropped; "
+        "keys older than the watermark age out of the state store "
+        "instead of growing it forever). Output carries only the key "
+        "columns so the result is deterministic and batch-SQL-"
+        "checkable (SELECT DISTINCT). At 100 TB the state store is "
+        "the bound: keyed state lives in RocksDB per shuffle "
+        "partition, sized by keys-per-watermark-window, not corpus "
+        "size.",
+    tags=("streaming", "dedup"),
+)
+def st7_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_event_stream(spark, sf_dir)
+    dd = (
+        stream.withWatermark("ts", "1 hour")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        dd.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("st7_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    return spark.table("st7_out")
+
+
 # ------------------------------------------------------- kafka source
 
 def kafka_stream_options(
