@@ -144,3 +144,52 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return blobs.mapInPandas(frames, schema="doc_id bigint, frame_idx int, frame binary")
+
+
+# --------------------------------------------------------------- resize
+
+THUMB_BYTES = 32     # fake thumbnail size (byte-subsample stand-in)
+
+
+def _fake_resize(payload: bytes, out_bytes: int = THUMB_BYTES) -> bytes:
+    """Deterministic stand-in for an image resize: evenly-strided byte
+    subsample down to out_bytes (shape change is what matters — swap in
+    PIL's Image.resize keeping the same bytes→bytes signature)."""
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    if len(raw) <= out_bytes:
+        return bytes(raw)
+    idx = np.linspace(0, len(raw) - 1, out_bytes).astype(np.int64)
+    return bytes(raw[idx])
+
+
+@query(
+    "mm4_resize_thumbnail",
+    oracle=None,  # rows-only; byte-subsample resize is a codec stand-in
+    doc="mm4 resize/thumbnail via mapInPandas: binary in → smaller "
+        "binary out plus updated size metadata, image rows only "
+        "(metadata filter prunes before any byte is touched). The "
+        "payload-rewriting pattern every image pipeline needs — "
+        "partition-parallel, no shuffle, output strictly smaller than "
+        "input so the stage SHRINKS the dataset (at 100 TB the "
+        "thumbnail sink is ~out/in of the source bytes).",
+    tags=("multimodal",),
+)
+def mm4_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blobs = blob_table(spark, sf_dir).filter(F.col("kind") == "image")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = [_fake_resize(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb": thumbs,
+                    "thumb_bytes": [len(t) for t in thumbs],
+                    "orig_bytes": pdf["n_bytes"],
+                }
+            )
+
+    return blobs.mapInPandas(
+        resize,
+        schema="doc_id bigint, thumb binary, thumb_bytes bigint, orig_bytes bigint",
+    )

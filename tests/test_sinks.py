@@ -102,6 +102,24 @@ def test_mm3_frame_sample_shapes(spark):
     assert pdf.groupby("doc_id").size().max() > 1
 
 
+def test_mm4_resize_matches_numpy(spark):
+    from reduction_dask_spark.operators.multimodal import (
+        THUMB_BYTES,
+        _fake_resize,
+        mm4_resize_thumbnail,
+    )
+
+    pdf = mm4_resize_thumbnail(spark, SF_SMALL).toPandas().set_index("doc_id")
+    assert (pdf["thumb_bytes"] <= THUMB_BYTES).all()
+    assert (pdf["thumb_bytes"] <= pdf["orig_bytes"]).all()
+    assert (pdf.index % 3 == 0).all()  # image rows only
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text").toPandas()
+    docs = docs[docs["doc_id"] % 3 == 0]
+    for _, row in docs.head(10).iterrows():
+        expected = _fake_resize(row["text"].encode("utf-8"))
+        assert bytes(pdf.loc[row["doc_id"], "thumb"]) == expected
+
+
 def test_a10_approx_within_tolerance(spark):
     """Approx sketches must land near the exact values."""
     from reduction_dask_spark.operators.relational import a10_approx_stats
