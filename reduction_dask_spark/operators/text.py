@@ -324,3 +324,69 @@ def mw1_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 6).alias("share"),
         F.round(F.least(F.lit(1.0), share * F.col("total") / F.col("n_docs")), 6).alias("sample_rate"),
     )
+
+
+# ---------------------------------------------------------------- t5
+
+VOCAB_K = 40  # induced vocabulary size
+
+
+@query(
+    "t5_vocab_oov",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        cnt AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+        vocab AS (
+            SELECT tok FROM (
+                SELECT tok, row_number() OVER (ORDER BY n DESC, tok) AS rn FROM cnt
+            ) WHERE rn <= {VOCAB_K}
+        )
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov,
+               round(count(*) FILTER (WHERE v.tok IS NULL)::DOUBLE / count(*), 6)
+                 AS oov_ratio
+        FROM tok t LEFT JOIN vocab v USING (tok)
+        GROUP BY t.doc_id
+    """,
+    doc=f"t5 vocabulary induction + OOV scoring: the top-{VOCAB_K} "
+        "corpus tokens by frequency (ties by token) become the "
+        "vocabulary; each document is scored by its out-of-vocabulary "
+        "token ratio — the pre-tokenizer coverage check of a training "
+        "pipeline (docs with high OOV against the induced vocab are "
+        "misencoded/foreign/noise). Relational shape: vocab = "
+        "heavy-hitter count (one token shuffle) + top-k; scoring = "
+        "broadcast LEFT join of the tiny vocab against the exploded "
+        "token stream + per-doc aggregate. At 100 TB the vocab stays "
+        "KB-sized however large the corpus; the token stream is "
+        "scanned once and never shuffled on raw strings (the per-doc "
+        "regroup keys on doc_id).",
+    tags=("text", "pipeline"),
+)
+def t5_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    cnt = tok.groupBy("tok").agg(F.count("*").alias("n"))
+    vocab = (
+        cnt.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("tok")))
+        )
+        .filter(F.col("rn") <= VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_oov").cast("bigint").alias("n_oov"),
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6).alias("oov_ratio"),
+        )
+    )
