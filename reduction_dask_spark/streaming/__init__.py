@@ -110,11 +110,40 @@ def st1_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "st2_stream_sessionization",
-    oracle=None,  # stateful session windows aren't batch-SQL expressible
+    # Batch-parity oracle: the lag+cumsum gaps-and-islands idiom (w4's
+    # shape) with session_window's exact merge rule — consecutive events
+    # share a session iff their gap is STRICTLY below 30 min (Spark
+    # merges session ranges [ts, ts+gap) only when they overlap).
+    # Timestamps cross engines as epoch microseconds (BIGINT) so the
+    # value hash is representation-independent.
+    oracle="""
+        WITH e AS (
+            SELECT user_id, value, epoch_ns(ts) // 1000 AS tus FROM events
+        ),
+        g AS (
+            SELECT user_id, tus, value,
+                   CASE WHEN tus - lag(tus) OVER w < 30 * 60 * 1000000
+                        THEN 0 ELSE 1 END AS new_sess
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+        ),
+        s AS (
+            SELECT user_id, tus, value,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM g
+        )
+        SELECT user_id,
+               CAST(min(tus) AS BIGINT) AS session_start_us,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+        FROM s GROUP BY user_id, sid
+    """,
     doc="st2 stateful sessionization: per-user session windows with a "
         "30-minute gap over the event stream (session_window + "
         "watermark) — the custom-stateful-operator pattern "
-        "(applyInPandasWithState generalizes it).",
+        "(applyInPandasWithState generalizes it). Oracle = w4's "
+        "lag+cumsum batch sessionization with session_window's strict "
+        "merge inequality — stream/batch result parity.",
     tags=("streaming",),
 )
 def st2_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,10 +156,10 @@ def st2_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = run_to_memory(agg, "st2_out")
     return result.select(
         "user_id",
-        F.col("sess.start").alias("session_start"),
+        F.unix_micros(F.col("sess.start")).alias("session_start_us"),
         "n_events",
         "sum_value",
-    ).orderBy("user_id", "session_start")
+    ).orderBy("user_id", "session_start_us")
 
 
 @query(
