@@ -81,6 +81,11 @@ def main() -> None:
             df = qs[name](spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             samples.append(time.perf_counter() - t0)
+            # drop DataFrames the query persisted for intra-plan reuse:
+            # every rep then measures the FULL query (no warm-cache
+            # carry-over between reps) and caches never accumulate
+            # across the 20+ headline queries in this one session
+            spark.catalog.clearCache()
         timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)

@@ -8,7 +8,10 @@ Spark's rand, across partitionings/retries — SURVEY.md §4 determinism
 rule). All pseudo-randomness is therefore derived from:
 
 - ``phash(key)``  — Knuth multiplicative hash on an integer key,
-  pure int64 arithmetic, overflow-free for keys < ~3.4e9.
+  pure int64 arithmetic. The key is reduced mod the target first
+  (congruent, so values are identical), which keeps the product under
+  2^63 for ANY int64 key — Spark 4's ANSI mode turns overflow into a
+  runtime error, so this must hold at corpus-scale key ranges.
 - ``md5i(expr)``  — first 8 hex chars of md5 of a string, as a bigint.
   Both engines implement RFC-1321 md5 → identical everywhere.
 
@@ -26,12 +29,16 @@ KNUTH = 2654435761  # Knuth's multiplicative hash constant (2^32 * phi)
 # ---------- portable integer hash (Spark Column / SQL text) ----------
 
 def phash(col: Column | str, mod: int) -> Column:
+    # (key % mod) * KNUTH % mod ≡ key * KNUTH % mod, but the product is
+    # bounded by (mod-1)*KNUTH — overflow-free for mod < ~3.4e9 instead
+    # of key < ~3.4e9 (ANSI mode makes int64 overflow a runtime error).
+    assert mod < 3_400_000_000, "phash mod too large for overflow-free int64"
     c = F.col(col) if isinstance(col, str) else col
-    return (c * F.lit(KNUTH)) % F.lit(mod)
+    return ((c % F.lit(mod)) * F.lit(KNUTH)) % F.lit(mod)
 
 
 def phash_sql(expr: str, mod: int) -> str:
-    return f"(({expr}) * {KNUTH}) % {mod}"
+    return f"((({expr}) % {mod}) * {KNUTH}) % {mod}"
 
 
 # ---------- portable string hash ----------

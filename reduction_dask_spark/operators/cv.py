@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from ..functions import ERA_EVENTS_SQL, era_events, md5i, md5i_sql
+from ..functions import ERA_EVENTS_SQL, era_events, md5i, md5i_sql, phash, phash_sql
 from ..registry import query
 from ..sources import load_table
 
@@ -28,7 +28,13 @@ def kfold_era(df: DataFrame, era_col: str, k: int, seed: int = 42) -> DataFrame:
     ordering, not F.rand — SURVEY.md §4 determinism rule).
     """
     eras = df.select(era_col).distinct()
-    shuffled = Window.orderBy(md5i(F.concat(F.lit(str(seed) + ":"), F.col(era_col).cast("string"))), F.col(era_col))
+    # distinct-eras is a bounded METADATA relation (time buckets — at
+    # most thousands however big the corpus); the constant partition
+    # key declares the single-partition sort intentional rather than
+    # tripping WindowExec's no-partition warning.
+    shuffled = Window.partitionBy(F.lit(0)).orderBy(
+        md5i(F.concat(F.lit(str(seed) + ":"), F.col(era_col).cast("string"))), F.col(era_col)
+    )
     folds = eras.withColumn("fold", (F.ntile(k).over(shuffled) - 1).cast("int"))
     return df.join(F.broadcast(folds), era_col)
 
@@ -82,29 +88,23 @@ def c1_kfold_era_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "c3_fraction_resource",
-    oracle="""
-        WITH r AS (
-            SELECT event_id, value,
-                   row_number() OVER (ORDER BY event_id) AS rn,
-                   count(*) OVER () AS total
-            FROM events
-        )
-        SELECT event_id, value FROM r WHERE rn <= ceil(total * 0.25)
+    oracle=f"""
+        SELECT event_id, value FROM events
+        WHERE {phash_sql('event_id', 100)} < 25
     """,
-    doc="C3 stratified-by-position data fraction — Hyperband's resource "
-        "knob (tuners.py:437-440 `x_train[:ceil(ratio*len/100)]`), "
-        "pinned to an explicit ordering key.",
+    doc="C3 data-fraction resource — Hyperband's resource knob "
+        "(tuners.py:437-440 `x_train[:ceil(ratio*len/100)]`). The "
+        "reference's positional head slice is an in-memory-array "
+        "artifact; the distributed equivalent is a deterministic hash "
+        "fraction (phash(event_id) % 100 < 25), the same selection the "
+        "hyperband rungs use (tuning.py). Pure scan+filter: no global "
+        "window, no shuffle, no single-partition sort — the plan is "
+        "identical at any corpus size.",
     tags=("cv", "sample"),
 )
 def c3_fraction_resource(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("event_id")
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .withColumn("total", F.count("*").over(Window.partitionBy()))
-        .filter(F.col("rn") <= F.ceil(F.col("total") * 0.25))
-        .select("event_id", "value")
-    )
+    return ev.filter(phash("event_id", 100) < 25).select("event_id", "value")
 
 
 # ------------------------------------------------------------- C2: LHS

@@ -86,15 +86,20 @@ def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(shingles_of_tokens(F.col("toks")), lambda s: md5h60(s))
         ).alias("shingle"),
     )
-    # df-cap: aggregate the (small) distinct-shingle side and broadcast
-    # the keep-list back — the big exploded side is never shuffled
-    keep = (
+    # df-cap: broadcast the HOT-shingle list (df > DF_CAP) into a LEFT
+    # ANTI join. The hot set is tiny BY CONSTRUCTION — at most
+    # |shingle rows| / DF_CAP distinct values, regardless of corpus
+    # size — whereas the keep-list (df <= cap) is essentially the whole
+    # shingle vocabulary and would be an unbounded broadcast at 100 TB.
+    # The df aggregate itself is map-side-combined; the big exploded
+    # side is never shuffled for the cap.
+    hot = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= DF_CAP)
+        .filter(F.col("df") > DF_CAP)
         .select("shingle")
     )
-    return sh.join(F.broadcast(keep), "shingle")
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
 # DuckDB mirror of shingle_table
@@ -107,8 +112,8 @@ SHINGLE_SQL = f"""
         FROM d WHERE len(toks) >= {K_SHINGLE}
     ),
     sh0 AS (SELECT doc_id, {md5h60_sql('shingle_s')} AS shingle FROM shs),
-    dfreq AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {DF_CAP}),
-    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN dfreq USING (shingle))
+    hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > {DF_CAP}),
+    sh AS (SELECT doc_id, shingle FROM sh0 ANTI JOIN hot USING (shingle))
 """
 
 # Exact pairwise Jaccard over the inverted index (used by dd2 and as
@@ -546,8 +551,11 @@ def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "PARTITION-SCOPED. At 100 TB you first dedup within each "
         "source/crawl (repartition by source → LSH within partitions, "
         "no global shuffle), and this query measures what that scoping "
-        "forfeits: the cross-source pair mass. Doc sides broadcast "
-        "(source map is 2 cols).",
+        "forfeits: the cross-source pair mass. The doc_id→source map "
+        "has one row per corpus document (unbounded at scale), so it "
+        "is NOT broadcast — the planner shuffle-joins it against the "
+        "(much smaller) pair set, and AQE downgrades to broadcast "
+        "when the map actually fits.",
     tags=("dedup",),
 )
 def dd7_domain_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -556,8 +564,8 @@ def dd7_domain_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
     sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             F.least("sa", "sb").alias("src_a"),
             F.greatest("sa", "sb").alias("src_b"),

@@ -71,6 +71,26 @@ def _mda_mapper(models: dict[int, np.ndarray], seed: int):
     return fn
 
 
+def mda_table(preds: DataFrame) -> DataFrame:
+    """Shared MDA post-processing: per-(feature, fold) Spearman →
+    importance = mean over folds of (base − shuf)/(1 − shuf), sorted."""
+    per = score_by_group(preds, ["feature", "fold"])  # spearman per (feature, fold)
+    base = per.filter(F.col("feature") == -1).select(
+        F.col("fold").alias("bfold"), F.col("spearman").alias("base_s")
+    )
+    shuf = per.filter(F.col("feature") >= 0)
+    return (
+        shuf.join(F.broadcast(base), shuf.fold == base.bfold)
+        .withColumn(
+            "imp_fold",
+            (F.col("base_s") - F.col("spearman")) / (1.0 - F.col("spearman")),
+        )
+        .groupBy("feature")
+        .agg(F.round(F.avg("imp_fold"), 6).alias("importance"))
+        .orderBy(F.desc("importance"), F.asc("feature"))
+    )
+
+
 def mda_importance(
     spark: SparkSession, sf_dir: str, k: int = K_FOLDS, lam: float = LAM, seed: int = SEED
 ) -> DataFrame:
@@ -82,22 +102,7 @@ def mda_importance(
         _mda_mapper(models, seed),
         schema="feature int, fold int, era int, vec_id long, y double, pred double",
     )
-    per = score_by_group(preds, ["feature", "fold"])  # spearman per (feature, fold)
-    base = per.filter(F.col("feature") == -1).select(
-        F.col("fold").alias("bfold"), F.col("spearman").alias("base_s")
-    )
-    shuf = per.filter(F.col("feature") >= 0)
-    imp = (
-        shuf.join(F.broadcast(base), shuf.fold == base.bfold)
-        .withColumn(
-            "imp_fold",
-            (F.col("base_s") - F.col("spearman")) / (1.0 - F.col("spearman")),
-        )
-        .groupBy("feature")
-        .agg(F.round(F.avg("imp_fold"), 6).alias("importance"))
-        .orderBy(F.desc("importance"), F.asc("feature"))
-    )
-    return imp
+    return mda_table(preds)
 
 
 @query(
@@ -113,6 +118,79 @@ def x1_mda_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mda_importance(spark, sf_dir)
 
 
+def _mda_gbt_mapper(models: dict[int, list], seed: int):
+    """Per-(fold, era) MDA rows for the nonlinear stump ensemble.
+
+    Permuting feature f only changes the stumps that SPLIT on f, so the
+    shuffled prediction is base − contrib_f(x_f) + contrib_f(x_f[perm])
+    — exact, and ~T/|stumps on f| cheaper than re-running the whole
+    ensemble per feature."""
+    from collections import defaultdict
+
+    from ..ml import predict_stumps
+
+    def col_pred(stumps_f: list, col: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(col))
+        for _, thr, vl, vr in stumps_f:
+            out += np.where(col <= thr, vl, vr)
+        return out
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        fold, era = int(key[0]), int(key[1])
+        stumps = models[fold]
+        by_f = defaultdict(list)
+        for s in stumps:
+            by_f[s[0]].append(s)
+        X = np.stack(pdf["features"].to_numpy()).astype(np.float64)
+        y = pdf["y"].to_numpy(dtype=np.float64)
+        vec_id = pdf["vec_id"].to_numpy()
+        base = predict_stumps(stumps, X)
+        out = [pd.DataFrame({"feature": -1, "fold": fold, "era": era,
+                             "vec_id": vec_id, "y": y, "pred": base})]
+        for f in range(X.shape[1]):
+            rng = np.random.default_rng((seed * 1_000_003 + fold * 10_007 + era * 101 + f) % 2**32)
+            perm = rng.permutation(len(X))
+            if by_f.get(f):
+                shuf = base - col_pred(by_f[f], X[:, f]) + col_pred(by_f[f], X[perm, f])
+            else:
+                shuf = base
+            out.append(pd.DataFrame({"feature": f, "fold": fold, "era": era,
+                                     "vec_id": vec_id, "y": y, "pred": shuf}))
+        return pd.concat(out, ignore_index=True)
+
+    return fn
+
+
+def mda_importance_gbt(
+    spark: SparkSession, sf_dir: str, k: int = K_FOLDS, seed: int = SEED
+) -> DataFrame:
+    from ..ml import fit_gbt_fold_models
+
+    df = kfold_era(supervised_frame(spark, sf_dir), "era", k=k).persist()
+    models = fit_gbt_fold_models(df, k=k)
+    preds = df.groupBy("fold", "era").applyInPandas(
+        _mda_gbt_mapper(models, seed),
+        schema="feature int, fold int, era int, vec_id long, y double, pred double",
+    )
+    return mda_table(preds)
+
+
+@query(
+    "x1c_mda_importance_gbt",
+    oracle=None,
+    doc="X1 MDA with the NONLINEAR kernel (reference trains "
+        "RandomForest, metrics.py:34-42): leave-one-fold-out gradient-"
+        "boosted stump ensembles fit by distributed histogram "
+        "aggregation (ml.fit_gbt_fold_models — one k·d·B-row histogram "
+        "pass per boosting round, all folds advanced per pass), then "
+        "the same lazy per-(fold,era) permutation scoring as x1. "
+        "Permuting a feature re-evaluates only the stumps split on it.",
+    tags=("importance", "ml"),
+)
+def x1c_mda_importance_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mda_importance_gbt(spark, sf_dir)
+
+
 # ---------------------------------------------------------------- X4
 
 def linear_shap_scores(
@@ -122,10 +200,9 @@ def linear_shap_scores(
     linear kernel, SHAP_j(x) = w_j·(x_j − μ_j) exactly."""
     df = kfold_era(supervised_frame(spark, sf_dir), "era", k=K_FOLDS)
     coef = fit_global_model(fold_suffstats(df), lam)
-    w = Window.orderBy("vec_id")
-    sample = (
-        df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= n_rows)
-    )
+    # head sample via orderBy+limit → TakeOrderedAndProject (partial
+    # per-partition top-k), not a single-partition global row_number
+    sample = df.orderBy("vec_id").limit(n_rows)
     melted = sample.select(
         "vec_id", F.posexplode("features").alias("feature", "val")
     )
@@ -243,7 +320,8 @@ def x3_projection_by_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "fid", F.col("valf").cast("double").alias("val")
     )
     imp = melted.groupBy("fid").agg(F.round(F.var_samp("val"), 6).alias("score"))
-    w = Window.orderBy(F.desc("score"), F.asc("fid"))
+    # per-feature score table: bounded by embedding dim, constant key
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("fid"))
     topn = imp.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 8)
     return melted.join(F.broadcast(topn.select("fid")), "fid").select("vec_id", "fid", "val")
 

@@ -44,13 +44,9 @@ def fit_pca(spark: SparkSession, sf_dir: str, n_components: int, fit_rows: int =
     """T7 phase 1: fit on a pinned head subsample, driver-side
     (utils.py:151 `train_x[:num_fit_rows]`). Returns (mean, components)."""
     df = supervised_frame(spark, sf_dir)
-    w = Window.orderBy("vec_id")
-    head = (
-        df.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= fit_rows)
-        .select("features")
-        .toPandas()
-    )
+    # pinned head via orderBy+limit → TakeOrderedAndProject (partial
+    # per-partition top-k), not a single-partition global row_number
+    head = df.orderBy("vec_id").limit(fit_rows).select("features").toPandas()
     X = np.stack(head["features"].to_numpy()).astype(np.float64)
     mu = X.mean(axis=0)
     _, _, vt = np.linalg.svd(X - mu, full_matrices=False)

@@ -421,6 +421,44 @@ def a9_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------- windows / top-k
 
+def global_rank(df: DataFrame, *order_cols, out: str = "rnk") -> DataFrame:
+    """Distributed total-order rank without a single-partition window.
+
+    Two-pass pattern: range-repartition on the sort keys (Spark's
+    distributed sort machinery, the same thing orderBy uses), then
+    row_number WITHIN each range partition plus the per-partition row
+    counts as offsets (a bounded driver-side table: one integer per
+    partition).  Output values are independent of where the sampled
+    range boundaries land.  Requires the ordering to be total (callers
+    append a unique tie-break key), so rank == row_number.
+
+    A plain ``Window.orderBy`` computes the same thing by moving the
+    ENTIRE relation to one partition — fine for bounded metadata,
+    fatal for a 100 TB-derived score table.
+    """
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = df.repartitionByRange(n_part, *order_cols)
+    pid = ranged.withColumn("_pid", F.spark_partition_id())
+    wp = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = pid.withColumn("_rn", F.row_number().over(wp))
+    # per-partition row counts → running-sum offsets. Both branches hang
+    # off the SAME range exchange, which Catalyst deduplicates
+    # (ReusedExchange), so the partition ids are consistent by
+    # construction — no second sampling of range boundaries, no collect.
+    # The counts relation is one row per partition (bounded by the
+    # partition count, not the data), so its running-sum window over a
+    # constant key is metadata-sized.
+    counts = pid.groupBy("_pid").agg(F.count("*").alias("_n"))
+    woff = Window.partitionBy(F.lit(0)).orderBy("_pid")
+    offs = counts.withColumn("_off", F.sum("_n").over(woff) - F.col("_n")).drop("_n")
+    return (
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn(out, (F.col("_rn") + F.col("_off")).cast("bigint"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
 @query(
     "w2_rank_importance",
     oracle="""
@@ -433,14 +471,18 @@ def a9_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM score
     """,
     doc="W2 rank of an importance table (feature_selection_numerai.py:"
-        "151-153 sort by Score desc). Tie-break by key pins determinism.",
+        "151-153 sort by Score desc). Tie-break by key pins determinism; "
+        "computed via the distributed two-pass global_rank (range "
+        "repartition + local row_number + bounded offset join), never a "
+        "single-partition global window.",
     tags=("window",),
 )
 def w2_rank_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     score = li.groupBy("l_partkey").agg(F.round(F.sum("l_extendedprice"), 2).alias("score"))
-    w = Window.orderBy(F.desc("score"), F.asc("l_partkey"))
-    return score.withColumn("rnk", F.rank().over(w).cast("bigint"))
+    # (score, l_partkey) is a total order, so rank == row_number and the
+    # distributed two-pass global_rank reproduces rank() exactly
+    return global_rank(score, F.desc("score"), F.asc("l_partkey"))
 
 
 @query(

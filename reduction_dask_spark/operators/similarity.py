@@ -616,7 +616,8 @@ def ss6_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .limit(PQ_K)
         .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("c"),
+            # PQ_K-row codebook: bounded relation, constant partition key
+            (F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("vec_id")) - 1).alias("c"),
             F.col("vv").alias("cw"),
         )
     )

@@ -45,19 +45,24 @@ SESSION_GAP_MIN = 30
     tags=("join", "temporal"),
 )
 def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    # RANGE frame ending at -1 on the numeric timeline: rows with the
+    # SAME timestamp as the probe row are outside the frame, pinning
+    # the ASOF strict inequality (p.ts < e.ts) even when a user has
+    # duplicate timestamps — a ROWS frame would admit a same-ts
+    # purchase that sorts earlier.
+    w = Window.partitionBy("user_id").orderBy("ts_us").rangeBetween(
         Window.unboundedPreceding, -1
     )
     purchase_mark = F.when(
         F.col("event_type") == "purchase",
-        F.struct(F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")),
+        F.struct(F.col("ts_us").alias("p_us"), F.col("event_id").alias("p_id")),
     )
     out = ev.withColumn("prev_p", F.max(purchase_mark).over(w))
     return out.select(
         "event_id",
         F.col("prev_p.p_id").alias("prev_purchase_id"),
-        F.unix_micros(F.col("prev_p.p_ts")).alias("prev_purchase_us"),
+        F.col("prev_p.p_us").alias("prev_purchase_us"),
     )
 
 

@@ -369,11 +369,12 @@ def t5_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     cnt = tok.groupBy("tok").agg(F.count("*").alias("n"))
+    # top-K via orderBy+limit → TakeOrderedAndProject: per-partition
+    # partial top-K heaps, never a single-partition global sort (the
+    # distinct-token relation is billions of rows at corpus scale)
     vocab = (
-        cnt.withColumn(
-            "rn", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("tok")))
-        )
-        .filter(F.col("rn") <= VOCAB_K)
+        cnt.orderBy(F.desc("n"), F.asc("tok"))
+        .limit(VOCAB_K)
         .select("tok", F.lit(1).alias("in_vocab"))
     )
     return (

@@ -60,6 +60,36 @@ def t2_kfold_cv_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kfold_cv_gbt(spark: SparkSession, sf_dir: str, k: int = K_FOLDS) -> DataFrame:
+    """T2/M3 with the NONLINEAR kernel: k-fold CV of gradient-boosted
+    stump ensembles (ml.fit_gbt_fold_models). The fit is T distributed
+    histogram passes (all folds per pass); scoring is a broadcast join
+    of the stump arrays evaluated as one fused JVM expression — no
+    Python in the inference path."""
+    from ..ml import fit_gbt_fold_models, stump_frame, with_gbt_prediction
+
+    df = kfold_era(supervised_frame(spark, sf_dir), "era", k=k).persist()
+    models = fit_gbt_fold_models(df, k=k)
+    stumps = stump_frame(spark, models)
+    scored = with_gbt_prediction(df, stumps)  # fold col = held-out fold
+    return score_by_group(scored, ["fold"])
+
+
+@query(
+    "t2b_kfold_cv_gbt",
+    oracle=None,
+    doc="T2 CV evaluation with the nonlinear GBT-stump kernel (the "
+        "reference's RandomForest slot, metrics.py:34-42): per-fold "
+        "era-Spearman + quartic on held-out folds. Fit = one "
+        "k·d·bins-row histogram shuffle per boosting round; model "
+        "ships as KB-sized stump arrays; inference is a broadcast "
+        "join + aggregate(sequence) expression.",
+    tags=("tuning", "ml"),
+)
+def t2b_kfold_cv_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kfold_cv_gbt(spark, sf_dir)
+
+
 LAMBDA_GRID = [0.01, 0.1, 1.0, 10.0, 100.0]
 
 

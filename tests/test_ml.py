@@ -223,3 +223,71 @@ def test_mda_suffstats_matches_rowwise(spark):
     assert set(a) == set(b)
     for f in a:
         assert abs(a[f] - b[f]) < 1e-6, f
+
+
+# ----------------------------------------------------- GBT stump kernel
+
+def test_gbt_hist_fit_matches_numpy(spark):
+    """The distributed histogram pass must equal the same boosting loop
+    run on collected data — parity of the distributed part (the stump
+    chooser is shared code)."""
+    from reduction_dask_spark.ml import (
+        GBT_BINS,
+        GBT_LR,
+        _best_stump,
+        feature_bounds,
+        fit_gbt_fold_models,
+        predict_stumps,
+    )
+
+    df = kfold_era(supervised_frame(spark, SF_SMALL), "era", k=5).persist()
+    pdf = df.toPandas()
+    X = np.stack(pdf["features"].to_numpy()).astype(float)
+    y = pdf["y"].to_numpy(dtype=float)
+    fold = pdf["fold"].to_numpy()
+
+    n_rounds = 4
+    got = fit_gbt_fold_models(df, k=5, n_rounds=n_rounds)
+
+    mn, mx = feature_bounds(df)
+    bins = np.clip(((X - mn) / (mx - mn) * GBT_BINS).astype(int), 0, GBT_BINS - 1)
+    for m in range(5):
+        mask = fold != m
+        stumps: list = []
+        for _ in range(n_rounds):
+            resid = y[mask] - predict_stumps(stumps, X[mask])
+            hist = np.zeros((DIM, GBT_BINS))
+            counts = np.zeros((DIM, GBT_BINS))
+            bm = bins[mask]
+            for f in range(DIM):
+                hist[f] = np.bincount(bm[:, f], weights=resid, minlength=GBT_BINS)
+                counts[f] = np.bincount(bm[:, f], minlength=GBT_BINS)
+            stumps.append(_best_stump(hist, counts, mn, mx, GBT_LR))
+        for (gf, gt, gl, gr), (ef, et, el, er) in zip(got[m], stumps):
+            assert gf == ef
+            np.testing.assert_allclose([gt, gl, gr], [et, el, er], rtol=1e-9)
+
+
+def test_gbt_cv_has_signal(spark):
+    from reduction_dask_spark.operators.tuning import kfold_cv_gbt
+
+    per = kfold_cv_gbt(spark, SF_SMALL).toPandas()
+    assert len(per) == 5
+    # nonlinear kernel finds the planted (mostly linear) signal
+    assert (per["spearman"] > 0.5).all()
+
+
+def test_gbt_mda_recovers_planted_features(spark):
+    from reduction_dask_spark.ml import N_INFORMATIVE
+    from reduction_dask_spark.operators.importance import mda_importance_gbt
+
+    imp = mda_importance_gbt(spark, SF_SMALL).toPandas()
+    assert len(imp) == DIM
+    nonzero = imp[imp["importance"].abs() > 1e-9]
+    # every feature the stump ensemble credits is a planted one, and the
+    # ensemble splits on at least half the planted set (12 stumps spread
+    # over the strongest features by design)
+    assert set(nonzero["feature"]) <= set(range(N_INFORMATIVE))
+    assert len(nonzero) >= N_INFORMATIVE // 2
+    # top-ranked feature carries a large planted weight
+    assert int(imp.iloc[0]["feature"]) in range(N_INFORMATIVE)

@@ -86,6 +86,10 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {ex}")
             n_fail += 1
             continue
+        finally:
+            # queries persist() intermediates for intra-plan reuse;
+            # drop them so caches don't accumulate across 139 queries
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows-only: {len(sdf)} rows, {time.time()-t0:.1f}s)")
             n_noracle += 1
