@@ -331,21 +331,196 @@ def d3_distance_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paired.groupBy("fi").applyInPandas(kernel, schema="fi int, fj int, dcor double")
 
 
-# ------------------------------------------------------------ D5
+def _ace_maxcorr(x, y, n_bins: int = 8, n_iter: int = 50) -> float:
+    """ACE maximal correlation (reference distance_func.py:26-35, which
+    wraps the `ace` package): alternate φ(x) ← E[θ(y)|x] and
+    θ(y) ← E[φ(x)|y] with standardization — Breiman–Friedman ACE on
+    equal-width-binned data, where the alternation is exactly power
+    iteration on the normalized contingency matrix, so it converges to
+    the (binned) maximal correlation deterministically: no smoother, no
+    randomness. Returns the DISTANCE 1 − maxcorr like the reference."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=float)
+    y = np.asarray(y, dtype=float)
+
+    def bins(v):
+        lo, hi = v.min(), v.max()
+        if hi <= lo:
+            return np.zeros(len(v), dtype=int)
+        b = ((v - lo) / (hi - lo) * n_bins).astype(int)
+        return np.clip(b, 0, n_bins - 1)
+
+    xb, yb = bins(x), bins(y)
+    theta = (y - y.mean())
+    sd = theta.std()
+    if sd == 0:
+        return 1.0
+    theta /= sd
+    phi = np.zeros(len(x))
+    for _ in range(n_iter):
+        # φ(x) = E[θ|x-bin], standardized
+        m = np.bincount(xb, weights=theta, minlength=n_bins) / np.maximum(
+            np.bincount(xb, minlength=n_bins), 1
+        )
+        phi = m[xb]
+        sd = phi.std()
+        if sd == 0:
+            return 1.0
+        phi = (phi - phi.mean()) / sd
+        # θ(y) = E[φ|y-bin], standardized
+        m = np.bincount(yb, weights=phi, minlength=n_bins) / np.maximum(
+            np.bincount(yb, minlength=n_bins), 1
+        )
+        theta = m[yb]
+        sd = theta.std()
+        if sd == 0:
+            return 1.0
+        theta = (theta - theta.mean()) / sd
+    return float(1.0 - np.corrcoef(phi, theta)[0, 1])
+
 
 @query(
-    "d5_optimal_clusters",
-    oracle=None,  # driver-local sweep on the collected p×p matrix
-    doc="D5 get_optimal_clusters (feature_clustering.py:39-132): sweep "
-        "a clustering hyperparameter on the collected feature-distance "
-        "matrix (p×p, driver-resident — milliseconds), score each by "
-        "mean silhouette, keep the argmax (O3). Kernel here: "
-        "single-linkage connected components over a distance threshold "
-        "(numpy); agglomerative/K-Medoids/HDBSCAN plug into the same "
-        "sweep. Membership returned as (fid, label) rows (A6).",
+    "d2b_pairwise_ace",
+    oracle=None,  # iterative kernel; pinned by property tests
+    doc="D2 max_corr with the TRUE ACE kernel (distance_func.py:26-35): "
+        "1 − maximal correlation per feature pair, computed by "
+        "alternating conditional expectations on binned columns inside "
+        "D3's applyInPandas pair fan-out — the arbitrary-Python "
+        "distance-kernel slot, now exercised with the reference's own "
+        "kernel family (d2's Spearman remains the oracle-checkable "
+        "monotone variant).",
     tags=("distance", "ml"),
 )
-def d5_optimal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d2b_pairwise_ace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    n_sample, n_feats = 100, 8
+    emb = load_table(spark, sf_dir, "embeddings")
+    melted = (
+        emb.filter(F.col("vec_id") < n_sample)
+        .select("vec_id", F.posexplode("embedding").alias("fid", "valf"))
+        .filter(F.col("fid") < n_feats)
+        .select("vec_id", "fid", F.col("valf").cast("double").alias("val"))
+    )
+    cols = melted.groupBy("fid").agg(
+        F.array_sort(F.collect_list(F.struct("vec_id", "val"))).alias("pairs")
+    ).select("fid", F.transform("pairs", lambda p: p["val"]).alias("vals"))
+    a, b = cols.alias("a"), cols.alias("b")
+    paired = a.join(b, F.col("a.fid") < F.col("b.fid")).select(
+        F.col("a.fid").alias("fi"), F.col("b.fid").alias("fj"),
+        F.col("a.vals").alias("xs"), F.col("b.vals").alias("ys"),
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf["ace_dist"] = [round(_ace_maxcorr(x, y), 6) for x, y in zip(pdf["xs"], pdf["ys"])]
+        return pdf[["fi", "fj", "ace_dist"]]
+
+    return paired.groupBy("fi").applyInPandas(kernel, schema="fi int, fj int, ace_dist double")
+
+
+# ------------------------------------------------------------ D5
+
+def _single_linkage(D, thresh: float):
+    """Connected components of the thresholded distance graph."""
+    import numpy as np
+
+    p = len(D)
+    adj = D < thresh
+    labels = -np.ones(p, dtype=int)
+    cur = 0
+    for i in range(p):
+        if labels[i] >= 0:
+            continue
+        stack = [i]
+        labels[i] = cur
+        while stack:
+            u = stack.pop()
+            for v in np.nonzero(adj[u])[0]:
+                if labels[v] < 0:
+                    labels[v] = cur
+                    stack.append(v)
+        cur += 1
+    return labels
+
+
+def _pam(D, k: int, max_iter: int = 100):
+    """K-Medoids by PAM (reference feature_clustering.py:83-108 sweeps
+    sklearn_extra KMedoids): deterministic BUILD seeding + SWAP local
+    search on the precomputed distance matrix. Driver-local numpy on
+    the p×p matrix — milliseconds at feature counts."""
+    import numpy as np
+
+    p = len(D)
+    k = min(k, p)
+    # BUILD: first medoid minimizes total distance; each next medoid
+    # maximizes the cost reduction against current assignment
+    medoids = [int(np.argmin(D.sum(axis=1)))]
+    while len(medoids) < k:
+        dmin = D[:, medoids].min(axis=1)
+        gains = np.maximum(dmin[None, :] - D, 0.0).sum(axis=1)
+        gains[medoids] = -np.inf
+        medoids.append(int(np.argmax(gains)))
+    medoids = sorted(medoids)
+    # SWAP: steepest-descent swaps until no improvement
+    def cost(ms):
+        return float(D[:, ms].min(axis=1).sum())
+
+    cur = cost(medoids)
+    for _ in range(max_iter):
+        best = None
+        for mi, m in enumerate(medoids):
+            for h in range(p):
+                if h in medoids:
+                    continue
+                trial = sorted(medoids[:mi] + [h] + medoids[mi + 1:])
+                c = cost(trial)
+                if c < cur - 1e-12 and (best is None or c < best[0]):
+                    best = (c, trial)
+        if best is None:
+            break
+        cur, medoids = best[0], best[1]
+    labels = np.argmin(D[:, medoids], axis=1)
+    return labels, medoids
+
+
+def _silhouette(D, labels) -> float:
+    import numpy as np
+
+    p = len(D)
+    uniq = np.unique(labels)
+    if len(uniq) < 2:
+        return -1.0
+    s = np.zeros(p)
+    for i in range(p):
+        own = labels == labels[i]
+        own[i] = False
+        a = D[i, own].mean() if own.any() else 0.0
+        bs = [D[i, labels == c].mean() for c in uniq if c != labels[i]]
+        b = min(bs)
+        s[i] = 0.0 if max(a, b) == 0 else (b - a) / max(a, b)
+    return float(s.mean())
+
+
+def _cluster_sweep(D):
+    """(kernel, param, score, labels) for every swept config — single-
+    linkage thresholds AND K-Medoids k values (two kernel families)."""
+    import numpy as np
+
+    p = len(D)
+    out = []
+    for q in (0.02, 0.05, 0.1, 0.2, 0.3, 0.4, 0.5):
+        t = float(np.quantile(D[np.triu_indices(p, 1)], q))
+        labels = _single_linkage(D, t)
+        out.append(("single_linkage", t, _silhouette(D, labels), labels))
+    for k in (2, 3, 4, 5, 6):
+        labels, _ = _pam(D, k)
+        out.append(("kmedoids_pam", float(k), _silhouette(D, labels), labels))
+    return out
+
+
+def feature_distance_matrix(spark: SparkSession, sf_dir: str):
+    """Collected p×p feature-distance matrix (1 − |corr|) from D4."""
     import numpy as np
 
     pairs = d4_pairwise_corr_matrix(spark, sf_dir).toPandas()
@@ -354,46 +529,28 @@ def d5_optimal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fi, fj, c in pairs.itertuples(index=False):
         d = 1.0 - abs(c)
         D[fi - 1, fj - 1] = D[fj - 1, fi - 1] = d
+    return D
 
-    def components(thresh: float) -> np.ndarray:
-        adj = D < thresh
-        labels = -np.ones(p, dtype=int)
-        cur = 0
-        for i in range(p):
-            if labels[i] >= 0:
-                continue
-            stack = [i]
-            labels[i] = cur
-            while stack:
-                u = stack.pop()
-                for v in np.nonzero(adj[u])[0]:
-                    if labels[v] < 0:
-                        labels[v] = cur
-                        stack.append(v)
-            cur += 1
-        return labels
 
-    def silhouette(labels: np.ndarray) -> float:
-        uniq = np.unique(labels)
-        if len(uniq) < 2:
-            return -1.0
-        s = np.zeros(p)
-        for i in range(p):
-            own = labels == labels[i]
-            own[i] = False
-            a = D[i, own].mean() if own.any() else 0.0
-            bs = [D[i, labels == c].mean() for c in uniq if c != labels[i]]
-            b = min(bs)
-            s[i] = 0.0 if max(a, b) == 0 else (b - a) / max(a, b)
-        return float(s.mean())
-
-    best = None
-    for q in (0.02, 0.05, 0.1, 0.2, 0.3, 0.4, 0.5):
-        t = float(np.quantile(D[np.triu_indices(p, 1)], q))
-        labels = components(t)
-        score = silhouette(labels)
-        if best is None or score > best[0]:
-            best = (score, t, labels)
-    _, thresh, labels = best
-    rows = [(i + 1, int(l), float(thresh)) for i, l in enumerate(labels)]
-    return spark.createDataFrame(rows, "fid int, label int, threshold double")
+@query(
+    "d5_optimal_clusters",
+    oracle=None,  # driver-local sweep on the collected p×p matrix
+    doc="D5 get_optimal_clusters (feature_clustering.py:39-132): sweep "
+        "clustering KERNEL × hyperparameter on the collected feature-"
+        "distance matrix (p×p, driver-resident — milliseconds), score "
+        "each by mean silhouette, keep the argmax (O3). Two kernel "
+        "families: single-linkage threshold components and K-Medoids "
+        "PAM (the reference sweeps agglomerative/KMedoids/HDBSCAN). "
+        "Membership returned as (fid, label) rows (A6) tagged with the "
+        "winning kernel/param.",
+    tags=("distance", "ml"),
+)
+def d5_optimal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    D = feature_distance_matrix(spark, sf_dir)
+    sweep = _cluster_sweep(D)
+    kernel, param, score, labels = max(sweep, key=lambda r: (r[2], r[0]))
+    rows = [
+        (i + 1, int(l), kernel, float(param), round(float(score), 6))
+        for i, l in enumerate(labels)
+    ]
+    return spark.createDataFrame(rows, "fid int, label int, kernel string, param double, silhouette double")

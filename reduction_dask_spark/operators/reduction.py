@@ -91,22 +91,147 @@ def t7_fit_transform_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_transform(df, mu, comps).select("vec_id", "pc1", "pc2")
 
 
-def reduction_sweep(
-    spark: SparkSession, sf_dir: str, components=(2, 4, 8, 16), lam: float = 1.0, k: int = 5
+# ------------------------------------ nonlinear kernel: landmark MDS
+#
+# The reference sweeps nonlinear reducers (Isomap/LLE/KernelPCA/UMAP,
+# tuners.py:149-373) as pickled sklearn estimators. The Spark-first
+# equivalent of that kernel family is landmark (Nyström) classical MDS:
+# fit = an L×L distance eigenproblem on a bounded landmark subsample
+# (driver-side, like the reference's subsample fit, utils.py:151), and
+# the out-of-sample transform is y(x) = ½·VΛ^(-1/2)ᵀ(δ̄ − δ(x)) — per
+# row, distances to L landmarks then a k×L matmul, computed in an
+# Arrow-batched mapInPandas with the landmark matrix broadcast by
+# closure. Metric is pluggable; squared L1 here, so the embedding is
+# NOT a linear projection of the features (a genuine nonlinear kernel,
+# not PCA in disguise).
+
+LMDS_LANDMARKS = 100
+
+
+def _pairwise_sq(metric: str, A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Squared pairwise distances (|A| × |B|) for the given metric."""
+    if metric == "l1":
+        d = np.abs(A[:, None, :] - B[None, :, :]).sum(axis=2)
+        return d * d
+    if metric == "l2":
+        aa = (A * A).sum(1)[:, None]
+        bb = (B * B).sum(1)[None, :]
+        return np.maximum(aa + bb - 2.0 * (A @ B.T), 0.0)
+    raise ValueError(f"unknown metric: {metric}")
+
+
+def fit_lmds(
+    spark: SparkSession,
+    sf_dir: str,
+    n_components: int,
+    metric: str = "l1",
+    n_landmarks: int = LMDS_LANDMARKS,
+):
+    """Landmark-MDS fit on a pinned head subsample: classical-MDS
+    eigendecomposition of the landmark distance matrix. Returns
+    (landmarks L×d, δ̄ column means, projection VΛ^(-1/2) L×k)."""
+    df = supervised_frame(spark, sf_dir)
+    head = df.orderBy("vec_id").limit(n_landmarks).select("features").toPandas()
+    L = np.stack(head["features"].to_numpy()).astype(np.float64)
+    D = _pairwise_sq(metric, L, L)
+    n = len(L)
+    J = np.eye(n) - np.full((n, n), 1.0 / n)
+    B = -0.5 * J @ D @ J
+    vals, vecs = np.linalg.eigh(B)
+    order = np.argsort(vals)[::-1][:n_components]
+    vals, vecs = vals[order], vecs[:, order]
+    vals = np.maximum(vals, 1e-12)
+    # deterministic sign: largest-|loading| coordinate positive
+    for i in range(vecs.shape[1]):
+        j = int(np.argmax(np.abs(vecs[:, i])))
+        if vecs[j, i] < 0:
+            vecs[:, i] = -vecs[:, i]
+    pseudo = vecs / np.sqrt(vals)  # L×k, the VΛ^(-1/2) out-of-sample map
+    return L, D.mean(axis=0), pseudo
+
+
+def lmds_transform(
+    df: DataFrame, landmarks: np.ndarray, delta_mean: np.ndarray, pseudo: np.ndarray, metric: str = "l1"
 ) -> DataFrame:
-    """T3 tune_reduction_dask (tuners.py:149-252): sweep reducer
-    hyperparameters; per config: transform → era-CV model fit/score.
+    """Distributed Nyström out-of-sample embedding: per Arrow batch,
+    squared distances to the L landmarks + one (n×L)·(L×k) matmul.
+    Only the KB-sized landmark matrix ships to executors."""
+    import pandas as pd
+
+    k = pseudo.shape[1]
+    cols = [f"mc{i + 1}" for i in range(k)]
+    # pass through supervision columns when present — avoids a join
+    # back onto the source frame in the sweep path
+    passthrough = [c for c in ("era", "y") if c in df.columns]
+    pass_types = {"era": "int", "y": "double"}
+
+    def mapper(batches):
+        for pdf in batches:
+            X = np.stack(pdf["features"].to_numpy()).astype(np.float64)
+            delta = _pairwise_sq(metric, X, landmarks)
+            Y = 0.5 * (delta_mean[None, :] - delta) @ pseudo
+            out = pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy()})
+            for p in passthrough:
+                out[p] = pdf[p].to_numpy()
+            for i, c in enumerate(cols):
+                out[c] = np.round(Y[:, i], 6)
+            yield out
+
+    schema = ", ".join(
+        ["vec_id long"]
+        + [f"{p} {pass_types[p]}" for p in passthrough]
+        + [f"{c} double" for c in cols]
+    )
+    return df.mapInPandas(mapper, schema=schema)
+
+
+@query(
+    "t9_landmark_mds",
+    oracle=None,
+    doc="t9 nonlinear DR: landmark (Nyström) classical MDS on squared-"
+        "L1 distances — the reference's nonlinear-reducer slot "
+        "(Isomap/LLE/KernelPCA, tuners.py:149-373) on the subsample-"
+        "fit + distributed-out-of-sample pattern. Fit: L×L landmark "
+        "eigenproblem driver-side; transform: mapInPandas batches "
+        "against the broadcast landmark matrix.",
+    tags=("reduction", "ml"),
+)
+def t9_landmark_mds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    Lm, dmean, pseudo = fit_lmds(spark, sf_dir, N_COMPONENTS)
+    df = supervised_frame(spark, sf_dir)
+    return lmds_transform(df, Lm, dmean, pseudo)
+
+
+def reduction_sweep(
+    spark: SparkSession,
+    sf_dir: str,
+    configs=(
+        ("pca", 2), ("pca", 4), ("pca", 8), ("pca", 16),
+        ("lmds_l1", 2), ("lmds_l1", 4),
+    ),
+    lam: float = 1.0,
+    k: int = 5,
+) -> DataFrame:
+    """T3 tune_reduction_dask (tuners.py:149-252): sweep reducer KERNEL
+    × hyperparameters; per config: transform → era-CV model fit/score.
     Failed configs get a status column, not index bookkeeping
     (reference drops Nones with positional arithmetic, tuners.py:219-248)."""
     results = []
-    for nc in components:
+    for kernel, nc in configs:
         try:
-            mu, comps = fit_pca(spark, sf_dir, nc)
             base = supervised_frame(spark, sf_dir)
-            reduced = pca_transform(base, mu, comps).select(
+            if kernel == "pca":
+                mu, comps = fit_pca(spark, sf_dir, nc)
+                cols = [f"pc{i + 1}" for i in range(nc)]
+                reduced_wide = pca_transform(base, mu, comps)
+            else:
+                Lm, dmean, pseudo = fit_lmds(spark, sf_dir, nc)
+                cols = [f"mc{i + 1}" for i in range(nc)]
+                reduced_wide = lmds_transform(base, Lm, dmean, pseudo)
+            reduced = reduced_wide.select(
                 "vec_id",
                 "era",
-                F.array(*[F.col(f"pc{i + 1}") for i in range(nc)]).alias("features"),
+                F.array(*[F.col(c) for c in cols]).alias("features"),
                 "y",
             )
             folded = kfold_era(reduced, "era", k=k)
@@ -119,11 +244,12 @@ def reduction_sweep(
                 .agg(F.round(F.avg("spearman"), 6).alias("s"), F.round(F.avg("quartic"), 6).alias("q"))
                 .collect()[0]
             )
-            results.append((int(nc), row["s"], row["q"], "ok"))
+            results.append((kernel, int(nc), row["s"], row["q"], "ok"))
         except Exception as e:  # status column instead of dropped index
-            results.append((int(nc), None, None, f"error: {type(e).__name__}"))
+            results.append((kernel, int(nc), None, None, f"error: {type(e).__name__}"))
     return spark.createDataFrame(
-        results, "n_components int, spearman_mean double, quartic_mean double, status string"
+        results,
+        "kernel string, n_components int, spearman_mean double, quartic_mean double, status string",
     )
 
 
@@ -131,8 +257,9 @@ def reduction_sweep(
     "t3_reduction_sweep",
     oracle=None,
     doc="T3 tune_reduction_dask sweep (tuners.py:149-252): "
-        "(n_components → CV score) result table with status column "
-        "for failed configs.",
+        "(kernel × n_components → CV score) result table with status "
+        "column for failed configs; kernels = subsample-fit PCA and "
+        "landmark-MDS (nonlinear).",
     tags=("reduction", "ml"),
 )
 def t3_reduction_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:

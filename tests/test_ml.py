@@ -291,3 +291,138 @@ def test_gbt_mda_recovers_planted_features(spark):
     assert len(nonzero) >= N_INFORMATIVE // 2
     # top-ranked feature carries a large planted weight
     assert int(imp.iloc[0]["feature"]) in range(N_INFORMATIVE)
+
+
+# ------------------------------------------------- landmark MDS kernel
+
+def test_lmds_transform_matches_numpy(spark):
+    """Distributed Nyström transform == the same formula on collected
+    rows, and landmarks reproduce their own classical-MDS embedding."""
+    from reduction_dask_spark.operators.reduction import (
+        _pairwise_sq,
+        fit_lmds,
+        lmds_transform,
+    )
+
+    Lm, dmean, pseudo = fit_lmds(spark, SF_SMALL, 2)
+    df = supervised_frame(spark, SF_SMALL)
+    got = (
+        lmds_transform(df, Lm, dmean, pseudo)
+        .select("vec_id", "mc1", "mc2")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pdf = df.select("vec_id", "features").toPandas().sort_values("vec_id").reset_index(drop=True)
+    X = np.stack(pdf["features"].to_numpy()).astype(float)
+    delta = _pairwise_sq("l1", X, Lm)
+    Y = np.round(0.5 * (dmean[None, :] - delta) @ pseudo, 6)
+    np.testing.assert_allclose(got[["mc1", "mc2"]].to_numpy(), Y, atol=2e-6)
+
+    # landmark self-embedding invariant: out-of-sample map applied to a
+    # landmark returns its own classical-MDS coordinate (VΛ^1/2)
+    D = _pairwise_sq("l1", Lm, Lm)
+    emb = 0.5 * (D.mean(axis=0)[None, :] - D) @ pseudo  # n_land × k
+    n = len(Lm)
+    J = np.eye(n) - np.full((n, n), 1.0 / n)
+    B = -0.5 * J @ D @ J
+    vals, vecs = np.linalg.eigh(B)
+    order = np.argsort(vals)[::-1][:2]
+    direct = vecs[:, order] * np.sqrt(np.maximum(vals[order], 1e-12))
+    np.testing.assert_allclose(np.abs(emb), np.abs(direct), atol=1e-6)
+
+
+def test_lmds_is_not_linear_projection(spark):
+    """Squared-L1 MDS must not be expressible as a linear map of the
+    features — guards against the kernel degenerating into PCA."""
+    from reduction_dask_spark.operators.reduction import fit_lmds, lmds_transform
+
+    Lm, dmean, pseudo = fit_lmds(spark, SF_SMALL, 2)
+    df = supervised_frame(spark, SF_SMALL)
+    got = lmds_transform(df, Lm, dmean, pseudo).select("vec_id", "mc1").toPandas()
+    pdf = df.select("vec_id", "features").toPandas()
+    merged = got.merge(pdf, on="vec_id")
+    X = np.stack(merged["features"].to_numpy()).astype(float)
+    X1 = np.hstack([np.ones((len(X), 1)), X])
+    y = merged["mc1"].to_numpy(dtype=float)
+    resid = y - X1 @ np.linalg.lstsq(X1, y, rcond=None)[0]
+    assert np.abs(resid).max() > 1e-3  # linear fit cannot reproduce it
+
+
+def test_reduction_sweep_has_both_kernels(spark):
+    from reduction_dask_spark.operators.reduction import reduction_sweep
+
+    out = reduction_sweep(
+        spark, SF_SMALL, configs=(("pca", 2), ("lmds_l1", 2))
+    ).toPandas()
+    assert set(out["kernel"]) == {"pca", "lmds_l1"}
+    assert (out["status"] == "ok").all()
+    assert out["spearman_mean"].notna().all()
+
+
+# -------------------------------------------------- ACE / PAM kernels
+
+def test_ace_maxcorr_properties():
+    from reduction_dask_spark.operators.distance import _ace_maxcorr
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(size=400)
+    # deterministic dependence (even NON-monotone) → maxcorr ≈ 1 → dist ≈ 0
+    assert _ace_maxcorr(x, x) < 0.01
+    assert _ace_maxcorr(x, (x - 0.5) ** 2) < 0.05
+    # independence → maxcorr near 0 → dist near 1
+    assert _ace_maxcorr(x, rng.uniform(size=400)) > 0.7
+    # symmetry and range
+    y = rng.uniform(size=400) + 0.5 * x
+    d_xy, d_yx = _ace_maxcorr(x, y), _ace_maxcorr(y, x)
+    assert abs(d_xy - d_yx) < 0.05
+    assert 0.0 <= d_xy <= 1.0
+    # ACE finds dependence linear corr can't: a symmetric parabola has
+    # ~zero Pearson correlation with x but near-perfect maximal corr
+    z = (x - 0.5) ** 2
+    lin = abs(np.corrcoef(x, z)[0, 1])
+    assert lin < 0.2
+    assert (1.0 - _ace_maxcorr(x, z)) > 0.9
+
+
+def test_ace_query_runs(spark):
+    from reduction_dask_spark.operators.distance import d2b_pairwise_ace
+
+    out = d2b_pairwise_ace(spark, SF_SMALL).toPandas()
+    assert len(out) == 8 * 7 // 2
+    assert out["ace_dist"].between(-1e-9, 1.0 + 1e-9).all()
+
+
+def test_pam_invariants():
+    from reduction_dask_spark.operators.distance import _pam, _silhouette
+
+    rng = np.random.default_rng(11)
+    # three planted clusters on a line → PAM(3) must recover them
+    pts = np.concatenate([rng.normal(0, 0.05, 10), rng.normal(1, 0.05, 10), rng.normal(2, 0.05, 10)])
+    D = np.abs(pts[:, None] - pts[None, :])
+    labels, medoids = _pam(D, 3)
+    assert len(set(labels.tolist())) == 3
+    # each medoid belongs to the cluster it defines
+    for mi, m in enumerate(medoids):
+        assert labels[m] == mi
+    # planted grouping recovered exactly
+    for grp in (labels[:10], labels[10:20], labels[20:]):
+        assert len(set(grp.tolist())) == 1
+    assert _silhouette(D, labels) > 0.8
+
+
+def test_d5_sweep_argmax_invariant(spark):
+    from reduction_dask_spark.operators.distance import (
+        _cluster_sweep,
+        d5_optimal_clusters,
+        feature_distance_matrix,
+    )
+
+    out = d5_optimal_clusters(spark, SF_SMALL).toPandas()
+    D = feature_distance_matrix(spark, SF_SMALL)
+    sweep = _cluster_sweep(D)
+    kernels = {k for k, _, _, _ in sweep}
+    assert kernels == {"single_linkage", "kmedoids_pam"}
+    best_score = max(s for _, _, s, _ in sweep)
+    assert abs(out["silhouette"].iloc[0] - round(best_score, 6)) < 1e-9
+    assert out["kernel"].nunique() == 1  # one winning config labels all
