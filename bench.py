@@ -72,7 +72,9 @@ def main() -> None:
 
     spark.range(1000).join(broadcast(spark.range(10)), "id").count()
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # 5 reps: with caches cleared between reps every sample is a cold
+    # run, so the median needs headroom against JIT/GC outliers
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     timings: dict[str, float] = {}
     for name in names:
         samples = []
@@ -97,6 +99,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "note": "caches cleared between reps since r02: every rep "
+                "measures the FULL cold query (r01 medians reused warm "
+                "caches across reps, flattering persist-heavy queries "
+                "like dd3/ss4/pipe1)",
             }
         )
     )

@@ -26,16 +26,34 @@ def kfold_era(df: DataFrame, era_col: str, k: int, seed: int = 42) -> DataFrame:
     Invariants (utils.py:23-48): each era in exactly one fold; folds
     near-equal in era count; deterministic under retries (seeded hash
     ordering, not F.rand — SURVEY.md §4 determinism rule).
+
+    The era→fold map is bounded METADATA (time buckets — thousands at
+    most however large the corpus), so it is computed driver-side:
+    collect the distinct eras, order by the portable md5 hash (same
+    bytes as functions.md5i / the DuckDB oracle), split ntile-style,
+    broadcast-join the map back. No global window anywhere — the only
+    distributed work is the distinct and the broadcast hash join.
     """
-    eras = df.select(era_col).distinct()
-    # distinct-eras is a bounded METADATA relation (time buckets — at
-    # most thousands however big the corpus); the constant partition
-    # key declares the single-partition sort intentional rather than
-    # tripping WindowExec's no-partition warning.
-    shuffled = Window.partitionBy(F.lit(0)).orderBy(
-        md5i(F.concat(F.lit(str(seed) + ":"), F.col(era_col).cast("string"))), F.col(era_col)
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    eras = [r[0] for r in df.select(era_col).distinct().collect()]
+
+    def h(e) -> int:
+        return int(hashlib.md5(f"{seed}:{e}".encode()).hexdigest()[:8], 16)
+
+    ordered = sorted(eras, key=lambda e: (h(e), e))
+    n, base, rem = len(ordered), len(ordered) // k, len(ordered) % k
+    rows, i = [], 0
+    for fold in range(k):
+        size = base + (1 if fold < rem else 0)
+        rows += [(e, fold) for e in ordered[i : i + size]]
+        i += size
+    schema = T.StructType(
+        [df.schema[era_col], T.StructField("fold", T.IntegerType(), False)]
     )
-    folds = eras.withColumn("fold", (F.ntile(k).over(shuffled) - 1).cast("int"))
+    folds = df.sparkSession.createDataFrame(rows, schema)
     return df.join(F.broadcast(folds), era_col)
 
 

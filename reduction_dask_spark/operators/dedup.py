@@ -86,6 +86,12 @@ def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(shingles_of_tokens(F.col("toks")), lambda s: md5h60(s))
         ).alias("shingle"),
     )
+    # the raw index feeds BOTH the df-cap aggregate and the anti-join
+    # left side; materialize it once (disk-backed at cluster scale —
+    # the standard "build the inverted index once per pipeline run"
+    # materialization) instead of re-running the shingle+md5 explode
+    # per consumer branch
+    sh = sh.persist()
     # df-cap: broadcast the HOT-shingle list (df > DF_CAP) into a LEFT
     # ANTI join. The hot set is tiny BY CONSTRUCTION — at most
     # |shingle rows| / DF_CAP distinct values, regardless of corpus
@@ -256,13 +262,16 @@ def minhash_bands(sh: DataFrame) -> DataFrame:
         ),
     )
     sig = doc_hashes.select("doc_id", sigs.alias("sigs"))
+    # band key = the r-signature slice ITSELF (array<bigint> join key):
+    # equality is identical to the oracle's joined-string key (the
+    # string form is injective on int sequences) but the join hashes/
+    # compares 4 longs instead of building and comparing ~40-char
+    # strings for every (doc, band) row
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(band).cast("int").alias("band"),
-                F.array_join(
-                    F.transform(F.slice("sigs", band * r + 1, r), lambda v: v.cast("string")), ","
-                ).alias("bkey"),
+                F.slice("sigs", band * r + 1, r).alias("bkey"),
             )
             for band in range(N_BANDS)
         ]
@@ -288,11 +297,10 @@ def minhash_bands(sh: DataFrame) -> DataFrame:
     tags=("dedup", "bench"),
 )
 def dd3_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the shingle index feeds 4 plan branches (signatures, sizes, both
-    # sides of the pair join) — persist it once instead of re-scanning
-    # and re-shuffling per branch
+    # the shingle index feeds the signature build AND the verify doc
+    # sets — persist it once instead of re-exploding per branch
     sh = shingle_table(spark, sf_dir).persist()
-    bands = minhash_bands(sh).persist()
+    bands = minhash_bands(sh).persist()  # both sides of the bucket join
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -303,19 +311,26 @@ def dd3_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .persist()
     )
-    # exact-Jaccard verify restricted to candidate docs only: the
-    # expensive inverted-index pair join runs on the (tiny) candidate
-    # subset, not the whole corpus — same result, O(candidates) cost.
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+    # exact-Jaccard verify on candidates only, via per-doc shingle SETS:
+    # join the (tiny, broadcast) candidate pairs against the doc→shingle
+    # arrays and compute |A∩B| as an array_intersect expression — two
+    # hash joins + codegen set math, no inverted-index pair join, no
+    # per-pair groupBy. Same result (shingle arrays are distinct by
+    # construction), O(candidates) cost.
+    doc_sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("ss"))
+    verified = (
+        doc_sets.join(F.broadcast(cand), doc_sets.doc_id == cand.doc_a)
+        .select("doc_a", "doc_b", F.col("ss").alias("sa"))
+        .join(doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb")), "doc_b")
     )
-    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id")
-    verified = jaccard_pairs(sh_cand, tau=JACCARD_TAU)
-    return cand.join(verified, ["doc_a", "doc_b"])
+    ninter = F.size(F.array_intersect("sa", "sb"))
+    jac = F.round(
+        ninter.cast("double") / (F.size("sa") + F.size("sb") - ninter), 6
+    )
+    return verified.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_TAU
+    )
 
 
 @query(

@@ -350,22 +350,59 @@ _IVF_SQL = f"""
     tags=("similarity",),
 )
 def ss4_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
     allv = emb.select("vec_id", as_double(F.col("embedding")).alias("vv"))
-    cent = (
+    # centroid matrix driver-side (the coarse quantizer is the model,
+    # not data), sorted by cid so argmax ties resolve to the lowest cid
+    cpdf = (
         emb.filter(F.col("vec_id") % CENT_MOD == 0)
         .select(F.col("vec_id").alias("cid"), as_double(F.col("embedding")).alias("cvv"))
+        .orderBy("cid")
+        .toPandas()
     )
-    scored = allv.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cid", F.round(cosine(F.col("vv"), F.col("cvv")), 5).alias("ccos")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
-    assign0 = scored.withColumn("crn", F.row_number().over(w))
-    assign = assign0.filter(F.col("crn") == 1).select("vec_id", "cid").persist()
-    qprobe = (
-        assign0.filter((F.col("vec_id") % QUERY_MOD == 0) & (F.col("crn") <= N_PROBE))
-        .select(F.col("vec_id").alias("qid"), "cid")
-    )
+    cids = cpdf["cid"].to_numpy()
+    C = np.stack(cpdf["cvv"].to_numpy()).astype(np.float64)
+    cnorm = np.sqrt((C * C).sum(axis=1))
+    bc = spark.sparkContext.broadcast((cids, C, cnorm))
+
+    # ONE Arrow-BLAS scan scores the corpus against all centroids
+    # ((batch × d) @ (d × |C|) matmul — the dense-linear-algebra hot
+    # path where numpy beats per-element JVM expressions, same pattern
+    # as ss1b) and emits both roles: list assignment (argmax, ties →
+    # lowest cid) for every vector, probe lists (top-N_PROBE) for the
+    # query subset. No corpus×centroids relation ever materializes.
+    def assign_probe(batches):
+        cids, C, cnorm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["vv"].to_numpy()).astype(np.float64)
+            vid = pdf["vec_id"].to_numpy()
+            xnorm = np.sqrt((X * X).sum(axis=1))
+            S = np.round((X @ C.T) / (xnorm[:, None] * cnorm[None, :]), 5)
+            out = [pd.DataFrame({"vec_id": vid, "cid": cids[S.argmax(axis=1)],
+                                 "probe": np.zeros(len(vid), dtype=np.int32)})]
+            qmask = vid % QUERY_MOD == 0
+            if qmask.any():
+                Sq = S[qmask]
+                top = np.argsort(-Sq, axis=1, kind="stable")[:, :N_PROBE]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": np.repeat(vid[qmask], N_PROBE),
+                            "cid": cids[top].ravel(),
+                            "probe": np.ones(top.size, dtype=np.int32),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    marked = allv.mapInPandas(assign_probe, "vec_id long, cid long, probe int").persist()
+    assign = marked.filter(F.col("probe") == 0).select("vec_id", "cid")
+    qprobe = marked.filter(F.col("probe") == 1).select(F.col("vec_id").alias("qid"), "cid")
     cand = (
         qprobe.join(assign, "cid")
         .filter(F.col("vec_id") != F.col("qid"))
