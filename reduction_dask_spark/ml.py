@@ -39,6 +39,7 @@ DIM = 64  # embeddings feature width
 
 
 N_INFORMATIVE = 8  # features 0..7 carry the planted signal
+ERA_DOMAIN = tuple(range(20))  # era = vec_id % 20 ⇒ domain known statically
 
 
 def planted_weight(d: int) -> float:

@@ -20,7 +20,9 @@ from ..registry import query
 from ..sources import load_table
 
 
-def kfold_era(df: DataFrame, era_col: str, k: int, seed: int = 42) -> DataFrame:
+def kfold_era(
+    df: DataFrame, era_col: str, k: int, seed: int = 42, eras: list | None = None
+) -> DataFrame:
     """C1: add a ``fold`` column (0..k-1) constant within each era.
 
     Invariants (utils.py:23-48): each era in exactly one fold; folds
@@ -33,12 +35,19 @@ def kfold_era(df: DataFrame, era_col: str, k: int, seed: int = 42) -> DataFrame:
     bytes as functions.md5i / the DuckDB oracle), split ntile-style,
     broadcast-join the map back. No global window anywhere — the only
     distributed work is the distinct and the broadcast hash join.
+
+    When the caller KNOWS the era domain by construction (e.g. the
+    supervised frame's ``era = vec_id % 20``), pass ``eras=`` and even
+    the distinct scan disappears — the fold map is pure driver-side
+    metadata and the query plan is a single broadcast join. Eras
+    absent from ``df`` are harmless (the inner join drops them).
     """
     import hashlib
 
     from pyspark.sql import types as T
 
-    eras = [r[0] for r in df.select(era_col).distinct().collect()]
+    if eras is None:
+        eras = [r[0] for r in df.select(era_col).distinct().collect()]
 
     def h(e) -> int:
         return int(hashlib.md5(f"{seed}:{e}".encode()).hexdigest()[:8], 16)

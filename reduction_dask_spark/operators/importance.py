@@ -33,6 +33,7 @@ from pyspark.sql.window import Window
 
 from ..ml import (
     DIM,
+    ERA_DOMAIN,
     coef_frame,
     fit_fold_models,
     fit_global_model,
@@ -95,7 +96,7 @@ def mda_importance(
     spark: SparkSession, sf_dir: str, k: int = K_FOLDS, lam: float = LAM, seed: int = SEED
 ) -> DataFrame:
     """X1: (feature, importance) table, sorted descending."""
-    df = kfold_era(supervised_frame(spark, sf_dir), "era", k=k)
+    df = kfold_era(supervised_frame(spark, sf_dir), "era", k=k, eras=list(ERA_DOMAIN))
     stats = fold_suffstats(df)
     models = {g: np.asarray(c) for g, c in fit_fold_models(stats, lam).items()}
     preds = df.groupBy("fold", "era").applyInPandas(
@@ -166,7 +167,7 @@ def mda_importance_gbt(
 ) -> DataFrame:
     from ..ml import fit_gbt_fold_models
 
-    df = kfold_era(supervised_frame(spark, sf_dir), "era", k=k).persist()
+    df = kfold_era(supervised_frame(spark, sf_dir), "era", k=k, eras=list(ERA_DOMAIN)).persist()
     models = fit_gbt_fold_models(df, k=k)
     preds = df.groupBy("fold", "era").applyInPandas(
         _mda_gbt_mapper(models, seed),
@@ -198,7 +199,7 @@ def linear_shap_scores(
 ) -> DataFrame:
     """X4: mean |SHAP| per feature on a pinned head sample. For the
     linear kernel, SHAP_j(x) = w_j·(x_j − μ_j) exactly."""
-    df = kfold_era(supervised_frame(spark, sf_dir), "era", k=K_FOLDS)
+    df = kfold_era(supervised_frame(spark, sf_dir), "era", k=K_FOLDS, eras=list(ERA_DOMAIN))
     coef = fit_global_model(fold_suffstats(df), lam)
     # head sample via orderBy+limit → TakeOrderedAndProject (partial
     # per-partition top-k), not a single-partition global row_number
@@ -247,7 +248,7 @@ def forward_selection(
     zero-padded coefficients over the full feature array)."""
     rank_pdf = linear_shap_scores(spark, sf_dir).toPandas()
     order = rank_pdf["feature"].to_list()
-    df = kfold_era(supervised_frame(spark, sf_dir), "era", k=K_FOLDS)
+    df = kfold_era(supervised_frame(spark, sf_dir), "era", k=K_FOLDS, eras=list(ERA_DOMAIN))
     stats = fold_suffstats(df)
     results = []
     for n in sizes:
@@ -320,9 +321,10 @@ def x3_projection_by_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "fid", F.col("valf").cast("double").alias("val")
     )
     imp = melted.groupBy("fid").agg(F.round(F.var_samp("val"), 6).alias("score"))
-    # per-feature score table: bounded by embedding dim, constant key
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("fid"))
-    topn = imp.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 8)
+    # top-8 features by score: orderBy+limit compiles to
+    # TakeOrderedAndProject (per-partition partial top-k, then a merge
+    # of 8-row heaps) — no global window, no single-partition sort
+    topn = imp.orderBy(F.desc("score"), F.asc("fid")).limit(8)
     return melted.join(F.broadcast(topn.select("fid")), "fid").select("vec_id", "fid", "val")
 
 
@@ -381,7 +383,7 @@ def mda_importance_suffstats(
     """X1 at scale: identical permutation seeds and rank semantics to
     mda_importance, but the pooled era-rank correlation is assembled
     from per-(feature, fold, era) sufficient statistics."""
-    df = kfold_era(supervised_frame(spark, sf_dir), "era", k=k)
+    df = kfold_era(supervised_frame(spark, sf_dir), "era", k=k, eras=list(ERA_DOMAIN))
     stats = fold_suffstats(df)
     models = {g: np.asarray(c) for g, c in fit_fold_models(stats, lam).items()}
     part = df.groupBy("fold", "era").applyInPandas(

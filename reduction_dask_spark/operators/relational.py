@@ -447,11 +447,17 @@ def global_rank(df: DataFrame, *order_cols, out: str = "rnk") -> DataFrame:
     # (ReusedExchange), so the partition ids are consistent by
     # construction — no second sampling of range boundaries, no collect.
     # The counts relation is one row per partition (bounded by the
-    # partition count, not the data), so its running-sum window over a
-    # constant key is metadata-sized.
+    # partition count, not the data); its prefix sum is a triangular
+    # broadcast self-join on that metadata-sized relation, NOT a
+    # global window (a constant-key window gets constant-folded to an
+    # empty partition spec and WindowExec single-partitions the node).
     counts = pid.groupBy("_pid").agg(F.count("*").alias("_n"))
-    woff = Window.partitionBy(F.lit(0)).orderBy("_pid")
-    offs = counts.withColumn("_off", F.sum("_n").over(woff) - F.col("_n")).drop("_n")
+    prev = counts.select(F.col("_pid").alias("_p2"), F.col("_n").alias("_n2"))
+    offs = (
+        counts.join(F.broadcast(prev), F.col("_p2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_n2"), F.lit(0)).cast("bigint").alias("_off"))
+    )
     return (
         local.join(F.broadcast(offs), "_pid")
         .withColumn(out, (F.col("_rn") + F.col("_off")).cast("bigint"))

@@ -29,9 +29,26 @@ from ..sources import load_table
 
 TOP_K = 5
 QUERY_MOD = 50       # query set = vec_id % 50 == 0
-N_PLANES = 6         # 64 LSH buckets
+N_PLANES = 6         # 64 LSH buckets — sized for the driver's sf (see lsh_planes_for)
 DIM = 64
 NEARDUP_TAU = 0.4
+
+
+def lsh_planes_for(n_vectors: int, target_bucket: int = 200) -> int:
+    """Plane count sized to the corpus: 2^planes buckets ≈ n/target.
+
+    A FIXED plane count has the wrong asymptotics — bucket population
+    grows linearly with the corpus, and with it the exact-rerank cost
+    per query. Sizing planes ≈ log2(n / target_bucket) keeps expected
+    bucket size constant at any scale (64 buckets at the bench sf,
+    ~2^29 buckets at 100 TB). The REGISTERED ss2/ss5 queries pin
+    N_PLANES={6} because the DuckDB oracle must evaluate the identical
+    plane set at the driver's fixed sf; production callers size with
+    this helper (and multi-probe fan-out, ss5, recovers the recall a
+    deeper code costs)."""
+    import math
+
+    return max(1, math.ceil(math.log2(max(2.0, n_vectors / target_bucket))))
 
 
 def as_double(col: Column) -> Column:
@@ -648,15 +665,16 @@ _PQ_SQL = f"""
 def ss6_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", as_double(F.col("embedding")).alias("vv"))
-    cb = (
-        v.filter(F.col("vec_id") % PQ_MOD == 0)
-        .orderBy("vec_id")
-        .limit(PQ_K)
-        .select(
-            # PQ_K-row codebook: bounded relation, constant partition key
-            (F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("vec_id")) - 1).alias("c"),
-            F.col("vv").alias("cw"),
-        )
+    # codebook = the trained model (PQ_K × DIM doubles, bounded by
+    # construction) — built driver-side like ss4/ss7's quantizers:
+    # TakeOrderedAndProject pulls the PQ_K sample rows, the driver
+    # assigns contiguous code ids, and the result broadcasts back.
+    # No global window (a constant-key window constant-folds to an
+    # empty partition spec and single-partitions the node).
+    cpdf = v.filter(F.col("vec_id") % PQ_MOD == 0).orderBy("vec_id").limit(PQ_K).toPandas()
+    cb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vv]) for i, vv in enumerate(cpdf["vv"])],
+        "c int, cw array<double>",
     )
     m_ids = list(range(PQ_M))
     sub = lambda col, m: F.slice(col, 1 + PQ_SUB * m, PQ_SUB)  # noqa: E731

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from ..functions import md5i_sql, phash_sql
 from ..registry import query
 from ..sources import load_table
 
@@ -390,4 +391,174 @@ def t5_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_oov").cast("bigint").alias("n_oov"),
             F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6).alias("oov_ratio"),
         )
+    )
+
+
+# ---------------------------------------------------------------- t6
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+QTERM_MOD = 7  # demo query set: md5i(tok) % 7 == 0 (~1/7 of the vocab)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    topk: int = BM25_TOPK,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval over (doc_id, text) for a table of
+    single-term queries (column ``tok``).
+
+    Relational shape — the classic inverted-index dataflow:
+    tf = one explode + one (doc_id, tok) shuffle; dl derives from tf
+    (no second scan); df/N/avgdl are token- and 1-row aggregates; the
+    query set joins the postings by term (broadcast when small). The
+    per-term top-k is a window PARTITIONED BY term — parallel across
+    query terms, never a global sort. At 100 TB nothing driver-side
+    grows: postings shuffle once on (doc, term), scores stream.
+
+    Scores are rounded to 6dp BEFORE ranking so the rank order is
+    identical in Spark and the DuckDB oracle (registry float rule).
+    """
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("dfreq"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5))
+    score = F.round(
+        idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        6,
+    )
+    scored = (
+        tf.join(query_terms.select("tok"), "tok")
+        .join(F.broadcast(dfreq.join(query_terms.select("tok"), "tok")), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("tok", "doc_id", score.alias("bm25"))
+    )
+    w = Window.partitionBy("tok").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select("tok", "doc_id", "bm25", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+@query(
+    "t6_bm25_topk",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+        dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+        dfreq AS (SELECT tok, count(*) AS dfreq FROM tf GROUP BY tok),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        q AS (SELECT tok FROM dfreq WHERE {md5i_sql('tok')} % {QTERM_MOD} = 0),
+        scored AS (
+            SELECT t.tok, t.doc_id,
+                   round(
+                       ln(1.0 + (s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5))
+                       * (t.tf * ({BM25_K1} + 1.0))
+                       / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * l.dl / s.avgdl)),
+                       6) AS bm25
+            FROM tf t
+            JOIN q USING (tok)
+            JOIN dfreq d USING (tok)
+            JOIN dl l USING (doc_id)
+            CROSS JOIN stats s
+        )
+        SELECT tok, doc_id, bm25, CAST(rn AS INTEGER) AS rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY tok ORDER BY bm25 DESC, doc_id) AS rn
+            FROM scored
+        ) WHERE rn <= {BM25_TOPK}
+    """,
+    doc=f"t6 Okapi BM25 top-{BM25_TOPK} retrieval (k1={BM25_K1}, "
+        f"b={BM25_B}): inverted-index term-frequency scoring with "
+        "length normalization — the keyword-retrieval baseline of a "
+        "training-data search/inspection stack (and the lexical half "
+        "of hybrid lexical+vector retrieval next to ss1-ss7). Demo "
+        f"query set = the ~1/{QTERM_MOD} of the vocabulary with "
+        f"md5i(tok) % {QTERM_MOD} == 0 (portable hash, not a magic "
+        "term list); the production entry point takes any (tok) query "
+        "table (operators.text.bm25_topk).",
+    tags=("text", "similarity"),
+)
+def t6_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import md5i
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .distinct()
+        .filter(md5i("tok") % QTERM_MOD == 0)
+    )
+    return bm25_topk(d, vocab)
+
+
+# ---------------------------------------------------------------- mw2
+
+MIX_SCALE = 1_000_000  # phash domain for the rate threshold
+
+
+@query(
+    "mw2_mixture_sample",
+    oracle=f"""
+        WITH n AS (
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        ),
+        z AS (SELECT sum(pow(n_docs, 1.0 / {MIX_TEMP})) AS z, sum(n_docs) AS total FROM n),
+        rates AS (
+            SELECT lang,
+                   round(least(1.0, (pow(n_docs, 1.0 / {MIX_TEMP}) / z.z) * z.total / n_docs), 6)
+                     AS sample_rate
+            FROM n, z
+        )
+        SELECT d.doc_id, d.lang, r.sample_rate
+        FROM documents d JOIN rates r USING (lang)
+        WHERE {phash_sql('d.doc_id', MIX_SCALE)}
+              < CAST(round(r.sample_rate * {MIX_SCALE}) AS BIGINT)
+    """,
+    doc="mw2 mixture REALIZATION: materialize the temperature-"
+        "rebalanced corpus that mw1 only priced — per-language keep "
+        "rates (share ∝ n^(1/T)) applied as a deterministic hash "
+        "filter phash(doc_id) < rate·1e6. One aggregate for the "
+        "(tiny) rate table, one broadcast join, one filtered scan — "
+        "no shuffle of the corpus, no RNG (retry-stable at any "
+        "parallelism, unlike df.sample). This is the step that turns "
+        "mixing weights into the actual training set.",
+    tags=("text", "pipeline", "sample"),
+)
+def mw2_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import phash
+
+    d = load_table(spark, sf_dir, "documents")
+    n = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    w = F.pow(F.col("n_docs"), 1.0 / MIX_TEMP)
+    z = n.agg(F.sum(w).alias("z"), F.sum("n_docs").alias("total"))
+    rates = (
+        n.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            F.round(
+                F.least(F.lit(1.0), (w / F.col("z")) * F.col("total") / F.col("n_docs")), 6
+            ).alias("sample_rate"),
+        )
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(F.broadcast(rates), "lang")
+        .filter(
+            phash("doc_id", MIX_SCALE)
+            < F.round(F.col("sample_rate") * MIX_SCALE).cast("bigint")
+        )
+        .select("doc_id", "lang", "sample_rate")
     )

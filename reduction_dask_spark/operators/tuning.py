@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import phash
 from ..ml import (
+    ERA_DOMAIN,
     coef_frame,
     fit_fold_models,
     fold_suffstats,
@@ -33,7 +34,7 @@ def kfold_cv_ridge(spark: SparkSession, sf_dir: str, lam: float = 1.0, k: int = 
     """T2 kfold_dask (tuners.py:100-146): k-fold era-aware CV of one
     model; returns per-fold (spearman, quartic). One stats pass + one
     scoring pass."""
-    df = kfold_era(supervised_frame(spark, sf_dir), "era", k=k)
+    df = kfold_era(supervised_frame(spark, sf_dir), "era", k=k, eras=list(ERA_DOMAIN))
     stats = fold_suffstats(df)
     models = fit_fold_models(stats, lam)
     coefs = coef_frame(spark, models)
@@ -68,7 +69,7 @@ def kfold_cv_gbt(spark: SparkSession, sf_dir: str, k: int = K_FOLDS) -> DataFram
     Python in the inference path."""
     from ..ml import fit_gbt_fold_models, stump_frame, with_gbt_prediction
 
-    df = kfold_era(supervised_frame(spark, sf_dir), "era", k=k).persist()
+    df = kfold_era(supervised_frame(spark, sf_dir), "era", k=k, eras=list(ERA_DOMAIN)).persist()
     models = fit_gbt_fold_models(df, k=k)
     stumps = stump_frame(spark, models)
     scored = with_gbt_prediction(df, stumps)  # fold col = held-out fold
@@ -101,7 +102,7 @@ def lhs_ridge_search(spark: SparkSession, sf_dir: str, lambdas=None, k: int = K_
     row is scored under its fold's coefficients for every param
     (broadcast coef table keyed by (param_id, fold))."""
     lambdas = lambdas or LAMBDA_GRID
-    df = kfold_era(supervised_frame(spark, sf_dir), "era", k=k)
+    df = kfold_era(supervised_frame(spark, sf_dir), "era", k=k, eras=list(ERA_DOMAIN))
     stats = fold_suffstats(df)
     rows = []
     for pid, lam in enumerate(lambdas):

@@ -62,6 +62,29 @@ def count_exchanges(df: DataFrame) -> int:
     return shuffles
 
 
+def empty_partition_windows(df: DataFrame) -> int:
+    """Count WindowExec nodes whose partition spec is EMPTY — the nodes
+    that move the entire relation to one partition (the `WindowExec: No
+    Partition Defined` warning). Note Catalyst constant-folds literal
+    partition keys away, so `partitionBy(F.lit(0))` still lands here;
+    bounded-relation global orderings must use orderBy+limit
+    (TakeOrderedAndProject), a triangular metadata join, or driver-side
+    construction instead."""
+    n = 0
+    stack = [df._jdf.queryExecution().executedPlan()]
+    while stack:
+        node = stack.pop()
+        name = node.nodeName()
+        if name == "Window" and node.partitionSpec().isEmpty():
+            n += 1
+        if name.startswith("AdaptiveSparkPlan"):
+            stack.append(node.initialPlan())
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return n
+
+
 def has_partial_aggregation(df: DataFrame) -> bool:
     plan = simple_plan(df)
     return "partial_" in plan or "PartialAggregate" in plan

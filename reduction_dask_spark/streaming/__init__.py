@@ -213,12 +213,22 @@ def st3_stream_corr_by_era(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "st4_stateful_user_totals",
-    oracle=None,  # custom state machine; parity-tested vs batch groupBy
+    # the query keeps each user's LAST emitted update, which equals the
+    # batch per-user total whatever the micro-batch boundaries were —
+    # that batch-parity invariant IS the oracle (plus pytest parity)
+    oracle="""
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+        FROM events GROUP BY user_id
+    """,
     doc="st4 custom stateful operator via applyInPandasWithState: "
         "per-user running (count, sum) state updated batch-by-batch — "
         "the applyInPandasWithState slot SURVEY.md §2.15 names for "
         "arbitrary stateful reference patterns; state is a typed "
-        "struct, output emitted per update.",
+        "struct, output emitted per update. Oracle = batch groupBy: "
+        "keeping the last update per user makes the stream result "
+        "batch-equal regardless of micro-batch boundaries.",
     tags=("streaming",),
 )
 def st4_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -145,3 +145,22 @@ def test_q17_decorrelated_avg_shares_partkey_exchange(spark):
 
     q = q17_small_quantity_revenue(spark, SF_SMALL)
     assert has_broadcast_join(q)
+
+
+def test_no_empty_partition_windows_in_rank_family(spark):
+    """The r01 WindowExec warning emitters: global_rank's offset prefix
+    sum (w2), x3's top-8 feature cut, and ss6's PQ codebook indexer.
+    Catalyst constant-folds partitionBy(lit(0)), so the only safe shapes
+    are orderBy+limit, triangular metadata joins, or driver-side model
+    construction — pin all three plans to zero empty-partition windows."""
+    from reduction_dask_spark.operators.importance import x3_projection_by_rank
+    from reduction_dask_spark.operators.relational import w2_rank_importance
+    from reduction_dask_spark.operators.similarity import ss6_pq_adc_topk
+    from reduction_dask_spark.plans import empty_partition_windows, simple_plan
+
+    x3 = x3_projection_by_rank(spark, SF_SMALL)
+    assert empty_partition_windows(x3) == 0
+    assert "TakeOrderedAndProject" in simple_plan(x3)
+
+    assert empty_partition_windows(w2_rank_importance(spark, SF_SMALL)) == 0
+    assert empty_partition_windows(ss6_pq_adc_topk(spark, SF_SMALL)) == 0
