@@ -61,7 +61,9 @@ def supervised_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.col("features"), d + 1) * F.lit(planted_weight(d))
         for d in range(N_INFORMATIVE)
     )
-    noise = ((F.col("vec_id") * 2654435761) % 1000) / 1000.0 - 0.5
+    # mod-first: congruent to (vec_id * K) % 1000 but overflow-free at
+    # corpus-scale ids (ANSI mode errors on int64 overflow)
+    noise = (((F.col("vec_id") % 1000) * 2654435761) % 1000) / 1000.0 - 0.5
     return (
         emb.select(
             "vec_id",

@@ -68,15 +68,27 @@ def shingle_array(col: Column, k: int = K_SHINGLE) -> Column:
 
 
 def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) inverted-index rows, df-capped.
+    """(doc_id, shingle) inverted-index rows over the full documents
+    table — see :func:`shingle_table_of`."""
+    return shingle_table_of(load_table(spark, sf_dir, "documents"))
+
+
+def shingle_table_of(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle) inverted-index rows of a (doc_id, text)
+    DataFrame, df-capped.
 
     Shingles are hashed to 60-bit ints AT EXPLODE TIME (md5h60,
     portable): every downstream shuffle/join/groupBy — the df-cap
     aggregate, the Jaccard pair join, minhash, decontamination — moves
     8-byte keys instead of ~20-30-byte 3-gram strings, a ~3× shuffle-
     byte cut on the dedup family's hottest path. The hash is identical
-    in DuckDB, so oracle equality is exact by construction."""
-    d = load_table(spark, sf_dir, "documents")
+    in DuckDB, so oracle equality is exact by construction.
+
+    Taking the doc relation as a parameter matters for funnel ordering:
+    pipe1 shingles only EXACT-DEDUP SURVIVORS — pair-generation cost is
+    Σ_shingle df², so collapsing duplicate groups first is the
+    difference between linear and quadratic growth under duplication
+    (the ×10 scale probe measured 17× superlinear before the reorder)."""
     toked = d.select("doc_id", F.split(F.col("text"), " ").alias("toks")).filter(
         F.size("toks") >= K_SHINGLE
     )
@@ -108,9 +120,11 @@ def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
-# DuckDB mirror of shingle_table
-SHINGLE_SQL = f"""
-    d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+# DuckDB mirror of shingle_table_of — CTE chain parameterized on the
+# (doc_id, text) source relation, mirroring the DataFrame parameter
+def shingle_sql_from(src: str) -> str:
+    return f"""
+    d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}),
     shs AS (
         SELECT doc_id,
                unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
@@ -121,6 +135,9 @@ SHINGLE_SQL = f"""
     hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > {DF_CAP}),
     sh AS (SELECT doc_id, shingle FROM sh0 ANTI JOIN hot USING (shingle))
 """
+
+
+SHINGLE_SQL = shingle_sql_from("documents")
 
 # Exact pairwise Jaccard over the inverted index (used by dd2 and as
 # the verify stage of dd3): only pairs sharing ≥1 shingle materialize.

@@ -14,7 +14,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import query
 from ..sources import load_table
-from .dedup import JACCARD_TAU, SHINGLE_SQL, _JACCARD_SQL, jaccard_pairs, shingle_table
+from .dedup import (
+    JACCARD_TAU,
+    _JACCARD_SQL,
+    jaccard_pairs,
+    shingle_sql_from,
+    shingle_table_of,
+)
 from .text import normalized_fingerprint
 
 QUALITY_TAU = 0.3
@@ -54,8 +60,18 @@ def doc_survival_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_ok", F.col("q_ok") & F.coalesce("is_keeper", F.lit(False))
     )
 
-    # near-dup dedup: drop the higher-id member of each verified pair
-    pairs = jaccard_pairs(shingle_table(spark, sf_dir).persist(), tau=JACCARD_TAU)
+    # near-dup dedup AMONG EXACT SURVIVORS ONLY: the pair join's cost is
+    # Σ_shingle df², so running it before exact dedup is quadratic in
+    # duplicate multiplicity (the ×10 probe, whose replicas are 10-way
+    # exact dups, measured 17× superlinear for the old order). Funnel
+    # order exact→near is also lossless here: an exact duplicate has
+    # the SAME shingle set as its keeper, so any pair it would have
+    # verified is verified by the keeper too (and the dropped member is
+    # always the higher id, which exceeds the group-min keeper id).
+    surv = d.join(flagged.filter("exact_ok").select("doc_id"), "doc_id").select(
+        "doc_id", "text"
+    )
+    pairs = jaccard_pairs(shingle_table_of(surv).persist(), tau=JACCARD_TAU)
     drop = pairs.select(F.col("doc_b").alias("doc_id"), F.lit(True).alias("is_dup")).distinct()
     flagged = flagged.join(drop, "doc_id", "left").withColumn(
         "near_ok", F.col("exact_ok") & ~F.coalesce("is_dup", F.lit(False))
@@ -80,7 +96,7 @@ def curated_docs(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 _FUNNEL_SQL = f"""
-    WITH {SHINGLE_SQL}, {_JACCARD_SQL},
+    WITH
     q AS (
         SELECT doc_id, lang, text FROM (
             SELECT doc_id, lang, text,
@@ -102,6 +118,11 @@ _FUNNEL_SQL = f"""
         FROM fp JOIN (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f) k
           ON fp.f = k.f AND fp.doc_id = k.doc_id
     ),
+    exact_docs AS (
+        SELECT e.doc_id, dd.text FROM exact e JOIN documents dd USING (doc_id)
+    ),
+    {shingle_sql_from('exact_docs')},
+    {_JACCARD_SQL},
     neardup AS (
         SELECT e.doc_id, e.lang FROM exact e
         WHERE e.doc_id NOT IN (SELECT doc_b FROM jac WHERE jaccard >= {JACCARD_TAU})
@@ -179,3 +200,170 @@ def scd1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_acctbal"
     )
     return updates.unionByName(untouched)
+
+
+# ---------------------------------------------------------------- pii1
+
+# Deterministic fake-PII injection: the synthetic corpus carries no
+# emails/phones/IPs, so the demo query plants them (same expression in
+# both engines) before scrubbing — the redaction regexes and counters
+# are the real operator; production calls pii_redact on raw text.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_redact(d: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails / US-style phone numbers / IPv4 literals from
+    ``text_col``, emitting the clean text plus per-category match
+    counts. Pure JVM regexp expressions over one scan — per-row,
+    shuffle-free, the shape of every at-scale scrubbing pass."""
+    c = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(c, F.lit(_EMAIL_RE), F.lit(0)))
+    # phones are counted AFTER email removal (an email's digits can't
+    # double-count) — order fixed so both engines agree
+    no_email = F.regexp_replace(c, _EMAIL_RE, "<EMAIL>")
+    n_phone = F.size(F.regexp_extract_all(no_email, F.lit(_PHONE_RE), F.lit(0)))
+    no_phone = F.regexp_replace(no_email, _PHONE_RE, "<PHONE>")
+    n_ip = F.size(F.regexp_extract_all(no_phone, F.lit(_IPV4_RE), F.lit(0)))
+    clean = F.regexp_replace(no_phone, _IPV4_RE, "<IP>")
+    return d.withColumn("n_email", n_email.cast("bigint")).withColumn(
+        "n_phone", n_phone.cast("bigint")
+    ).withColumn("n_ip", n_ip.cast("bigint")).withColumn("clean_text", clean)
+
+
+@query(
+    "pii1_redact_stats",
+    oracle=f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END
+                   AS text
+            FROM documents
+        ),
+        scrub AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_email,
+                   regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+            FROM planted
+        ),
+        scrub2 AS (
+            SELECT doc_id, n_email,
+                   len(regexp_extract_all(t1, '{_PHONE_RE}')) AS n_phone,
+                   regexp_replace(t1, '{_PHONE_RE}', '<PHONE>', 'g') AS t2
+            FROM scrub
+        ),
+        scrub3 AS (
+            SELECT doc_id, n_email, n_phone,
+                   len(regexp_extract_all(t2, '{_IPV4_RE}')) AS n_ip,
+                   regexp_replace(t2, '{_IPV4_RE}', '<IP>', 'g') AS clean_text
+            FROM scrub2
+        )
+        SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+               CAST(n_phone AS BIGINT) AS n_phone,
+               CAST(n_ip AS BIGINT) AS n_ip,
+               CAST(n_email + n_phone + n_ip AS BIGINT) AS n_pii,
+               md5(clean_text) AS clean_md5
+        FROM scrub3
+        WHERE n_email + n_phone + n_ip > 0
+    """,
+    doc="pii1 PII scrubbing: regex redaction of emails / phone numbers "
+        "/ IPv4 literals with per-category counts — the mandatory "
+        "compliance pass of a training-data pipeline. One scan, pure "
+        "codegen regexp expressions, no shuffle, no UDF; emits the "
+        "scrubbed text hash so the oracle pins the actual redaction "
+        "output, not just the counts. Demo input plants deterministic "
+        "fake PII (the synthetic corpus has none); production calls "
+        "operators.pipeline.pii_redact on raw text.",
+    tags=("text", "pipeline"),
+)
+def pii1_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" user"), F.col("doc_id").cast("string"), F.lit("@example.com"))
+                   ).otherwise(""),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" 555-"), F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"), F.lit("-0199"))
+                   ).otherwise(""),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.concat(F.lit(" 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".1"))
+                   ).otherwise(""),
+        ).alias("text"),
+    )
+    out = pii_redact(planted)
+    return out.select(
+        "doc_id", "n_email", "n_phone", "n_ip",
+        (F.col("n_email") + F.col("n_phone") + F.col("n_ip")).cast("bigint").alias("n_pii"),
+        F.md5("clean_text").alias("clean_md5"),
+    ).filter(F.col("n_pii") > 0)
+
+
+# ---------------------------------------------------------------- pack1
+
+PACK_BUDGET = 256  # tokens per training sequence pack
+
+
+@query(
+    "pack1_sequence_pack",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        run AS (
+            SELECT doc_id, lang, n_tokens,
+                   COALESCE(sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+            FROM t
+        )
+        SELECT lang,
+               CAST(prefix // {PACK_BUDGET} AS BIGINT) AS pack_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(min(doc_id) AS BIGINT) AS first_doc
+        FROM run
+        GROUP BY lang, prefix // {PACK_BUDGET}
+    """,
+    doc=f"pack1 training-sequence packing: stream documents (per "
+        f"language, doc_id order) into ~{PACK_BUDGET}-token packs via "
+        "an exclusive running token count — the deterministic, "
+        "relational form of the greedy sequence-packing step that "
+        "turns a curated corpus into fixed-budget training rows. The "
+        "window is PARTITIONED BY lang (parallel across languages, "
+        "never a global sort); at 100 TB the partition key becomes "
+        "(lang, shard) for bounded per-partition order — same "
+        "expressions, one more key column.",
+    tags=("text", "pipeline"),
+)
+def pack1_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = t.withColumn("prefix", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return (
+        run.groupBy("lang", F.floor(F.col("prefix") / PACK_BUDGET).cast("bigint").alias("pack_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

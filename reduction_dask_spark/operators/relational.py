@@ -659,7 +659,7 @@ def a10_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH base AS (
             SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INTEGER) AS era,
                    o_totalprice AS y_true,
-                   (o_totalprice + ((o_orderkey) * 2654435761) % 1000 / 1000.0 - 0.5) AS pred,
+                   (o_totalprice + ((o_orderkey % 1000) * 2654435761) % 1000 / 1000.0 - 0.5) AS pred,
                    o_orderkey
             FROM orders
         ),

@@ -124,9 +124,10 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN lang_tot lt ON lt.lang = l.lang
             CROSS JOIN vocab
         ),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
         scores AS (
-            SELECT t.doc_id, m.lang, round(sum(m.logp), 6) AS score
-            FROM tok t JOIN model m ON t.tok = m.tok
+            SELECT t.doc_id, m.lang, round(sum(t.tf * m.logp), 6) AS score
+            FROM tf t JOIN model m ON t.tok = m.tok
             GROUP BY t.doc_id, m.lang
         ),
         ranked AS (
@@ -144,18 +145,30 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t3_lang_id_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    # the token table feeds counts/vocab/model/scores branches → persist
-    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).persist()
+    # ONE pass over the token stream → per-(doc, tok) term frequencies;
+    # every downstream branch (lang counts, vocab, model term list,
+    # scoring) derives from tf, so the persisted relation is
+    # |distinct (doc, tok)| rows, not the raw token stream, and the
+    # ×|langs| model join multiplies the small relation. Counts are
+    # integer-identical to per-occurrence grouping, and scoring as
+    # sum(tf·logp) is mirrored in the oracle so float rounding stays
+    # bit-identical cross-engine.
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
     langs = d.select("lang").distinct()
     counts = (
-        tok.join(d.select("doc_id", "lang"), "doc_id")
+        tf.join(d.select("doc_id", "lang"), "doc_id")
         .groupBy("lang", "tok")
-        .agg(F.count("*").alias("n_lt"))
+        .agg(F.sum("tf").alias("n_lt"))
     )
     lang_tot = counts.groupBy("lang").agg(F.sum("n_lt").alias("n_l"))
-    vocab = tok.agg(F.countDistinct("tok").alias("v"))
+    vocab = tf.agg(F.countDistinct("tok").alias("v"))
     model = (
-        tok.select("tok").distinct()
+        tf.select("tok").distinct()
         .crossJoin(F.broadcast(langs))
         .join(counts, ["lang", "tok"], "left")
         .join(F.broadcast(lang_tot), "lang")
@@ -167,9 +180,9 @@ def t3_lang_id_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scores = (
-        tok.join(model, "tok")
+        tf.join(model, "tok")
         .groupBy("doc_id", "lang")
-        .agg(F.round(F.sum("logp"), 6).alias("score"))
+        .agg(F.round(F.sum(F.col("tf") * F.col("logp")), 6).alias("score"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
     return (

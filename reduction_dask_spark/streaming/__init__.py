@@ -167,7 +167,7 @@ def st2_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH base AS (
             SELECT CAST(day(ts) AS INTEGER) AS era, value AS y,
-                   (value + ((event_id) * 2654435761) % 1000 / 1000.0 - 0.5) AS p
+                   (value + ((event_id % 1000) * 2654435761) % 1000 / 1000.0 - 0.5) AS p
             FROM events
         ),
         stats AS (
@@ -193,7 +193,7 @@ def st3_stream_corr_by_era(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = stream.select(
         F.dayofmonth("ts").cast("int").alias("era"),
         F.col("value").alias("y"),
-        (F.col("value") + ((F.col("event_id") * 2654435761) % 1000) / 1000.0 - 0.5).alias("p"),
+        (F.col("value") + (((F.col("event_id") % 1000) * 2654435761) % 1000) / 1000.0 - 0.5).alias("p"),
     )
     agg = base.groupBy("era").agg(
         F.count("*").cast("double").alias("n"),

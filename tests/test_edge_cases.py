@@ -102,3 +102,28 @@ def test_foreach_batch_sink(spark, tmp_path):
     )
     q.awaitTermination(timeout=300)
     assert spark.read.parquet(out).count() > 0
+
+
+def test_planted_noise_survives_corpus_scale_ids(spark):
+    """supervised_frame's hash-noise term must not overflow int64 under
+    ANSI mode at replica-offset id ranges (the ×10 scale probe hit
+    ARITHMETIC_OVERFLOW on the raw vec_id * KNUTH form; the mod-first
+    form is congruent and bounded)."""
+    from pyspark.sql import functions as F
+
+    big = spark.createDataFrame(
+        [(9_000_000_123,), (2**62,)], "vec_id long"
+    )
+    noise = (((F.col("vec_id") % 1000) * 2654435761) % 1000) / 1000.0 - 0.5
+    vals = [r[0] for r in big.select(noise.alias("n")).collect()]
+    assert all(-0.5 <= v <= 0.5 for v in vals)
+    # congruence with the unreduced form on small ids
+    small = spark.createDataFrame([(123,), (999,)], "vec_id long")
+    a = [r[0] for r in small.select(noise.alias("n")).collect()]
+    b = [
+        r[0]
+        for r in small.select(
+            (((F.col("vec_id") * 2654435761) % 1000) / 1000.0 - 0.5).alias("n")
+        ).collect()
+    ]
+    assert a == b

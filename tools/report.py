@@ -31,6 +31,12 @@ SCALING_QUERIES = [
     "dc1_benchmark_decontam",
     "q21_suppliers_kept_waiting",
     "ss7_ivfpq_topk",
+    "t6_bm25_topk",
+    "mw2_mixture_sample",
+    "pii1_redact_stats",
+    "pack1_sequence_pack",
+    "ss4_cosine_topk_ivf",
+    "w2_rank_importance",
 ]
 PLAN_QUERIES = {
     "m1_spearman_by_era": "flagship: era window + pooled corr — expect ONE "
@@ -53,6 +59,14 @@ PLAN_QUERIES = {
     "q11_important_stock": "TPC-H Q11 scalar HAVING — expect the grouped "
     "relation reused (InMemoryTableScan) under a broadcast 1-row "
     "threshold cross-join, integer cross-multiplied compare",
+    "t6_bm25_topk": "BM25 inverted-index retrieval — expect one (doc,tok) "
+    "exchange feeding tf, broadcast joins for the query/df/stats sides, "
+    "window PARTITIONED BY tok (never a global sort)",
+    "pack1_sequence_pack": "sequence packing — expect ONE exchange on lang "
+    "feeding the running-sum window and the pack aggregate, no global window",
+    "w2_rank_importance": "distributed global rank — expect range exchange "
+    "+ per-partition row_number + broadcast triangular offset join; ZERO "
+    "empty-partition Window nodes",
 }
 
 
