@@ -24,9 +24,26 @@ def entry(spark: SparkSession) -> DataFrame:
     return m1_spearman_by_era(spark, "/root/testdata/sf0.001")
 
 
+def _cache_scoped(fn: Callable[[SparkSession, str], DataFrame]):
+    """Scope persist() lifetimes to one query: building query N+1 drops
+    the caches query N left behind (bench.py / tools/compare.py already
+    do this between queries; this covers any runner that calls the
+    ``queries()`` callables directly in one shared session).  Safe even
+    if a runner builds several DataFrames before collecting — an
+    unpersisted plan recomputes, it never returns wrong rows."""
+
+    def scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.catalog.clearCache()
+        return fn(spark, sf_dir)
+
+    scoped.__name__ = getattr(fn, "__name__", "query")
+    scoped.__doc__ = fn.__doc__
+    return scoped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: _cache_scoped(spec.fn) for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:

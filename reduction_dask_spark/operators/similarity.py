@@ -34,6 +34,21 @@ DIM = 64
 NEARDUP_TAU = 0.4
 
 
+def ivf_lists_for(n_vectors: int) -> int:
+    """IVF list count sized to the corpus: k ≈ √n (the FAISS rule of
+    thumb — balances list-scan cost n/k per probe against the k-way
+    quantizer scoring per query). The REGISTERED ss4 demo derives its
+    centroid set from `vec_id % 53` so the DuckDB oracle can mirror it,
+    which grows the list count linearly with the corpus — fine at the
+    driver's fixed sf, quadratic as a production config (the ×100
+    probe measures it: SCALING.md). Production callers size with this
+    helper and train with kmeans_fit (ss7's path, fixed k, 9× on ×100
+    data)."""
+    import math
+
+    return max(1, int(math.isqrt(max(1, n_vectors))))
+
+
 def lsh_planes_for(n_vectors: int, target_bucket: int = 200) -> int:
     """Plane count sized to the corpus: 2^planes buckets ≈ n/target.
 
@@ -446,12 +461,16 @@ def kmeans_fit(df: DataFrame, k: int = KM_K, iters: int = KM_ITERS):
     frame — the trained coarse quantizer ss4's IVF would use instead of
     hash-chosen centroids.
 
-    Per iteration: broadcast the k×d centroid table, assign by min
-    squared-L2 (window argmin over the small crossJoin), recompute
-    centroids as element-wise array means (zip_with-fold aggregate).
-    Driver holds only k×d floats; each iteration is one pass.
-    Deterministic: init = hash-chosen rows, ties by centroid id."""
+    Per iteration: broadcast the k×d centroid matrix (sc.broadcast, the
+    model side-channel), then ONE Arrow-BLAS mapInPandas pass computes
+    per-partition (cid, partial sum, count) — assignment happens inside
+    the batch matmul, so no corpus×k crossJoin relation, no per-vector
+    argmin window shuffle. The only shuffle per iteration is k rows per
+    partition of (cid, d floats). Driver holds only k×d floats.
+    Deterministic: init = hash-chosen rows, argmin ties → lowest cid
+    (numpy argmin picks the first index)."""
     import numpy as np
+    import pandas as pd
 
     spark = df.sparkSession
     cents = (
@@ -464,29 +483,42 @@ def kmeans_fit(df: DataFrame, k: int = KM_K, iters: int = KM_ITERS):
     centroids = np.stack(cents["vv"].to_numpy()).astype(float)
 
     dim = centroids.shape[1]
+    zero = F.array_repeat(F.lit(0.0), dim)
     for _ in range(iters):
-        cent_df = spark.createDataFrame(
-            [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
-            "cid int, cv array<double>",
-        )
-        d2 = F.aggregate(
-            F.zip_with(F.col("vv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        scored = df.crossJoin(F.broadcast(cent_df)).select(
-            "vec_id", "vv", "cid", d2.alias("d2")
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
-        assign = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-        zero = F.array_repeat(F.lit(0.0), dim)
-        sums = assign.groupBy("cid").agg(
+        bc = spark.sparkContext.broadcast(centroids)
+
+        def partial(batches, _bc=bc):
+            C = _bc.value
+            kk, d = C.shape
+            cnorm = (C * C).sum(axis=1)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["vv"].to_numpy()).astype(np.float64)
+                d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cnorm[None, :]
+                a = d2.argmin(axis=1)
+                sums = np.zeros((kk, d))
+                counts = np.zeros(kk, dtype=np.int64)
+                np.add.at(sums, a, X)
+                np.add.at(counts, a, 1)
+                nz = np.nonzero(counts)[0]
+                yield pd.DataFrame(
+                    {
+                        "cid": nz.astype(np.int32),
+                        "s": [sums[i].tolist() for i in nz],
+                        "n": counts[nz],
+                    }
+                )
+
+        part = df.mapInPandas(partial, "cid int, s array<double>, n long")
+        merged = part.groupBy("cid").agg(
             F.aggregate(
-                F.collect_list("vv"), zero, lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b)
+                F.collect_list("s"), zero, lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b)
             ).alias("s"),
-            F.count("*").alias("n"),
+            F.sum("n").alias("n"),
         )
-        pdf = sums.toPandas()
+        pdf = merged.toPandas()
+        bc.destroy()
         new_centroids = centroids.copy()
         for _, row in pdf.iterrows():
             new_centroids[int(row["cid"])] = np.asarray(row["s"]) / row["n"]

@@ -321,3 +321,68 @@ def w5_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------- an2
+
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+@query(
+    "an2_funnel_conversion",
+    oracle=f"""
+        WITH firsts AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = '{FUNNEL_STEPS[0]}' THEN ts END) AS t0,
+                   min(CASE WHEN event_type = '{FUNNEL_STEPS[1]}' THEN ts END) AS t1,
+                   min(CASE WHEN event_type = '{FUNNEL_STEPS[2]}' THEN ts END) AS t2
+            FROM events GROUP BY user_id
+        ),
+        stages AS (
+            SELECT user_id,
+                   t0 IS NOT NULL AS s0,
+                   t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0 AS s1,
+                   t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+                       AND t2 IS NOT NULL AND t2 >= t1 AS s2
+            FROM firsts
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(count(*) FILTER (WHERE s0) AS BIGINT) AS n_signup,
+               CAST(count(*) FILTER (WHERE s1) AS BIGINT) AS n_click,
+               CAST(count(*) FILTER (WHERE s2) AS BIGINT) AS n_purchase,
+               round(count(*) FILTER (WHERE s1)::DOUBLE
+                     / nullif(count(*) FILTER (WHERE s0), 0), 6) AS click_rate,
+               round(count(*) FILTER (WHERE s2)::DOUBLE
+                     / nullif(count(*) FILTER (WHERE s1), 0), 6) AS purchase_rate
+        FROM stages
+    """,
+    doc="an2 ordered funnel conversion (signup → click → purchase): a "
+        "user advances a stage only if the stage's FIRST event is at or "
+        "after the previous stage's first event — the canonical ordered-"
+        "funnel semantics (min-per-step + ordering predicate), not a "
+        "mere membership count. One conditional-min groupBy on user_id "
+        "and a 1-row conditional aggregate; at 100 TB the only wide "
+        "exchange is the user_id partial-agg shuffle.",
+    tags=("agg", "temporal"),
+)
+def an2_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t{i}")
+            for i, s in enumerate(FUNNEL_STEPS)
+        ]
+    )
+    s0 = F.col("t0").isNotNull()
+    s1 = s0 & F.col("t1").isNotNull() & (F.col("t1") >= F.col("t0"))
+    s2 = s1 & F.col("t2").isNotNull() & (F.col("t2") >= F.col("t1"))
+    stages = firsts.select(s0.alias("s0"), s1.alias("s1"), s2.alias("s2"))
+    cnt = lambda c: F.sum(F.col(c).cast("long"))  # noqa: E731
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        cnt("s0").alias("n_signup"),
+        cnt("s1").alias("n_click"),
+        cnt("s2").alias("n_purchase"),
+        F.round(cnt("s1").cast("double") / F.nullif(cnt("s0"), F.lit(0)), 6).alias("click_rate"),
+        F.round(cnt("s2").cast("double") / F.nullif(cnt("s1"), F.lit(0)), 6).alias("purchase_rate"),
+    )

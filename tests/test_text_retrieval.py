@@ -80,3 +80,14 @@ def test_lsh_planes_scale_with_corpus():
     # expected bucket population stays bounded as the corpus grows
     for n in (10**6, 10**9, 10**12):
         assert n / 2 ** lsh_planes_for(n) <= 400
+
+
+def test_ivf_lists_scale_with_corpus():
+    from reduction_dask_spark.operators.similarity import ivf_lists_for
+
+    assert ivf_lists_for(0) == 1
+    assert ivf_lists_for(10_000) == 100
+    # per-probe list-scan size n/k stays O(sqrt n), not O(n)
+    for n in (10**6, 10**10):
+        k = ivf_lists_for(n)
+        assert n / k <= 2 * k

@@ -13,7 +13,7 @@ replica, so dedup operators see true 10-way duplicate groups (a
 realistic crawl property; candidate generation must stay bucketed for
 this to stay cheap).
 
-Usage: python tools/scale_probe.py [R]          (default R=10)
+Usage: python tools/scale_probe.py [R] [query ...]    (default R=10, full list)
 Writes the replicated tables once (cached across runs) and appends a
 "scale probe" section to SCALING.md.
 """
@@ -85,6 +85,7 @@ def build(spark, r: int, dest: str) -> None:
 
 def main() -> None:
     r = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    probe = sys.argv[2:] or PROBE_QUERIES
     dest = f"/tmp/rds_scale_x{r}"
     os.makedirs(dest, exist_ok=True)
 
@@ -111,7 +112,7 @@ def main() -> None:
         f"| query | sf0.1 | ×{r} | ratio |",
         "|---|---|---|---|",
     ]
-    for name in PROBE_QUERIES:
+    for name in probe:
         ts = []
         for sf_dir in (SRC, dest):
             t0 = time.perf_counter()
