@@ -367,3 +367,63 @@ def pack1_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------- prof1
+
+_PROF_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "prof1_column_profile",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name,
+               CAST(count({c}) AS BIGINT) AS n_nonnull,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               round(min({c})::DOUBLE, 6) AS min_val,
+               round(max({c})::DOUBLE, 6) AS max_val,
+               round(avg({c}::DOUBLE), 6) AS mean_val
+        FROM lineitem"""
+        for c in _PROF_COLS
+    ),
+    doc="prof1 data-quality column profiling (the `describe`/audit "
+        "step a curation pipeline runs before training): per numeric "
+        "column the non-null count, exact distinct count, min/max and "
+        "mean, long-format one row per column. ONE scan: all per-"
+        "column aggregates are computed in a single agg pass (count/"
+        "min/max/avg partial map-side; the exact countDistinct "
+        "columns expand internally). At 100 TB swap the exact "
+        "distinct for approx_count_distinct (a10's pattern) — exact "
+        "is kept here because the oracle checks values.",
+    tags=("pipeline", "agg"),
+)
+def prof1_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROF_COLS:
+        col = F.col(c)
+        aggs += [
+            F.count(col).cast("bigint").alias(f"{c}__n"),
+            F.countDistinct(col).cast("bigint").alias(f"{c}__d"),
+            F.round(F.min(col).cast("double"), 6).alias(f"{c}__mn"),
+            F.round(F.max(col).cast("double"), 6).alias(f"{c}__mx"),
+            F.round(F.avg(col.cast("double")), 6).alias(f"{c}__av"),
+        ]
+    one = li.agg(*aggs)
+    stacked = one.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.col(f"{c}__n").alias("n_nonnull"),
+                    F.col(f"{c}__d").alias("n_distinct"),
+                    F.col(f"{c}__mn").alias("min_val"),
+                    F.col(f"{c}__mx").alias("max_val"),
+                    F.col(f"{c}__av").alias("mean_val"),
+                )
+                for c in _PROF_COLS
+            ])
+        ).alias("s")
+    )
+    return stacked.select("s.*")

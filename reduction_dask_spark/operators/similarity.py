@@ -907,6 +907,7 @@ def _train_subcodebooks(residuals, m: int = PQ_M, k: int = PQ_K, iters: int = 10
 )
 def ss7_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
+    import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", as_double(F.col("embedding")).alias("vv"))
@@ -920,24 +921,23 @@ def ss7_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
-    assign = (
-        v.crossJoin(F.broadcast(cent_df))
-        .select("vec_id", "vv", "cv", "cid", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", F.zip_with("vv", "cv", lambda a, b: a - b).alias("rv"))
-        .persist()
-    )
 
-    # codebooks from a deterministic residual sample (hash-ordered limit)
+    # codebooks from a deterministic hash-ordered vector sample:
+    # orderBy+limit is TakeOrderedAndProject (per-partition partial
+    # top-k, never a full sort); assignment + residual for the bounded
+    # sample happen driver-side in numpy.
     sample = (
-        assign.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(IVFPQ_SAMPLE)
-        .select("rv")
+        .select("vv")
         .toPandas()
     )
-    books = _train_subcodebooks(np.stack(sample["rv"].to_numpy()).astype(float))
+    sx = np.stack(sample["vv"].to_numpy()).astype(np.float64)
+    cnorm = (centroids * centroids).sum(axis=1)
+    sa = (
+        (sx * sx).sum(axis=1)[:, None] - 2.0 * (sx @ centroids.T) + cnorm[None, :]
+    ).argmin(axis=1)
+    books = _train_subcodebooks(sx - centroids[sa])
     cbm = spark.createDataFrame(
         [
             (int(m), int(c), [float(x) for x in books[m][c]])
@@ -947,33 +947,53 @@ def ss7_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m int, c int, sub array<double>",
     )
 
-    # encode residuals: per (vec, m) argmin_c ||r_m − cw||², 4-bit codes
-    sub = lambda col, m: F.slice(col, 1 + PQ_SUB * m, PQ_SUB)  # noqa: E731
-    vm = assign.select(
-        "vec_id",
-        "cid",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(m).cast("int").alias("m"), sub(F.col("rv"), m).alias("rsub"))
-                for m in range(PQ_M)
-            ])
-        ).alias("s"),
-    ).select("vec_id", "cid", "s.m", "s.rsub")
-    sd2 = F.aggregate(
-        F.zip_with(F.col("rsub"), F.col("sub"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # assign + PQ-encode in ONE Arrow pass: broadcast the k×d centroid
+    # matrix and the m×k×sub codebook tensor, then per batch a BLAS
+    # matmul picks the list and a per-subspace matmul picks the 4-bit
+    # code — no corpus×k crossJoin relation, no per-vector argmin
+    # window shuffle, no n×m×k Catalyst distance evaluations. Ties
+    # break to the lowest cid/code (numpy argmin = first index).
+    bc_c = spark.sparkContext.broadcast(centroids)
+    bc_b = spark.sparkContext.broadcast(np.stack(books))
+
+    def encode(batches, _bc_c=bc_c, _bc_b=bc_b):
+        C, B = _bc_c.value, _bc_b.value
+        cn = (C * C).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["vv"].to_numpy()).astype(np.float64)
+            cid = (
+                (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cn[None, :]
+            ).argmin(axis=1)
+            R = X - C[cid]
+            cols = []
+            for m in range(PQ_M):
+                S = R[:, PQ_SUB * m : PQ_SUB * (m + 1)]
+                Bm = B[m]
+                dm = (
+                    (S * S).sum(axis=1)[:, None]
+                    - 2.0 * (S @ Bm.T)
+                    + (Bm * Bm).sum(axis=1)[None, :]
+                )
+                cols.append(dm.argmin(axis=1))
+            cw = np.stack(cols, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cid": cid.astype(np.int32),
+                    "codes": [list(row) for row in cw],
+                }
+            )
+
     codes = (
-        vm.join(F.broadcast(cbm), "m")
-        .select("vec_id", "cid", "m", sd2.alias("sd2"), "c")
-        .groupBy("vec_id", "cid", "m")
-        .agg(F.min(F.struct(F.col("sd2"), F.col("c").cast("double").alias("cd"))).alias("b"))
-        .select("vec_id", "cid", "m", F.col("b.cd").cast("int").alias("c"))
+        v.mapInPandas(encode, "vec_id long, cid int, codes array<int>")
+        .select("vec_id", "cid", F.posexplode("codes").alias("m", "c"))
     )
 
     # query side: nprobe nearest lists, then per (qid, cid, m, c) the ADC
     # lookup table ||(q − centroid)_m − cw||² — |Q|·nprobe·m·k rows, broadcast
+    sub = lambda col, m: F.slice(col, 1 + PQ_SUB * m, PQ_SUB)  # noqa: E731
     probes = (
         v.filter(F.col("vec_id") % QUERY_MOD == 0)
         .crossJoin(F.broadcast(cent_df))

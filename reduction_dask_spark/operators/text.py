@@ -575,3 +575,99 @@ def mw2_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "sample_rate")
     )
+
+
+# ---------------------------------------------------------------- chunk1
+
+CHUNK_TOKENS = 32    # context-window size in tokens
+CHUNK_STRIDE = 24    # 8-token overlap between consecutive chunks
+
+
+@query(
+    "chunk1_token_chunks",
+    oracle=f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        s AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks), {CHUNK_STRIDE})) AS start
+            FROM d
+        )
+        SELECT doc_id,
+               CAST((start - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+               CAST(len(toks[start : start + {CHUNK_TOKENS - 1}]) AS BIGINT) AS n_tokens,
+               array_to_string(toks[start : start + {CHUNK_TOKENS - 1}], ' ') AS chunk_text
+        FROM s
+    """,
+    doc="chunk1 context-window chunking: split each document into "
+        f"{CHUNK_TOKENS}-token chunks on a {CHUNK_STRIDE}-token stride "
+        f"({CHUNK_TOKENS - CHUNK_STRIDE}-token overlap, last chunk "
+        "ragged) — the tokenize-and-chunk step feeding sequence "
+        "packing (pack1). Pure array expressions: sequence() for "
+        "chunk starts, posexplode, slice — per-row JVM codegen work, "
+        "no shuffle at all (the output inherits the scan "
+        "partitioning; at 100 TB this is a map-only stage).",
+    tags=("text", "pipeline"),
+)
+def chunk1_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(CHUNK_STRIDE))
+    return (
+        d.select("doc_id", toks.alias("toks"), F.posexplode(starts).alias("chunk_id", "start"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.size(F.slice("toks", F.col("start"), F.lit(CHUNK_TOKENS)))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.array_join(F.slice("toks", F.col("start"), F.lit(CHUNK_TOKENS)), " ").alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------- ngram1
+
+NGRAM_TOP_K = 20
+
+
+@query(
+    "ngram1_top_bigrams",
+    oracle=f"""
+        WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        s AS (
+            SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM d
+        ),
+        b AS (SELECT toks[i] || ' ' || toks[i + 1] AS ngram FROM s)
+        SELECT ngram, CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY ngram
+        ORDER BY n DESC, ngram LIMIT {NGRAM_TOP_K}
+    """,
+    doc="ngram1 corpus-level top-K bigram counts: adjacent-token "
+        "pairs via zip_with over two shifted slices (JVM codegen, no "
+        "UDF), explode, count, top-K. The explode is map-side; the "
+        "only wide exchange is the partial-aggregated bigram count "
+        "shuffle, and the top-K is TakeOrderedAndProject (per-"
+        "partition heaps), never a global sort. Deterministic "
+        "tie-break by ngram.",
+    tags=("text",),
+)
+def ngram1_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    )
+    return (
+        d.select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("ngram"))
+        .limit(NGRAM_TOP_K)
+    )
