@@ -725,3 +725,60 @@ def dc1_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_shared").cast("double") / F.col("n_sh"), 6).alias("overlap_ratio"),
         (F.col("n_shared") >= DECON_MIN_SHARED).alias("contaminated"),
     )
+
+# ---------------------------------------------------------------- dd9
+
+PREFIX_K = 8  # tokens in the cheap prefix near-dup key
+
+
+def prefix_fingerprint(col: Column) -> Column:
+    """md5 of the first PREFIX_K whitespace tokens, lowercased — the
+    cheap 'same lead-in' near-dup key an ingestion tier computes
+    per document before any shingling."""
+    return F.md5(F.lower(F.array_join(F.slice(F.split(F.trim(col), " "), 1, PREFIX_K), " ")))
+
+
+PREFIX_FP_SQL = (
+    f"md5(lower(array_to_string(string_split(trim(text), ' ')[1:{PREFIX_K}], ' ')))"
+)
+
+
+@query(
+    "dd9_incremental_dedup",
+    oracle=f"""
+        WITH f AS (SELECT doc_id, {PREFIX_FP_SQL} AS fingerprint FROM documents),
+        corpus AS (SELECT DISTINCT fingerprint FROM f WHERE doc_id % 5 <> 0),
+        batch AS (SELECT * FROM f WHERE doc_id % 5 = 0),
+        fresh AS (
+            SELECT b.doc_id, b.fingerprint
+            FROM batch b ANTI JOIN corpus c USING (fingerprint)
+        )
+        SELECT fingerprint,
+               CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+               CAST(count(*) AS BIGINT) AS n_batch_dups
+        FROM fresh GROUP BY 1
+    """,
+    doc="dd9 incremental (batch-vs-corpus) dedup: the production-"
+        "shaped variant of dd1 — an incoming batch (doc_id % 5 = 0 "
+        "stands in for 'today's crawl') is deduped against the "
+        "EXISTING corpus fingerprint index via LEFT ANTI join, then "
+        "within itself (min doc_id per fingerprint). Key = prefix "
+        "fingerprint (md5 of the first 8 tokens), the cheap near-dup "
+        "key an ingestion tier can afford on every document. Scale: "
+        "the corpus index never rescans document text — it is a "
+        "fingerprint-only relation that at 100 TB lives as a table "
+        "bucketed by fingerprint (tests/test_bucketing.py pattern), "
+        "so the anti-join routes only the small batch through the "
+        "shuffle; the distinct() is partial-aggregated map-side.",
+    tags=("dedup", "pipeline"),
+)
+def dd9_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    f = d.select("doc_id", prefix_fingerprint(F.col("text")).alias("fingerprint"))
+    corpus = f.filter(F.col("doc_id") % 5 != 0).select("fingerprint").distinct()
+    batch = f.filter(F.col("doc_id") % 5 == 0)
+    fresh = batch.join(corpus, "fingerprint", "left_anti")
+    return fresh.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_batch_dups"),
+    )

@@ -671,3 +671,135 @@ def ngram1_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("ngram"))
         .limit(NGRAM_TOP_K)
     )
+
+# ---------------------------------------------------------------- cls1
+
+CLS_BUCKETS = 512    # hashed feature space (fastText-style bag of buckets)
+CLS_WMOD = 2049      # weight lattice: phash(bucket) - 1024 ∈ [-1024, 1024]
+
+
+def _cls_weight(tok: Column) -> Column:
+    """Per-token classifier weight: feature-hash the token into one of
+    CLS_BUCKETS buckets, then derive the bucket's weight from a second
+    hash, scaled onto the lattice k/1024 ∈ [-1, 1]. Multiples of
+    2^-10 are exactly representable, so the per-document SUM is exact
+    in ANY accumulation order — the oracle can't drift by float
+    reassociation."""
+    from ..functions import md5i, phash
+
+    return (phash(md5i(tok) % CLS_BUCKETS, CLS_WMOD) - F.lit(1024)) / F.lit(1024.0)
+
+
+def _cls_weight_sql(tok: str) -> str:
+    return f"(({phash_sql(f'({md5i_sql(tok)}) % {CLS_BUCKETS}', CLS_WMOD)}) - 1024) / 1024.0"
+
+
+@query(
+    "cls1_quality_classifier",
+    oracle=f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        s AS (
+            SELECT doc_id,
+                   list_sum(list_transform(toks, t -> {_cls_weight_sql('t')})) AS sw,
+                   len(toks) AS n
+            FROM d
+        )
+        SELECT doc_id, round(sw / n, 6) AS margin,
+               CAST(CAST(sw >= 0 AS INT) AS BIGINT) AS keep
+        FROM s
+    """,
+    doc="cls1 fastText-style linear quality classifier: each token is "
+        "feature-hashed into one of 512 buckets; a broadcast-free "
+        "hash-derived weight per bucket stands in for trained "
+        "coefficients (the container has no trained model — swap "
+        "_cls_weight for a broadcast weight-table join, t3's pattern, "
+        "when one exists). margin = mean token weight; keep = margin "
+        "≥ 0. The whole classifier is ONE map-only expression — "
+        "transform + aggregate over the token array inside codegen, "
+        "zero shuffle, zero UDF: at 100 TB this runs at scan speed. "
+        "Weights sit on the k/1024 lattice so sums are exact in any "
+        "order (no float-reassociation drift vs the oracle).",
+    tags=("text", "pipeline"),
+)
+def cls1_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    sw = F.aggregate(
+        F.transform(toks, _cls_weight), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return d.select(
+        "doc_id",
+        toks.alias("toks"),
+        sw.alias("sw"),
+    ).select(
+        "doc_id",
+        F.round(F.col("sw") / F.size("toks"), 6).alias("margin"),
+        (F.col("sw") >= 0).cast("int").cast("bigint").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------- mw3
+
+TOKEN_BUDGET = 800   # per-source token quota
+
+
+@query(
+    "mw3_token_budget_pack",
+    oracle=f"""
+        WITH d AS (
+            SELECT source, doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   {md5i_sql('doc_id')} AS h
+            FROM documents
+        ),
+        c AS (
+            SELECT source, doc_id, n_tokens,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_tokens
+            FROM d
+        )
+        SELECT source, doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM c WHERE cum_tokens - n_tokens < {TOKEN_BUDGET}
+    """,
+    doc="mw3 per-source token-budget realization: admit documents in "
+        "deterministic hash order until each source has contributed "
+        f"~{TOKEN_BUDGET} tokens (greedy quota — the 'take N tokens "
+        "per domain' step of mixture construction, where mw2 is the "
+        "rate-based variant). Running sum over a window PARTITIONED "
+        "BY source — parallel across sources, no global window. At "
+        "100 TB a huge single source would serialize its partition; "
+        "the documented scale path pre-prunes with a per-source "
+        "TakeOrdered of ~budget/avg_tokens smallest hashes before the "
+        "exact window, bounding window input to O(budget) rows per "
+        "source.",
+    tags=("text", "pipeline", "sample"),
+)
+def mw3_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import md5i
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        md5i("doc_id").alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < TOKEN_BUDGET)
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        )
+    )

@@ -1,0 +1,146 @@
+"""Semantics + plan shape for the round-2 curation operators:
+cls1 (hashed linear classifier), mw3 (token-budget packing),
+dd9 (incremental batch-vs-corpus dedup), chunk1, ngram1, prof1."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reduction_dask_spark.operators.dedup import dd9_incremental_dedup
+from reduction_dask_spark.operators.pipeline import prof1_column_profile
+from reduction_dask_spark.operators.text import (
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    TOKEN_BUDGET,
+    chunk1_token_chunks,
+    cls1_quality_classifier,
+    mw3_token_budget_pack,
+    ngram1_top_bigrams,
+)
+from reduction_dask_spark.plans import simple_plan
+
+from .conftest import SF_SMALL
+
+
+def test_cls1_margin_bounds_and_keep_flag(spark):
+    rows = cls1_quality_classifier(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["margin"] <= 1.0        # weights lie on [-1, 1]
+        assert r["keep"] == (1 if r["margin"] >= 0 else 0)
+
+
+def test_cls1_is_map_only(spark):
+    """The classifier is a scan-speed expression: no shuffle at all."""
+    plan = simple_plan(cls1_quality_classifier(spark, SF_SMALL))
+    assert "Exchange" not in plan
+
+
+def test_cls1_deterministic(spark):
+    a = {r["doc_id"]: r["margin"] for r in cls1_quality_classifier(spark, SF_SMALL).collect()}
+    b = {r["doc_id"]: r["margin"] for r in cls1_quality_classifier(spark, SF_SMALL).collect()}
+    assert a == b
+
+
+def test_mw3_budget_respected_per_source(spark):
+    """Every admitted doc STARTS under the budget; cumulative overshoot
+    is bounded by one document."""
+    rows = mw3_token_budget_pack(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["cum_tokens"] - r["n_tokens"] < TOKEN_BUDGET
+    # at least one source hits (or approaches) its quota ⇒ op filters
+    src_tot = {}
+    for r in rows:
+        src_tot[r["source"]] = max(src_tot.get(r["source"], 0), r["cum_tokens"])
+    assert all(t - TOKEN_BUDGET < 200 for t in src_tot.values())
+
+
+def test_mw3_no_global_window(spark):
+    """The running sum must be keyed by source (never a global window)."""
+    from reduction_dask_spark.plans import empty_partition_windows
+
+    assert empty_partition_windows(mw3_token_budget_pack(spark, SF_SMALL)) == 0
+
+
+def test_dd9_fresh_disjoint_from_corpus(spark):
+    from reduction_dask_spark.operators.dedup import prefix_fingerprint
+    from reduction_dask_spark.sources import load_table
+
+    out = dd9_incremental_dedup(spark, SF_SMALL)
+    got = out.collect()
+    assert got
+    # survivors come from the batch slice only
+    assert all(r["keep_doc_id"] % 5 == 0 for r in got)
+    # and never collide with a corpus fingerprint
+    d = load_table(spark, SF_SMALL, "documents")
+    corpus_fps = {
+        r["fp"]
+        for r in d.filter(F.col("doc_id") % 5 != 0)
+        .select(prefix_fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .collect()
+    }
+    assert all(r["fingerprint"] not in corpus_fps for r in got)
+
+
+def test_chunk1_reconstructs_short_docs(spark):
+    """A doc shorter than one chunk yields exactly one chunk == the doc."""
+    from reduction_dask_spark.sources import load_table
+
+    out = chunk1_token_chunks(spark, SF_SMALL)
+    docs = load_table(spark, SF_SMALL, "documents")
+    short = (
+        docs.select("doc_id", "text", F.size(F.split("text", " ")).alias("n"))
+        .filter(F.col("n") <= CHUNK_STRIDE)
+    )
+    joined = short.join(out, "doc_id").collect()
+    assert joined
+    for r in joined:
+        assert r["chunk_id"] == 0
+        assert r["chunk_text"] == r["text"]
+
+
+def test_chunk1_stride_overlap(spark):
+    """Consecutive chunks of a long doc overlap by CHUNK_TOKENS-CHUNK_STRIDE."""
+    out = chunk1_token_chunks(spark, SF_SMALL)
+    rows = sorted(
+        (r for r in out.collect()),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    multi = next(c for c in by_doc.values() if len(c) >= 2)
+    a, b = multi[0], multi[1]
+    a_toks, b_toks = a["chunk_text"].split(" "), b["chunk_text"].split(" ")
+    overlap = CHUNK_TOKENS - CHUNK_STRIDE
+    assert a_toks[CHUNK_STRIDE:] == b_toks[:overlap]
+
+
+def test_ngram1_counts_match_manual(spark):
+    from reduction_dask_spark.sources import load_table
+
+    top = ngram1_top_bigrams(spark, SF_SMALL).collect()
+    assert top and all(top[i]["n"] >= top[i + 1]["n"] for i in range(len(top) - 1))
+    # manual recount of the #1 bigram
+    docs = load_table(spark, SF_SMALL, "documents").select("text").collect()
+    from collections import Counter
+
+    c = Counter()
+    for r in docs:
+        t = r["text"].split(" ")
+        c.update(" ".join(p) for p in zip(t, t[1:]))
+    best = top[0]
+    assert c[best["ngram"]] == best["n"]
+    assert best["n"] == max(c.values())
+
+
+def test_prof1_single_scan_agg(spark):
+    """All per-column stats come from ONE aggregate over one scan."""
+    plan = simple_plan(prof1_column_profile(spark, SF_SMALL))
+    assert plan.count("Scan parquet") == 1
+    rows = {r["col_name"]: r for r in prof1_column_profile(spark, SF_SMALL).collect()}
+    q = rows["l_quantity"]
+    assert q["min_val"] >= 1.0 and q["max_val"] <= 50.0
+    assert q["n_distinct"] == 50
