@@ -1,0 +1,161 @@
+"""Whole-registry physical-plan audit.
+
+Builds (does not execute) every registered query at the given sf_dir
+and greps its physical plan for the scale red flags the 100 TB design
+review cares about:
+
+- CartesianProduct / BroadcastNestedLoopJoin outside an allowlisted
+  candidate-generation pattern (broadcast-small-side crossJoin is fine
+  and appears as BroadcastNestedLoopJoin — we flag only when BOTH
+  sides are unbounded relations, approximated here by an allowlist).
+- WindowExec with an empty partition spec (single-partition sort).
+- Python row-at-a-time UDFs (BatchEvalPython) — Arrow paths
+  (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) are fine.
+
+Some queries legitimately cross-join a BROADCAST side (probe tables,
+centroid lists, k×k band matrices, 1-row aggregates); those names are
+allowlisted with the reason inline.
+
+Usage: python tools/plan_audit.py [sf_dir] [--write PLAN_AUDIT.md]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# queries whose BroadcastNestedLoopJoin / cross join is a bounded
+# broadcast side by construction (documented in each op's docstring)
+CROSS_OK = {
+    "j5_range_join": "5-row band dim broadcast (range predicate)",
+    "j6_zip_join_task_table": "4×3 param×fold metadata table",
+    "sk2_salted_join": "3-row dim × 8 salts explosion (24 rows)",
+    "t3_lang_id_naive_bayes": "×|langs| model fan-out + 1-row vocab broadcast",
+    "f6_histogram": "bin edges (1-row aggregate) broadcast",
+    "f7_entropy": "1-row total broadcast",
+    "f8_mutual_info": "1-row total broadcast",
+    "d1_variation_of_information": "1-row total broadcast",
+    "p9_permute_column": "1-row count broadcast",
+    "c3_fraction_resource": "1-row cutoff broadcast",
+    "q11_important_stock": "1-row threshold broadcast",
+    "q22_dormant_customers": "1-row avg balance broadcast",
+    "m2_quartic_error": "1-row mean broadcast",
+    "f3_power_mean": "1-row mean broadcast",
+    "x4_linear_shap": "p-row coefficient table broadcast",
+    "w2_rank_importance": "triangular partition-offset metadata join",
+    "dd4_simhash_dedup": "64-row bit/band tables broadcast",
+    "ss1_cosine_topk_brute": "bounded query-set broadcast (documented)",
+    "ss2_cosine_topk_lsh": "plane matrix broadcast",
+    "ss3_knn_label_vote": "bounded query-set broadcast",
+    "ss5_multiprobe_lsh": "plane matrix + probe fan-out broadcast",
+    "ss4_cosine_topk_ivf": "k-centroid table broadcast",
+    "ss6_pq_adc_topk": "codebook/ADC table broadcast",
+    "ss7_ivfpq_topk": "centroid + ADC table broadcast",
+    "km1_kmeans_quantizer": "k-centroid table broadcast",
+    "dd5_embedding_neardup": "plane matrix broadcast",
+    "t5_vocab_oov": "VOCAB_K-row vocabulary broadcast",
+    "t6_bm25_topk": "query tokens + 1-row corpus stats broadcast",
+    "mw1_mix_weights": "1-row normalizer broadcast",
+    "mw2_mixture_sample": "lang-count rate table broadcast",
+    "t9_landmark_mds": "landmark distance matrix broadcast",
+    "d5_optimal_clusters": "p×p distance matrix (feature count) broadcast",
+    "t3_reduction_sweep": "param grid broadcast",
+    "t1_lhs_kfold_search": "LHS param table broadcast",
+    "t5_hyperband": "rung table broadcast",
+    "c2_lhs_param_table": "param axes broadcast",
+    "x2_forward_selection": "candidate feature set broadcast",
+    "d3_distance_corr": "feature-pair relation (p², driver-bounded)",
+    "d2b_pairwise_ace": "feature-pair relation (p², driver-bounded)",
+    "d2_pairwise_spearman": "feature-pair relation (p², driver-bounded)",
+    "d4_pairwise_corr_matrix": "feature-pair relation (p², driver-bounded)",
+    "dc1_benchmark_decontam": "benchmark shingle set broadcast",
+    "u4_python_udtf": "UDTF demo over a 1-row relation",
+    "mm3_frame_sample": "frame-index fan-out (bounded per clip)",
+    "t2_kfold_cv_eval": "fold×fold suffstats matrix (k², driver-bounded)",
+    "t2b_kfold_cv_gbt": "fold×fold suffstats matrix (k², driver-bounded)",
+    "x1_mda_importance": "fold coef table broadcast",
+    "x1b_mda_suffstats": "fold suffstats broadcast",
+    "x1c_mda_importance_gbt": "fold stump-model table broadcast",
+    "t7_fit_transform_pca": "p×k loadings broadcast",
+    "t8_distributed_pca": "p×k loadings broadcast",
+    "pipe1_corpus_curation": "1-row funnel counters + hot-shingle broadcast",
+    "an2_funnel_conversion": "1-row step totals broadcast",
+    "prof1_column_profile": "single-row profile explode",
+    "mm2_feature_extract": "1-row normalizer broadcast",
+}
+
+ROW_UDF_OK = {
+    "u1_scalar_pandas_udf",  # the UDF-surface demo family is the point
+    "u2_grouped_agg_pandas_udf",
+    "u4_python_udtf",
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    write = "--write" in sys.argv
+
+    from reduction_dask_spark.plans import empty_partition_windows, simple_plan
+    from reduction_dask_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark()
+    qs = entry.queries()
+    rows, errors = [], []
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            plan = simple_plan(df)
+            epw = empty_partition_windows(df)
+        except Exception:
+            errors.append((name, traceback.format_exc(limit=1)))
+            continue
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("CARTESIAN")
+        if "BroadcastNestedLoopJoin" in plan and name not in CROSS_OK:
+            flags.append("NESTED_LOOP")
+        if epw:
+            flags.append(f"EMPTY_PARTITION_WINDOW×{epw}")
+        if "BatchEvalPython" in plan and name not in ROW_UDF_OK:
+            flags.append("ROW_UDF")
+        rows.append((name, flags, round(time.time() - t0, 2)))
+
+    flagged = [(n, f) for n, f, _ in rows if f]
+    lines = [
+        "# PLAN_AUDIT — whole-registry physical-plan red-flag scan",
+        "",
+        f"{len(rows)} query plans built at {sf_dir}; "
+        f"{len(flagged)} flagged; {len(errors)} failed to build.",
+        "",
+    ]
+    if flagged:
+        lines.append("## Flagged")
+        for n, f in flagged:
+            lines.append(f"- **{n}**: {', '.join(f)}")
+        lines.append("")
+    if errors:
+        lines.append("## Build errors")
+        for n, e in errors:
+            lines.append(f"- **{n}**: `{e.splitlines()[-1]}`")
+        lines.append("")
+    lines.append(
+        f"## Allowlisted bounded-broadcast cross joins ({len(CROSS_OK)})"
+    )
+    for n, why in sorted(CROSS_OK.items()):
+        lines.append(f"- {n}: {why}")
+    out = "\n".join(lines) + "\n"
+    print(out)
+    if write:
+        Path(__file__).resolve().parent.parent.joinpath("PLAN_AUDIT.md").write_text(out)
+    sys.exit(1 if (flagged or errors) else 0)
+
+
+if __name__ == "__main__":
+    main()
