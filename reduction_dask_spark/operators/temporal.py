@@ -386,3 +386,106 @@ def an2_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cnt("s1").cast("double") / F.nullif(cnt("s0"), F.lit(0)), 6).alias("click_rate"),
         F.round(cnt("s2").cast("double") / F.nullif(cnt("s1"), F.lit(0)), 6).alias("purchase_rate"),
     )
+
+
+# ---------------------------------------------------------------- scd2
+
+@query(
+    "scd2_type2_history",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, ts, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS prev_type
+            FROM events
+        ),
+        chg AS (
+            SELECT user_id, ts, event_type FROM o
+            WHERE prev_type IS NULL OR event_type <> prev_type
+        ),
+        iv AS (
+            SELECT user_id, event_type AS status, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+                   CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+                     AS version
+            FROM chg
+        )
+        SELECT user_id, status, valid_from, valid_to, version,
+               CAST(CAST(valid_to IS NULL AS INT) AS BIGINT) AS is_current
+        FROM iv
+    """,
+    doc="scd2 slowly-changing-dimension TYPE-2 history build: treat "
+        "each user's event stream as attribute updates, compress "
+        "consecutive no-op updates (same status), and emit validity "
+        "intervals [valid_from, valid_to) with version numbers and an "
+        "is_current flag — the warehouse pattern for dimension "
+        "history (scd1 is the overwrite twin). Both windows share ONE "
+        "partitioning (user_id): a single exchange, then lag-filter "
+        "and lead/row_number run pipelined on the same sort — no "
+        "global window anywhere. At 100 TB the change-log scan is "
+        "partition-parallel by user and intervals stream out without "
+        "driver state.",
+    tags=("temporal", "window", "pipeline"),
+)
+def scd2_type2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ev.select("user_id", "ts", "event_type", F.lag("event_type").over(wo).alias("prev_type"))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+    )
+    wi = Window.partitionBy("user_id").orderBy("ts")
+    return chg.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(wi).alias("valid_to"),
+        F.row_number().over(wi).cast("bigint").alias("version"),
+    ).withColumn("is_current", F.col("valid_to").isNull().cast("int").cast("bigint"))
+
+
+# ---------------------------------------------------------------- an3
+
+@query(
+    "an3_event_transitions",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS next_type
+            FROM events
+        ),
+        pairs AS (
+            SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+            FROM s WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+               round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        FROM pairs
+    """,
+    doc="an3 first-order event-transition matrix (Markov step): per "
+        "user-ordered stream, count (event_type → next event_type) "
+        "pairs and normalize per source state — the clickstream "
+        "path-analysis primitive. One exchange on user_id for the "
+        "lead window, one partial-aggregated shuffle on the 5×5 pair "
+        "key; the per-from normalization windows over the TINY pair "
+        "relation (|event_types|² rows), not the event stream.",
+    tags=("temporal", "window", "agg"),
+)
+def an3_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "event_type", F.lead("event_type").over(w).alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    wp = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
+    )
