@@ -14,10 +14,15 @@ import tempfile
 
 from pyspark.sql import SparkSession
 
-# The driver testdata stores timestamps as parquet TIMESTAMP(NANOS),
-# which Spark's vectorized reader rejects unless told to surface them
-# as nanosecond longs; sources/ converts them to proper timestamps.
+# The driver testdata has shipped timestamps two ways across rounds:
+# parquet TIMESTAMP(NANOS) (Spark reads as nanosecond longs with
+# NANOS_CONF) and plain TIMESTAMP(MICROS) with isAdjustedToUTC=false
+# (Spark 4 reads as TIMESTAMP_NTZ by default). We pin NTZ inference
+# OFF so naive micros surface as session-tz (UTC) instants — the same
+# epoch interpretation DuckDB's epoch_us uses — and sources/ converts
+# the nanos-long flavor to matching timestamps.
 NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+NTZ_CONF = "spark.sql.parquet.inferTimestampNTZ.enabled"
 
 
 def get_spark(app: str = "reduction_dask_spark", cpus: int | None = None) -> SparkSession:
@@ -35,6 +40,7 @@ def get_spark(app: str = "reduction_dask_spark", cpus: int | None = None) -> Spa
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config(NANOS_CONF, "true")
+        .config(NTZ_CONF, "false")
         # static conf: bucketed tables (saveAsTable) land here
         .config(
             "spark.sql.warehouse.dir",
@@ -59,6 +65,7 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     Spark 4 and deliberately NOT forced here.
     """
     spark.conf.set(NANOS_CONF, "true")
+    spark.conf.set(NTZ_CONF, "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
         cores = spark.sparkContext.defaultParallelism

@@ -30,27 +30,44 @@ TABLES = (
     "embeddings",
 )
 
-# Columns stored as parquet TIMESTAMP(NANOS): surfaced by Spark as
-# nanosecond longs (session.NANOS_CONF) and converted here to proper
-# microsecond timestamps — bit-identical to what DuckDB reads.
-_NANO_TS_COLS = {
+# Timestamp columns whose parquet physical type has varied across
+# testdata generations: TIMESTAMP(NANOS) (read as nanosecond longs via
+# session.NANOS_CONF) or TIMESTAMP(MICROS, isAdjustedToUTC=false)
+# (read as TIMESTAMP_NTZ when a foreign session has NTZ inference on).
+# Both are normalized here to plain UTC-instant TIMESTAMP — the same
+# epoch interpretation DuckDB applies — so every downstream operator
+# sees one stable dtype.
+_TS_COLS = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
 }
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one star-schema table from ``sf_dir`` as a lazy DataFrame."""
-    ensure_engine_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for col in _NANO_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+def normalize_ts(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """Normalize a timestamp column to UTC-instant TIMESTAMP regardless
+    of which physical flavor the parquet reader surfaced."""
+    dtypes = dict(df.dtypes)
+    for col in cols:
+        dt = dtypes.get(col)
+        if dt == "bigint":
             # integer division: ts/1000 via `/` is DOUBLE and loses
             # sub-µs precision at 2024-epoch nano magnitudes (1.7e18
             # exceeds the 53-bit mantissa)
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif dt == "timestamp_ntz":
+            # session tz is pinned to UTC (ensure_engine_confs), so the
+            # cast treats the naive wall time as a UTC instant —
+            # matching DuckDB's epoch_us on the same file
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one star-schema table from ``sf_dir`` as a lazy DataFrame."""
+    ensure_engine_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return normalize_ts(df, _TS_COLS.get(name, ()))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -15,21 +15,11 @@ sink a Delta/parquet table via foreachBatch.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import query
 from ..session import ensure_engine_confs
-
-_EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) → long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from ..sources import normalize_ts
 
 
 def _stage_dir(sf_dir: str) -> str:
@@ -49,10 +39,17 @@ def _stage_dir(sf_dir: str) -> str:
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the events table with proper timestamps."""
+    """File-source stream of the events table with proper timestamps.
+
+    FileStreamSource needs an explicit schema; take it from the batch
+    reader's footer inference (cheap, driver-side only) so the stream
+    tracks whichever physical timestamp flavor the testdata generation
+    used, then normalize exactly like the batch path.
+    """
     ensure_engine_confs(spark)
-    raw = spark.readStream.schema(_EVENT_SCHEMA).parquet(_stage_dir(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    file_schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema
+    raw = spark.readStream.schema(file_schema).parquet(_stage_dir(sf_dir))
+    return normalize_ts(raw, ("ts",))
 
 
 def windowed_value_stats(stream: DataFrame, window: str = "1 day", watermark: str = "1 hour") -> DataFrame:
