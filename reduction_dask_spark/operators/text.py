@@ -107,28 +107,26 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH tok AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
         ),
-        langs AS (SELECT DISTINCT lang FROM documents),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
         counts AS (
-            SELECT d.lang, t.tok, count(*) AS n_lt
-            FROM tok t JOIN documents d USING (doc_id)
+            SELECT d.lang, t.tok, sum(t.tf) AS n_lt
+            FROM tf t JOIN documents d USING (doc_id)
             GROUP BY d.lang, t.tok
         ),
         lang_tot AS (SELECT lang, sum(n_lt) AS n_l FROM counts GROUP BY lang),
-        vocab AS (SELECT count(DISTINCT tok) AS v FROM tok),
-        model AS (
-            SELECT l.lang, t.tok,
-                   ln((coalesce(c.n_lt, 0) + 1.0) / (lt.n_l + vocab.v)) AS logp
-            FROM (SELECT DISTINCT tok FROM tok) t
-            CROSS JOIN langs l
-            LEFT JOIN counts c ON c.lang = l.lang AND c.tok = t.tok
-            JOIN lang_tot lt ON lt.lang = l.lang
-            CROSS JOIN vocab
+        vocab AS (SELECT count(DISTINCT tok) AS v FROM tf),
+        nd AS (SELECT doc_id, sum(tf) AS n_doc FROM tf GROUP BY doc_id),
+        matched AS (
+            SELECT t.doc_id, c.lang, sum(t.tf * ln(c.n_lt + 1.0)) AS s1
+            FROM tf t JOIN counts c USING (tok)
+            GROUP BY t.doc_id, c.lang
         ),
-        tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
         scores AS (
-            SELECT t.doc_id, m.lang, round(sum(t.tf * m.logp), 6) AS score
-            FROM tf t JOIN model m ON t.tok = m.tok
-            GROUP BY t.doc_id, m.lang
+            SELECT n.doc_id, l.lang,
+                   round(coalesce(m.s1, 0.0)
+                         - n.n_doc * ln(l.n_l + vocab.v), 6) AS score
+            FROM nd n CROSS JOIN lang_tot l CROSS JOIN vocab
+            LEFT JOIN matched m ON m.doc_id = n.doc_id AND m.lang = l.lang
         ),
         ranked AS (
             SELECT doc_id, lang, score,
@@ -139,27 +137,29 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="T3 language-ID: corpus-trained token naive-Bayes (unigram "
         "log-likelihood with Laplace smoothing, argmax over languages). "
-        "Fully relational — explode, model join, window argmax; the "
+        "Fully relational — explode, count join, window argmax; the "
         "'n-gram heuristic' langid pattern at any corpus size.",
     tags=("text",),
 )
 def t3_lang_id_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # ONE pass over the token stream → per-(doc, tok) term frequencies;
-    # every downstream branch (lang counts, vocab, model term list,
-    # scoring) derives from tf, so the persisted relation is
-    # |distinct (doc, tok)| rows, not the raw token stream, and the
-    # ×|langs| model join multiplies the small relation. Counts are
-    # integer-identical to per-occurrence grouping, and scoring as
-    # sum(tf·logp) is mirrored in the oracle so float rounding stays
-    # bit-identical cross-engine.
+    # every downstream branch derives from tf. The Laplace-smoothed
+    # score is FACTORED so no dense |vocab|×|langs| model relation is
+    # ever materialized (at corpus scale that dense model is billions
+    # of rows, almost all of them the smoothing constant):
+    #   score(d, l) = Σ_tok tf·ln(n_lt + 1) − N_d·ln(n_l + V)
+    # The first term only needs (tok, lang) pairs that actually occur
+    # (inner join tf⋈counts); the second is a per-doc total × a
+    # broadcast lang constant. Identical argmax to the textbook form;
+    # the oracle mirrors the same factoring so the 6dp-rounded scores
+    # match bit-for-bit.
     tf = (
         d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
         .persist()
     )
-    langs = d.select("lang").distinct()
     counts = (
         tf.join(d.select("doc_id", "lang"), "doc_id")
         .groupBy("lang", "tok")
@@ -167,22 +167,25 @@ def t3_lang_id_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lang_tot = counts.groupBy("lang").agg(F.sum("n_lt").alias("n_l"))
     vocab = tf.agg(F.countDistinct("tok").alias("v"))
-    model = (
-        tf.select("tok").distinct()
-        .crossJoin(F.broadcast(langs))
-        .join(counts, ["lang", "tok"], "left")
-        .join(F.broadcast(lang_tot), "lang")
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "lang",
-            "tok",
-            F.log((F.coalesce(F.col("n_lt"), F.lit(0)) + 1.0) / (F.col("n_l") + F.col("v"))).alias("logp"),
-        )
+    nd = tf.groupBy("doc_id").agg(F.sum("tf").alias("n_doc"))
+    matched = (
+        tf.join(counts, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("tf") * F.log(F.col("n_lt") + 1.0)).alias("s1"))
     )
     scores = (
-        tf.join(model, "tok")
-        .groupBy("doc_id", "lang")
-        .agg(F.round(F.sum(F.col("tf") * F.col("logp")), 6).alias("score"))
+        nd.crossJoin(F.broadcast(lang_tot))
+        .crossJoin(F.broadcast(vocab))
+        .join(matched, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                F.coalesce(F.col("s1"), F.lit(0.0))
+                - F.col("n_doc") * F.log(F.col("n_l") + F.col("v")),
+                6,
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
     return (
