@@ -19,6 +19,7 @@ _MODULES = (
     "tpch",
     "temporal",
     "pipeline",
+    "retrieval",
 )
 
 

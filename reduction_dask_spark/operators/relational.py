@@ -903,3 +903,44 @@ def w6_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
+
+
+# ------------------------------------------------------------ unpivot1
+
+_MELT_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "unpivot1_melt_measures",
+    oracle=f"""
+        SELECT l_orderkey, l_linenumber, measure, round(val, 6) AS val
+        FROM (
+            UNPIVOT (SELECT l_orderkey, l_linenumber,
+                            {', '.join(_MELT_COLS)}
+                     FROM lineitem WHERE l_orderkey % 50 = 0)
+            ON {', '.join(_MELT_COLS)}
+            INTO NAME measure VALUE val
+        )
+    """,
+    doc="unpivot1 wide→long reshaping (melt, F2's pivot inverse): the "
+        "lineitem measure columns unpivoted to (key, measure, value) "
+        "rows via the native UNPIVOT/df.unpivot operator — the "
+        "long-format feed for per-measure aggregation and profiling "
+        "(prof1's display shape). Map-side only: unpivot is a per-row "
+        "generator, no shuffle, and the measure-name column is a "
+        "constant dictionary at any scale.",
+    tags=("relational",),
+)
+def unpivot1_melt_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.select("l_orderkey", "l_linenumber", *_MELT_COLS).unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=list(_MELT_COLS),
+        variableColumnName="measure",
+        valueColumnName="val0",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "measure",
+        F.round("val0", 6).alias("val"),
+    )

@@ -489,3 +489,123 @@ def an3_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
     )
+
+
+# ---------------------------------------------------------------- ts1
+
+@query(
+    "ts1_gap_fill_locf",
+    oracle="""
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(CAST(sum(value) AS DOUBLE), 2) AS hour_value
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT user_id, min(hour) AS h0, max(hour) AS h1
+            FROM hourly GROUP BY user_id
+        ),
+        spine AS (
+            SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+            FROM bounds
+        ),
+        joined AS (
+            SELECT s.user_id, s.hour,
+                   coalesce(h.n_events, 0) AS n_events,
+                   h.hour_value
+            FROM spine s LEFT JOIN hourly h
+              ON h.user_id = s.user_id AND h.hour = s.hour
+        )
+        SELECT user_id, hour,
+               CAST(n_events AS BIGINT) AS n_events,
+               last_value(hour_value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_value,
+               n_events = 0 AS is_gap
+        FROM joined
+    """,
+    doc="ts1 time-series gap fill with last-observation-carried-forward "
+        "(the hypertable/resample primitive): aggregate events to an "
+        "hourly grid per user, densify with a generated hourly spine "
+        "between each user's first and last active hour, and fill "
+        "silent hours with the last observed hourly value. Spark "
+        "shape: one groupBy to the hourly grain, a per-user sequence()"
+        "+explode for the spine (map-side — bounds ride the same "
+        "aggregate), one left join back, and last(ignorenulls) over "
+        "the user partitioning for the fill. Every window is keyed by "
+        "user_id — no global sort; at 100 TB the spine explode is "
+        "bounded by time-range × users, not event count.",
+    tags=("temporal", "window"),
+)
+def ts1_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("hour_value"),
+        )
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    joined = spine.join(hourly, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        "hour_value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour",
+        "n_events",
+        F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
+        (F.col("n_events") == 0).alias("is_gap"),
+    )
+
+
+# ---------------------------------------------------------------- w7
+
+@query(
+    "w7_trailing_range_window",
+    oracle="""
+        SELECT event_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_1h,
+               round(CAST(sum(value) OVER w AS DOUBLE), 2) AS sum_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    doc="w7 trailing time-RANGE window: per event, the count and value "
+        "sum of the same user's events in the trailing hour — a range "
+        "frame over the physical time axis (peers at equal timestamps "
+        "included, per RANGE semantics), not a row frame. Spark "
+        "expresses it as rangeBetween(-3.6e9, 0) over the microsecond "
+        "timeline; one exchange on user_id, sort-local evaluation — "
+        "the sliding-aggregate shape rate limiters and rolling "
+        "telemetry use at any scale.",
+    tags=("window", "temporal"),
+)
+def w7_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        F.count("*").over(w).cast("bigint").alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+    )
