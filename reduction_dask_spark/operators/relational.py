@@ -944,3 +944,44 @@ def unpivot1_melt_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         F.round("val0", 6).alias("val"),
     )
+
+
+# ------------------------------------------------------------ f15
+
+_QS = (0.25, 0.5, 0.75, 0.9)
+
+
+@query(
+    "f15_grouped_quantiles",
+    oracle=f"""
+        SELECT event_type,
+               unnest([{', '.join(str(q) for q in _QS)}]) AS q,
+               unnest(list_transform(
+                   quantile_cont(value, [{', '.join(str(q) for q in _QS)}]),
+                   x -> round(x, 6))) AS val
+        FROM events GROUP BY event_type
+    """,
+    doc="f15 exact per-group quantiles (F5's grouped form): the "
+        "interpolated quartiles + p90 of value per event_type in ONE "
+        "aggregate pass — percentile(value, array(...)) computes all "
+        "cut points in a single sort-based aggregation per group, then "
+        "posexplode emits the long (group, q, val) shape. One shuffle "
+        "on the group key. At 100 TB the same query swaps percentile "
+        "for approx_percentile (a10's sketch path) without replanning; "
+        "exact is kept here because the oracle checks values.",
+    tags=("agg", "scalar"),
+)
+def f15_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    qarr = F.array(*[F.lit(q) for q in _QS])
+    agg = ev.groupBy("event_type").agg(
+        F.percentile("value", qarr).alias("vals")
+    )
+    return agg.select(
+        "event_type",
+        F.posexplode(F.transform(F.col("vals"), lambda x: F.round(x, 6))).alias("i", "val"),
+    ).select(
+        "event_type",
+        F.element_at(qarr, F.col("i") + 1).alias("q"),
+        "val",
+    )

@@ -1050,3 +1050,108 @@ def ss7_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("qid", F.col("vec_id").alias("neighbor_id"), "adc_d2")
     )
+
+
+# ---------------------------------------------------------------- emb1
+
+@query(
+    "emb1_embedding_profile",
+    oracle="""
+        WITH melted AS (
+            SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        )
+        SELECT CAST(dim AS INTEGER) AS dim,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(v), 6) AS mean_v,
+               round(stddev_samp(v), 6) AS std_v,
+               round(min(v), 6) AS min_v,
+               round(max(v), 6) AS max_v
+        FROM melted GROUP BY dim
+    """,
+    doc="emb1 embedding-column profiling (prof1 for vector columns): "
+        "per-dimension count/mean/std/min/max over the corpus — the "
+        "drift/degeneracy audit run before indexing or training "
+        "(collapsed dims, scale outliers). posexplode → one partial-"
+        "aggregated shuffle on the (tiny, = vector width) dim key; "
+        "output is |dim| rows at any corpus size.",
+    tags=("similarity", "agg", "pipeline"),
+)
+def emb1_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    melted = emb.select(F.posexplode("embedding").alias("dim", "vf")).select(
+        "dim", F.col("vf").cast("double").alias("v")
+    )
+    return melted.groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("v"), 6).alias("mean_v"),
+        F.round(F.stddev_samp("v"), 6).alias("std_v"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+    ).select(F.col("dim").cast("int").alias("dim"), "n", "mean_v", "std_v", "min_v", "max_v")
+
+
+# ---------------------------------------------------------------- emb2
+
+@query(
+    "emb2_label_centroid_sim",
+    oracle="""
+        WITH melted AS (
+            SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT label, dim, avg(v) AS c FROM melted GROUP BY label, dim
+        ),
+        dots AS (
+            SELECT a.label AS label_a, b.label AS label_b, sum(a.c * b.c) AS d
+            FROM cent a JOIN cent b ON a.dim = b.dim
+            GROUP BY a.label, b.label
+        )
+        SELECT d.label_a, d.label_b,
+               round(d.d / (sqrt(na.d) * sqrt(nb.d)), 5) AS cos
+        FROM dots d
+        JOIN dots na ON na.label_a = d.label_a AND na.label_b = d.label_a
+        JOIN dots nb ON nb.label_a = d.label_b AND nb.label_b = d.label_b
+        WHERE d.label_a < d.label_b
+    """,
+    doc="emb2 label-centroid similarity matrix: per-label mean vector "
+        "(the class centroid) and the cosine between every centroid "
+        "pair — the embedding-space class-separability probe (labels "
+        "whose centroids cosine near 1 are entangled). Fully "
+        "relational: posexplode → (label, dim) mean — one shuffle of "
+        "|labels|·|dim| stat rows regardless of corpus size — then the "
+        "pairwise dot as a self-join on dim over that TINY relation "
+        "(norms are its diagonal, no separate pass). Centroids never "
+        "leave the cluster; the driver sees only the final "
+        "|labels|² rows.",
+    tags=("similarity", "agg"),
+)
+def emb2_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    melted = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "vf")
+    ).select("label", "dim", F.col("vf").cast("double").alias("v"))
+    cent = melted.groupBy("label", "dim").agg(F.avg("v").alias("c"))
+    a, b = cent.alias("a"), cent.alias("b")
+    dots = (
+        a.join(b, F.col("a.dim") == F.col("b.dim"))
+        .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("d"))
+    ).persist()
+    na = dots.filter(F.col("label_a") == F.col("label_b")).select(
+        F.col("label_a").alias("la"), F.col("d").alias("dna")
+    )
+    nb = na.select(F.col("la").alias("lb"), F.col("dna").alias("dnb"))
+    return (
+        dots.filter(F.col("label_a") < F.col("label_b"))
+        .join(F.broadcast(na), F.col("label_a") == F.col("la"))
+        .join(F.broadcast(nb), F.col("label_b") == F.col("lb"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.col("d") / (F.sqrt("dna") * F.sqrt("dnb")), 5).alias("cos"),
+        )
+    )

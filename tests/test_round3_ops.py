@@ -125,3 +125,56 @@ class TestUnpivot:
             *[F.round(c, 6).alias(c) for c in cols[2:]],
         )
         assert back.exceptAll(wide).count() == 0
+
+
+class TestGroupedQuantiles:
+    def test_monotone_and_bounded_per_group(self, spark):
+        from reduction_dask_spark.operators.relational import f15_grouped_quantiles
+
+        out = f15_grouped_quantiles(spark, SF).toPandas()
+        assert set(out.q.unique()) == {0.25, 0.5, 0.75, 0.9}
+        for _, g in out.groupby("event_type"):
+            vals = g.sort_values("q").val.to_numpy()
+            assert (vals[:-1] <= vals[1:]).all()
+
+
+class TestEmbeddingProfile:
+    def test_one_row_per_dim_with_consistent_stats(self, spark):
+        from reduction_dask_spark.operators.similarity import emb1_embedding_profile
+
+        out = emb1_embedding_profile(spark, SF).toPandas()
+        n_vec = load_table(spark, SF, "embeddings").count()
+        assert len(out) == 64
+        assert (out.n == n_vec).all()
+        assert (out.min_v <= out.mean_v).all() and (out.mean_v <= out.max_v).all()
+        assert (out.std_v >= 0).all()
+
+
+class TestLabelCentroids:
+    def test_upper_triangle_of_label_pairs_with_valid_cosines(self, spark):
+        from reduction_dask_spark.operators.similarity import emb2_label_centroid_sim
+
+        out = emb2_label_centroid_sim(spark, SF).toPandas()
+        labels = sorted(
+            r.label for r in load_table(spark, SF, "embeddings").select("label").distinct().collect()
+        )
+        k = len(labels)
+        assert len(out) == k * (k - 1) // 2
+        assert (out.label_a < out.label_b).all()
+        assert out.cos.between(-1.0, 1.0).all()
+
+    def test_matches_numpy_centroids(self, spark):
+        import numpy as np
+
+        from reduction_dask_spark.operators.similarity import emb2_label_centroid_sim
+
+        pdf = load_table(spark, SF, "embeddings").toPandas()
+        cents = {
+            lab: np.mean(np.stack(g.embedding.to_numpy()), axis=0).astype(float)
+            for lab, g in pdf.groupby("label")
+        }
+        out = emb2_label_centroid_sim(spark, SF).toPandas()
+        for _, r in out.iterrows():
+            a, b = cents[r.label_a], cents[r.label_b]
+            expect = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert abs(r.cos - round(expect, 5)) < 1e-4
