@@ -49,6 +49,7 @@ CROSS_OK = {
     "w2_rank_importance": "triangular partition-offset metadata join",
     "dd4_simhash_dedup": "64-row bit/band tables broadcast",
     "ss1_cosine_topk_brute": "bounded query-set broadcast (documented)",
+    "rrf1_hybrid_retrieval": "bounded query-set broadcast (ss1's vector scan feeding the rank fusion)",
     "ss2_cosine_topk_lsh": "plane matrix broadcast",
     "ss3_knn_label_vote": "bounded query-set broadcast",
     "ss5_multiprobe_lsh": "plane matrix + probe fan-out broadcast",
