@@ -33,23 +33,43 @@ from .text import BM25_B, BM25_K1, tokens
 RRF_K = 60       # RRF dampening constant (the paper's default)
 RRF_L = 20       # depth of each input ranking
 RRF_TOPK = 5     # fused results per query
+RRF_NQ = 40      # fixed query-batch size: retrieval QPS doesn't grow
+                 # with the corpus, so the demo query set is capped at
+                 # the first RRF_NQ sampled ids (vec_id % QUERY_MOD
+                 # alone would grow |Q| ∝ n and turn both rankers
+                 # quadratic — the ×10 probe measured 34.7×)
+MAXDF_FRAC = 0.1  # drop query terms appearing in >10% of documents:
+                  # their idf ≈ ln(1.1) contributes ~nothing to the
+                  # score but their postings dominate the join cost
+                  # (the Lucene max-df / stopword-elision rule); the
+                  # RELATIVE cap keeps semantics stable at any corpus
+                  # size, unlike an absolute df cutoff
 
 
 def _lex_ranked(d: DataFrame) -> DataFrame:
     """(qid, doc_id, lex_rank): top-L BM25 docs per query document.
 
     Query q's terms are the DISTINCT tokens of document q (doc_id %
-    QUERY_MOD == 0); score(q, d) = Σ_t idf(t)·bm25_tf(t, d), the full
-    multi-term Okapi form of t6's single-term scorer. Self-hits are
+    QUERY_MOD == 0, capped at the first RRF_NQ queries); score(q, d) =
+    Σ_t idf(t)·bm25_tf(t, d), the full multi-term Okapi form of t6's
+    single-term scorer, with max-df query-term pruning. Self-hits are
     excluded (a query doc trivially tops its own ranking)."""
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("dfreq"))
     stats = dl.agg(F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    # query postings are ≤ RRF_NQ documents' tokens — broadcast THEM
+    # into the (unbounded) dfreq relation for the max-df prune, never
+    # the other way around
+    qt_raw = tf.filter(
+        (F.col("doc_id") % QUERY_MOD == 0) & (F.col("doc_id") < QUERY_MOD * RRF_NQ)
+    ).select(F.col("doc_id").alias("qid"), "tok")
     qterms = (
-        tf.filter(F.col("doc_id") % QUERY_MOD == 0)
-        .select(F.col("doc_id").alias("qid"), "tok")
+        dfreq.join(F.broadcast(qt_raw), "tok")
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("dfreq") <= MAXDF_FRAC * F.col("n_docs"))
+        .select("qid", "tok")
     )
     idf = F.log(1.0 + (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5))
     part = (
@@ -77,7 +97,9 @@ def _lex_ranked(d: DataFrame) -> DataFrame:
 def _vec_ranked(emb: DataFrame) -> DataFrame:
     """(qid, doc_id, vec_rank): top-L cosine neighbors per query vector
     (ss1's broadcast-queries × one-scan plan, norms precomputed)."""
-    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = emb.filter(
+        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_MOD * RRF_NQ)
+    ).select(
         F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qv")
     ).withColumn("qn", F.sqrt(dot(F.col("qv"), F.col("qv"))))
     c = emb.select(F.col("vec_id").alias("doc_id"), as_double(F.col("embedding")).alias("cv")).withColumn(
@@ -106,8 +128,14 @@ _RRF_SQL = f"""
     dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
     dfreq AS (SELECT tok, count(*) AS dfreq FROM tf GROUP BY tok),
     stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+    qt_raw AS (
+        SELECT doc_id AS qid, tok FROM tf
+        WHERE doc_id % {QUERY_MOD} = 0 AND doc_id < {QUERY_MOD * RRF_NQ}
+    ),
     qterms AS (
-        SELECT doc_id AS qid, tok FROM tf WHERE doc_id % {QUERY_MOD} = 0
+        SELECT q.qid, q.tok
+        FROM qt_raw q JOIN dfreq d USING (tok) CROSS JOIN stats s
+        WHERE d.dfreq <= {MAXDF_FRAC} * s.n_docs
     ),
     lex_scored AS (
         SELECT q.qid, t.doc_id,
@@ -131,7 +159,8 @@ _RRF_SQL = f"""
     ),
     q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
-          FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+          FROM embeddings
+          WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_MOD * RRF_NQ}),
     c AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS cv,
                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
           FROM embeddings),
