@@ -20,6 +20,7 @@ _MODULES = (
     "temporal",
     "pipeline",
     "retrieval",
+    "tokenizer",
 )
 
 

@@ -806,3 +806,150 @@ def mw3_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------- spl1
+
+SPLIT_MOD = 1000
+VAL_LO, TEST_LO = 800, 900  # train < 800 <= val < 900 <= test
+
+
+@query(
+    "spl1_stratified_split",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT doc_id, lang,
+                   CASE WHEN {phash_sql('doc_id', SPLIT_MOD)} < {VAL_LO} THEN 'train'
+                        WHEN {phash_sql('doc_id', SPLIT_MOD)} < {TEST_LO} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT lang, split, CAST(count(*) AS BIGINT) AS n,
+               round(count(*)::DOUBLE
+                     / sum(count(*)) OVER (PARTITION BY lang), 6) AS frac
+        FROM assigned GROUP BY lang, split
+    """,
+    doc="spl1 deterministic stratified train/val/test split: every "
+        "document is assigned by a portable hash of its id (80/10/10), "
+        "reported as per-language counts and realized fractions — the "
+        "holdout-construction step of a training-data pipeline. Hash "
+        "assignment (not rand()) is retry-stable at any parallelism "
+        "and REPRODUCIBLE: re-running on a grown corpus never moves an "
+        "existing document across splits, which is what keeps eval "
+        "sets frozen as crawls append. Map-only assignment + one "
+        "shuffle of |langs|×3 count rows.",
+    tags=("text", "pipeline", "sample"),
+)
+def spl1_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import phash
+
+    d = load_table(spark, sf_dir, "documents")
+    h = phash("doc_id", SPLIT_MOD)
+    assigned = d.select(
+        "lang",
+        F.when(h < VAL_LO, "train").when(h < TEST_LO, "val").otherwise("test").alias("split"),
+    )
+    counts = assigned.groupBy("lang", "split").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "split",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("frac"),
+    )
+
+
+# ---------------------------------------------------------------- lp1
+
+@query(
+    "lp1_nb_loglik_quality",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+        counts AS (
+            SELECT d.lang, t.tok, sum(t.tf) AS n_lt
+            FROM tf t JOIN documents d USING (doc_id)
+            GROUP BY d.lang, t.tok
+        ),
+        lang_tot AS (SELECT lang, sum(n_lt) AS n_l FROM counts GROUP BY lang),
+        vocab AS (SELECT count(DISTINCT tok) AS v FROM tf),
+        nd AS (SELECT doc_id, sum(tf) AS n_doc FROM tf GROUP BY doc_id),
+        matched AS (
+            SELECT t.doc_id, c.lang, sum(t.tf * ln(c.n_lt + 1.0)) AS s1
+            FROM tf t JOIN counts c USING (tok)
+            GROUP BY t.doc_id, c.lang
+        ),
+        scores AS (
+            SELECT n.doc_id, l.lang, n.n_doc,
+                   coalesce(m.s1, 0.0) - n.n_doc * ln(l.n_l + vocab.v) AS score
+            FROM nd n CROSS JOIN lang_tot l CROSS JOIN vocab
+            LEFT JOIN matched m ON m.doc_id = n.doc_id AND m.lang = l.lang
+        ),
+        best AS (
+            SELECT doc_id, lang, n_doc, score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY round(score, 6) DESC, lang) AS rn
+            FROM scores
+        )
+        SELECT doc_id, lang AS best_lang,
+               round(score / n_doc, 6) AS per_token_ll
+        FROM best WHERE rn = 1
+    """,
+    doc="lp1 language-model quality score: each document's best "
+        "per-token log-likelihood under the corpus-trained unigram "
+        "naive-Bayes model (t3's factored scoring) — the cheap "
+        "'perplexity-style' quality filter of a curation funnel "
+        "(documents no language model explains are noise/misencoded; "
+        "the production form swaps in a KenLM-style model as a "
+        "broadcast table, same plan). Length normalization makes the "
+        "signal comparable across documents. Same relational shape as "
+        "t3: no dense vocab×langs relation is ever built.",
+    tags=("text", "pipeline"),
+)
+def lp1_nb_loglik_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
+    counts = (
+        tf.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "tok")
+        .agg(F.sum("tf").alias("n_lt"))
+    )
+    lang_tot = counts.groupBy("lang").agg(F.sum("n_lt").alias("n_l"))
+    vocab = tf.agg(F.countDistinct("tok").alias("v"))
+    nd = tf.groupBy("doc_id").agg(F.sum("tf").alias("n_doc"))
+    matched = (
+        tf.join(counts, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("tf") * F.log(F.col("n_lt") + 1.0)).alias("s1"))
+    )
+    scores = (
+        nd.crossJoin(F.broadcast(lang_tot))
+        .crossJoin(F.broadcast(vocab))
+        .join(matched, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_doc",
+            (
+                F.coalesce(F.col("s1"), F.lit(0.0))
+                - F.col("n_doc") * F.log(F.col("n_l") + F.col("v"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc(F.round(F.col("score"), 6)), F.asc("lang"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("best_lang"),
+            F.round(F.col("score") / F.col("n_doc"), 6).alias("per_token_ll"),
+        )
+    )

@@ -1,0 +1,124 @@
+"""Distributed BPE tokenizer training — the iterative-algorithm
+pattern (driver-coordinated rounds over a distributed relation, like
+dd6's label propagation and km1's Lloyd iterations) applied to the
+tokenizer-induction step of a training-data pipeline.
+
+Algorithm (Sennrich et al. 2016, the GPT-2/BPE shape): start from each
+word as a character sequence, repeatedly (a) count adjacent symbol
+pairs corpus-wide, (b) merge the most frequent pair everywhere. The
+classical implementation is a single-machine dict loop; the
+distributed re-expression:
+
+- The working relation is the WORD VOCABULARY (distinct word, count),
+  not the corpus: |vocab| rows regardless of corpus size (the corpus
+  is scanned exactly once, for word counts). At 100 TB the vocab
+  relation is ~10⁸ rows — comfortably distributed, laughably small
+  next to the corpus.
+- Each round's pair count is one explode + partial-aggregated groupBy;
+  the argmax pair is a 1-row TakeOrdered to the driver (the only
+  driver state: the merge table, k rows).
+- The merge is applied as a pure array-fold EXPRESSION (greedy
+  left-to-right, standard BPE semantics) — no UDF, no shuffle: the
+  vocab relation keeps its partitioning across rounds.
+
+No oracle: k-round iterative training is not ANSI-SQL-expressible
+(the driver records a rows-only check); correctness is pinned by a
+pure-Python BPE parity test on the same corpus
+(tests/test_round3_ops.py::TestBPE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+BPE_MERGES = 8
+
+
+def _apply_merge(s: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) → a+b in a symbol
+    array, as one aggregate fold (matches classical BPE: after "aaa"
+    merges (a,a) the result is [aa, a], not [aa, aa])."""
+    return F.aggregate(
+        s,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(words: DataFrame, n_merges: int = BPE_MERGES) -> list[tuple]:
+    """Train ``n_merges`` BPE merges over a (w, wc) word-count relation.
+
+    Returns the merge table [(rank, sym_a, sym_b, merged, pair_count)].
+    Ties break by (count desc, sym_a, sym_b) so the table is unique."""
+    vocab = words.select(
+        "wc", F.split(F.col("w"), "").alias("s")
+    ).persist()
+    merges: list[tuple] = []
+    for rank in range(n_merges):
+        pairs = (
+            vocab.select(
+                "wc",
+                F.explode(
+                    F.when(
+                        F.size("s") < 2, F.array().cast("array<struct<a:string,b:string>>")
+                    ).otherwise(
+                        F.zip_with(
+                            F.slice("s", 1, F.size("s") - 1),
+                            F.slice("s", 2, F.size("s") - 1),
+                            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                        )
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wc").alias("n"))
+        )
+        best = pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if not best:
+            break
+        a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
+        merges.append((rank, a, b, a + b, n))
+        nxt = vocab.select("wc", _apply_merge(F.col("s"), a, b).alias("s")).persist()
+        nxt.count()  # materialize before dropping the parent cache
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return merges
+
+
+@query(
+    "bpe1_train_merges",
+    oracle=None,  # iterative training — rows-only + python parity test
+    doc=f"bpe1 distributed BPE tokenizer training ({BPE_MERGES} merge "
+        "rounds, Sennrich-style): word-count relation → per-round "
+        "corpus-wide adjacent-pair counts (explode + partial-agg "
+        "groupBy) → 1-row argmax to the driver → merge applied as an "
+        "array-fold expression. The working relation is the word "
+        "VOCAB (corpus-size-independent after the single word-count "
+        "scan); driver state is the k-row merge table. The iterative-"
+        "rounds pattern shared with dd6/km1; rows-only check, pinned "
+        "by a pure-Python BPE parity test.",
+    tags=("text", "pipeline"),
+)
+def bpe1_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    merges = bpe_train(words)
+    return spark.createDataFrame(
+        merges, "rank int, sym_a string, sym_b string, merged string, pair_count bigint"
+    )

@@ -178,3 +178,91 @@ class TestLabelCentroids:
             a, b = cents[r.label_a], cents[r.label_b]
             expect = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
             assert abs(r.cos - round(expect, 5)) < 1e-4
+
+
+class TestBPE:
+    def test_matches_pure_python_bpe(self, spark):
+        from collections import Counter
+
+        from reduction_dask_spark.operators.tokenizer import (
+            BPE_MERGES,
+            bpe1_train_merges,
+        )
+
+        pdf = load_table(spark, SF, "documents").select("text").toPandas()
+        wc = Counter(w for t in pdf.text for w in t.split(" ") if w)
+        vocab = {w: list(w) for w in wc}
+
+        expect = []
+        for rank in range(BPE_MERGES):
+            pairs = Counter()
+            for w, syms in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += wc[w]
+            if not pairs:
+                break
+            # tie-break (count desc, a asc, b asc) — the operator's rule
+            (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            expect.append((rank, a, b, a + b, n))
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+
+        got = [
+            (r["rank"], r.sym_a, r.sym_b, r.merged, r.pair_count)
+            for r in bpe1_train_merges(spark, SF).orderBy("rank").collect()
+        ]
+        assert got == expect
+
+    def test_merge_fold_greedy_semantics(self, spark):
+        from reduction_dask_spark.operators.tokenizer import _apply_merge
+
+        df = spark.createDataFrame([(["a", "a", "a"],), (["x", "a", "a", "y"],)], "s array<string>")
+        out = [r.m for r in df.select(_apply_merge(F.col("s"), "a", "a").alias("m")).collect()]
+        assert out == [["aa", "a"], ["x", "aa", "y"]]
+
+
+class TestSplitAndQuality:
+    def test_split_fracs_sum_to_one_per_lang(self, spark):
+        from reduction_dask_spark.operators.text import spl1_stratified_split
+
+        out = spl1_stratified_split(spark, SF).toPandas()
+        assert set(out.split.unique()) <= {"train", "val", "test"}
+        sums = out.groupby("lang").frac.sum()
+        assert ((sums - 1.0).abs() < 1e-5).all()
+        # train dominates at the 80/10/10 design point
+        tr = out[out.split == "train"].set_index("lang").frac
+        assert (tr > 0.5).all()
+
+    def test_split_assignment_stable_under_corpus_growth(self, spark):
+        """phash assignment depends only on doc_id: the same id maps to
+        the same split at every sf (frozen eval sets as crawls grow)."""
+        from reduction_dask_spark.functions import KNUTH
+        from reduction_dask_spark.operators.text import SPLIT_MOD, TEST_LO, VAL_LO
+
+        def split_of(doc_id):
+            h = ((doc_id % SPLIT_MOD) * KNUTH) % SPLIT_MOD
+            return "train" if h < VAL_LO else ("val" if h < TEST_LO else "test")
+
+        assert split_of(123) == split_of(123)
+        assert {split_of(i) for i in range(200)} == {"train", "val", "test"}
+
+    def test_loglik_quality_best_lang_matches_t3(self, spark):
+        from reduction_dask_spark.operators.text import (
+            lp1_nb_loglik_quality,
+            t3_lang_id_naive_bayes,
+        )
+
+        lp = lp1_nb_loglik_quality(spark, SF).toPandas().set_index("doc_id")
+        t3 = t3_lang_id_naive_bayes(spark, SF).toPandas().set_index("doc_id")
+        joined = lp.join(t3)
+        assert (joined.best_lang == joined.pred_lang).all()
+        # per-token log-likelihood is a log-probability: strictly negative
+        assert (lp.per_token_ll < 0).all()
