@@ -50,3 +50,33 @@ def test_unbucketed_join_does_shuffle(spark):
         assert count_exchanges(j) == 2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_bucketed_fingerprint_index_antijoin_dedup(spark):
+    """ROADMAP item: the dedup-path co-location story. The corpus
+    fingerprint index (dd9's incremental-dedup base) lives as a table
+    bucketed by fingerprint; the daily batch anti-joins against it
+    with the CORPUS side read in place — zero exchange above its scan
+    — so only the (small) batch moves through the shuffle."""
+    from reduction_dask_spark.operators.dedup import prefix_fingerprint
+
+    d = load_table(spark, SF_SMALL, "documents")
+    f = d.select("doc_id", prefix_fingerprint(F.col("text")).alias("fingerprint"))
+    corpus = f.filter(F.col("doc_id") % 5 != 0).select("fingerprint").distinct()
+    corpus.write.mode("overwrite").bucketBy(8, "fingerprint").sortBy(
+        "fingerprint"
+    ).saveAsTable("corpus_fp_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        batch = f.filter(F.col("doc_id") % 5 == 0)
+        fresh = batch.join(spark.table("corpus_fp_b"), "fingerprint", "left_anti")
+        plan = simple_plan(fresh)
+        # exactly ONE exchange: the batch side; the bucketed corpus scan
+        # feeds the sort-merge anti-join directly
+        assert count_exchanges(fresh) == 1, plan
+        # and semantics match the unbucketed dd9 shape
+        plain = batch.join(corpus, "fingerprint", "left_anti")
+        assert fresh.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS corpus_fp_b")
