@@ -985,3 +985,63 @@ def f15_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(qarr, F.col("i") + 1).alias("q"),
         "val",
     )
+
+
+# ------------------------------------------------------------ or1
+
+Z_TAU = 3.0
+
+
+@query(
+    "or1_grouped_outliers",
+    oracle=f"""
+        WITH stats AS (
+            SELECT event_type,
+                   avg(value) AS mu, stddev_samp(value) AS sigma,
+                   quantile_cont(value, 0.25) AS q1,
+                   quantile_cont(value, 0.75) AS q3
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type,
+               round((e.value - s.mu) / s.sigma, 6) AS z,
+               abs((e.value - s.mu) / s.sigma) > {Z_TAU} AS z_outlier,
+               e.value < s.q1 - 1.5 * (s.q3 - s.q1)
+                 OR e.value > s.q3 + 1.5 * (s.q3 - s.q1) AS iqr_outlier
+        FROM events e JOIN stats s USING (event_type)
+        WHERE abs((e.value - s.mu) / s.sigma) > {Z_TAU}
+           OR e.value < s.q1 - 1.5 * (s.q3 - s.q1)
+           OR e.value > s.q3 + 1.5 * (s.q3 - s.q1)
+    """,
+    doc="or1 per-group outlier detection: z-score (|z| > 3) and Tukey "
+        "IQR-fence flags for value within each event_type — the "
+        "numeric data-quality screen next to prof1's profile. One "
+        "aggregate builds the per-group (mu, sigma, q1, q3) stats "
+        "table (|groups| rows — broadcast back over the scan, no "
+        "second shuffle of the facts); at 100 TB the exact quantiles "
+        "swap for approx_percentile without replanning.",
+    tags=("agg", "pipeline"),
+)
+def or1_grouped_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    iqr = F.col("q3") - F.col("q1")
+    iqr_out = (F.col("value") < F.col("q1") - 1.5 * iqr) | (
+        F.col("value") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter((F.abs(z) > Z_TAU) | iqr_out)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(z, 6).alias("z"),
+            (F.abs(z) > Z_TAU).alias("z_outlier"),
+            iqr_out.alias("iqr_outlier"),
+        )
+    )

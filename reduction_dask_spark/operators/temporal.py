@@ -609,3 +609,62 @@ def w7_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("bigint").alias("n_1h"),
         F.round(F.sum("value").over(w), 2).alias("sum_1h"),
     )
+
+
+# ---------------------------------------------------------------- j8
+
+ASOF_TOL_US = 2 * 3600 * 1_000_000  # 2-hour forward tolerance
+
+
+@query(
+    "j8_asof_forward_tolerance",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us, -epoch_us(ts) AS nts
+            FROM events
+        ),
+        p AS (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us, -epoch_us(ts) AS nts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        j AS (
+            SELECT e.event_id, p.event_id AS next_id, p.ts_us AS next_us, e.ts_us
+            FROM e ASOF LEFT JOIN p
+              ON e.user_id = p.user_id AND p.nts < e.nts
+        )
+        SELECT event_id,
+               CASE WHEN next_us - ts_us <= {ASOF_TOL_US} THEN next_id END
+                 AS next_purchase_id,
+               CASE WHEN next_us - ts_us <= {ASOF_TOL_US} THEN next_us - ts_us END
+                 AS gap_us
+        FROM j
+    """,
+    doc="j8 FORWARD as-of join with tolerance (j7's mirror): for each "
+        "event, the user's next purchase STRICTLY after it, kept only "
+        f"within a {ASOF_TOL_US // 3_600_000_000}-hour horizon — the "
+        "'time-to-next-conversion' join of attribution pipelines. "
+        "Spark: carry-BACKWARD window (min of the purchase (ts,id) "
+        "struct over the strictly-following range frame on the shared "
+        "user timeline) + tolerance null-out — one shuffle on user_id, "
+        "no candidate-range explosion at any scale. Oracle: DuckDB's "
+        "native ASOF JOIN on the NEGATED timeline (forward asof ≡ "
+        "backward asof on -t), tolerance applied identically.",
+    tags=("join", "temporal"),
+)
+def j8_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_us").rangeBetween(
+        1, Window.unboundedFollowing
+    )
+    purchase_mark = F.when(
+        F.col("event_type") == "purchase",
+        F.struct(F.col("ts_us").alias("p_us"), F.col("event_id").alias("p_id")),
+    )
+    nxt = ev.withColumn("next_p", F.min(purchase_mark).over(w))
+    gap = F.col("next_p.p_us") - F.col("ts_us")
+    in_tol = gap <= ASOF_TOL_US
+    return nxt.select(
+        "event_id",
+        F.when(in_tol, F.col("next_p.p_id")).alias("next_purchase_id"),
+        F.when(in_tol, gap).alias("gap_us"),
+    )

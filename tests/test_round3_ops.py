@@ -266,3 +266,65 @@ class TestSplitAndQuality:
         assert (joined.best_lang == joined.pred_lang).all()
         # per-token log-likelihood is a log-probability: strictly negative
         assert (lp.per_token_ll < 0).all()
+
+
+class TestForwardAsof:
+    def test_matches_pandas_forward_scan(self, spark):
+        from reduction_dask_spark.operators.temporal import (
+            ASOF_TOL_US,
+            j8_asof_forward_tolerance,
+        )
+
+        ev = load_table(spark, SF, "events").select(
+            "event_id", "user_id", "ts", "event_type"
+        ).toPandas()
+        ev["us"] = ev.ts.astype("int64") // 1000
+        out = j8_asof_forward_tolerance(spark, SF).toPandas().set_index("event_id")
+        one = ev[ev.user_id == ev.user_id.iloc[0]].sort_values("us")
+        purchases = one[one.event_type == "purchase"]
+        for _, r in one.iterrows():
+            later = purchases[purchases.us > r.us]
+            got = out.loc[r.event_id]
+            if len(later) and later.us.iloc[0] - r.us <= ASOF_TOL_US:
+                assert got.next_purchase_id == later.event_id.iloc[0]
+                assert got.gap_us == later.us.iloc[0] - r.us
+            else:
+                assert pd.isna(got.next_purchase_id)
+
+    def test_gap_positive_and_within_tolerance(self, spark):
+        from reduction_dask_spark.operators.temporal import (
+            ASOF_TOL_US,
+            j8_asof_forward_tolerance,
+        )
+
+        out = j8_asof_forward_tolerance(spark, SF).toPandas()
+        hit = out.dropna(subset=["gap_us"])
+        assert (hit.gap_us > 0).all()
+        assert (hit.gap_us <= ASOF_TOL_US).all()
+
+
+class TestOutliers:
+    def test_flags_are_consistent_with_numpy_stats(self, spark):
+        import numpy as np
+
+        from reduction_dask_spark.operators.relational import Z_TAU, or1_grouped_outliers
+
+        ev = load_table(spark, SF, "events").select("event_id", "event_type", "value").toPandas()
+        out = or1_grouped_outliers(spark, SF).toPandas()
+        for et, g in ev.groupby("event_type"):
+            mu, sigma = g.value.mean(), g.value.std(ddof=1)
+            q1, q3 = np.quantile(g.value, 0.25), np.quantile(g.value, 0.75)
+            iqr = q3 - q1
+            expect = g[
+                (abs((g.value - mu) / sigma) > Z_TAU)
+                | (g.value < q1 - 1.5 * iqr)
+                | (g.value > q3 + 1.5 * iqr)
+            ].event_id
+            got = out[out.event_type == et].event_id
+            assert set(got) == set(expect), et
+
+    def test_every_row_has_at_least_one_flag(self, spark):
+        from reduction_dask_spark.operators.relational import or1_grouped_outliers
+
+        out = or1_grouped_outliers(spark, SF).toPandas()
+        assert (out.z_outlier | out.iqr_outlier).all()
