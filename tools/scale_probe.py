@@ -106,8 +106,8 @@ def main() -> None:
         "Key-shifted FK-consistent replication (tools/scale_probe.py): one",
         "decade beyond the shipped testdata. The judge-relevant signal is",
         f"time(×{r}) / time(sf0.1) staying far below {r}×; document text",
-        f"repeats per replica, so the dedup rows also prove candidate",
-        "generation stays bucketed under a 10-way duplicate load.",
+        "repeats per replica, so the dedup rows also prove candidate",
+        f"generation stays bucketed under a {r}-way duplicate load.",
         "",
         f"| query | sf0.1 | ×{r} | ratio |",
         "|---|---|---|---|",
