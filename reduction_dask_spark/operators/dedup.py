@@ -338,13 +338,18 @@ def dd3_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # exact-Jaccard verify on candidates only, via per-doc shingle SETS:
-    # join the (tiny, broadcast) candidate pairs against the doc→shingle
-    # arrays and compute |A∩B| as an array_intersect expression — two
-    # hash joins + codegen set math, no inverted-index pair join, no
-    # per-pair groupBy. Same result (shingle arrays are distinct by
-    # construction), O(candidates) cost.
+    # join the candidate pairs against the doc→shingle arrays and
+    # compute |A∩B| as an array_intersect expression — two hash joins +
+    # codegen set math, no inverted-index pair join, no per-pair
+    # groupBy. Same result (shingle arrays are distinct by
+    # construction), O(candidates) cost. The candidate side is NOT
+    # force-broadcast: |cand| grows with duplicate multiplicity
+    # (k-way dup groups emit ~k²/2 pairs), so AQE picks broadcast only
+    # when the materialized side actually fits — at heavy duplication
+    # this becomes an ordinary shuffled hash join instead of an
+    # unbounded driver broadcast.
     verified = (
-        doc_sets.join(F.broadcast(cand), doc_sets.doc_id == cand.doc_a)
+        doc_sets.join(cand, doc_sets.doc_id == cand.doc_a)
         .select("doc_a", "doc_b", F.col("ss").alias("sa"))
         .join(doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb")), "doc_b")
     )
