@@ -187,8 +187,12 @@ def pipe1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="scd1 MERGE/upsert emulation (no Delta in this image): updates "
         "∪ (base ANTI-JOIN updates) — the CDC pattern from the public "
-        "Spark playbook; at scale the anti-join broadcasts the (small) "
-        "delta against the bucketed base.",
+        "Spark playbook. The delta side is AQE-planned, not force-"
+        "broadcast: a real CDC delta is usually small (AQE then "
+        "broadcasts it), but the demo delta is a fixed FRACTION of the "
+        "base, which must degrade to a shuffled anti-join — against a "
+        "bucketed base (tests/test_bucketing.py) that join exchanges "
+        "only the delta.",
     tags=("pipeline", "join"),
 )
 def scd1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,7 +200,7 @@ def scd1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = c.filter(F.col("c_custkey") % 7 == 0).select(
         "c_custkey", "c_name", (F.col("c_acctbal") + 100.0).alias("c_acctbal")
     )
-    untouched = c.join(F.broadcast(updates.select("c_custkey")), "c_custkey", "left_anti").select(
+    untouched = c.join(updates.select("c_custkey"), "c_custkey", "left_anti").select(
         "c_custkey", "c_name", "c_acctbal"
     )
     return updates.unionByName(untouched)

@@ -223,14 +223,17 @@ def f9_math_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="J1+P7 index equi-join then dropna ⇒ inner (metrics.py:15-17: "
         "`pd.DataFrame(y_pred, index=y_true.index).join(era).dropna()`). "
         "Spark has no row index — the key is materialized (event_id). "
-        "Era side is small → broadcast hint, no shuffle.",
+        "Both sides derive from the SAME events scan (per-event keys, "
+        "so neither side is bounded): the join is left to the planner — "
+        "a co-partitioned shuffle join at scale, broadcast only when "
+        "AQE measures one side small enough.",
     tags=("join",),
 )
 def j1_index_align_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     pred = ev.select("event_id", pred_events().alias("pred"))
     era = ev.filter(F.col("value") >= 1).select("event_id", era_events().alias("era"))
-    return pred.join(F.broadcast(era), "event_id", "inner").select("event_id", "pred", "era")
+    return pred.join(era, "event_id", "inner").select("event_id", "pred", "era")
 
 
 @query(
