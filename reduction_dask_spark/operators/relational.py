@@ -281,20 +281,23 @@ def j3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY r.r_name, n.n_name
     """,
     doc="Star-schema join chain with broadcast dims (TPC-H Q5 shape). "
-        "At 100 TB: lineitem⋈orders is the only shuffle (both huge, "
-        "co-partition on orderkey); customer/nation/region broadcast. "
-        "Revenue rounded(2) — float sum order is engine-dependent.",
+        "At 100 TB: lineitem⋈orders is the only mandatory shuffle "
+        "(both huge, co-partition on orderkey); nation/region are "
+        "force-broadcast (25/5 rows); customer — the LARGE dim — is "
+        "projected to its two join ints and AQE-planned: broadcast "
+        "while it fits, shuffled hash join beyond. Revenue rounded(2) "
+        "— float sum order is engine-dependent.",
     tags=("join", "agg"),
 )
 def j4_star_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
