@@ -42,7 +42,8 @@ PLAN_QUERIES = {
     "m1_spearman_by_era": "flagship: era window + pooled corr — expect ONE "
     "hash exchange on era, whole-stage codegen around the scan/projection",
     "j4_star_broadcast": "star join — expect BroadcastHashJoin for "
-    "customer/nation/region, shuffle only for lineitem⋈orders",
+    "nation/region (forced) and for the 2-column customer projection "
+    "(AQE-chosen at this sf), shuffle only for lineitem⋈orders",
     "q1_pricing_summary": "TPC-H Q1 — expect PushedFilters on l_shipdate and "
     "partial_ aggregates before the exchange",
     "s1_scan_projection": "scan — expect ReadSchema limited to 4 columns",
@@ -67,6 +68,17 @@ PLAN_QUERIES = {
     "w2_rank_importance": "distributed global rank — expect range exchange "
     "+ per-partition row_number + broadcast triangular offset join; ZERO "
     "empty-partition Window nodes",
+    "dd3_minhash_lsh_dedup": "MinHash-LSH — expect ONE exchange building "
+    "the per-doc shingle arrays (reused by band build AND verify via "
+    "InMemoryTableScan), band self-join, and an AQE-planned (not forced) "
+    "candidate join into the verify stage",
+    "rrf1_hybrid_retrieval": "hybrid retrieval — expect the BM25 postings "
+    "exchange + broadcast pruned query terms on the lexical side, the "
+    "broadcast query-vector scan on the vector side, and a fusion join "
+    "touching only the two top-L rank lists",
+    "ts1_gap_fill_locf": "gap fill — expect every Window keyed by user_id "
+    "(no empty partition spec), the spine explode map-side, and one join "
+    "back to the hourly grain",
 }
 
 
@@ -77,6 +89,11 @@ def main() -> None:
 
     spark = get_spark("report")
     qs = e.queries()
+
+    if "--plans-only" in sys.argv:
+        _write_plans(spark, qs)
+        spark.stop()
+        return
 
     # ---- scaling table
     rows: dict[str, list[float]] = {}
@@ -105,10 +122,25 @@ def main() -> None:
         out.append(
             f"| {name} | {ts[0]:.2f} | {ts[1]:.2f} | {ts[2]:.2f} | {ratio:.2f}× |"
         )
-    Path("SCALING.md").write_text("\n".join(out) + "\n")
+    # preserve appended scale-probe sections (tools/scale_probe.py)
+    # across regenerations — they are separate, expensive evidence
+    md = Path("SCALING.md")
+    probe_tail = ""
+    if md.exists():
+        old = md.read_text()
+        marker = "## scale probe"
+        if marker in old:
+            probe_tail = "\n" + old[old.index(marker):]
+    md.write_text("\n".join(out) + "\n" + probe_tail)
     print("wrote SCALING.md")
 
-    # ---- plan dumps
+    _write_plans(spark, qs)
+    spark.stop()
+
+
+def _write_plans(spark, qs) -> None:
+    from reduction_dask_spark.plans import formatted_plan
+
     plans = ["# PLANS — formatted physical plans of representative queries", ""]
     for name, note in PLAN_QUERIES.items():
         plans += [f"## {name}", "", f"_{note}_", "", "```"]
@@ -116,7 +148,6 @@ def main() -> None:
         plans += ["```", ""]
     Path("PLANS.md").write_text("\n".join(plans) + "\n")
     print("wrote PLANS.md")
-    spark.stop()
 
 
 if __name__ == "__main__":
