@@ -473,3 +473,55 @@ def read_event_stream_kafka(
         F.from_json(F.col("value").cast("string"), _EVENT_SCHEMA).alias("e")
     ).select("e.*")
     return parsed.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# ---------------------------------------------------------------- st8
+
+@query(
+    "st8_foreach_batch_sink",
+    # same batch semantics as st1 — the sink changes, not the aggregate
+    oracle="""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS era_day, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    doc="st8 foreachBatch parquet sink: st1's windowed aggregate "
+        "written through writeStream.foreachBatch — each micro-batch "
+        "overwrites the result table atomically (complete mode + "
+        "mode=overwrite ⇒ last-write-wins, so replays of an epoch are "
+        "IDEMPOTENT — the exactly-once-on-output recipe from the "
+        "public Structured Streaming guide). The returned DataFrame "
+        "is read BACK from the parquet the sink wrote, so the oracle "
+        "checks the sink output end-to-end, not the in-memory state. "
+        "In production the same hook MERGEs by key into Delta (scd1's "
+        "pattern) in update mode; the memory-sink queries (st1–st7) "
+        "cover the aggregate semantics, this one covers the sink leg.",
+    tags=("streaming", "pipeline"),
+)
+def st8_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    stream = read_event_stream(spark, sf_dir)
+    agg = windowed_value_stats(stream)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = os.path.join(tempfile.gettempdir(), f"rds_st8_{tag}")
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    return spark.read.parquet(out_dir).select(
+        F.date_format(F.col("era_win.start"), "yyyy-MM-dd").alias("era_day"),
+        "event_type",
+        "n",
+        "sum_value",
+    )

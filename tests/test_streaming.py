@@ -99,3 +99,14 @@ def test_kafka_stream_options():
     assert opts["startingOffsets"] == "earliest"
     assert opts["failOnDataLoss"] == "true"
     assert opts["maxOffsetsPerTrigger"] == "100000"
+
+
+def test_st8_foreach_batch_sink_idempotent(spark):
+    """Re-running the sink overwrites, never duplicates — the
+    last-write-wins idempotence the foreachBatch recipe relies on."""
+    from reduction_dask_spark.streaming import st8_foreach_batch_sink
+
+    cols = ["era_day", "event_type", "n", "sum_value"]
+    first = sorted(map(tuple, st8_foreach_batch_sink(spark, SF_SMALL).select(*cols).collect()))
+    second = sorted(map(tuple, st8_foreach_batch_sink(spark, SF_SMALL).select(*cols).collect()))
+    assert first == second and len(first) > 0
