@@ -1051,3 +1051,56 @@ def or1_grouped_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             iqr_out.alias("iqr_outlier"),
         )
     )
+
+
+# ------------------------------------------------------------ ivm1
+
+@query(
+    "ivm1_incremental_agg_merge",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(value) AS DOUBLE), 2) AS sum_value,
+               round(min(value), 6) AS min_value,
+               round(max(value), 6) AS max_value
+        FROM events GROUP BY event_type
+    """,
+    doc="ivm1 incremental view maintenance: the per-type aggregate is "
+        "maintained as MERGE(base-state, delta-aggregate) — the base "
+        "(event_id % 5 != 0, standing in for yesterday's materialized "
+        "state) is combined with the incoming delta's partial "
+        "aggregate via a full-outer key join and mergeable combiners "
+        "(count/sum add, min/max fold). The oracle computes the same "
+        "view DIRECTLY over all events, proving merge ≡ recompute — "
+        "the continuous-aggregate/materialized-view refresh pattern: "
+        "at 100 TB the refresh touches only the delta plus |groups| "
+        "state rows, never the history.",
+    tags=("agg", "pipeline"),
+)
+def ivm1_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def agg_of(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    base = agg_of(ev.filter(F.col("event_id") % 5 != 0))
+    delta = agg_of(ev.filter(F.col("event_id") % 5 == 0))
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(d, F.col("b.event_type") == F.col("d.event_type"), "full_outer")
+    z = F.lit(0)
+    return merged.select(
+        F.coalesce(F.col("b.event_type"), F.col("d.event_type")).alias("event_type"),
+        (F.coalesce(F.col("b.n"), z) + F.coalesce(F.col("d.n"), z)).cast("bigint").alias("n"),
+        F.round(
+            F.coalesce(F.col("b.s"), F.lit(0.0)) + F.coalesce(F.col("d.s"), F.lit(0.0)), 2
+        ).alias("sum_value"),
+        F.round(F.least(F.coalesce(F.col("b.mn"), F.col("d.mn")),
+                        F.coalesce(F.col("d.mn"), F.col("b.mn"))), 6).alias("min_value"),
+        F.round(F.greatest(F.coalesce(F.col("b.mx"), F.col("d.mx")),
+                           F.coalesce(F.col("d.mx"), F.col("b.mx"))), 6).alias("max_value"),
+    )

@@ -328,3 +328,22 @@ class TestOutliers:
 
         out = or1_grouped_outliers(spark, SF).toPandas()
         assert (out.z_outlier | out.iqr_outlier).all()
+
+
+class TestIVM:
+    def test_merge_handles_delta_only_groups(self, spark):
+        """A group present only in one side must survive the full-outer
+        merge with the other side's combiners treated as identity."""
+        from reduction_dask_spark.operators.relational import (
+            ivm1_incremental_agg_merge,
+        )
+
+        ev = load_table(spark, SF, "events").toPandas()
+        out = ivm1_incremental_agg_merge(spark, SF).toPandas().set_index("event_type")
+        direct = ev.groupby("event_type").value.agg(["count", "sum", "min", "max"])
+        assert set(out.index) == set(direct.index)
+        for et, r in direct.iterrows():
+            assert out.loc[et, "n"] == r["count"]
+            assert abs(out.loc[et, "sum_value"] - round(r["sum"], 2)) < 1e-6
+            assert abs(out.loc[et, "min_value"] - round(r["min"], 6)) < 1e-9
+            assert abs(out.loc[et, "max_value"] - round(r["max"], 6)) < 1e-9
