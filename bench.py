@@ -73,7 +73,7 @@ def main() -> None:
 
     spark.range(1000).join(broadcast(spark.range(10)), "id").count()
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     timings: dict[str, float] = {}
     for name in names:
         samples = []
@@ -88,6 +88,11 @@ def main() -> None:
         # must not leak into the NEXT query — that cross-query leak is
         # what produced r01's "Asked to cache already cached data" noise
         spark.catalog.clearCache()
+        # nudge a full GC between queries: persist-heavy predecessors
+        # otherwise leak heap/code-cache pressure into the next query's
+        # reps (observed as a uniform ~4× slowdown on HOF-heavy queries
+        # mid-run that never reproduces in isolation)
+        spark._jvm.System.gc()
         timings[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
