@@ -35,6 +35,7 @@ CROSS_OK = {
     "j6_zip_join_task_table": "4×3 param×fold metadata table",
     "sk2_salted_join": "3-row dim × 8 salts explosion (24 rows)",
     "t3_lang_id_naive_bayes": "×|langs| model fan-out + 1-row vocab broadcast",
+    "lp1_nb_loglik_quality": "×|langs| score fan-out + 1-row vocab broadcast (t3's shape)",
     "f6_histogram": "bin edges (1-row aggregate) broadcast",
     "f7_entropy": "1-row total broadcast",
     "f8_mutual_info": "1-row total broadcast",
