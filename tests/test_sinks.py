@@ -332,3 +332,30 @@ def test_blas_topk_matches_expression_topk(spark):
     a = sorted(map(tuple, brute_force_topk(spark, SF_SMALL).collect()))
     b = sorted(map(tuple, ss1b_cosine_topk_blas(spark, SF_SMALL).collect()))
     assert a == b
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
+    """Hive-style partitioned layout → a filter on the partition column
+    reaches the scan as PartitionFilters and the plan touches ONE
+    partition directory, not the table: the partition-pruning leg of
+    the pushdown story (the column-level PushedFilters leg is covered
+    in test_plans)."""
+    from reduction_dask_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMALL, "events").withColumn(
+        "era_day", F.dayofmonth("ts")
+    )
+    out = str(tmp_path / "ev_part")
+    ev.write.mode("overwrite").partitionBy("era_day").parquet(out)
+
+    back = spark.read.parquet(out).filter(F.col("era_day") == 3)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # pruning actually happened: only one era_day directory is scanned
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "era_day" in m.group(1), plan
+    n_days = ev.select("era_day").distinct().count()
+    assert n_days > 1
+    assert back.count() == ev.filter(F.col("era_day") == 3).count()
