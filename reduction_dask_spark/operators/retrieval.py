@@ -213,14 +213,27 @@ _RRF_SQL = f"""
 def rrf1_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = _lex_ranked(load_table(spark, sf_dir, "documents"))
     vec = _vec_ranked(load_table(spark, sf_dir, "embeddings"))
+    return fuse_rankings(lex, vec)
+
+
+def fuse_rankings(
+    lex: DataFrame,
+    vec: DataFrame,
+    k: int = RRF_K,
+    topk: int = RRF_TOPK,
+) -> DataFrame:
+    """Reciprocal Rank Fusion of two (qid, doc_id, *_rank) rank lists —
+    the production entry point (any ranker pair slots in; rrf1 is the
+    BM25 × exact-cosine registration). Missing membership in one list
+    contributes 0, the paper's convention."""
     fused = (
         lex.join(vec, ["qid", "doc_id"], "full_outer")
         .select(
             "qid",
             "doc_id",
             F.round(
-                F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0))
-                + F.coalesce(1.0 / (RRF_K + F.col("vec_rank")), F.lit(0.0)),
+                F.coalesce(1.0 / (k + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (k + F.col("vec_rank")), F.lit(0.0)),
                 6,
             ).alias("rrf"),
             F.col("lex_rank").cast("int").alias("lex_rank"),
@@ -230,6 +243,6 @@ def rrf1_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.desc("rrf"), F.asc("doc_id"))
     return (
         fused.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= RRF_TOPK)
+        .filter(F.col("rn") <= topk)
         .drop("rn")
     )

@@ -347,3 +347,48 @@ class TestIVM:
             assert abs(out.loc[et, "sum_value"] - round(r["sum"], 2)) < 1e-6
             assert abs(out.loc[et, "min_value"] - round(r["min"], 6)) < 1e-9
             assert abs(out.loc[et, "max_value"] - round(r["max"], 6)) < 1e-9
+
+
+class TestFusionProperties:
+    def _reference_rrf(self, lex, vec, k, topk):
+        """Pure-python RRF over {(qid, doc): rank} dicts."""
+        from collections import defaultdict
+
+        score = defaultdict(float)
+        for (q, d), r in lex.items():
+            score[(q, d)] += 1.0 / (k + r)
+        for (q, d), r in vec.items():
+            score[(q, d)] += 1.0 / (k + r)
+        out = {}
+        byq = defaultdict(list)
+        for (q, d), s in score.items():
+            byq[q].append((round(s, 6), d))
+        for q, items in byq.items():
+            items.sort(key=lambda t: (-t[0], t[1]))
+            out[q] = [(d, s) for s, d in items[:topk]]
+        return out
+
+    def test_fuse_rankings_matches_reference_on_adversarial_lists(self, spark):
+        """Disjoint lists, overlapping lists, ties on fused score, and a
+        doc present in only one list — the fusion corner cases."""
+        from reduction_dask_spark.operators.retrieval import fuse_rankings
+
+        lex = {(1, 10): 1, (1, 11): 2, (1, 12): 3, (2, 20): 1, (3, 30): 1}
+        vec = {(1, 11): 1, (1, 13): 2, (2, 21): 1, (3, 30): 1}
+        lex_df = spark.createDataFrame(
+            [(q, d, r) for (q, d), r in lex.items()], "qid long, doc_id long, lex_rank int"
+        )
+        vec_df = spark.createDataFrame(
+            [(q, d, r) for (q, d), r in vec.items()], "qid long, doc_id long, vec_rank int"
+        )
+        got = fuse_rankings(lex_df, vec_df, k=60, topk=3).toPandas()
+        expect = self._reference_rrf(lex, vec, 60, 3)
+        for q, items in expect.items():
+            g = got[got.qid == q].sort_values(["rrf", "doc_id"], ascending=[False, True])
+            assert list(g.doc_id) == [d for d, _ in items], (q, list(g.doc_id), items)
+            for (d, s), (_, r) in zip(items, g.iterrows()):
+                assert abs(r.rrf - s) < 1e-9
+        # doc 11 (in both lists at ranks 2 and 1) must beat every
+        # single-list doc for query 1
+        g1 = got[got.qid == 1]
+        assert g1.sort_values("rrf", ascending=False).doc_id.iloc[0] == 11
