@@ -6,6 +6,7 @@ operator-specific invariants a value hash can't express.)"""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from reduction_dask_spark.operators.retrieval import (
@@ -392,3 +393,48 @@ class TestFusionProperties:
         # single-list doc for query 1
         g1 = got[got.qid == 1]
         assert g1.sort_values("rrf", ascending=False).doc_id.iloc[0] == 11
+
+
+class TestBPEAdversarial:
+    def _python_bpe(self, wc, n_merges):
+        from collections import Counter
+
+        vocab = {w: list(w) for w in wc}
+        out = []
+        for rank in range(n_merges):
+            pairs = Counter()
+            for w, syms in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += wc[w]
+            if not pairs:
+                break
+            (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((rank, a, b, a + b, n))
+            for w, syms in vocab.items():
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                vocab[w] = res
+        return out
+
+    @pytest.mark.parametrize(
+        "corpus",
+        [
+            {"aaaa": 3, "aa": 5},                  # overlapping self-merges
+            {"ab": 2, "ba": 2, "aba": 2},          # tied pair counts
+            {"x": 7, "y": 7},                      # nothing mergeable after chars
+            {"abcabc": 1, "bca": 4, "cab": 4},     # rotating contexts
+        ],
+        ids=["self-overlap", "ties", "singletons", "rotations"],
+    )
+    def test_matches_python_on_adversarial_corpora(self, spark, corpus):
+        from reduction_dask_spark.operators.tokenizer import bpe_train
+
+        words = spark.createDataFrame(list(corpus.items()), "w string, wc long")
+        got = bpe_train(words, n_merges=4)
+        assert got == self._python_bpe(corpus, 4)
