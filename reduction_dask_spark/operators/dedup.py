@@ -540,9 +540,13 @@ def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = fwd.unionByName(
         pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
     ).persist()
+    # each round ends in localCheckpoint: `labels` feeds the next round
+    # TWICE (neighbor-min join + convergence diff), so an un-truncated
+    # logical plan doubles per round and Catalyst analysis goes
+    # exponential in the iteration count (see graph.pagerank)
     labels = edges.select(F.col("a").alias("n")).distinct().select(
         "n", F.col("n").alias("label")
-    ).persist()
+    ).localCheckpoint(eager=True)
     while True:
         neighbor_min = (
             edges.join(labels, edges.b == labels.n)
@@ -555,7 +559,7 @@ def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n",
                 F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("x")
@@ -563,7 +567,6 @@ def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("x.label") != F.col("y.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

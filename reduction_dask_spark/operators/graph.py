@@ -1,0 +1,120 @@
+"""Graph centrality over corpus similarity structure — the damped
+fixed-point iteration family (PageRank), complementing the iterative
+label propagation (dd6) and merge training (bpe1) loops.
+
+LLM-data use: rank samples by centrality in the similarity graph —
+high-centrality documents sit in dense semantic neighborhoods
+(representative; coreset/dedup-priority candidates), isolated ones are
+outliers. The graph is the LSH-bucketed near-dup pair set (dd5), so
+edge generation is O(bucket collisions), never O(n²).
+
+Scale shape per iteration: one groupBy on the destination node over
+the edge relation (partial-aggregated), a broadcast of the 1-row
+dangling-mass aggregate, and a join back to the rank vector — the
+standard distributed PageRank dataflow; the driver holds only the
+iteration counter and convergence delta.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..sources import load_table
+from .similarity import NEARDUP_TAU, as_double, dot, lsh_buckets
+
+PR_DAMPING = 0.85
+PR_ITERS = 6
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame, damping: float = PR_DAMPING,
+             n_iter: int = PR_ITERS) -> DataFrame:
+    """Distributed PageRank: ``nodes`` = (id), ``edges`` = directed
+    (src, dst). Dangling mass is redistributed uniformly each round
+    (the standard correction, keeping Σrank = 1).
+
+    Loop discipline: the dangling-mass term rides the dataflow as a
+    broadcast 1-row aggregate — NO driver collect inside the loop —
+    and each round ends in ``localCheckpoint(eager=True)``, which both
+    materializes the new rank vector and TRUNCATES its lineage. The
+    truncation is load-bearing: ``ranks`` feeds the next round twice
+    (dangling mass + contributions), so without it the logical plan
+    doubles per round and Catalyst analysis time grows exponentially
+    (measured ~4 s/round on a 5-node graph by round 6). On a real
+    cluster swap localCheckpoint for reliable checkpointing if
+    executor loss must not restart the loop."""
+    n_nodes = nodes.count()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # out-degree joined once; nodes without out-edges are dangling
+    base = nodes.join(deg, nodes.id == deg.src, "left").select(
+        "id", F.coalesce("deg", F.lit(0)).alias("deg")
+    ).localCheckpoint(eager=True)
+    ranks = base.select("id", F.lit(1.0 / n_nodes).alias("rank"), "deg")
+    for _ in range(n_iter):
+        dm = ranks.filter(F.col("deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        contrib = (
+            edges.join(ranks, edges.src == ranks.id)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            base.join(contrib, base.id == contrib.dst, "left")
+            .crossJoin(F.broadcast(dm))
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + damping * (F.coalesce("inflow", F.lit(0.0)) + F.col("dm") / n_nodes)
+                ).alias("rank"),
+                "deg",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("id", F.round("rank", 8).alias("rank"))
+
+
+@query(
+    "gr1_neardup_pagerank",
+    oracle=None,  # fixed-point iteration — rows-only + numpy parity test
+    doc=f"gr1 similarity-graph PageRank ({PR_ITERS} damped iterations, "
+        f"d={PR_DAMPING}): nodes = embedding corpus, edges = the "
+        "LSH-bucketed cosine near-dup pairs (dd5's candidate shape, "
+        "symmetrized) — centrality ranks samples by semantic-"
+        "neighborhood density for coreset/dedup-priority selection. "
+        "Per iteration: one partial-aggregated groupBy on dst, a "
+        "1-row dangling-mass broadcast, one join back — the classic "
+        "distributed PageRank dataflow; driver state is the loop "
+        "counter. Rows-only (iterative); pinned by numpy "
+        "power-iteration parity.",
+    tags=("graph", "similarity", "pipeline"),
+)
+def gr1_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    buckets = lsh_buckets(spark, sf_dir)
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("ev")).withColumn(
+        "nrm", F.sqrt(dot(F.col("ev"), F.col("ev")))
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    va = v.select(F.col("vec_id").alias("id_a"), F.col("ev").alias("ea"), F.col("nrm").alias("na"))
+    vb = v.select(F.col("vec_id").alias("id_b"), F.col("ev").alias("eb"), F.col("nrm").alias("nb"))
+    pairs = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")) >= NEARDUP_TAU)
+        .select("id_a", "id_b")
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).persist()
+    out = pagerank(nodes, edges)
+    edges.unpersist()
+    return out

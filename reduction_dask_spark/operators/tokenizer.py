@@ -60,9 +60,13 @@ def bpe_train(words: DataFrame, n_merges: int = BPE_MERGES) -> list[tuple]:
 
     Returns the merge table [(rank, sym_a, sym_b, merged, pair_count)].
     Ties break by (count desc, sym_a, sym_b) so the table is unique."""
+    # localCheckpoint per round: truncates both the growing lineage and
+    # the per-round merge-fold expression stack (without it, round k's
+    # plan re-carries every earlier round's aggregate fold — see
+    # graph.pagerank for the exponential-analysis failure mode)
     vocab = words.select(
         "wc", F.split(F.col("w"), "").alias("s")
-    ).persist()
+    ).localCheckpoint(eager=True)
     merges: list[tuple] = []
     for rank in range(n_merges):
         pairs = (
@@ -88,11 +92,9 @@ def bpe_train(words: DataFrame, n_merges: int = BPE_MERGES) -> list[tuple]:
             break
         a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
         merges.append((rank, a, b, a + b, n))
-        nxt = vocab.select("wc", _apply_merge(F.col("s"), a, b).alias("s")).persist()
-        nxt.count()  # materialize before dropping the parent cache
-        vocab.unpersist()
-        vocab = nxt
-    vocab.unpersist()
+        vocab = vocab.select(
+            "wc", _apply_merge(F.col("s"), a, b).alias("s")
+        ).localCheckpoint(eager=True)
     return merges
 
 

@@ -438,3 +438,43 @@ class TestBPEAdversarial:
         words = spark.createDataFrame(list(corpus.items()), "w string, wc long")
         got = bpe_train(words, n_merges=4)
         assert got == self._python_bpe(corpus, 4)
+
+
+class TestPageRank:
+    def test_matches_numpy_power_iteration(self, spark):
+        import numpy as np
+
+        from reduction_dask_spark.operators.graph import (
+            PR_DAMPING,
+            PR_ITERS,
+            pagerank,
+        )
+
+        # small deterministic digraph with a dangling node (3) and a hub
+        edges = [(0, 1), (0, 2), (1, 2), (2, 0), (4, 2), (4, 0)]
+        n = 5
+        nodes_df = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        edges_df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.id: r.rank for r in pagerank(nodes_df, edges_df).collect()}
+
+        r = np.full(n, 1.0 / n)
+        deg = np.zeros(n)
+        for s, _ in edges:
+            deg[s] += 1
+        for _ in range(PR_ITERS):
+            dm = r[deg == 0].sum()
+            inflow = np.zeros(n)
+            for s, d in edges:
+                inflow[d] += r[s] / deg[s]
+            r = (1 - PR_DAMPING) / n + PR_DAMPING * (inflow + dm / n)
+        for i in range(n):
+            assert abs(got[i] - round(r[i], 8)) < 1e-7
+
+    def test_registered_query_conserves_mass(self, spark):
+        from reduction_dask_spark.operators.graph import gr1_neardup_pagerank
+
+        out = gr1_neardup_pagerank(spark, SF).toPandas()
+        n_vec = load_table(spark, SF, "embeddings").count()
+        assert len(out) == n_vec
+        assert abs(out["rank"].sum() - 1.0) < 1e-4
+        assert (out["rank"] > 0).all()
