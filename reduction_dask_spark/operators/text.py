@@ -707,7 +707,9 @@ def _cls_weight_sql(tok: str) -> str:
                    len(toks) AS n
             FROM d
         )
-        SELECT doc_id, round(sw / n, 6) AS margin,
+        SELECT doc_id,
+               CAST(round(sw * 1024) AS BIGINT) AS score_x1024,
+               CAST(n AS BIGINT) AS n_tokens,
                CAST(CAST(sw >= 0 AS INT) AS BIGINT) AS keep
         FROM s
     """,
@@ -716,12 +718,16 @@ def _cls_weight_sql(tok: str) -> str:
         "hash-derived weight per bucket stands in for trained "
         "coefficients (the container has no trained model — swap "
         "_cls_weight for a broadcast weight-table join, t3's pattern, "
-        "when one exists). margin = mean token weight; keep = margin "
-        "≥ 0. The whole classifier is ONE map-only expression — "
-        "transform + aggregate over the token array inside codegen, "
-        "zero shuffle, zero UDF: at 100 TB this runs at scan speed. "
-        "Weights sit on the k/1024 lattice so sums are exact in any "
-        "order (no float-reassociation drift vs the oracle).",
+        "when one exists). keep = total score ≥ 0; the score is "
+        "emitted as the EXACT lattice integer score_x1024 = Σ k_token "
+        "(weights sit on the k/1024 lattice, so the sum is exact in "
+        "any order) next to n_tokens — the mean-margin quotient is "
+        "derivable but deliberately not hashed: a rounded sw/n sits "
+        "1 ulp from a round-half boundary for some documents and the "
+        "engines then disagree in the 6th decimal (caught at sf0.1). "
+        "The whole classifier is ONE map-only expression — transform "
+        "+ aggregate over the token array inside codegen, zero "
+        "shuffle, zero UDF: at 100 TB this runs at scan speed.",
     tags=("text", "pipeline"),
 )
 def cls1_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -736,7 +742,8 @@ def cls1_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         sw.alias("sw"),
     ).select(
         "doc_id",
-        F.round(F.col("sw") / F.size("toks"), 6).alias("margin"),
+        F.round(F.col("sw") * 1024).cast("bigint").alias("score_x1024"),
+        F.size("toks").cast("bigint").alias("n_tokens"),
         (F.col("sw") >= 0).cast("int").cast("bigint").alias("keep"),
     )
 

@@ -26,8 +26,9 @@ def test_cls1_margin_bounds_and_keep_flag(spark):
     rows = cls1_quality_classifier(spark, SF_SMALL).collect()
     assert rows
     for r in rows:
-        assert -1.0 <= r["margin"] <= 1.0        # weights lie on [-1, 1]
-        assert r["keep"] == (1 if r["margin"] >= 0 else 0)
+        # weights lie on [-1, 1] => |lattice score| <= 1024 * n_tokens
+        assert abs(r["score_x1024"]) <= 1024 * r["n_tokens"]
+        assert r["keep"] == (1 if r["score_x1024"] >= 0 else 0)
 
 
 def test_cls1_is_map_only(spark):
@@ -37,8 +38,8 @@ def test_cls1_is_map_only(spark):
 
 
 def test_cls1_deterministic(spark):
-    a = {r["doc_id"]: r["margin"] for r in cls1_quality_classifier(spark, SF_SMALL).collect()}
-    b = {r["doc_id"]: r["margin"] for r in cls1_quality_classifier(spark, SF_SMALL).collect()}
+    a = {r["doc_id"]: r["score_x1024"] for r in cls1_quality_classifier(spark, SF_SMALL).collect()}
+    b = {r["doc_id"]: r["score_x1024"] for r in cls1_quality_classifier(spark, SF_SMALL).collect()}
     assert a == b
 
 
