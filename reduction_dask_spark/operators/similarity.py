@@ -28,7 +28,12 @@ from ..registry import query
 from ..sources import load_table
 
 TOP_K = 5
-QUERY_MOD = 50       # query set = vec_id % 50 == 0
+QUERY_MOD = 50       # query sampling: vec_id % 50 == 0 ...
+N_QUERIES = 40       # ... capped at a FIXED batch of 40 — retrieval QPS
+QUERY_CAP = QUERY_MOD * N_QUERIES  # doesn't grow with the corpus; an
+                     # uncapped %-sample turns every O(|Q|·candidates)
+                     # ranker quadratic at scale (rrf1's probe measured
+                     # it). A no-op at the driver SFs (max vec_id 1999).
 N_PLANES = 6         # 64 LSH buckets — sized for the driver's sf (see lsh_planes_for)
 DIM = 64
 NEARDUP_TAU = 0.4
@@ -89,7 +94,7 @@ _COS_SQL = (
 _BRUTE_SQL = f"""
     q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
-          FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+          FROM embeddings WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_CAP}),
     c AS (SELECT vec_id, embedding::DOUBLE[] AS cv,
                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
           FROM embeddings),
@@ -115,7 +120,9 @@ def brute_force_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFr
     # op sequence either way, so the rounded cosines are bit-identical
     # (oracle mirrors the same factoring).
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = emb.filter(
+        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
+    ).select(
         F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qv")
     ).withColumn("qn", F.sqrt(dot(F.col("qv"), F.col("qv"))))
     c = emb.select("vec_id", as_double(F.col("embedding")).alias("cv")).withColumn(
@@ -245,7 +252,7 @@ def ss2_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     buckets = lsh_buckets(spark, sf_dir)
     q = (
-        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        emb.filter((F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP))
         .select(F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qv"))
         .join(buckets.select(F.col("vec_id").alias("qid"), "bucket"), "qid")
     )
@@ -364,7 +371,7 @@ _IVF_SQL = f"""
     assign AS (SELECT vec_id, cid FROM assign0 WHERE crn = 1),
     qprobe AS (
         SELECT vec_id AS qid, cid, crn FROM assign0
-        WHERE vec_id % {QUERY_MOD} = 0 AND crn <= {N_PROBE}
+        WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_CAP} AND crn <= {N_PROBE}
     )
 """
 
@@ -433,7 +440,7 @@ def ss4_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             S = np.round((X @ C.T) / (xnorm[:, None] * cnorm[None, :]), 5)
             out = [pd.DataFrame({"vec_id": vid, "cid": cids[S.argmax(axis=1)],
                                  "probe": np.zeros(len(vid), dtype=np.int32)})]
-            qmask = vid % QUERY_MOD == 0
+            qmask = (vid % QUERY_MOD == 0) & (vid < QUERY_CAP)
             if qmask.any():
                 Sq = S[qmask]
                 top = np.argsort(-Sq, axis=1, kind="stable")[:, :N_PROBE]
@@ -583,7 +590,7 @@ def km1_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN p.range = 0 THEN a.bucket
                         ELSE xor(a.bucket, CAST(1 << (p.range - 1) AS INTEGER)) END AS bucket
             FROM sig a, range({N_PLANES} + 1) p
-            WHERE a.vec_id % {QUERY_MOD} = 0
+            WHERE a.vec_id % {QUERY_MOD} = 0 AND a.vec_id < {QUERY_CAP}
         ),
         cand AS (
             SELECT DISTINCT s.qid, s.vec_id, s.cos
@@ -614,7 +621,7 @@ def ss5_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)]
     )
     q = (
-        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        emb.filter((F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP))
         .select(F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qv"))
         .join(buckets.select(F.col("vec_id").alias("qid"), "bucket"), "qid")
         .select("qid", "qv", F.explode(probe_arr).alias("bucket"))
@@ -670,7 +677,7 @@ _PQ_SQL = f"""
         SELECT e.vec_id AS qid, vm.m, vm.sub,
                sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS qnorm
         FROM embeddings e JOIN vm ON vm.vec_id = e.vec_id
-        WHERE e.vec_id % {QUERY_MOD} = 0
+        WHERE e.vec_id % {QUERY_MOD} = 0 AND e.vec_id < {QUERY_CAP}
     ),
     qdot AS (
         SELECT q.qid, q.m, cbm.c, q.qnorm,
@@ -764,7 +771,7 @@ def ss6_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "m", F.col("best.cd").cast("int").alias("c"))
     )
     # qdot: per (query, m, c) partial dot + codeword norm²  (|Q|·M·K rows)
-    q = v.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = v.filter((F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)).select(
         F.col("vec_id").alias("qid"), F.col("vv").alias("qv"), F.sqrt(dot(F.col("vv"), F.col("vv"))).alias("qnorm")
     )
     qm = q.select(
@@ -823,7 +830,7 @@ def ss1b_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     qpdf = (
-        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        emb.filter((F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP))
         .select("vec_id", as_double(F.col("embedding")).alias("qv"))
         .toPandas()
     )
@@ -1011,7 +1018,7 @@ def ss7_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lookup table ||(q − centroid)_m − cw||² — |Q|·nprobe·m·k rows, broadcast
     sub = lambda col, m: F.slice(col, 1 + PQ_SUB * m, PQ_SUB)  # noqa: E731
     probes = (
-        v.filter(F.col("vec_id") % QUERY_MOD == 0)
+        v.filter((F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP))
         .crossJoin(F.broadcast(cent_df))
         .select(F.col("vec_id").alias("qid"), "vv", "cv", "cid", d2.alias("d2"))
         .withColumn("crn", F.row_number().over(
