@@ -80,3 +80,21 @@ def test_bucketed_fingerprint_index_antijoin_dedup(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS corpus_fp_b")
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Strategy-control surface: shuffle_hash and merge hints select
+    ShuffledHashJoin / SortMergeJoin over the planner's default — the
+    knob used when the build side fits executor (not driver) memory,
+    or when sort order should be preserved."""
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_totalprice")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shj = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        assert "ShuffledHashJoin" in simple_plan(shj)
+        smj = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        assert "SortMergeJoin" in simple_plan(smj)
+        assert shj.count() == smj.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
