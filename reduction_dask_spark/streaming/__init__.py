@@ -23,18 +23,30 @@ from ..sources import normalize_ts
 
 
 def _stage_dir(sf_dir: str) -> str:
-    """FileStreamSource requires a directory; stage a symlink to the
-    single-file events parquet under a stable temp dir."""
+    """FileStreamSource requires a flat directory of data files; stage
+    symlinks to the events parquet under a stable temp dir. Handles
+    both physical layouts: a single .parquet FILE (driver testdata)
+    and a Spark-written .parquet DIRECTORY of part files (e.g. the
+    scale-probe replicas) — a symlink to a directory is not traversed
+    by the file source, so part files are linked individually."""
     import hashlib
     import os
     import tempfile
 
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     d = os.path.join(tempfile.gettempdir(), f"rds_stream_{tag}")
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir.rstrip('/')}/events.parquet", link)
+    if os.path.isdir(src):
+        for part in os.listdir(src):
+            if part.endswith(".parquet"):
+                link = os.path.join(d, part)
+                if not os.path.exists(link):
+                    os.symlink(os.path.join(src, part), link)
+    else:
+        link = os.path.join(d, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
     return d
 
 
