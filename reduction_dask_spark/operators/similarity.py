@@ -353,12 +353,18 @@ def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- ss4
 
 CENT_MOD = 53     # centroid set = vec_id % 53 == 0 (IVF coarse quantizer)
+N_CENTROIDS = 40  # capped at a FIXED centroid count: an uncapped %-sample
+CENT_CAP = CENT_MOD * N_CENTROIDS  # grows the quantizer linearly with the
+                  # corpus (x100 probe: 21x) — with a fixed coarse codebook
+                  # the demo degrades gracefully to linear list scans; real
+                  # sizing is ivf_lists_for (k ~ sqrt(n)) + ss7's trained
+                  # k-means lists. A no-op at the driver SFs.
 N_PROBE = 2
 
 
 _IVF_SQL = f"""
     cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvv FROM embeddings
-             WHERE vec_id % {CENT_MOD} = 0),
+             WHERE vec_id % {CENT_MOD} = 0 AND vec_id < {CENT_CAP}),
     allv AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
     assign0 AS (
         SELECT a.vec_id, c.cid,
@@ -413,7 +419,7 @@ def ss4_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # centroid matrix driver-side (the coarse quantizer is the model,
     # not data), sorted by cid so argmax ties resolve to the lowest cid
     cpdf = (
-        emb.filter(F.col("vec_id") % CENT_MOD == 0)
+        emb.filter((F.col("vec_id") % CENT_MOD == 0) & (F.col("vec_id") < CENT_CAP))
         .select(F.col("vec_id").alias("cid"), as_double(F.col("embedding")).alias("cvv"))
         .orderBy("cid")
         .toPandas()
@@ -497,7 +503,7 @@ def kmeans_fit(df: DataFrame, k: int = KM_K, iters: int = KM_ITERS):
 
     spark = df.sparkSession
     cents = (
-        df.filter(F.col("vec_id") % CENT_MOD == 0)
+        df.filter((F.col("vec_id") % CENT_MOD == 0) & (F.col("vec_id") < CENT_CAP))
         .orderBy("vec_id")
         .limit(k)
         .select(F.col("vec_id"), F.col("vv"))
