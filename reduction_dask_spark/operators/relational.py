@@ -1104,3 +1104,68 @@ def ivm1_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.greatest(F.coalesce(F.col("b.mx"), F.col("d.mx")),
                            F.coalesce(F.col("d.mx"), F.col("b.mx"))), 6).alias("max_value"),
     )
+
+
+# ------------------------------------------------------------ dq2
+
+@query(
+    "dq2_referential_integrity",
+    oracle="""
+        SELECT 'lineitem_orphan_orders' AS check_name,
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_bad
+        UNION ALL
+        SELECT 'orders_orphan_customers',
+               CAST((SELECT count(*) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem_null_keys',
+               CAST((SELECT count(*) FROM lineitem
+                     WHERE l_orderkey IS NULL OR l_partkey IS NULL) AS BIGINT)
+        UNION ALL
+        SELECT 'orders_dup_pk',
+               CAST((SELECT count(*) FROM (
+                         SELECT o_orderkey FROM orders
+                         GROUP BY o_orderkey HAVING count(*) > 1)) AS BIGINT)
+    """,
+    doc="dq2 referential-integrity audit: orphaned foreign keys (anti "
+        "joins), null key columns, and duplicate primary keys across "
+        "the star schema, long-format one row per check — the "
+        "constraint validation a lakehouse runs after every load "
+        "(there are no enforced FKs at this scale; you ASSERT them). "
+        "Each check is one anti-join or aggregate; the orphan checks "
+        "shuffle on the key being validated and AQE broadcasts the "
+        "smaller side.",
+    tags=("pipeline", "agg"),
+)
+def dq2_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    checks = [
+        ("lineitem_orphan_orders",
+         li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")),
+        ("orders_orphan_customers",
+         o.join(c.select("c_custkey"), o.o_custkey == c.c_custkey, "left_anti")),
+        ("lineitem_null_keys",
+         li.filter(F.col("l_orderkey").isNull() | F.col("l_partkey").isNull())),
+    ]
+    parts = [
+        df.agg(F.count("*").cast("bigint").alias("n_bad")).select(
+            F.lit(name).alias("check_name"), "n_bad"
+        )
+        for name, df in checks
+    ]
+    dup_pk = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") > 1)
+        .agg(F.count("*").cast("bigint").alias("n_bad"))
+        .select(F.lit("orders_dup_pk").alias("check_name"), "n_bad")
+    )
+    out = parts[0]
+    for p in parts[1:] + [dup_pk]:
+        out = out.unionByName(p)
+    return out

@@ -668,3 +668,85 @@ def j8_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_tol, F.col("next_p.p_id")).alias("next_purchase_id"),
         F.when(in_tol, gap).alias("gap_us"),
     )
+
+
+# ---------------------------------------------------------------- roll1
+
+@query(
+    "roll1_time_rollup",
+    oracle="""
+        SELECT CAST(year(ts) AS INTEGER) AS yr,
+               CAST(month(ts) AS INTEGER) AS mo,
+               CAST(day(ts) AS INTEGER) AS dy,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(value) AS DOUBLE), 2) AS sum_value,
+               CAST(grouping(year(ts)) * 4 + grouping(month(ts)) * 2
+                    + grouping(day(ts)) AS INTEGER) AS gid
+        FROM events
+        GROUP BY ROLLUP (year(ts), month(ts), day(ts))
+    """,
+    doc="roll1 time-hierarchy rollup (hour→day→month→year family): one "
+        "ROLLUP pass emits the day, month, year and grand-total grains "
+        "with a grouping id — the continuous-aggregate/hypertable "
+        "rollup shape (a8/a11 cover categorical cube/grouping sets; "
+        "this is the calendar hierarchy). One shuffle; partial "
+        "aggregation applies per grain. At 100 TB the rollup input is "
+        "the already-reduced finest grain, not the raw events, when "
+        "maintained incrementally (ivm1's merge pattern).",
+    tags=("agg", "temporal"),
+)
+def roll1_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    yr, mo, dy = F.year("ts"), F.month("ts"), F.dayofmonth("ts")
+    return (
+        ev.rollup(yr.alias("yr"), mo.alias("mo"), dy.alias("dy"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .select(
+            F.col("yr").cast("int").alias("yr"),
+            F.col("mo").cast("int").alias("mo"),
+            F.col("dy").cast("int").alias("dy"),
+            "n",
+            "sum_value",
+            "gid",
+        )
+    )
+
+
+# ---------------------------------------------------------------- w9
+
+@query(
+    "w9_first_last_nth",
+    oracle="""
+        SELECT event_id, user_id,
+               first_value(event_type) OVER w AS first_type,
+               last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type,
+               nth_value(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="w9 positional window values: each event annotated with its "
+        "user's first / last / second event type — first_value, "
+        "last_value and nth_value over one user_id partitioning "
+        "(last/nth use the full-partition frame; the default frame "
+        "would make last_value ≡ current row). Completes the window-"
+        "function matrix next to w1/w3/w6; one exchange serves all "
+        "three.",
+    tags=("window", "temporal"),
+)
+def w9_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(wf).alias("last_type"),
+        F.nth_value("event_type", 2).over(wf).alias("second_type"),
+    )

@@ -478,3 +478,36 @@ class TestPageRank:
         assert len(out) == n_vec
         assert abs(out["rank"].sum() - 1.0) < 1e-4
         assert (out["rank"] > 0).all()
+
+
+class TestRollupAndDQ:
+    def test_rollup_grains_are_consistent(self, spark):
+        from reduction_dask_spark.operators.temporal import roll1_time_rollup
+
+        out = roll1_time_rollup(spark, SF).toPandas()
+        total = out[out.gid == 7]
+        days = out[out.gid == 0]
+        months = out[out.gid == 1]
+        assert len(total) == 1
+        assert total.n.iloc[0] == days.n.sum() == months.n.sum()
+        assert abs(days.sum_value.sum() - total.sum_value.iloc[0]) < 1.0
+
+    def test_w9_positions_match_pandas(self, spark):
+        from reduction_dask_spark.operators.temporal import w9_first_last_nth
+
+        ev = load_table(spark, SF, "events").select("event_id", "user_id", "ts", "event_type").toPandas()
+        out = w9_first_last_nth(spark, SF).toPandas().set_index("event_id")
+        g = ev[ev.user_id == ev.user_id.iloc[0]].sort_values(["ts", "event_id"])
+        first, last = g.event_type.iloc[0], g.event_type.iloc[-1]
+        second = g.event_type.iloc[1] if len(g) > 1 else None
+        for eid in g.event_id:
+            assert out.loc[eid, "first_type"] == first
+            assert out.loc[eid, "last_type"] == last
+            assert out.loc[eid, "second_type"] == second
+
+    def test_dq2_clean_star_schema(self, spark):
+        from reduction_dask_spark.operators.relational import dq2_referential_integrity
+
+        out = dq2_referential_integrity(spark, SF).toPandas().set_index("check_name")
+        # the synthetic star schema is FK-consistent by construction
+        assert (out.n_bad == 0).all(), out
