@@ -1169,3 +1169,82 @@ def dq2_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:] + [dup_pk]:
         out = out.unionByName(p)
     return out
+
+
+# ------------------------------------------------------------ o2b
+
+@query(
+    "o2b_topk_per_group_agg",
+    oracle="""
+        SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    doc="o2b aggregation-based per-group top-k (same semantics as o2, "
+        "different physical strategy): collect each group's rows into "
+        "a sorted array and slice the head — ONE partial-aggregated "
+        "shuffle with map-side combining, no Window sort. The trade: "
+        "the window form sorts each group once reduce-side; this form "
+        "combines per-partition top candidates map-side, which wins "
+        "when groups are few and wide (heavy-hitter groups at 100 TB) "
+        "but holds k·|groups| structs in the aggregation buffer. Both "
+        "are registered so the plan choice is explicit, not folklore.",
+    tags=("order", "agg"),
+)
+def o2b_topk_per_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # struct sorts lexicographically: (-price, orderkey) ascending ==
+    # price desc, key asc — the window form's exact order
+    item = F.struct(
+        (-F.col("o_totalprice")).alias("neg_price"),
+        F.col("o_orderkey").alias("o_orderkey"),
+    )
+    top = (
+        o.groupBy("o_orderpriority")
+        .agg(F.slice(F.sort_array(F.collect_list(item)), 1, 3).alias("top"))
+        .select("o_orderpriority", F.explode("top").alias("t"))
+    )
+    return top.select(
+        "o_orderpriority",
+        F.col("t.o_orderkey").alias("o_orderkey"),
+        (-F.col("t.neg_price")).alias("o_totalprice"),
+    )
+
+
+# ------------------------------------------------------------ a12
+
+@query(
+    "a12_mode_per_group",
+    oracle="""
+        SELECT event_type, dy AS mode_day, CAST(n AS BIGINT) AS n FROM (
+            SELECT event_type, CAST(day(ts) AS INTEGER) AS dy, count(*) AS n,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY count(*) DESC, CAST(day(ts) AS INTEGER)) AS rn
+            FROM events GROUP BY 1, 2
+        ) WHERE rn = 1
+    """,
+    doc="a12 deterministic per-group mode: the most frequent day-of-"
+        "month per event_type with an explicit (count desc, value asc) "
+        "tie-break — engine-native mode() leaves ties unspecified and "
+        "differs across engines, so the portable form is count + "
+        "argmax-over-struct (tq1's pattern): two partial-aggregated "
+        "shuffles, the second over the tiny (group, value) relation.",
+    tags=("agg",),
+)
+def a12_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cnt = (
+        ev.groupBy("event_type", F.dayofmonth("ts").cast("int").alias("dy"))
+        .agg(F.count("*").alias("n"))
+    )
+    best = cnt.groupBy("event_type").agg(
+        F.max(F.struct(F.col("n"), (-F.col("dy")).alias("neg_dy"))).alias("b")
+    )
+    return best.select(
+        "event_type",
+        (-F.col("b.neg_dy")).cast("int").alias("mode_day"),
+        F.col("b.n").cast("bigint").alias("n"),
+    )

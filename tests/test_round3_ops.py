@@ -511,3 +511,35 @@ class TestRollupAndDQ:
         out = dq2_referential_integrity(spark, SF).toPandas().set_index("check_name")
         # the synthetic star schema is FK-consistent by construction
         assert (out.n_bad == 0).all(), out
+
+
+class TestAggVariants:
+    def test_o2b_equals_window_form(self, spark):
+        from reduction_dask_spark.operators.relational import (
+            o2_topk_per_group,
+            o2b_topk_per_group_agg,
+        )
+
+        a = set(map(tuple, o2_topk_per_group(spark, SF).collect()))
+        b = set(map(tuple, o2b_topk_per_group_agg(spark, SF).collect()))
+        assert a == b and len(a) > 0
+
+    def test_o2b_plan_has_no_window(self, spark):
+        from reduction_dask_spark.operators.relational import o2b_topk_per_group_agg
+        from reduction_dask_spark.plans import simple_plan
+
+        plan = simple_plan(o2b_topk_per_group_agg(spark, SF))
+        assert "Window" not in plan
+        assert "partial" in plan.lower() or "HashAggregate" in plan
+
+    def test_a12_mode_matches_pandas(self, spark):
+        from reduction_dask_spark.operators.relational import a12_mode_per_group
+
+        ev = load_table(spark, SF, "events").select("event_type", "ts").toPandas()
+        ev["dy"] = ev.ts.dt.day
+        out = a12_mode_per_group(spark, SF).toPandas().set_index("event_type")
+        for et, g in ev.groupby("event_type"):
+            counts = g.groupby("dy").size().sort_index()
+            best = counts[counts == counts.max()].index.min()
+            assert out.loc[et, "mode_day"] == best
+            assert out.loc[et, "n"] == counts.max()
