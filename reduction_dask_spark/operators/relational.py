@@ -927,6 +927,10 @@ _MELT_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
             ON {', '.join(_MELT_COLS)}
             INTO NAME measure VALUE val
         )
+        -- INCLUDE NULLS is not supported by DuckDB's UNPIVOT; it drops
+        -- NULL measure values while Spark's df.unpivot keeps them, so
+        -- the Spark side filters them too (no-op today: TPC-H measures
+        -- are NOT NULL; keeps semantics aligned if nullability changes)
     """,
     doc="unpivot1 wide→long reshaping (melt, F2's pivot inverse): the "
         "lineitem measure columns unpivoted to (key, measure, value) "
@@ -934,7 +938,10 @@ _MELT_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         "long-format feed for per-measure aggregation and profiling "
         "(prof1's display shape). Map-side only: unpivot is a per-row "
         "generator, no shuffle, and the measure-name column is a "
-        "constant dictionary at any scale.",
+        "constant dictionary at any scale. NULL measure values are "
+        "filtered to match DuckDB's UNPIVOT (which excludes NULLs and "
+        "has no INCLUDE NULLS clause) — latent today since TPC-H "
+        "measures are NOT NULL, but pinned so nullable inputs agree.",
     tags=("relational",),
 )
 def unpivot1_melt_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -944,7 +951,7 @@ def unpivot1_melt_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         values=list(_MELT_COLS),
         variableColumnName="measure",
         valueColumnName="val0",
-    ).select(
+    ).filter(F.col("val0").isNotNull()).select(
         "l_orderkey",
         "l_linenumber",
         "measure",
@@ -1185,13 +1192,16 @@ def dq2_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="o2b aggregation-based per-group top-k (same semantics as o2, "
         "different physical strategy): collect each group's rows into "
-        "a sorted array and slice the head — ONE partial-aggregated "
-        "shuffle with map-side combining, no Window sort. The trade: "
-        "the window form sorts each group once reduce-side; this form "
-        "combines per-partition top candidates map-side, which wins "
-        "when groups are few and wide (heavy-hitter groups at 100 TB) "
-        "but holds k·|groups| structs in the aggregation buffer. Both "
-        "are registered so the plan choice is explicit, not folklore.",
+        "a sorted array and slice the head — ONE shuffle, no Window "
+        "sort. Honest trade-off: collect_list has NO bounded top-k "
+        "combiner — the partial aggregate buffers every partition-"
+        "local row of the group and the merged buffer is O(group "
+        "size), so a heavy-hitter group can blow executor memory at "
+        "scale. Use o2 (window) for skewed groups, or o2c for the "
+        "genuinely bounded per-partition-heap combiner; o2b wins only "
+        "when every group is known-small (e.g. after a selective "
+        "filter). All three are registered so the plan choice is "
+        "explicit, not folklore.",
     tags=("order", "agg"),
 )
 def o2b_topk_per_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1205,6 +1215,71 @@ def o2b_topk_per_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = (
         o.groupBy("o_orderpriority")
         .agg(F.slice(F.sort_array(F.collect_list(item)), 1, 3).alias("top"))
+        .select("o_orderpriority", F.explode("top").alias("t"))
+    )
+    return top.select(
+        "o_orderpriority",
+        F.col("t.o_orderkey").alias("o_orderkey"),
+        (-F.col("t.neg_price")).alias("o_totalprice"),
+    )
+
+
+# ------------------------------------------------------------ o2c
+
+@query(
+    "o2c_topk_per_group_bounded",
+    oracle="""
+        SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    doc="o2c bounded-combiner per-group top-k (treeAggregate shape): "
+        "phase 1 is a mapInPandas per-PARTITION top-k — each task "
+        "keeps at most k rows per group it sees (nsmallest on "
+        "(-price, key), a bounded heap), so the aggregation buffer "
+        "is O(k·groups-in-partition) regardless of group skew and "
+        "only k·partitions candidate rows per group cross the ONE "
+        "shuffle; phase 2 re-ranks the tiny candidate set. This is "
+        "the heavy-hitter-safe strategy o2b cannot be (collect_list "
+        "has no bounded combiner): at 100 TB a group with 10^9 rows "
+        "contributes k rows per scan task, never a 10^9-element "
+        "array. Arrow-batched, no per-row Python.",
+    tags=("order", "agg", "udf"),
+)
+def o2c_topk_per_group_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: F401 — signature typing only
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    k = 3
+
+    def partition_topk(batches):
+        import pandas as pd
+
+        best: "pd.DataFrame | None" = None
+        for pdf in batches:
+            pool = pdf if best is None else pd.concat([best, pdf])
+            pool = pool.sort_values(
+                ["o_orderpriority", "o_totalprice", "o_orderkey"],
+                ascending=[True, False, True],
+            )
+            best = pool.groupby("o_orderpriority", sort=False).head(k)
+        if best is not None:
+            yield best
+
+    cand = o.mapInPandas(partition_topk, schema=o.schema)
+    # phase 2: candidates are ≤ k·partitions per group — tiny relation
+    item = F.struct(
+        (-F.col("o_totalprice")).alias("neg_price"),
+        F.col("o_orderkey").alias("o_orderkey"),
+    )
+    top = (
+        cand.groupBy("o_orderpriority")
+        .agg(F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("top"))
         .select("o_orderpriority", F.explode("top").alias("t"))
     )
     return top.select(

@@ -620,24 +620,23 @@ ASOF_TOL_US = 2 * 3600 * 1_000_000  # 2-hour forward tolerance
     "j8_asof_forward_tolerance",
     oracle=f"""
         WITH e AS (
-            SELECT event_id, user_id, epoch_us(ts) AS ts_us, -epoch_us(ts) AS nts
-            FROM events
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
         ),
         p AS (
-            SELECT event_id, user_id, epoch_us(ts) AS ts_us, -epoch_us(ts) AS nts
+            SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
             FROM events WHERE event_type = 'purchase'
         ),
         j AS (
-            SELECT e.event_id, p.event_id AS next_id, p.ts_us AS next_us, e.ts_us
-            FROM e ASOF LEFT JOIN p
-              ON e.user_id = p.user_id AND p.nts < e.nts
+            SELECT e.event_id, p.p_id, p.p_us, e.ts_us,
+                   row_number() OVER (PARTITION BY e.event_id
+                                      ORDER BY p.p_us, p.p_id) AS rn
+            FROM e LEFT JOIN p
+              ON e.user_id = p.user_id
+             AND p.p_us > e.ts_us
+             AND p.p_us - e.ts_us <= {ASOF_TOL_US}
         )
-        SELECT event_id,
-               CASE WHEN next_us - ts_us <= {ASOF_TOL_US} THEN next_id END
-                 AS next_purchase_id,
-               CASE WHEN next_us - ts_us <= {ASOF_TOL_US} THEN next_us - ts_us END
-                 AS gap_us
-        FROM j
+        SELECT event_id, p_id AS next_purchase_id, p_us - ts_us AS gap_us
+        FROM j WHERE rn = 1
     """,
     doc="j8 FORWARD as-of join with tolerance (j7's mirror): for each "
         "event, the user's next purchase STRICTLY after it, kept only "
@@ -646,9 +645,11 @@ ASOF_TOL_US = 2 * 3600 * 1_000_000  # 2-hour forward tolerance
         "Spark: carry-BACKWARD window (min of the purchase (ts,id) "
         "struct over the strictly-following range frame on the shared "
         "user timeline) + tolerance null-out — one shuffle on user_id, "
-        "no candidate-range explosion at any scale. Oracle: DuckDB's "
-        "native ASOF JOIN on the NEGATED timeline (forward asof ≡ "
-        "backward asof on -t), tolerance applied identically.",
+        "no candidate-range explosion at any scale. Oracle: arg-min "
+        "row_number over (p_us, p_id) within the tolerance horizon — "
+        "the SAME deterministic tie-break as min(struct(ts,id)), so "
+        "two purchases at one microsecond cannot flake the compare "
+        "(DuckDB's native ASOF leaves that tie unspecified).",
     tags=("join", "temporal"),
 )
 def j8_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -467,6 +467,29 @@ def kafka_stream_options(
     return opts
 
 
+#: Wire schema of the JSON event payload on the Kafka topic. `ts` is
+#: epoch NANOS as a long (the upstream producer's convention); the
+#: parse converts to a proper timestamp so downstream operators see
+#: exactly what the file source yields. Kept as an explicit module
+#: constant (not footer-inferred — there is no parquet footer on a
+#: Kafka topic) and exercised batch-side by tests/test_streaming.py
+#: so a schema drift fails in CI, connector or not.
+EVENT_JSON_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def parse_event_payload(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Parse a binary/string JSON event payload column into the event
+    schema (shared by the Kafka source and any other byte-stream
+    source). Pure column expressions — testable without a connector."""
+    parsed = raw.select(
+        F.from_json(F.col(value_col).cast("string"), EVENT_JSON_SCHEMA).alias("e")
+    ).select("e.*")
+    return parsed.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def read_event_stream_kafka(
     spark: SparkSession, bootstrap_servers: str, topic: str, **kw
 ) -> DataFrame:
@@ -480,11 +503,7 @@ def read_event_stream_kafka(
     reader = spark.readStream.format("kafka")
     for k, v in kafka_stream_options(bootstrap_servers, topic, **kw).items():
         reader = reader.option(k, v)
-    raw = reader.load()
-    parsed = raw.select(
-        F.from_json(F.col("value").cast("string"), _EVENT_SCHEMA).alias("e")
-    ).select("e.*")
-    return parsed.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return parse_event_payload(reader.load())
 
 
 # ---------------------------------------------------------------- st8

@@ -101,6 +101,36 @@ def test_kafka_stream_options():
     assert opts["maxOffsetsPerTrigger"] == "100000"
 
 
+def test_kafka_payload_parse_matches_batch_events(spark):
+    """parse_event_payload (the Kafka value decoder) round-trips the
+    batch events table: serialize each row to the wire JSON (ts as
+    epoch nanos, the producer convention), parse, and require exact
+    equality with the file-source schema + values. Guards the ADVICE
+    r3 NameError class: the parse expression is BUILT and EVALUATED
+    here, so a missing/renamed schema constant fails in CI even
+    though the container has no Kafka connector."""
+    from reduction_dask_spark.streaming import parse_event_payload
+
+    events = load_table(spark, SF_SMALL, "events").limit(200)
+    wire = events.select(
+        F.to_json(
+            F.struct(
+                "event_id",
+                (F.unix_micros("ts") * F.lit(1000)).alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            )
+        ).alias("value")
+    )
+    parsed = parse_event_payload(wire)
+    assert parsed.schema == events.schema
+    want = sorted(map(tuple, events.collect()))
+    got = sorted(map(tuple, parsed.collect()))
+    assert got == want
+
+
 def test_st8_foreach_batch_sink_idempotent(spark):
     """Re-running the sink overwrites, never duplicates — the
     last-write-wins idempotence the foreachBatch recipe relies on."""
