@@ -660,6 +660,39 @@ def a10_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hll1_sketch_rollup",
+    oracle=None,  # sketch bytes are engine-specific; merge-parity + tolerance tests
+    doc="hll1 mergeable-sketch rollup (Apache DataSketches HLL via "
+        "hll_sketch_agg/hll_union_agg): build one distinct-users "
+        "sketch per (day, event_type) — the materialized daily rollup "
+        "a 100 TB pipeline stores instead of raw IDs — then answer "
+        "the per-type total by UNIONING the daily sketches, never "
+        "rescanning raw data. Sketch union is lossless for HLL, so "
+        "the rolled-up estimate EQUALS the direct whole-column "
+        "estimate (asserted exactly in tests/test_round3_ops.py) and "
+        "lands within HLL's ~1.6% rse of the true distinct (tolerance "
+        "test). The daily sketch relation is O(days×types×sketch "
+        "bytes) — constant per cell regardless of row count — which "
+        "is why this is THE pattern for distinct-count dashboards "
+        "over append-only data at any scale.",
+    tags=("agg", "approx", "sketch"),
+)
+def hll1_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "m1b_spearman_orders_era",
     oracle="""
         WITH base AS (

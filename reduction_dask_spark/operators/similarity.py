@@ -502,6 +502,9 @@ def kmeans_fit(df: DataFrame, k: int = KM_K, iters: int = KM_ITERS):
     import pandas as pd
 
     spark = df.sparkSession
+    # every Lloyd iteration rescans the corpus; pin it once for the fit
+    # (scope-local: released before returning the k×d model)
+    df = df.persist()
     cents = (
         df.filter((F.col("vec_id") % CENT_MOD == 0) & (F.col("vec_id") < CENT_CAP))
         .orderBy("vec_id")
@@ -555,6 +558,7 @@ def kmeans_fit(df: DataFrame, k: int = KM_K, iters: int = KM_ITERS):
             centroids = new_centroids
             break
         centroids = new_centroids
+    df.unpersist()
     return centroids
 
 

@@ -543,3 +543,48 @@ class TestAggVariants:
             best = counts[counts == counts.max()].index.min()
             assert out.loc[et, "mode_day"] == best
             assert out.loc[et, "n"] == counts.max()
+
+
+class TestSketchRollup:
+    def test_hll1_union_equals_direct_sketch(self, spark):
+        """HLL union is lossless: the rolled-up (daily sketches →
+        union) estimate EXACTLY equals the direct whole-column sketch
+        estimate — the invariant that makes materialized sketch
+        rollups safe to query instead of raw data."""
+        from pyspark.sql import functions as F
+
+        from reduction_dask_spark.operators.relational import hll1_sketch_rollup
+
+        ev = load_table(spark, SF, "events")
+        direct = {
+            r["event_type"]: r["est"]
+            for r in ev.groupBy("event_type")
+            .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+            .collect()
+        }
+        rolled = {
+            r["event_type"]: r["est_users"]
+            for r in hll1_sketch_rollup(spark, SF).collect()
+        }
+        assert rolled == direct
+
+    def test_hll1_estimate_within_tolerance(self, spark):
+        """Estimates land within 5% of the exact distinct count
+        (HLL lgK=12 rse ≈ 1.6%; 5% is a safe deterministic bound at
+        these cardinalities)."""
+        from pyspark.sql import functions as F
+
+        from reduction_dask_spark.operators.relational import hll1_sketch_rollup
+
+        ev = load_table(spark, SF, "events")
+        exact = {
+            r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        for et, est in (
+            (r["event_type"], r["est_users"])
+            for r in hll1_sketch_rollup(spark, SF).collect()
+        ):
+            assert abs(est - exact[et]) <= max(2, 0.05 * exact[et]), (et, est, exact[et])
