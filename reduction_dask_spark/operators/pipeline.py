@@ -206,6 +206,89 @@ def scd1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return updates.unionByName(untouched)
 
 
+# ---------------------------------------------------------------- cdc1
+
+@query(
+    "cdc1_snapshot_diff",
+    oracle="""
+        WITH old AS (SELECT c_custkey, c_acctbal FROM customer),
+        new AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                        ELSE c_acctbal END AS c_acctbal
+            FROM customer WHERE c_custkey % 13 <> 0
+            UNION ALL
+            SELECT c_custkey + 10000000, c_acctbal
+            FROM customer WHERE c_custkey % 31 = 0
+        ),
+        j AS (
+            SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+                   o.c_acctbal AS old_acctbal, n.c_acctbal AS new_acctbal,
+                   o.c_custkey IS NULL AS only_new,
+                   n.c_custkey IS NULL AS only_old
+            FROM old o FULL JOIN new n ON o.c_custkey = n.c_custkey
+        )
+        SELECT CASE WHEN only_new THEN 'I' WHEN only_old THEN 'D'
+                    ELSE 'U' END AS change_type,
+               c_custkey, old_acctbal, new_acctbal
+        FROM j WHERE only_new OR only_old OR old_acctbal <> new_acctbal
+    """,
+    doc="cdc1 changelog GENERATION (scd1/scd2's producer): diff two "
+        "table snapshots into an insert/update/delete change set via "
+        "one FULL OUTER join on the key — rows only in the new "
+        "snapshot are I, only in the old are D, value-changed are U, "
+        "unchanged rows are dropped. The demo's new snapshot is a "
+        "deterministic transform of customer (%13 deleted, %7 "
+        "updated, %31 cloned-as-insert) so both engines build it "
+        "identically. Scale: a key-partitioned full outer join is ONE "
+        "co-partitioned shuffle per side — zero-exchange against "
+        "bucketed snapshots (tests/test_bucketing.py) — and in "
+        "production the compared columns narrow to (key, xxhash64 of "
+        "tracked cols) first so wide rows never cross the wire; this "
+        "is how you bootstrap CDC for a source that only dumps full "
+        "snapshots.",
+    tags=("pipeline", "join"),
+)
+def cdc1_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    key = F.col("c_custkey")
+    old = c
+    new = (
+        c.filter(key % 13 != 0)
+        .select(
+            "c_custkey",
+            F.when(key % 7 == 0, F.col("c_acctbal") + 100.0)
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+        .unionByName(
+            c.filter(key % 31 == 0).select(
+                (key + 10_000_000).alias("c_custkey"), "c_acctbal"
+            )
+        )
+    )
+    # presence flags, not value-nullness — robust to nullable tracked cols
+    j = (
+        old.withColumn("in_old", F.lit(True))
+        .alias("o")
+        .join(new.withColumn("in_new", F.lit(True)).alias("n"), "c_custkey", "full_outer")
+    )
+    only_new = F.col("in_old").isNull()
+    only_old = F.col("in_new").isNull()
+    return (
+        j.select(
+            F.when(only_new, "I").when(only_old, "D").otherwise("U").alias("change_type"),
+            "c_custkey",
+            F.col("o.c_acctbal").alias("old_acctbal"),
+            F.col("n.c_acctbal").alias("new_acctbal"),
+        )
+        .filter(
+            F.col("change_type").isin("I", "D")
+            | (F.col("old_acctbal") != F.col("new_acctbal"))
+        )
+    )
+
+
 # ---------------------------------------------------------------- pii1
 
 # Deterministic fake-PII injection: the synthetic corpus carries no

@@ -164,3 +164,39 @@ def test_no_empty_partition_windows_in_rank_family(spark):
 
     assert empty_partition_windows(w2_rank_importance(spark, SF_SMALL)) == 0
     assert empty_partition_windows(ss6_pq_adc_topk(spark, SF_SMALL)) == 0
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime row-level filtering (Spark's bloom-filter join pruning):
+    with a selective filter on the dim side of a shuffled fact join,
+    the optimizer injects might_contain(<bloom of dim keys>) into the
+    FACT scan, dropping non-joining rows before the shuffle. At real
+    scale this fires with default thresholds (fact scan > 10 GB); the
+    test lowers the application-side scan threshold so the same
+    mechanism is demonstrable at sf0.001, and restores every conf."""
+    from reduction_dask_spark.plans import simple_plan
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_SMALL, "lineitem")
+        o = load_table(spark, SF_SMALL, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        q = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = simple_plan(q)
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -588,3 +588,33 @@ class TestSketchRollup:
             for r in hll1_sketch_rollup(spark, SF).collect()
         ):
             assert abs(est - exact[et]) <= max(2, 0.05 * exact[et]), (et, est, exact[et])
+
+
+class TestSnapshotDiff:
+    def test_cdc1_change_counts_match_construction(self, spark):
+        """The I/U/D partition of the changelog matches the synthetic
+        snapshot transform exactly: D = keys %13==0, I = keys %31==0
+        (cloned +10M), U = surviving keys with %7==0."""
+        from reduction_dask_spark.operators.pipeline import cdc1_snapshot_diff
+
+        keys = [
+            r["c_custkey"]
+            for r in load_table(spark, SF, "customer").select("c_custkey").collect()
+        ]
+        want = {
+            "D": sum(1 for k in keys if k % 13 == 0),
+            "I": sum(1 for k in keys if k % 31 == 0),
+            "U": sum(1 for k in keys if k % 13 != 0 and k % 7 == 0),
+        }
+        out = cdc1_snapshot_diff(spark, SF).collect()
+        got = {}
+        for r in out:
+            got[r["change_type"]] = got.get(r["change_type"], 0) + 1
+        assert got == want
+        for r in out:
+            if r["change_type"] == "I":
+                assert r["old_acctbal"] is None and r["new_acctbal"] is not None
+            elif r["change_type"] == "D":
+                assert r["new_acctbal"] is None and r["old_acctbal"] is not None
+            else:
+                assert abs(r["new_acctbal"] - r["old_acctbal"] - 100.0) < 1e-9

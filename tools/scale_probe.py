@@ -125,10 +125,35 @@ def main() -> None:
     md = Path(__file__).resolve().parent.parent / "SCALING.md"
     text = md.read_text()
     marker = f"## scale probe ×{r} "
-    if marker in text:  # replace the stale section (always the tail)
-        text = text[: text.index(marker)].rstrip() + "\n"
-    md.write_text(text + "\n".join(lines) + "\n")
-    print("appended scale-probe section to SCALING.md")
+    if marker in text:
+        # merge into the existing same-R section: update/insert only the
+        # probed queries' rows, keep every other row and later sections
+        # (the old behavior truncated from the marker to EOF, silently
+        # deleting the other probe sections' evidence)
+        start = text.index(marker)
+        nxt = text.find("\n## ", start + 1)
+        end = len(text) if nxt == -1 else nxt + 1
+        section = text[start:end]
+        sec_lines = section.rstrip("\n").split("\n")
+        new_rows = {ln.split("|")[1].strip(): ln for ln in lines if ln.startswith("| ")}
+        out_lines, seen = [], set()
+        for ln in sec_lines:
+            if ln.startswith("| ") and not ln.startswith("| query |"):
+                name = ln.split("|")[1].strip()
+                if name in new_rows:
+                    ln = new_rows[name]
+                    seen.add(name)
+            out_lines.append(ln)
+        out_lines.extend(ln for q, ln in new_rows.items() if q not in seen)
+        rebuilt = text[:start] + "\n".join(out_lines) + "\n"
+        rest = text[end:].lstrip("\n")
+        if rest:
+            rebuilt += "\n" + rest
+        md.write_text(rebuilt)
+        print("merged probe rows into existing SCALING.md section")
+    else:
+        md.write_text(text.rstrip("\n") + "\n\n" + "\n".join(lines) + "\n")
+        print("appended scale-probe section to SCALING.md")
     spark.stop()
 
 
