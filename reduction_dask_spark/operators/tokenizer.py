@@ -124,3 +124,87 @@ def bpe1_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, sym_a string, sym_b string, merged string, pair_count bigint"
     )
+
+# ---------------------------------------------------------------- bpe2
+
+def py_apply_merge(sym: list, a: str, b: str) -> list:
+    """Greedy left-to-right merge of adjacent (a, b) → a+b — the pure-
+    Python twin of _apply_merge (same semantics, used by the encoder
+    and by the training parity tests)."""
+    out: list = []
+    for x in sym:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
+def bpe_encode(d: DataFrame, merges: list[tuple], text_col: str = "text") -> DataFrame:
+    """Encode a document relation with a trained merge table: split to
+    words → chars, apply the merges in rank order (Sennrich apply
+    semantics, matching bpe_train's fold), emit per-doc token stats.
+
+    Scale shape: the model is the k-row merge table — broadcast once —
+    and encoding is embarrassingly parallel per document, one Arrow-
+    batched mapInPandas pass over the corpus with zero shuffles. This
+    is the tokenize step every training-data pipeline runs after
+    induction; at 100 TB it is scan-bound, exactly as it should be."""
+    import pandas as pd  # noqa: F401
+
+    table = [(m[1], m[2]) for m in sorted(merges, key=lambda m: m[0])]
+    sc = d.sparkSession.sparkContext
+    bc = sc.broadcast(table)
+
+    def encode(batches):
+        import pandas as pd
+
+        tbl = bc.value
+        for pdf in batches:
+            n_tokens, n_chars = [], []
+            for text in pdf[text_col]:
+                total = 0
+                chars = 0
+                for w in (text or "").split(" "):
+                    if not w:
+                        continue
+                    s = list(w)
+                    chars += len(s)
+                    for a, b in tbl:
+                        s = py_apply_merge(s, a, b)
+                    total += len(s)
+                n_tokens.append(total)
+                n_chars.append(chars)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_tokens": n_tokens, "n_chars": n_chars}
+            )
+
+    return d.select("doc_id", text_col).mapInPandas(
+        encode, schema="doc_id bigint, n_tokens bigint, n_chars bigint"
+    )
+
+
+@query(
+    "bpe2_encode_corpus",
+    oracle=None,  # encoder rides the trained (non-SQL) merge table; invariant tests
+    doc="bpe2 BPE ENCODE (bpe1's apply step): train the merge table "
+        "on the corpus word counts, broadcast it (k rows), then one "
+        "Arrow-batched mapInPandas pass tokenizes every document — "
+        "per-doc token/char counts out, zero shuffles after the "
+        "word-count scan. Cross-implementation invariant test: the "
+        "Python encoder's corpus-wide token total equals the JVM "
+        "expression-fold's final vocab symbol total (two independent "
+        "implementations of the merge semantics must agree), and "
+        "concatenating any word's tokens reproduces the word.",
+    tags=("text", "pipeline", "udf"),
+)
+def bpe2_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    merges = bpe_train(words)
+    return bpe_encode(d, merges).orderBy("doc_id")

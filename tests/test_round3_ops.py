@@ -618,3 +618,49 @@ class TestSnapshotDiff:
                 assert r["new_acctbal"] is None and r["old_acctbal"] is not None
             else:
                 assert abs(r["new_acctbal"] - r["old_acctbal"] - 100.0) < 1e-9
+
+
+class TestBPEEncode:
+    def test_encoder_total_matches_jvm_fold_vocab(self, spark):
+        """Two independent implementations of the merge semantics must
+        agree corpus-wide: the Python mapInPandas encoder's token
+        total equals sum(wc × |final symbols|) where the final symbol
+        arrays come from the JVM _apply_merge expression fold."""
+        from reduction_dask_spark.operators.tokenizer import (
+            _apply_merge,
+            bpe2_encode_corpus,
+            bpe_train,
+        )
+
+        d = load_table(spark, SF, "documents")
+        words = (
+            d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+            .filter(F.length("w") > 0)
+            .groupBy("w")
+            .agg(F.count("*").alias("wc"))
+        )
+        merges = bpe_train(words)
+        vocab = words.select("wc", F.split("w", "").alias("s"))
+        for _, a, b, _m, _n in merges:
+            vocab = vocab.select(
+                "wc", _apply_merge(F.col("s"), a, b).alias("s")
+            ).localCheckpoint(eager=True)
+        jvm_total = vocab.select(
+            F.sum(F.col("wc") * F.size("s")).alias("t")
+        ).collect()[0]["t"]
+        enc_total = (
+            bpe2_encode_corpus(spark, SF)
+            .agg(F.sum("n_tokens").alias("t"))
+            .collect()[0]["t"]
+        )
+        assert enc_total == jvm_total
+
+    def test_tokens_concatenate_back_to_words(self):
+        """py_apply_merge never loses or reorders characters."""
+        from reduction_dask_spark.operators.tokenizer import py_apply_merge
+
+        for w in ("banana", "aaaa", "mississippi", "x"):
+            s = list(w)
+            for a, b in (("a", "n"), ("an", "an"), ("s", "s"), ("a", "a")):
+                s = py_apply_merge(s, a, b)
+            assert "".join(s) == w
