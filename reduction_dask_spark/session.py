@@ -37,6 +37,9 @@ def get_spark(app: str = "reduction_dask_spark", cpus: int | None = None) -> Spa
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource V2 pushdown (sources/jsonl_source.py
+        # implements pushFilters; off by default in 4.1)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config(NANOS_CONF, "true")
@@ -71,4 +74,8 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
         cores = spark.sparkContext.defaultParallelism
         spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 4)))
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # static on some builds; jsonl source then skips pushdown
     return spark

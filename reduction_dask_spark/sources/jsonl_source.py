@@ -1,0 +1,237 @@
+"""Custom Python DataSource (PySpark 4 `pyspark.sql.datasource` API):
+a JSON-Lines batch source + sink, registered as format ``"jsonl"``.
+
+Why this exists: the reference ingests with a single-process
+`pd.read_csv` (nb cell 4) — its only extensibility story is "write
+another pandas call". Spark's answer is the DataSource V2 contract,
+and since 4.0 that contract is implementable in pure Python. This
+module demonstrates the full surface the engine's other sources get
+from the built-in parquet/csv readers, re-implemented for a format
+Spark does not natively treat as line-partitionable work units:
+
+- **Scan parallelism**: `partitions()` returns one `InputPartition`
+  PER FILE, so a 100 TB directory of .jsonl shards fans out across
+  the cluster exactly like a parquet scan — no single-driver read.
+- **Filter pushdown** (`pushFilters`, 4.1): EqualTo / IsNotNull /
+  GreaterThan / LessThan on top-level fields are absorbed into the
+  Python scan itself — rows are dropped at parse time, before they
+  cross into the JVM. `.explain()` shows the pushed filters removed
+  from the post-scan Filter node, same as parquet's PushedFilters.
+- **Bounded schema inference**: driver samples the first
+  ``INFER_LINES`` lines of one file (constant work regardless of
+  corpus size), or the user supplies `.schema(...)` explicitly.
+- **Transactional sink**: one shard per task with unique task-scoped
+  names, `WriterCommitMessage`s carry the written paths, `abort()`
+  deletes partial output — the commit protocol parquet gets from the
+  Hadoop committer, in ~30 lines.
+
+Not a toy path: the round-trip, pushdown-equivalence, and
+parallelism tests in tests/test_datasource.py run it against
+`spark.read.json` as the oracle.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterable, Iterator, List, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    Row,
+    StringType,
+    StructField,
+    StructType,
+)
+
+INFER_LINES = 100
+
+
+def _list_files(path: str) -> List[str]:
+    if os.path.isdir(path):
+        return sorted(_glob.glob(os.path.join(path, "*.jsonl")))
+    return sorted(_glob.glob(path))
+
+
+def _infer_type(v):
+    if isinstance(v, bool):
+        return BooleanType()
+    if isinstance(v, int):
+        return LongType()
+    if isinstance(v, float):
+        return DoubleType()
+    return StringType()
+
+
+def _coerce(v, dt):
+    """Parse-time cast to the declared field type (None stays None)."""
+    if v is None:
+        return None
+    if isinstance(dt, StringType):
+        return v if isinstance(v, str) else json.dumps(v)
+    if isinstance(dt, LongType):
+        return int(v)
+    if isinstance(dt, DoubleType):
+        return float(v)
+    if isinstance(dt, BooleanType):
+        return bool(v)
+    return v
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    path: str
+
+
+class JsonlReader(DataSourceReader):
+    """One partition per .jsonl file; pushed filters applied at parse
+    time so filtered rows never leave the Python worker."""
+
+    def __init__(self, schema: StructType, options) -> None:
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl source requires a path")
+        self.pushed: List[Filter] = []
+
+    def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
+        for f in filters:
+            if isinstance(f, (EqualTo, IsNotNull, GreaterThan, LessThan)) and len(
+                f.attribute
+            ) == 1:
+                self.pushed.append(f)
+            else:
+                yield f  # unsupported → Spark evaluates post-scan
+
+    def partitions(self) -> Sequence[InputPartition]:
+        files = _list_files(self.path)
+        if not files:
+            raise FileNotFoundError(f"no .jsonl files under {self.path}")
+        return [_FilePartition(p) for p in files]
+
+    def _keep(self, obj: dict) -> bool:
+        for f in self.pushed:
+            v = obj.get(f.attribute[0])
+            if isinstance(f, IsNotNull):
+                if v is None:
+                    return False
+            elif v is None:
+                return False
+            elif isinstance(f, EqualTo):
+                if v != f.value:
+                    return False
+            elif isinstance(f, GreaterThan):
+                if not v > f.value:
+                    return False
+            elif isinstance(f, LessThan):
+                if not v < f.value:
+                    return False
+        return True
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        fields = [(f.name, f.dataType) for f in self.schema.fields]
+        with open(partition.path, "r", encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                obj = json.loads(line)
+                if not self._keep(obj):
+                    continue
+                yield tuple(_coerce(obj.get(n), dt) for n, dt in fields)
+
+
+@dataclass
+class _WroteFile(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class JsonlWriter(DataSourceWriter):
+    """One shard per task, task-unique names; abort() removes partial
+    output (the commit protocol a distributed sink needs — a retried
+    task writes a fresh uuid name, never clobbering a committed one)."""
+
+    def __init__(self, schema: StructType, options, overwrite: bool) -> None:
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl sink requires a path")
+        if overwrite:
+            for p in _list_files(self.path):
+                os.remove(p)
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator: Iterator[Row]) -> _WroteFile:
+        names = [f.name for f in self.schema.fields]
+        out = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(out, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(dict(zip(names, row)), default=str) + "\n")
+                n += 1
+        return _WroteFile(path=out, rows=n)
+
+    def commit(self, messages: List[_WroteFile]) -> None:
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write(json.dumps({"files": len(messages), "rows": sum(m.rows for m in messages)}))
+
+    def abort(self, messages: List[_WroteFile]) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonlDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl"
+
+    def schema(self) -> StructType:
+        """Bounded inference: first INFER_LINES lines of the first file
+        (constant driver work at any corpus size); `.schema(...)` from
+        the user skips this entirely."""
+        files = _list_files(self.options.get("path", ""))
+        if not files:
+            raise FileNotFoundError(f"no .jsonl files under {self.options.get('path')}")
+        seen: dict = {}
+        with open(files[0], "r", encoding="utf-8") as fh:
+            for i, line in enumerate(fh):
+                if i >= INFER_LINES:
+                    break
+                line = line.strip()
+                if line:
+                    for k, v in json.loads(line).items():
+                        if k not in seen or seen[k] is None and v is not None:
+                            seen[k] = v
+        return StructType(
+            [StructField(k, _infer_type(v), True) for k, v in sorted(seen.items())]
+        )
+
+    def reader(self, schema: StructType) -> JsonlReader:
+        return JsonlReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> JsonlWriter:
+        return JsonlWriter(schema, self.options, overwrite)
+
+
+def register_jsonl_source(spark) -> None:
+    """Idempotent registration of the ``jsonl`` format on a session."""
+    spark.dataSource.register(JsonlDataSource)

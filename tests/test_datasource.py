@@ -1,0 +1,91 @@
+"""Custom Python DataSource (format "jsonl") — round-trip vs the
+built-in spark.read.json oracle, per-file scan parallelism, and
+parse-time filter pushdown equivalence."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from reduction_dask_spark.sources.jsonl_source import (
+    JsonlReader,
+    _FilePartition,
+    register_jsonl_source,
+)
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def jsonl_dir(spark, tmp_path_factory):
+    register_jsonl_source(spark)
+    path = str(tmp_path_factory.mktemp("jsonl"))
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "lang", F.length("text").alias("n_chars"))
+        .orderBy("doc_id")
+        .limit(200)
+    )
+    docs.repartition(4).write.format("jsonl").mode("overwrite").save(path)
+    return path, docs
+
+
+def test_jsonl_roundtrip_matches_builtin_json(spark, jsonl_dir):
+    path, docs = jsonl_dir
+    schema = "doc_id long, lang string, n_chars long"
+    ours = spark.read.format("jsonl").schema(schema).load(path)
+    builtin = spark.read.schema(schema).json(os.path.join(path, "*.jsonl"))
+    assert sorted(map(tuple, ours.collect())) == sorted(map(tuple, builtin.collect()))
+    assert sorted(map(tuple, ours.collect())) == sorted(map(tuple, docs.collect()))
+
+
+def test_jsonl_one_partition_per_file(spark, jsonl_dir):
+    path, _ = jsonl_dir
+    n_files = len(glob.glob(os.path.join(path, "*.jsonl")))
+    assert n_files == 4  # repartition(4) → 4 shards
+    df = spark.read.format("jsonl").schema("doc_id long, lang string").load(path)
+    assert df.rdd.getNumPartitions() == n_files
+    # transactional sink: commit manifest present and row-accurate
+    manifest = json.load(open(os.path.join(path, "_SUCCESS")))
+    assert manifest == {"files": 4, "rows": 200}
+
+
+def test_jsonl_schema_inference_bounded(spark, jsonl_dir):
+    path, _ = jsonl_dir
+    df = spark.read.format("jsonl").load(path)
+    assert sorted(df.columns) == ["doc_id", "lang", "n_chars"]
+    assert dict(df.dtypes)["n_chars"] == "bigint"
+
+
+def test_jsonl_filter_pushdown_equivalence(spark, jsonl_dir):
+    path, docs = jsonl_dir
+    schema = "doc_id long, lang string, n_chars long"
+    got = (
+        spark.read.format("jsonl").schema(schema).load(path)
+        .filter((F.col("lang") == "en") & (F.col("n_chars") > 100))
+        .collect()
+    )
+    want = docs.filter((F.col("lang") == "en") & (F.col("n_chars") > 100)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
+
+
+def test_jsonl_pushdown_drops_rows_at_parse_time(spark, jsonl_dir, tmp_path):
+    """Unit-level: a pushed EqualTo filters inside read(), an OR stays
+    with Spark (pushFilters yields it back)."""
+    from pyspark.sql.datasource import EqualTo, IsNull
+    from pyspark.sql.types import StructType as ST
+
+    p = tmp_path / "x.jsonl"
+    p.write_text('{"a": 1, "b": "k"}\n{"a": 2, "b": "k"}\n{"a": 1, "b": "m"}\n')
+    schema = ST.fromDDL("a long, b string")
+    r = JsonlReader(schema, {"path": str(p)})
+    unsupported = list(r.pushFilters([EqualTo(("a",), 1), IsNull(("b",))]))
+    assert [type(f).__name__ for f in unsupported] == ["IsNull"]
+    rows = list(r.read(_FilePartition(str(p))))
+    assert rows == [(1, "k"), (1, "m")]  # a=2 dropped before Spark sees it
