@@ -22,6 +22,7 @@ _MODULES = (
     "retrieval",
     "tokenizer",
     "graph",
+    "layout",
 )
 
 
