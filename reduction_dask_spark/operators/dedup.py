@@ -797,3 +797,92 @@ def dd9_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("keep_doc_id"),
         F.count("*").alias("n_batch_dups"),
     )
+
+
+# ---------------------------------------------------------------- canon1
+
+@query(
+    "canon1_canonical_selection",
+    oracle=f"""
+        WITH RECURSIVE {SHINGLE_SQL}, {_JACCARD_SQL},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM jac WHERE jaccard >= {JACCARD_TAU}
+            UNION ALL
+            SELECT doc_b, doc_a FROM jac WHERE jaccard >= {JACCARD_TAU}
+        ),
+        nodes AS (SELECT DISTINCT a AS n FROM edges),
+        reach AS (
+            SELECT n AS src, n AS dst FROM nodes
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ),
+        clus AS (
+            SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+        ),
+        q AS (
+            SELECT doc_id,
+                   least(1.0, len(toks) / 50.0)
+                   * (1.0 - len(list_filter(toks, x -> x IN ('a', 'the')))::DOUBLE / len(toks))
+                   * (len(list_distinct(toks))::DOUBLE / len(toks)) AS quality
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        ),
+        lab AS (
+            SELECT d.doc_id,
+                   CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+                   q.quality
+            FROM documents d
+            LEFT JOIN clus c ON d.doc_id = c.doc_id
+            JOIN q ON d.doc_id = q.doc_id
+        )
+        SELECT doc_id, cluster_id, round(quality, 6) AS quality,
+               (row_number() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY quality DESC, doc_id) = 1) AS is_canonical
+        FROM lab
+    """,
+    doc="canon1 canonical-document selection: after cluster formation "
+        "(dd6 connected components over the verified near-dup graph), "
+        "keep the BEST member of each cluster by quality score instead "
+        "of dd1/pipe1's min-id convention — the curation policy real "
+        "pipelines want (dedup should not discard the cleanest copy). "
+        "Singletons are their own cluster and always canonical. "
+        "Scale: the quality score is one codegen'd expression pass; "
+        "the argmax is a window PARTITIONED BY cluster_id (near-dup "
+        "components are small by construction — no global window "
+        "anywhere); cluster labels come from dd6's O(diameter) "
+        "label-propagation rounds. Oracle: recursive-SQL closure + "
+        "the same windowed argmax.",
+    tags=("dedup", "pipeline"),
+)
+def canon1_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .text import STOPWORDS, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    clusters = dd6_dup_clusters(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / n
+    )
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    quality = (
+        F.least(F.lit(1.0), n / F.lit(50.0)) * (F.lit(1.0) - stop_ratio) * uniq_ratio
+    )
+    lab = (
+        d.select("doc_id", quality.alias("quality"))
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            "quality",
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return lab.select(
+        "doc_id",
+        "cluster_id",
+        F.round("quality", 6).alias("quality"),
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )
