@@ -49,6 +49,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     IsNotNull,
     LessThan,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
@@ -199,6 +200,46 @@ class JsonlWriter(DataSourceWriter):
                 os.remove(m.path)
 
 
+class JsonlStreamReader(SimpleDataSourceStreamReader):
+    """File-tailing micro-batch source: each batch consumes the files
+    that appeared (lexicographically-ordered, append-only directory —
+    the standard landing-zone contract) since the last offset.
+
+    The offset is a single int (count of consumed files), so the
+    checkpoint state is O(1) no matter how many files ever landed;
+    `readBetweenOffsets` makes recovery/replay exact: a batch's file
+    *slice* is a pure function of its (start, end) offsets."""
+
+    def __init__(self, schema: StructType, options) -> None:
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl stream source requires a path")
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def _read_files(self, files: List[str]) -> Iterator[tuple]:
+        fields = [(f.name, f.dataType) for f in self.schema.fields]
+        for path in files:
+            with open(path, "r", encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        obj = json.loads(line)
+                        yield tuple(_coerce(obj.get(n), dt) for n, dt in fields)
+
+    def read(self, start: dict):
+        # iter(list), not a bare generator: the harness both pickles
+        # the prefetched batch (generators can't pickle; list_iterator
+        # can) and probes it with next() on empty batches
+        files = _list_files(self.path)
+        return iter(list(self._read_files(files[start["i"]:]))), {"i": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return iter(list(self._read_files(_list_files(self.path)[start["i"]:end["i"]])))
+
+
 class JsonlDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -230,6 +271,9 @@ class JsonlDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> JsonlWriter:
         return JsonlWriter(schema, self.options, overwrite)
+
+    def simpleStreamReader(self, schema: StructType) -> JsonlStreamReader:
+        return JsonlStreamReader(schema, self.options)
 
 
 def register_jsonl_source(spark) -> None:

@@ -89,3 +89,36 @@ def test_jsonl_pushdown_drops_rows_at_parse_time(spark, jsonl_dir, tmp_path):
     assert [type(f).__name__ for f in unsupported] == ["IsNull"]
     rows = list(r.read(_FilePartition(str(p))))
     assert rows == [(1, "k"), (1, "m")]  # a=2 dropped before Spark sees it
+
+
+def test_jsonl_stream_tails_new_files(spark, tmp_path):
+    """Micro-batch streaming from the jsonl source: files landing
+    after the stream starts are picked up in later batches; the
+    checkpoint offset is O(1)."""
+    register_jsonl_source(spark)
+    src = tmp_path / "landing"
+    src.mkdir()
+    (src / "a.jsonl").write_text('{"k": 1}\n{"k": 2}\n')
+
+    stream = (
+        spark.readStream.format("jsonl")
+        .schema("k long")
+        .load(str(src))
+        .groupBy()
+        .sum("k")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("jsonl_stream_t")
+        .outputMode("complete")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM jsonl_stream_t").collect()[0][0] == 3
+        (src / "b.jsonl").write_text('{"k": 10}\n')
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM jsonl_stream_t").collect()[0][0] == 13
+    finally:
+        q.stop()
