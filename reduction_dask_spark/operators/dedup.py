@@ -536,6 +536,15 @@ def dd4_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_table(spark, sf_dir).persist()
     pairs = jaccard_pairs(sh, tau=JACCARD_TAU)
+    return min_label_components(pairs)
+
+
+def min_label_components(pairs: DataFrame) -> DataFrame:
+    """Connected components of a (doc_a, doc_b) pair graph by
+    iterative min-label propagation → (doc_id, cluster_id) where
+    cluster_id is the component's minimum doc_id. Only nodes that
+    appear in some pair are returned (singletons are the caller's
+    coalesce). O(diameter) join rounds, each fully distributed."""
     fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     edges = fwd.unionByName(
         pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
@@ -860,7 +869,27 @@ def canon1_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import STOPWORDS, tokens
 
     d = load_table(spark, sf_dir, "documents")
-    clusters = dd6_dup_clusters(spark, sf_dir)
+    # Collapse EXACT duplicates (raw md5 — members share the literal
+    # text, hence the identical shingle set) before any pair
+    # generation: near-dup pair mass is quadratic in duplicate
+    # multiplicity, and the x10 probe (10-way replicas) measured the
+    # uncollapsed form at 16x for x10 data. Each fingerprint group's
+    # representative is its min doc_id, so the component label over
+    # representatives IS the component min over all members, and
+    # expanding labels back through the fingerprint preserves dd6's
+    # full-corpus semantics exactly (the oracle still computes the
+    # closure over every document).
+    fp = d.select("doc_id", F.md5("text").alias("fp"))
+    rep = fp.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
+    rep_docs = d.join(
+        rep.select(F.col("rep_id").alias("doc_id")), "doc_id"
+    ).select("doc_id", "text")
+    pairs = jaccard_pairs(shingle_table_of(rep_docs).persist(), tau=JACCARD_TAU)
+    rep_labels = min_label_components(pairs)
+    rep_cluster = rep.join(
+        rep_labels, rep.rep_id == rep_labels.doc_id, "left"
+    ).select("fp", F.coalesce("cluster_id", "rep_id").alias("cluster_id"))
+    clusters = fp.join(rep_cluster, "fp").select("doc_id", "cluster_id")
     toks = tokens(F.col("text"))
     n = F.size(toks)
     stop_ratio = (
@@ -870,15 +899,7 @@ def canon1_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = (
         F.least(F.lit(1.0), n / F.lit(50.0)) * (F.lit(1.0) - stop_ratio) * uniq_ratio
     )
-    lab = (
-        d.select("doc_id", quality.alias("quality"))
-        .join(clusters, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
-            "quality",
-        )
-    )
+    lab = d.select("doc_id", quality.alias("quality")).join(clusters, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
     return lab.select(
         "doc_id",

@@ -122,6 +122,47 @@ def f10_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f14_variant_extract",
+    oracle="""
+        SELECT CAST(floor(CAST(json_extract(props, '$.k') AS INTEGER) / 10)
+                    AS BIGINT) AS k_decade,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(value), 6) AS avg_value,
+               CAST(count(*) FILTER (
+                   WHERE json_extract(props, '$.absent') IS NOT NULL
+               ) AS BIGINT) AS n_with_absent
+        FROM events
+        GROUP BY 1
+    """,
+    doc="f14 VARIANT path (Spark 4): parse the JSON props column ONCE "
+        "into the binary Variant encoding (parse_json), then do typed "
+        "path extraction with variant_get and a graceful-miss probe "
+        "with try_variant_get — the schema-on-read shape for deeply "
+        "semi-structured 100 TB event streams, where Variant's "
+        "shredded binary beats per-path get_json_object re-parses "
+        "(one decode amortized across all paths; f10 is the "
+        "string-reparse baseline). Aggregates per extracted-k decade. "
+        "Oracle: DuckDB json_extract on the same paths.",
+    tags=("scalar", "json", "variant"),
+)
+def f14_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    parsed = ev.select(
+        F.variant_get(v, "$.k", "int").alias("k"),
+        F.try_variant_get(v, "$.absent", "int").alias("absent"),
+        "value",
+    )
+    return parsed.groupBy(
+        F.floor(F.col("k") / 10).alias("k_decade")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.count("absent").alias("n_with_absent"),
+    )
+
+
+@query(
     "f11_datetime_extract",
     oracle="""
         SELECT event_id,
@@ -488,6 +529,122 @@ def an3_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "to_type",
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------- ts2
+
+@query(
+    "ts2_linear_interpolate",
+    oracle="""
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   round(CAST(sum(value) AS DOUBLE), 2) AS hour_value
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT user_id, min(hour) AS h0, max(hour) AS h1
+            FROM hourly GROUP BY user_id
+        ),
+        spine AS (
+            SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+            FROM bounds
+        ),
+        joined AS (
+            SELECT s.user_id, s.hour, h.hour_value,
+                   CASE WHEN h.hour_value IS NOT NULL THEN s.hour END AS obs_hour
+            FROM spine s LEFT JOIN hourly h
+              ON h.user_id = s.user_id AND h.hour = s.hour
+        ),
+        ctx AS (
+            SELECT user_id, hour, hour_value,
+                   last_value(hour_value IGNORE NULLS) OVER wb AS pv,
+                   last_value(obs_hour IGNORE NULLS) OVER wb AS ph,
+                   first_value(hour_value IGNORE NULLS) OVER wf AS nv,
+                   first_value(obs_hour IGNORE NULLS) OVER wf AS nh
+            FROM joined
+            WINDOW wb AS (PARTITION BY user_id ORDER BY hour
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY user_id ORDER BY hour
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, hour,
+               hour_value IS NOT NULL AS observed,
+               CASE
+                   WHEN hour_value IS NOT NULL THEN hour_value
+                   WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                       pv + (nv - pv)
+                            * (CAST(epoch_us(hour) - epoch_us(ph) AS DOUBLE)
+                               / (epoch_us(nh) - epoch_us(ph)))
+                   ELSE coalesce(pv, nv)
+               END AS interp_value
+        FROM ctx
+    """,
+    doc="ts2 time-series linear interpolation (ts1's LOCF upgraded): "
+        "densify each user's hourly series and fill silent hours by "
+        "interpolating between the PREVIOUS and NEXT observed points "
+        "in event-time proportion. Two keyed window passes (backward "
+        "last-ignore-nulls, forward first-ignore-nulls) carry both "
+        "the bracketing values and their timestamps; the blend is one "
+        "codegen arithmetic expression. Same scale envelope as ts1: "
+        "all windows partitioned by user_id, spine bounded by "
+        "time-range x users.",
+    tags=("temporal", "window"),
+)
+def ts2_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.round(F.sum("value"), 2).alias("hour_value")
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    joined = spine.join(hourly, ["user_id", "hour"], "left").withColumn(
+        "obs_hour", F.when(F.col("hour_value").isNotNull(), F.col("hour"))
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ctx = joined.select(
+        "user_id",
+        "hour",
+        "hour_value",
+        F.last("hour_value", ignorenulls=True).over(wb).alias("pv"),
+        F.last("obs_hour", ignorenulls=True).over(wb).alias("ph"),
+        F.first("hour_value", ignorenulls=True).over(wf).alias("nv"),
+        F.first("obs_hour", ignorenulls=True).over(wf).alias("nh"),
+    )
+    frac = (
+        (F.unix_micros("hour") - F.unix_micros("ph")).cast("double")
+        / (F.unix_micros("nh") - F.unix_micros("ph"))
+    )
+    interp = (
+        F.when(F.col("hour_value").isNotNull(), F.col("hour_value"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+        .otherwise(F.coalesce("pv", "nv"))
+    )
+    return ctx.select(
+        "user_id",
+        "hour",
+        F.col("hour_value").isNotNull().alias("observed"),
+        # no final rounding: the blend is the same IEEE op sequence in
+        # both engines over round(2) inputs, so unrounded doubles match
+        # bit-for-bit, while round(6) would split on exact-half cases
+        interp.alias("interp_value"),
     )
 
 
