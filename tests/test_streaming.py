@@ -140,3 +140,39 @@ def test_st8_foreach_batch_sink_idempotent(spark):
     first = sorted(map(tuple, st8_foreach_batch_sink(spark, SF_SMALL).select(*cols).collect()))
     second = sorted(map(tuple, st8_foreach_batch_sink(spark, SF_SMALL).select(*cols).collect()))
     assert first == second and len(first) > 0
+
+
+def test_st1_rocksdb_state_store_parity(spark):
+    """The production state backend for 100 TB streaming state: run
+    the st1 windowed aggregation with RocksDB state store (bounded
+    off-heap keyed state + changelog checkpointing) and require the
+    exact batch-parity result the default HDFS-backed provider gives."""
+    from reduction_dask_spark.streaming import read_event_stream, windowed_value_stats, run_to_memory
+
+    prov = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(prov, None)
+    spark.conf.set(
+        prov,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
+    try:
+        agg = windowed_value_stats(read_event_stream(spark, SF_SMALL))
+        got = run_to_memory(agg, "st1_rocksdb_t").toPandas()
+    finally:
+        if old:
+            spark.conf.set(prov, old)
+        else:
+            spark.conf.unset(prov)
+    batch = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("d"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .toPandas()
+    )
+    assert len(got) == len(batch)
+    assert int(got["n"].sum()) == int(batch["n"].sum())
+    assert abs(float(got["sum_value"].sum()) - float(batch["s"].sum())) < 0.05
