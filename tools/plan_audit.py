@@ -37,6 +37,7 @@ CROSS_OK = {
     "t3_lang_id_naive_bayes": "×|langs| model fan-out + 1-row vocab broadcast",
     "lp1_nb_loglik_quality": "×|langs| score fan-out + 1-row vocab broadcast (t3's shape)",
     "f6_histogram": "bin edges (1-row aggregate) broadcast",
+    "zo1_zorder_curve": "1-row global-extent aggregate broadcast (min-max scaling)",
     "f7_entropy": "1-row total broadcast",
     "f8_mutual_info": "1-row total broadcast",
     "d1_variation_of_information": "1-row total broadcast",
