@@ -556,3 +556,59 @@ def st8_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_value",
     )
+
+
+@query(
+    "st9_stream_static_enrich",
+    oracle="""
+        WITH dim AS (
+            SELECT user_id,
+                   CAST(least(floor(avg(value) / 2), 5) AS BIGINT) AS tier
+            FROM events GROUP BY user_id
+        )
+        SELECT strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS era_day,
+               d.tier,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(e.value) AS DOUBLE), 2) AS sum_value
+        FROM events e JOIN dim d ON e.user_id = d.user_id
+        GROUP BY 1, 2
+    """,
+    doc="st9 stream-static enrichment join: the live event stream is "
+        "joined against a batch-built user profile dimension (tier = "
+        "capped lifetime avg-value bucket — the 'nightly profile "
+        "table' pattern), then aggregated per (day, tier). The static "
+        "side is re-read per micro-batch by Structured Streaming's "
+        "stream-static join contract and broadcast when small; no "
+        "state store is needed for the join itself (only the "
+        "downstream windowed agg holds state). Oracle: the same "
+        "join+agg as one batch SQL.",
+    tags=("streaming", "join"),
+)
+def st9_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.least(F.floor(F.avg("value") / 2), F.lit(5))
+            .cast("bigint")
+            .alias("tier")
+        )
+    )
+    enriched = read_event_stream(spark, sf_dir).join(F.broadcast(dim), "user_id")
+    agg = (
+        enriched.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("era_win"), "tier")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    out = run_to_memory(agg, "st9_out")
+    return out.select(
+        F.date_format(F.col("era_win.start"), "yyyy-MM-dd").alias("era_day"),
+        "tier",
+        "n",
+        "sum_value",
+    )
