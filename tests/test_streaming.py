@@ -176,3 +176,36 @@ def test_st1_rocksdb_state_store_parity(spark):
     assert len(got) == len(batch)
     assert int(got["n"].sum()) == int(batch["n"].sum())
     assert abs(float(got["sum_value"].sum()) - float(batch["s"].sum())) < 0.05
+
+
+def test_stream_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Durability contract: a file-sink query stopped and restarted
+    from the same checkpoint processes only the files that arrived in
+    between — every input row lands in the sink exactly once."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    ev = load_table(spark, SF_SMALL, "events").select("event_id", "user_id")
+    ev.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema("event_id long, user_id long")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("checkpointLocation", chk)
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == ev.filter("event_id % 2 = 0").count()
+
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    run_once()  # restart from checkpoint: only the new file is read
+    sunk = spark.read.parquet(out)
+    assert sunk.count() == ev.count()  # no dups, no loss
+    assert sunk.select("event_id").distinct().count() == ev.count()
