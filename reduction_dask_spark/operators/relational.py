@@ -1356,3 +1356,53 @@ def a12_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("b.neg_dy")).cast("int").alias("mode_day"),
         F.col("b.n").cast("bigint").alias("n"),
     )
+
+
+_REC1_SQL_BODY = """
+    WITH RECURSIVE
+    edges AS (
+        SELECT CAST(n_regionkey AS BIGINT) AS parent,
+               100 + CAST(n_nationkey AS BIGINT) AS child
+        FROM nation{sfx}
+        UNION ALL
+        SELECT 100 + CAST(c_nationkey AS BIGINT),
+               1000000 + CAST(c_custkey AS BIGINT)
+        FROM customer{sfx}
+        UNION ALL
+        SELECT 1000000 + CAST(o_custkey AS BIGINT),
+               1000000000 + CAST(o_orderkey AS BIGINT)
+        FROM orders{sfx}
+    ),
+    closure AS (
+        SELECT CAST(r_regionkey AS BIGINT) AS root,
+               CAST(r_regionkey AS BIGINT) AS node,
+               0 AS depth
+        FROM region{sfx}
+        UNION ALL
+        SELECT c.root, e.child, c.depth + 1
+        FROM closure c JOIN edges e ON e.parent = c.node
+    )
+    SELECT root AS region_key, depth, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM closure GROUP BY root, depth
+"""
+
+
+@query(
+    "rec1_hierarchy_closure",
+    oracle=_REC1_SQL_BODY.format(sfx=""),
+    doc="rec1 recursive CTE (Spark 4 WITH RECURSIVE): transitive "
+        "closure of the region -> nation -> customer -> orders "
+        "containment hierarchy (key spaces disambiguated by offset), "
+        "reporting descendant counts per (region, depth). The SAME "
+        "SQL text runs on both engines; Spark executes each recursion "
+        "level as a distributed join (UNION-dedup recursion is not "
+        "yet supported in 4.1, so this is the acyclic/DAG pattern — "
+        "cyclic closures use the iterative min-label operator, dd6). "
+        "Depth is bounded by the hierarchy (3), not data size; each "
+        "level is one equi-join on the parent key.",
+    tags=("sql", "join", "recursive"),
+)
+def rec1_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("region", "nation", "customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_rec1")
+    return spark.sql(_REC1_SQL_BODY.format(sfx="_rec1"))
