@@ -1172,3 +1172,92 @@ def emb2_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("d") / (F.sqrt("dna") * F.sqrt("dnb")), 5).alias("cos"),
         )
     )
+
+
+# ---------------------------------------------------------------- ss8
+
+K_NEG = 5  # hard negatives per anchor
+
+
+@query(
+    "ss8_hard_negative_mining",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS qid, label AS q_label,
+                   embedding::DOUBLE[] AS qv,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+            FROM embeddings WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_CAP}
+        ),
+        c AS (
+            SELECT vec_id, label AS n_label, embedding::DOUBLE[] AS cv,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q.qid, q.q_label, c.vec_id, c.n_label,
+                   round(list_dot_product(q.qv, c.cv) / (q.qn * c.cn), 5) AS cos
+            FROM q CROSS JOIN c
+            WHERE q.q_label <> c.n_label
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+            FROM scored
+        )
+        SELECT qid, CAST(q_label AS INTEGER) AS q_label,
+               vec_id AS negative_id, CAST(n_label AS INTEGER) AS n_label,
+               cos, CAST(rn AS INTEGER) AS rank
+        FROM ranked WHERE rn <= {K_NEG}
+    """,
+    doc="ss8 hard-negative mining for contrastive training: for each "
+        "anchor in the fixed query batch, the top-k most-similar "
+        "vectors with a DIFFERENT label — the 'hardest' negatives a "
+        "contrastive or embedding-finetune pipeline pairs with each "
+        "anchor. Same plan envelope as ss1 (broadcast anchor batch x "
+        "one corpus scan, per-row norms precomputed, partial top-k "
+        "per partition via the window on the anchor key); at corpus "
+        "scale the candidate set comes from ss2/ss4's LSH/IVF buckets "
+        "instead of the full scan, with the label-inequality filter "
+        "applied to candidates only.",
+    tags=("similarity",),
+)
+def ss8_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter((F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").cast("int").alias("q_label"),
+            as_double(F.col("embedding")).alias("qv"),
+        )
+        .withColumn("qn", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+    )
+    c = emb.select(
+        "vec_id",
+        F.col("label").cast("int").alias("n_label"),
+        as_double(F.col("embedding")).alias("cv"),
+    ).withColumn("cn", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_label") != F.col("n_label"))
+        .select(
+            "qid",
+            "q_label",
+            "vec_id",
+            "n_label",
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 5).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K_NEG)
+        .select(
+            "qid",
+            "q_label",
+            F.col("vec_id").alias("negative_id"),
+            "n_label",
+            "cos",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
