@@ -1406,3 +1406,40 @@ def rec1_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("region", "nation", "customer", "orders"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_rec1")
     return spark.sql(_REC1_SQL_BODY.format(sfx="_rec1"))
+
+
+@query(
+    "cms1_countmin_rollup",
+    oracle="""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS est_n
+        FROM events GROUP BY event_type
+    """,
+    doc="cms1 mergeable frequency-sketch rollup (Count-Min, the "
+        "frequency twin of hll1's distinct-count rollup): one "
+        "count_min_sketch per day over event_type — the O(days x "
+        "sketch-bytes) materialization a 100 TB pipeline stores — "
+        "then the per-type total is answered by MERGING the daily "
+        "sketches (JVM CountMinSketch.mergeInPlace on the collected "
+        "day relation; |days| rows, driver-bounded) without "
+        "rescanning raw events. With eps=1e-4 (width 27k buckets) "
+        "and a handful of distinct types, no hash row collides, so "
+        "the sketch estimate EQUALS the exact count — which is why "
+        "this query can carry an exact SQL oracle: the comparison "
+        "proves merge-losslessness end to end, not an approximation.",
+    tags=("agg", "approx", "sketch"),
+)
+def cms1_countmin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count_min_sketch("event_type", F.lit(0.0001), F.lit(0.999), F.lit(42)).alias("sk")
+    )
+    sketches = [r["sk"] for r in daily.collect()]  # |days| rows, bounded
+    jvm = spark.sparkContext._jvm
+    CMS = jvm.org.apache.spark.util.sketch.CountMinSketch
+    merged = None
+    for b in sketches:
+        sk = CMS.readFrom(bytes(b))
+        merged = sk if merged is None else merged.mergeInPlace(sk)
+    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    rows = [(t, int(merged.estimateCount(t))) for t in types]
+    return spark.createDataFrame(rows, "event_type string, est_n bigint")
