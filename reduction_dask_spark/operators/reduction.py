@@ -325,3 +325,57 @@ def t8_distributed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = supervised_frame(spark, sf_dir)
     mu, comps = fit_pca_distributed(df, N_COMPONENTS)
     return pca_transform(df, mu, comps).select("vec_id", "pc1", "pc2")
+
+
+# ---------------------------------------------------------------- iso1
+
+@query(
+    "iso1_isotonic_calibration",
+    oracle=None,  # iterative pool-adjacent-violators fit; numpy PAV parity test
+    doc="iso1 monotone (isotonic) calibration: fit the least-squares "
+        "non-decreasing map from the t2 quality score to the "
+        "P(lang='en') label over the whole corpus with MLlib's "
+        "IsotonicRegression — the classifier-calibration / "
+        "quality-threshold-calibration step of a curation pipeline. "
+        "MLlib's fit is the distributed parallel-PAV: per-partition "
+        "pooling then a merge pass, exact least-squares isotonic "
+        "solution (parity-tested against a pure-numpy PAV in "
+        "tests/test_round4_ops.py). Returns the fitted step curve "
+        "(boundary, prediction) — O(pools) rows, corpus-independent "
+        "after pooling. Scale: one pass over (score, label) pairs; "
+        "the model is a driver-resident curve broadcast back for "
+        "scoring, exactly the suffstats-ridge pattern (ml.py).",
+    tags=("ml", "pipeline"),
+)
+def iso1_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import IsotonicRegression
+
+    from ..sources import load_table
+    from .text import STOPWORDS, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / n
+    )
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    quality = (
+        F.least(F.lit(1.0), n / F.lit(50.0)) * (F.lit(1.0) - stop_ratio) * uniq_ratio
+    )
+    pairs = d.select(
+        quality.alias("score"),
+        (F.col("lang") == "en").cast("double").alias("label"),
+    )
+    va = VectorAssembler(inputCols=["score"], outputCol="features")
+    model = IsotonicRegression(
+        featuresCol="features", labelCol="label", isotonic=True
+    ).fit(va.transform(pairs))
+    bounds = [float(b) for b in model.boundaries]
+    preds = [float(p) for p in model.predictions]
+    spark_ = spark
+    return spark_.createDataFrame(
+        [(i, b, round(p, 6)) for i, (b, p) in enumerate(zip(bounds, preds))],
+        "step int, boundary double, calibrated double",
+    )
