@@ -425,3 +425,51 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
         .agg((F.sum(cents).cast("double") / 10000.0).alias("revenue"))
     )
+
+
+@query(
+    "u5_apply_in_arrow",
+    oracle="""
+        WITH g AS (
+            SELECT event_type,
+                   avg(value) AS mu,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id,
+               e.event_type,
+               round(e.value - g.mu, 6) AS centered
+        FROM events e JOIN g USING (event_type)
+    """,
+    doc="u5 applyInArrow: grouped-map at the RecordBatch level — each "
+        "event_type group arrives as a pyarrow Table (no pandas "
+        "conversion), centered in Arrow compute kernels. Completes "
+        "the Python-boundary quartet (scalar pandas_udf / grouped-agg "
+        "/ applyInPandas / mapInArrow) with the zero-copy grouped "
+        "form; group sizes bound executor memory exactly as "
+        "applyInPandas does, minus the pandas materialization cost. "
+        "Oracle: the same centering as a join-back SQL aggregate.",
+    tags=("udf",),
+)
+def u5_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+
+    def center(tbl: "pa.Table") -> "pa.Table":
+        mu = pc.mean(tbl.column("value"))
+        centered = pc.round(pc.subtract(tbl.column("value"), mu), 6)
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "event_type": tbl.column("event_type"),
+                "centered": centered,
+            }
+        )
+
+    return ev.groupBy("event_type").applyInArrow(
+        center, schema="event_id bigint, event_type string, centered double"
+    )
