@@ -907,3 +907,73 @@ def canon1_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("quality", 6).alias("quality"),
         (F.row_number().over(w) == 1).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------- er1
+
+ER_PREFIX_TOKENS = 6   # compared span: first 6 tokens
+ER_BLOCK_TOKENS = 2    # blocking key: first 2 tokens
+ER_MAX_DIST = 8        # Levenshtein acceptance threshold
+ER_BLOCK_CAP = 50      # drop pathological blocks (hot-key guard)
+
+
+@query(
+    "er1_blocked_fuzzy_match",
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id,
+                   array_to_string(string_split(text, ' ')[1:{ER_PREFIX_TOKENS}], ' ') AS prefix,
+                   array_to_string(string_split(text, ' ')[1:{ER_BLOCK_TOKENS}], ' ') AS blk
+            FROM documents
+        ),
+        hot AS (
+            SELECT blk FROM p GROUP BY blk HAVING count(*) > {ER_BLOCK_CAP}
+        ),
+        kept AS (SELECT * FROM p ANTI JOIN hot USING (blk)),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   levenshtein(a.prefix, b.prefix) AS dist
+            FROM kept a JOIN kept b
+              ON a.blk = b.blk AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(dist AS INTEGER) AS dist
+        FROM cand WHERE dist <= {ER_MAX_DIST}
+    """,
+    doc="er1 blocked fuzzy matching (entity-resolution shape): "
+        "candidate pairs share a cheap blocking key (first "
+        f"{ER_BLOCK_TOKENS} tokens), then an edit-distance verify "
+        f"(Levenshtein over the first {ER_PREFIX_TOKENS} tokens) "
+        "accepts near-matches — the standard two-stage design that "
+        "makes O(n^2) string comparison tractable: pair mass is "
+        "Σ_block |block|^2, bounded by the block cap (hot blocks "
+        "dropped on both sides, dd2's DF_CAP pattern). The verify "
+        "expression is JVM codegen (no UDF). Oracle: DuckDB "
+        "levenshtein over the identical blocking plan.",
+    tags=("dedup", "text"),
+)
+def er1_blocked_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    p = d.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(toks, 1, ER_PREFIX_TOKENS)).alias("prefix"),
+        F.concat_ws(" ", F.slice(toks, 1, ER_BLOCK_TOKENS)).alias("blk"),
+    )
+    hot = (
+        p.groupBy("blk").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > ER_BLOCK_CAP)
+        .select("blk")
+    )
+    kept = p.join(F.broadcast(hot), "blk", "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).alias("dist"),
+    )
+    return cand.filter(F.col("dist") <= ER_MAX_DIST).select(
+        "doc_a", "doc_b", F.col("dist").cast("int").alias("dist")
+    )
