@@ -83,3 +83,85 @@ class TestIsotonicCalibration:
             key = min(fit_at, key=lambda x: abs(x - b))
             assert abs(key - b) < 1e-9
             assert abs(fit_at[key] - c) < 1e-5
+
+
+class TestChunkingProperties:
+    @pytest.fixture(scope="class")
+    def chunks(self, spark):
+        from reduction_dask_spark.operators.text import chunk1_sliding_window
+
+        return chunk1_sliding_window(spark, SF_SMALL).toPandas()
+
+    def test_chunk_counts_cover_every_token(self, spark, chunks):
+        """Union of [i*S, i*S + len_i) intervals covers [0, n) per doc."""
+        from reduction_dask_spark.operators.text import CHUNK_S, CHUNK_W
+        from reduction_dask_spark.sources import load_table
+        from pyspark.sql import functions as F
+
+        n_by_doc = dict(
+            load_table(spark, SF_SMALL, "documents")
+            .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+            .collect()
+        )
+        for doc_id, g in chunks.groupby("doc_id"):
+            g = g.sort_values("chunk_idx")
+            n = n_by_doc[doc_id]
+            end = 0
+            for _, row in g.iterrows():
+                start = row.chunk_idx * CHUNK_S
+                assert start <= end  # no gap
+                assert row.n_tokens <= CHUNK_W
+                end = max(end, start + row.n_tokens)
+            assert end == n  # full coverage, no overrun
+
+    def test_overlap_is_w_minus_s(self, chunks):
+        from reduction_dask_spark.operators.text import CHUNK_S, CHUNK_W
+
+        multi = chunks[chunks.groupby("doc_id").chunk_idx.transform("max") > 0]
+        # every non-final chunk is full width => adjacent overlap W-S
+        nonfinal = multi[
+            multi.chunk_idx < multi.groupby("doc_id").chunk_idx.transform("max")
+        ]
+        assert (nonfinal.n_tokens == CHUNK_W).all()
+        assert CHUNK_W - CHUNK_S == 16
+
+
+class TestMortonProperties:
+    def test_interleave_bijective_roundtrip(self, spark):
+        """zvalue is a bijection: deinterleaving the code recovers the
+        exact (x16, y16) pair for random 16-bit inputs."""
+        import numpy as np
+
+        from reduction_dask_spark.operators.layout import zvalue
+        from pyspark.sql import functions as F
+
+        rng = np.random.default_rng(42)
+        xs = rng.integers(0, 65536, 200)
+        ys = rng.integers(0, 65536, 200)
+        df = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in zip(xs, ys)], "x long, y long"
+        ).withColumn("z", zvalue(F.col("x"), F.col("y")))
+        for x, y, z in df.collect():
+            gx = gy = 0
+            for bit in range(16):
+                gx |= ((z >> (2 * bit)) & 1) << bit
+                gy |= ((z >> (2 * bit + 1)) & 1) << bit
+            assert (gx, gy) == (x, y)
+
+    def test_curve_order_locality(self, spark):
+        """Adjacent z codes differ in at most one unit step of one dim
+        when z increments within a 2x2 cell (sanity of bit layout)."""
+        from reduction_dask_spark.operators.layout import zvalue
+        from pyspark.sql import functions as F
+
+        df = (
+            spark.range(4)
+            .select(F.col("id").alias("x"))
+            .crossJoin(spark.range(4).select(F.col("id").alias("y")))
+            .withColumn("z", zvalue(F.col("x"), F.col("y")))
+        )
+        got = {(r.x, r.y): r.z for r in df.collect()}
+        # the canonical 4x4 Morton table
+        assert got[(0, 0)] == 0 and got[(1, 0)] == 1
+        assert got[(0, 1)] == 2 and got[(1, 1)] == 3
+        assert got[(2, 2)] == 12 and got[(3, 3)] == 15
