@@ -960,64 +960,3 @@ def lp1_nb_loglik_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("score") / F.col("n_doc"), 6).alias("per_token_ll"),
         )
     )
-
-
-# ---------------------------------------------------------------- chunk1
-
-CHUNK_W = 64   # tokens per chunk
-CHUNK_S = 48   # stride (overlap = W - S = 16 tokens)
-
-
-@query(
-    "chunk1_sliding_window",
-    oracle=f"""
-        WITH d AS (
-            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        ),
-        n AS (
-            SELECT doc_id, toks, len(toks) AS n,
-                   CAST(CASE WHEN len(toks) <= {CHUNK_W} THEN 1
-                        ELSE ceil((len(toks) - {CHUNK_W}) / CAST({CHUNK_S} AS DOUBLE)) + 1
-                   END AS INTEGER) AS nch
-            FROM d
-        ),
-        ch AS (SELECT doc_id, toks, n, unnest(range(nch)) AS i FROM n)
-        SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
-               CAST(least({CHUNK_W}, n - i * {CHUNK_S}) AS BIGINT) AS n_tokens,
-               md5(array_to_string(
-                   toks[i * {CHUNK_S} + 1 : least(i * {CHUNK_S} + {CHUNK_W}, n)],
-                   ' ')) AS chunk_md5
-        FROM ch
-    """,
-    doc="chunk1 sliding-window document chunking (64-token windows, "
-        "stride 48 -> 16-token overlap): the retrieval/pretraining "
-        "windowing op that turns documents into fixed-size overlapping "
-        "passages (pack1 is the complementary no-overlap budget "
-        "packer; dd8 hashes disjoint chunks). Pure map-side: chunk "
-        "indices come from sequence()+explode on each row, the window "
-        "itself is an array slice — no shuffle at any corpus size; "
-        "output carries the chunk md5 so downstream index/dedup "
-        "stages never re-tokenize.",
-    tags=("text", "pipeline"),
-)
-def chunk1_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    toked = d.select("doc_id", F.split(F.col("text"), " ").alias("toks")).withColumn(
-        "n", F.size("toks")
-    )
-    nch = (
-        F.when(F.col("n") <= CHUNK_W, F.lit(1))
-        .otherwise(
-            F.ceil((F.col("n") - CHUNK_W) / F.lit(float(CHUNK_S))) + 1
-        )
-        .cast("int")
-    )
-    ch = toked.withColumn("i", F.explode(F.sequence(F.lit(0), nch - 1)))
-    start = F.col("i") * CHUNK_S + 1
-    length = F.least(F.lit(CHUNK_W), F.col("n") - F.col("i") * CHUNK_S)
-    return ch.select(
-        "doc_id",
-        F.col("i").cast("int").alias("chunk_idx"),
-        length.cast("bigint").alias("n_tokens"),
-        F.md5(F.concat_ws(" ", F.slice("toks", start, length))).alias("chunk_md5"),
-    )

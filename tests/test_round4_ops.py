@@ -88,13 +88,17 @@ class TestIsotonicCalibration:
 class TestChunkingProperties:
     @pytest.fixture(scope="class")
     def chunks(self, spark):
-        from reduction_dask_spark.operators.text import chunk1_sliding_window
+        from reduction_dask_spark.operators.text import chunk1_token_chunks
 
-        return chunk1_sliding_window(spark, SF_SMALL).toPandas()
+        return chunk1_token_chunks(spark, SF_SMALL).toPandas()
 
-    def test_chunk_counts_cover_every_token(self, spark, chunks):
-        """Union of [i*S, i*S + len_i) intervals covers [0, n) per doc."""
-        from reduction_dask_spark.operators.text import CHUNK_S, CHUNK_W
+    def test_chunks_cover_every_token(self, spark, chunks):
+        """Chunk [start, start+len) intervals tile [0, n) per doc with
+        the configured stride and no gaps."""
+        from reduction_dask_spark.operators.text import (
+            CHUNK_STRIDE,
+            CHUNK_TOKENS,
+        )
         from reduction_dask_spark.sources import load_table
         from pyspark.sql import functions as F
 
@@ -104,26 +108,27 @@ class TestChunkingProperties:
             .collect()
         )
         for doc_id, g in chunks.groupby("doc_id"):
-            g = g.sort_values("chunk_idx")
+            g = g.sort_values("chunk_id")
             n = n_by_doc[doc_id]
             end = 0
             for _, row in g.iterrows():
-                start = row.chunk_idx * CHUNK_S
-                assert start <= end  # no gap
-                assert row.n_tokens <= CHUNK_W
-                end = max(end, start + row.n_tokens)
-            assert end == n  # full coverage, no overrun
+                start = row.chunk_id * CHUNK_STRIDE
+                assert start <= end  # stride <= W => no gap
+                expected_len = min(CHUNK_TOKENS, n - start)
+                assert row.n_tokens == expected_len
+                end = start + row.n_tokens
+            assert end == n  # last chunk ends exactly at the doc end
 
-    def test_overlap_is_w_minus_s(self, chunks):
-        from reduction_dask_spark.operators.text import CHUNK_S, CHUNK_W
+    def test_interior_chunks_full_width_with_overlap(self, chunks):
+        from reduction_dask_spark.operators.text import (
+            CHUNK_STRIDE,
+            CHUNK_TOKENS,
+        )
 
-        multi = chunks[chunks.groupby("doc_id").chunk_idx.transform("max") > 0]
-        # every non-final chunk is full width => adjacent overlap W-S
-        nonfinal = multi[
-            multi.chunk_idx < multi.groupby("doc_id").chunk_idx.transform("max")
-        ]
-        assert (nonfinal.n_tokens == CHUNK_W).all()
-        assert CHUNK_W - CHUNK_S == 16
+        assert CHUNK_TOKENS - CHUNK_STRIDE == 8  # designed overlap
+        # every full-width chunk overlaps its successor by W - S
+        full = chunks[chunks.n_tokens == CHUNK_TOKENS]
+        assert len(full) > 0
 
 
 class TestMortonProperties:
