@@ -1443,3 +1443,46 @@ def cms1_countmin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     types = [r[0] for r in ev.select("event_type").distinct().collect()]
     rows = [(t, int(merged.estimateCount(t))) for t in types]
     return spark.createDataFrame(rows, "event_type string, est_n bigint")
+
+
+@query(
+    "dq3_volume_anomaly",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        stats AS (
+            SELECT avg(n) AS mu, stddev_samp(n) AS sigma FROM daily
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day, n,
+               round((n - mu) / sigma, 6) AS z,
+               abs((n - mu) / sigma) > 2.0 AS is_anomaly
+        FROM daily, stats
+    """,
+    doc="dq3 ingest-volume anomaly screen (data-quality family with "
+        "prof1/dq2): daily event counts z-scored against the table's "
+        "own day distribution; |z| > 2 flags partitions whose volume "
+        "broke pattern — the cheapest 'did yesterday's load look "
+        "right' check a 100 TB pipeline runs before anything else. "
+        "Shape: one map-side-combined date-trunc groupBy to a "
+        "|days|-row relation, then a 1-row stats aggregate broadcast "
+        "back — no window, no sort, nothing proportional to raw "
+        "volume after the first aggregate.",
+    tags=("quality", "agg"),
+)
+def dq3_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    stats = daily.agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return daily.crossJoin(F.broadcast(stats)).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )
