@@ -1403,6 +1403,11 @@ _REC1_SQL_BODY = """
     tags=("sql", "join", "recursive"),
 )
 def rec1_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The recursion ROW limit is a runaway-query safety valve, not a
+    # scale parameter: this closure is depth-bounded at 3 but its row
+    # count is O(|orders|), so the 1M default trips at the x10 probe.
+    # Raise it for this session (left set; no other query recurses).
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(1_000_000_000))
     for t in ("region", "nation", "customer", "orders"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_rec1")
     return spark.sql(_REC1_SQL_BODY.format(sfx="_rec1"))
