@@ -38,6 +38,8 @@ CROSS_OK = {
     "lp1_nb_loglik_quality": "×|langs| score fan-out + 1-row vocab broadcast (t3's shape)",
     "f6_histogram": "bin edges (1-row aggregate) broadcast",
     "zo1_zorder_curve": "1-row global-extent aggregate broadcast (min-max scaling)",
+    "dq3_volume_anomaly": "1-row mean/stddev aggregate broadcast",
+    "ss8_hard_negative_mining": "fixed 40-anchor query batch broadcast (ss1's envelope)",
     "f7_entropy": "1-row total broadcast",
     "f8_mutual_info": "1-row total broadcast",
     "d1_variation_of_information": "1-row total broadcast",
