@@ -118,3 +118,70 @@ def gr1_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pagerank(nodes, edges)
     edges.unpersist()
     return out
+
+
+# ---------------------------------------------------------------- gr2
+
+@query(
+    "gr2_triangle_count",
+    oracle=None,  # composed below with dedup CTEs at import time
+    doc="gr2 triangle counting on the verified near-dup graph: the "
+        "standard distributed triangle enumeration — orient every "
+        "edge low-id -> high-id (kills duplicate rotations), join "
+        "E on E for wedges (a->b->c), close each wedge against E "
+        "(a->c). Per-node triangle participation measures how "
+        "'clique-like' a duplicate neighborhood is (transitive dup "
+        "clusters vs chains — dd6 components with few triangles are "
+        "chain-shaped and worth a higher verify threshold). Two "
+        "shuffles (wedge join + closing semi-join), both on edge "
+        "keys; edge orientation bounds wedge fan-out by the max "
+        "out-degree, the classic mitigation for high-degree nodes. "
+        "Oracle: identical triple join over the recursive-free "
+        "shingle/Jaccard CTEs.",
+    tags=("graph", "dedup"),
+)
+def gr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import JACCARD_TAU, jaccard_pairs, shingle_table
+
+    pairs = jaccard_pairs(shingle_table(spark, sf_dir).persist(), tau=JACCARD_TAU)
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).persist()
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(
+        F.col("e1.a").alias("wa"), F.col("e1.b").alias("wb"), F.col("e2.b").alias("wc")
+    )
+    tri = wedges.join(
+        e3, (F.col("e3.a") == F.col("wa")) & (F.col("e3.b") == F.col("wc"))
+    ).select("wa", "wb", "wc")
+    nodes = (
+        tri.select(F.col("wa").alias("doc_id"))
+        .unionAll(tri.select(F.col("wb").alias("doc_id")))
+        .unionAll(tri.select(F.col("wc").alias("doc_id")))
+    )
+    return nodes.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_triangles"))
+
+
+def _gr2_oracle() -> str:
+    from .dedup import JACCARD_TAU, SHINGLE_SQL, _JACCARD_SQL
+
+    return f"""
+        WITH {SHINGLE_SQL}, {_JACCARD_SQL},
+        e AS (SELECT doc_a AS a, doc_b AS b FROM jac WHERE jaccard >= {JACCARD_TAU}),
+        tri AS (
+            SELECT e1.a, e1.b, e2.b AS c
+            FROM e e1
+            JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        n AS (
+            SELECT a AS doc_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM n GROUP BY doc_id
+    """
+
+
+from ..registry import REGISTRY as _REG  # noqa: E402
+
+_REG["gr2_triangle_count"].oracle = _gr2_oracle()
