@@ -108,3 +108,37 @@ def write_overwrite(df: DataFrame, path: str, fmt: str = "parquet", partition_by
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(path)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_records_per_file: int = 1_000_000,
+) -> int:
+    """Small-file compaction — the maintenance pass every long-lived
+    100 TB table needs: streaming/append sinks accrete thousands of
+    KB-sized files, and scan cost becomes dominated by file-open and
+    footer-read overhead rather than bytes. Rewrites the table into
+    ceil(rows / target_records_per_file) files via one range-free
+    repartition (coalesce can't grow file counts and skews when
+    shrinking hard) + maxRecordsPerFile as the hard cap. Returns the
+    new file count. Write is to a temp dir then swapped in, so a
+    failed compaction never corrupts the table (the poor man's
+    transactional rewrite; table formats do this with metadata)."""
+    import math
+    import shutil
+    import tempfile
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_records_per_file))
+    tmp = tempfile.mkdtemp(prefix="rds_compact_")
+    (
+        df.repartition(n_files)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", target_records_per_file)
+        .parquet(tmp)
+    )
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n_files

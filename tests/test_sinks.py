@@ -359,3 +359,40 @@ def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
     n_days = ev.select("era_day").distinct().count()
     assert n_days > 1
     assert back.count() == ev.filter(F.col("era_day") == 3).count()
+
+
+def test_compact_small_files(spark, tmp_path):
+    """1 row/file append pattern → one compaction pass → bounded file
+    count, identical data."""
+    import glob
+
+    from reduction_dask_spark.sources import compact_files, load_table
+
+    path = str(tmp_path / "frag")
+    ev = load_table(spark, SF_SMALL, "events").select("event_id", "value").limit(64)
+    ev.repartition(64).write.mode("overwrite").parquet(path)
+    assert len(glob.glob(f"{path}/*.parquet")) == 64
+    n_files = compact_files(spark, path, target_records_per_file=32)
+    assert n_files == 2
+    assert len(glob.glob(f"{path}/*.parquet")) == 2
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert got == sorted(map(tuple, ev.collect()))
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Append-time schema widening read back with mergeSchema — the
+    storage-evolution contract a long-lived table relies on."""
+    from pyspark.sql import functions as F
+
+    from reduction_dask_spark.sources import load_table
+
+    path = str(tmp_path / "evolve")
+    ev = load_table(spark, SF_SMALL, "events")
+    ev.select("event_id", "value").limit(10).write.mode("append").parquet(path)
+    ev.select("event_id", "value", F.lit("v2").alias("schema_rev")).limit(
+        10
+    ).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"event_id", "value", "schema_rev"}
+    assert merged.count() == 20
+    assert merged.filter(F.col("schema_rev").isNull()).count() == 10
