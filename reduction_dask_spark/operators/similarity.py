@@ -411,6 +411,19 @@ _IVF_SQL = f"""
     tags=("similarity",),
 )
 def ss4_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = ivf_scored_candidates(spark, sf_dir)
+    wq = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "cos")
+    )
+
+
+def ivf_scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, vec_id, cos) IVF-probed candidates, exact-scored — the
+    shared candidate-generation stage of ss4 (plain top-k) and ss8b
+    (cross-label hard negatives)."""
     import numpy as np
     import pandas as pd
 
@@ -471,12 +484,7 @@ def ss4_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(allv, "vec_id")
         .select("qid", "vec_id", F.round(cosine(F.col("qv"), F.col("vv")), 5).alias("cos"))
     )
-    wq = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        cand.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= TOP_K)
-        .select("qid", F.col("vec_id").alias("neighbor_id"), "cos")
-    )
+    return cand
 
 
 # ------------------------------------------------------------- kmeans
@@ -1251,6 +1259,67 @@ def ss8_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K_NEG)
+        .select(
+            "qid",
+            "q_label",
+            F.col("vec_id").alias("negative_id"),
+            "n_label",
+            "cos",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- ss8b
+
+@query(
+    "ss8b_hard_negatives_ivf",
+    oracle=f"""
+        WITH {_IVF_SQL},
+        lab AS (SELECT vec_id, CAST(label AS INTEGER) AS lbl FROM embeddings),
+        cand AS (
+            SELECT q.qid, ql.lbl AS q_label, a.vec_id, cl.lbl AS n_label,
+                   round({_COS_SQL.format(a='qv.vv', b='cv.vv')}, 5) AS cos
+            FROM qprobe q
+            JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.qid
+            JOIN allv qv ON qv.vec_id = q.qid
+            JOIN allv cv ON cv.vec_id = a.vec_id
+            JOIN lab ql ON ql.vec_id = q.qid
+            JOIN lab cl ON cl.vec_id = a.vec_id
+            WHERE ql.lbl <> cl.lbl
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+            FROM cand
+        )
+        SELECT qid, q_label, vec_id AS negative_id, n_label, cos,
+               CAST(rn AS INTEGER) AS rank
+        FROM ranked WHERE rn <= {K_NEG}
+    """,
+    doc="ss8b hard-negative mining, IVF-candidate scale path: ss8's "
+        "cross-label top-k restricted to ss4's probed inverted lists — "
+        "candidate mass is O(|anchors| x probed-list size) instead of "
+        "O(|anchors| x corpus), which is the form that survives a "
+        "billion-vector corpus. Labels join onto candidates only. "
+        "Recall vs the exact ss8 is asserted in "
+        "tests/test_round4_ops.py (and is 1.0 whenever the true "
+        "negatives fall in probed lists).",
+    tags=("similarity",),
+)
+def ss8b_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    lab = emb.select("vec_id", F.col("label").cast("int").alias("lbl"))
+    cand = ivf_scored_candidates(spark, sf_dir)
+    joined = (
+        cand.join(lab.select(F.col("vec_id").alias("qid"), F.col("lbl").alias("q_label")), "qid")
+        .join(lab.select("vec_id", F.col("lbl").alias("n_label")), "vec_id")
+        .filter(F.col("q_label") != F.col("n_label"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= K_NEG)
         .select(
             "qid",

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import pytest
 
-from .conftest import SF_SMALL
+from .conftest import SF_MED, SF_SMALL
 
 
 class TestCanonicalSelection:
@@ -170,3 +170,27 @@ class TestMortonProperties:
         assert got[(0, 0)] == 0 and got[(1, 0)] == 1
         assert got[(0, 1)] == 2 and got[(1, 1)] == 3
         assert got[(2, 2)] == 12 and got[(3, 3)] == 15
+
+
+class TestHardNegatives:
+    def test_ivf_path_recall_vs_exact(self, spark):
+        """ss8b (IVF candidates) recovers most of ss8's exact hard
+        negatives, and every pair it returns is genuinely cross-label."""
+        from reduction_dask_spark.operators.similarity import (
+            ss8_hard_negative_mining,
+            ss8b_hard_negatives_ivf,
+        )
+
+        exact = ss8_hard_negative_mining(spark, SF_MED).toPandas()
+        approx = ss8b_hard_negatives_ivf(spark, SF_MED).toPandas()
+        assert (approx.q_label != approx.n_label).all()
+        assert (exact.q_label != exact.n_label).all()
+        e = set(zip(exact.qid, exact.negative_id))
+        a = set(zip(approx.qid, approx.negative_id))
+        recall = len(e & a) / len(e)
+        assert recall >= 0.5  # probed lists cover most true negatives
+        # approx never outranks exact: its cosines are a subset-max
+        per_q_exact = exact.groupby("qid").cos.max()
+        per_q_approx = approx.groupby("qid").cos.max()
+        joined = per_q_exact.to_frame("e").join(per_q_approx.to_frame("a"), how="inner")
+        assert (joined.a <= joined.e + 1e-9).all()
