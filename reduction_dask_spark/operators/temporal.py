@@ -908,3 +908,78 @@ def w9_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type").over(wf).alias("last_type"),
         F.nth_value("event_type", 2).over(wf).alias("second_type"),
     )
+
+
+@query(
+    "path1_top_session_paths",
+    oracle=f"""
+        WITH g AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CASE WHEN ts - lag(ts) OVER w <= INTERVAL {SESSION_GAP_MIN} MINUTE
+                        THEN 0 ELSE 1 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT user_id, event_id, ts, event_type,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM g
+        ),
+        paths AS (
+            SELECT user_id, session_id,
+                   array_to_string(list(event_type ORDER BY ts, event_id), '>') AS path
+            FROM s GROUP BY user_id, session_id
+        )
+        SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        FROM paths GROUP BY path
+        ORDER BY n_sessions DESC, path
+        LIMIT 20
+    """,
+    doc="path1 top session paths: sessionize (w4's lag-gap + cumsum), "
+        "concatenate each session's ordered event-type sequence into a "
+        "path string, count path frequencies, keep the global top 20 "
+        "— the navigation-pattern analysis behind funnel design (an2 "
+        "fixes the funnel; path1 DISCOVERS it). Ordering inside a "
+        "session is pinned by (ts, event_id) via sort_array over "
+        "structs, so the path strings are deterministic. Scale: both "
+        "windows and the path aggregate are keyed by user; only "
+        "(path, count) partials — bounded by distinct paths — reach "
+        "the final top-k, which is TakeOrderedAndProject, not a "
+        "global sort.",
+    tags=("temporal", "analytics"),
+)
+def path1_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    ) <= SESSION_GAP_MIN * 60 * 1_000_000
+    g = ev.withColumn("new_sess", F.when(gap_ok, 0).otherwise(1))
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = g.withColumn("session_id", F.sum("new_sess").over(frame))
+    paths = (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts").alias("ts"),
+                        F.col("event_id").alias("event_id"),
+                        F.col("event_type").alias("et"),
+                    )
+                )
+            ).alias("seq")
+        )
+        .select(
+            F.array_join(
+                F.transform(F.col("seq"), lambda x: x["et"]), ">"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
