@@ -1330,3 +1330,72 @@ def ss8b_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------- ss9
+
+MMR_LAMBDA = 0.7
+MMR_POOL = 20  # candidate pool re-ranked per query
+
+
+@query(
+    "ss9_mmr_diversified_topk",
+    oracle=None,  # iterative greedy selection; pinned by property tests
+    doc="ss9 MMR-diversified retrieval: take each anchor's top-"
+        f"{MMR_POOL} exact-cosine pool (ss1's plan), then re-rank by "
+        f"Maximal Marginal Relevance (lambda={MMR_LAMBDA}): each round "
+        "picks argmax of lambda*sim(query,d) - (1-lambda)*max_sim(d, "
+        "already-picked) — the standard diversified top-k for RAG "
+        "context building (near-duplicate passages waste context "
+        "slots; ss2's near-dup pairs are exactly what MMR suppresses)."
+        " Scale: candidate pools are per-anchor constants (M rows), "
+        "so the greedy loop runs inside ONE applyInPandas over the "
+        "anchor key — an O(k*M^2) numpy kernel per group, never a "
+        "driver loop, never a cross-candidate shuffle. Rows-only "
+        "(greedy iteration is not SQL-expressible); pinned by "
+        "subset/first-pick/diversity-dominance property tests.",
+    tags=("similarity", "pipeline"),
+)
+def ss9_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pool = brute_force_topk(spark, sf_dir, k=MMR_POOL)  # (qid, neighbor_id, cos)
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("nv"))
+    cand = pool.join(
+        vecs.select(F.col("vec_id").alias("neighbor_id"), "nv"), "neighbor_id"
+    )
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["cos", "neighbor_id"], ascending=[False, True])
+        V = np.stack(pdf["nv"].to_numpy()).astype(np.float64)
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        S = V @ V.T  # candidate-candidate cosine, M x M
+        rel = pdf["cos"].to_numpy()
+        ids = pdf["neighbor_id"].to_numpy()
+        picked: list[int] = []
+        avail = list(range(len(pdf)))
+        while avail and len(picked) < TOP_K:
+            if picked:
+                div = S[np.ix_(avail, picked)].max(axis=1)
+            else:
+                div = np.zeros(len(avail))
+            score = MMR_LAMBDA * rel[avail] - (1 - MMR_LAMBDA) * div
+            # argmax with ties -> lowest neighbor_id (avail is id-sorted
+            # within equal cos, stable argmax picks the first)
+            j = avail[int(np.argmax(np.round(score, 12)))]
+            picked.append(j)
+            avail.remove(j)
+        return pd.DataFrame(
+            {
+                "qid": pdf["qid"].iloc[0],
+                "rank": np.arange(1, len(picked) + 1, dtype=np.int32),
+                "neighbor_id": ids[picked],
+                "cos": rel[picked],
+            }
+        )
+
+    return cand.groupBy("qid").applyInPandas(
+        mmr, "qid long, rank int, neighbor_id long, cos double"
+    )

@@ -194,3 +194,56 @@ class TestHardNegatives:
         per_q_approx = approx.groupby("qid").cos.max()
         joined = per_q_exact.to_frame("e").join(per_q_approx.to_frame("a"), how="inner")
         assert (joined.a <= joined.e + 1e-9).all()
+
+
+class TestMMRDiversification:
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        from reduction_dask_spark.operators.similarity import (
+            brute_force_topk,
+            ss9_mmr_diversified_topk,
+        )
+
+        mmr = ss9_mmr_diversified_topk(spark, SF_SMALL).toPandas()
+        plain = brute_force_topk(spark, SF_SMALL).toPandas()
+        pool = brute_force_topk(spark, SF_SMALL, k=20).toPandas()
+        return mmr, plain, pool
+
+    def test_selection_is_subset_of_pool(self, frames):
+        mmr, _, pool = frames
+        p = set(zip(pool.qid, pool.neighbor_id))
+        assert set(zip(mmr.qid, mmr.neighbor_id)) <= p
+
+    def test_first_pick_is_top_relevance(self, frames):
+        mmr, plain, _ = frames
+        first = mmr[mmr["rank"] == 1].set_index("qid").neighbor_id
+        top1 = plain[
+            plain.groupby("qid").cos.transform("max") == plain.cos
+        ].groupby("qid").neighbor_id.min()
+        for q in first.index:
+            assert first[q] == top1[q]
+
+    def test_diversity_dominates_plain_topk(self, spark, frames):
+        """Avg pairwise cosine within the MMR set <= within plain
+        top-k, averaged over queries (the point of MMR)."""
+        import numpy as np
+
+        mmr, plain, _ = frames
+        emb = (
+            spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+            .select("vec_id", "embedding")
+            .toPandas()
+            .set_index("vec_id")
+        )
+
+        def avg_pairwise(df):
+            vals = []
+            for q, g in df.groupby("qid"):
+                V = np.stack(emb.loc[g.neighbor_id].embedding.to_numpy()).astype(float)
+                V /= np.linalg.norm(V, axis=1, keepdims=True)
+                S = V @ V.T
+                iu = np.triu_indices(len(V), k=1)
+                vals.append(S[iu].mean())
+            return float(np.mean(vals))
+
+        assert avg_pairwise(mmr) <= avg_pairwise(plain) + 1e-9
