@@ -1491,3 +1491,49 @@ def dq3_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         (F.abs(z) > 2.0).alias("is_anomaly"),
     )
+
+
+WSAMP_K = 100
+_WSAMP_MOD = 1_000_000
+
+
+@query(
+    "wsamp1_weighted_sample",
+    oracle=f"""
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+               round(ln(({phash_sql('doc_id', _WSAMP_MOD)} + 1) / {_WSAMP_MOD + 1}.0)
+                     / n_chars, 9) AS es_key
+        FROM documents
+        ORDER BY ln(({phash_sql('doc_id', _WSAMP_MOD)} + 1) / {_WSAMP_MOD + 1}.0)
+                 / n_chars DESC, doc_id
+        LIMIT {WSAMP_K}
+    """,
+    doc="wsamp1 weighted sampling without replacement (Efraimidis-"
+        "Spirakis A-ES): each row gets key ln(u)/w for u ~ U(0,1) "
+        "(a portable hash-derived uniform, so both engines draw the "
+        "SAME u — the p6 determinism trick) and the global top-k by "
+        "key IS an exact weight-proportional without-replacement "
+        "sample. The distributed-sampling primitive long-document "
+        "upweighting / quality-weighted corpus selection needs: one "
+        "map-side key expression + TakeOrderedAndProject (per-"
+        "partition partial top-k, k rows per task to the driver "
+        "merge) — no sort, no second pass, any corpus size.",
+    tags=("sample", "pipeline"),
+)
+def wsamp1_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u = (phash("doc_id", _WSAMP_MOD) + 1) / F.lit(float(_WSAMP_MOD + 1))
+    key = F.log(u) / F.col("n_chars")
+    return (
+        d.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("w"),
+            key.alias("_k"),
+            # rounded output: ln() is libm-dependent (JVM vs DuckDB
+            # differ by 1 ulp); ordering keeps full precision
+            F.round(key, 9).alias("es_key"),
+        )
+        .orderBy(F.desc("_k"), F.asc("doc_id"))
+        .limit(WSAMP_K)
+        .drop("_k")
+    )

@@ -247,3 +247,19 @@ class TestMMRDiversification:
             return float(np.mean(vals))
 
         assert avg_pairwise(mmr) <= avg_pairwise(plain) + 1e-9
+
+
+def test_wsamp1_prefers_heavy_documents(spark):
+    """A-ES with w = n_chars: the sampled set's mean weight exceeds
+    the corpus mean (weight-proportional inclusion)."""
+    from pyspark.sql import functions as F
+
+    from reduction_dask_spark.operators.relational import wsamp1_weighted_sample
+    from reduction_dask_spark.sources import load_table
+
+    samp = wsamp1_weighted_sample(spark, SF_MED).toPandas()
+    corpus_mean = (
+        load_table(spark, SF_MED, "documents").agg(F.avg("n_chars")).collect()[0][0]
+    )
+    assert len(samp) == 100 and samp.doc_id.is_unique
+    assert samp.w.mean() > corpus_mean
