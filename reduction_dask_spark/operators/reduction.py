@@ -379,3 +379,48 @@ def iso1_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, b, round(p, 6)) for i, (b, p) in enumerate(zip(bounds, preds))],
         "step int, boundary double, calibrated double",
     )
+
+
+# ---------------------------------------------------------------- log1
+
+@query(
+    "log1_logistic_irls",
+    oracle=None,  # iterative Newton fit; numpy-IRLS parity test
+    doc="log1 distributed logistic regression (IRLS/Newton, 6 "
+        "iterations): P(lang='en') from the t2 quality components "
+        "(capped length, stopword ratio, type/token ratio). Each "
+        "iteration is one mapInPandas pass producing per-partition "
+        "[X'WX | X'(y-p) | n] partials merged by array addition — "
+        "the suffstats-ridge shuffle shape (ml.fold_suffstats), "
+        "iterated because the logistic MLE has no closed form; "
+        "driver state is the coefficient vector alone. The "
+        "classification counterpart to ml.py's ridge harness, and "
+        "the supervised version of iso1's monotone calibration. "
+        "Parity: tests/test_round4_ops.py fits the same model with "
+        "pure-numpy IRLS on the collected frame (agreement 1e-6).",
+    tags=("ml",),
+)
+def log1_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml import logistic_irls
+    from ..sources import load_table
+    from .text import STOPWORDS, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    feats = d.select(
+        F.least(F.lit(1.0), n / F.lit(50.0)).alias("len_capped"),
+        (F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / n).alias(
+            "stop_ratio"
+        ),
+        (F.size(F.array_distinct(toks)).cast("double") / n).alias("uniq_ratio"),
+        (F.col("lang") == "en").cast("double").alias("label"),
+    )
+    beta = logistic_irls(
+        feats, ["len_capped", "stop_ratio", "uniq_ratio"], "label"
+    )
+    names = ["intercept", "len_capped", "stop_ratio", "uniq_ratio"]
+    return spark.createDataFrame(
+        [(nm, round(float(b), 6)) for nm, b in zip(names, beta)],
+        "term string, coef double",
+    )

@@ -263,3 +263,73 @@ def test_wsamp1_prefers_heavy_documents(spark):
     )
     assert len(samp) == 100 and samp.doc_id.is_unique
     assert samp.w.mean() > corpus_mean
+
+
+class TestLogisticIRLS:
+    def test_matches_local_numpy_irls(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from reduction_dask_spark.operators.reduction import log1_logistic_irls
+        from reduction_dask_spark.operators.text import STOPWORDS, tokens
+        from reduction_dask_spark.sources import load_table
+
+        got = (
+            log1_logistic_irls(spark, SF_SMALL)
+            .toPandas()
+            .set_index("term")
+            .coef
+        )
+        d = load_table(spark, SF_SMALL, "documents")
+        toks = tokens(F.col("text"))
+        n = F.size(toks)
+        pdf = d.select(
+            F.least(F.lit(1.0), n / F.lit(50.0)).alias("f1"),
+            (F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / n).alias("f2"),
+            (F.size(F.array_distinct(toks)).cast("double") / n).alias("f3"),
+            (F.col("lang") == "en").cast("double").alias("y"),
+        ).toPandas()
+        X = np.column_stack([np.ones(len(pdf)), pdf.f1, pdf.f2, pdf.f3])
+        y = pdf.y.to_numpy()
+        beta = np.zeros(4)
+        for _ in range(6):
+            p = 1 / (1 + np.exp(-(X @ beta)))
+            W = p * (1 - p)
+            H = X.T @ (X * W[:, None]) + 1e-6 * np.eye(4)
+            beta = beta + np.linalg.solve(H, X.T @ (y - p))
+        for term, ref in zip(
+            ["intercept", "len_capped", "stop_ratio", "uniq_ratio"], beta
+        ):
+            assert abs(got[term] - ref) < 1e-5
+
+    def test_predictions_beat_chance(self, spark):
+        """The fitted model separates en from non-en better than the
+        base rate on its own training data (sanity, not rigor)."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from reduction_dask_spark.operators.reduction import log1_logistic_irls
+        from reduction_dask_spark.operators.text import STOPWORDS, tokens
+        from reduction_dask_spark.sources import load_table
+
+        coefs = (
+            log1_logistic_irls(spark, SF_SMALL).toPandas().set_index("term").coef
+        )
+        d = load_table(spark, SF_SMALL, "documents")
+        toks = tokens(F.col("text"))
+        n = F.size(toks)
+        pdf = d.select(
+            F.least(F.lit(1.0), n / F.lit(50.0)).alias("f1"),
+            (F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / n).alias("f2"),
+            (F.size(F.array_distinct(toks)).cast("double") / n).alias("f3"),
+            (F.col("lang") == "en").cast("double").alias("y"),
+        ).toPandas()
+        X = np.column_stack([np.ones(len(pdf)), pdf.f1, pdf.f2, pdf.f3])
+        p = 1 / (1 + np.exp(-(X @ coefs[["intercept", "len_capped", "stop_ratio", "uniq_ratio"]].to_numpy())))
+        # log-loss of the fit must beat the base-rate log-loss
+        y = pdf.y.to_numpy()
+        eps = 1e-12
+        ll_model = -np.mean(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps))
+        base = y.mean()
+        ll_base = -np.mean(y * np.log(base) + (1 - y) * np.log(1 - base))
+        assert ll_model <= ll_base
