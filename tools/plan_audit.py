@@ -40,6 +40,7 @@ CROSS_OK = {
     "zo1_zorder_curve": "1-row global-extent aggregate broadcast (min-max scaling)",
     "dq3_volume_anomaly": "1-row mean/stddev aggregate broadcast",
     "ss8_hard_negative_mining": "fixed 40-anchor query batch broadcast (ss1's envelope)",
+    "ss9_mmr_diversified_topk": "fixed 40-anchor pool via ss1's broadcast query batch",
     "f7_entropy": "1-row total broadcast",
     "f8_mutual_info": "1-row total broadcast",
     "d1_variation_of_information": "1-row total broadcast",
