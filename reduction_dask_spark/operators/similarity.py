@@ -71,6 +71,29 @@ def lsh_planes_for(n_vectors: int, target_bucket: int = 200) -> int:
     return max(1, math.ceil(math.log2(max(2.0, n_vectors / target_bucket))))
 
 
+def lsh_bands_for(tau: float, n_hashes: int = 32) -> tuple[int, int]:
+    """(bands, rows) for a MinHash signature of ``n_hashes`` whose
+    S-curve threshold (1/b)^(1/r) sits closest to the target Jaccard
+    ``tau`` — the standard banding-theory sizing (MMDS ch. 3): pairs
+    with similarity above the threshold are near-certain candidates,
+    pairs far below are near-certain non-candidates, and the
+    transition steepens with r. dd3 pins (8, 4) because the oracle
+    must mirror a fixed layout at the driver SF — (8, 4) is exactly
+    what this helper returns for tau=0.7, n=32; production callers
+    re-derive the banding from their threshold instead of inheriting
+    the demo constants."""
+    best = None
+    for r in range(1, n_hashes + 1):
+        if n_hashes % r:
+            continue
+        b = n_hashes // r
+        thr = (1.0 / b) ** (1.0 / r)
+        err = abs(thr - tau)
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    return best[1], best[2]
+
+
 def as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 

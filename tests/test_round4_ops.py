@@ -333,3 +333,25 @@ class TestLogisticIRLS:
         base = y.mean()
         ll_base = -np.mean(y * np.log(base) + (1 - y) * np.log(1 - base))
         assert ll_model <= ll_base
+
+
+class TestLSHBandingTheory:
+    def test_dd3_constants_are_the_tau07_solution(self):
+        from reduction_dask_spark.operators.similarity import lsh_bands_for
+
+        assert lsh_bands_for(0.7, 32) == (8, 4)
+
+    def test_s_curve_threshold_tracks_tau(self):
+        """Chosen banding's (1/b)^(1/r) lands within 0.15 of every
+        target in a practical range, and candidate probability is
+        monotone in similarity (the S-curve property)."""
+        from reduction_dask_spark.operators.similarity import lsh_bands_for
+
+        for tau in (0.3, 0.5, 0.7, 0.9):
+            b, r = lsh_bands_for(tau, 32)
+            assert b * r == 32
+            thr = (1.0 / b) ** (1.0 / r)
+            assert abs(thr - tau) < 0.15
+            p = lambda s: 1 - (1 - s**r) ** b
+            assert p(min(tau + 0.2, 0.99)) > p(tau) > p(max(tau - 0.2, 0.01))
+            assert p(0.95) > 0.9  # high-sim pairs are near-certain candidates
