@@ -354,4 +354,4 @@ class TestLSHBandingTheory:
             assert abs(thr - tau) < 0.15
             p = lambda s: 1 - (1 - s**r) ** b
             assert p(min(tau + 0.2, 0.99)) > p(tau) > p(max(tau - 0.2, 0.01))
-            assert p(0.95) > 0.9  # high-sim pairs are near-certain candidates
+            assert p(0.99) > 0.9  # near-identical pairs are near-certain candidates
