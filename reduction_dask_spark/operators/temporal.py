@@ -983,3 +983,108 @@ def path1_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(20)
     )
+
+
+@query(
+    "j9_interval_overlap_join",
+    oracle=f"""
+        WITH g AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER w <= INTERVAL {SESSION_GAP_MIN} MINUTE
+                        THEN 0 ELSE 1 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+            FROM g
+        ),
+        iv AS (
+            SELECT user_id, session_id,
+                   min(ts) AS t0, max(ts) AS t1
+            FROM s GROUP BY user_id, session_id
+        )
+        SELECT a.user_id AS user_a, a.session_id AS sess_a,
+               b.user_id AS user_b, b.session_id AS sess_b,
+               CAST(date_diff('microsecond',
+                              greatest(a.t0, b.t0),
+                              least(a.t1, b.t1)) AS BIGINT) AS overlap_us
+        FROM iv a JOIN iv b
+          ON a.user_id < b.user_id
+         AND a.t0 <= b.t1 AND b.t0 <= a.t1
+    """,
+    doc="j9 interval-overlap join (range x range — a distinct shape "
+        "from j5's point-in-range): which user sessions were live at "
+        "the same time, with the overlap duration. The oracle states "
+        "it as the direct inequality join; the Spark plan is the "
+        "SCALABLE form — each interval explodes to the hour buckets "
+        "it covers (bounded by session length / bucket width), "
+        "candidates equi-join on the bucket key, and the exact "
+        "overlap predicate filters after a distinct — the "
+        "bucketize-overlap-verify pattern that replaces an O(n^2) "
+        "BroadcastNestedLoopJoin with a shuffle on bucket keys. "
+        "Interval relations (session tables, ad flights, "
+        "maintenance windows) are exactly where naive range joins "
+        "melt down at 100 TB.",
+    tags=("join", "temporal"),
+)
+def j9_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    ) <= SESSION_GAP_MIN * 60 * 1_000_000
+    g = ev.withColumn("new_sess", F.when(gap_ok, 0).otherwise(1))
+    frame = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = g.withColumn("session_id", F.sum("new_sess").over(frame))
+    iv = s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    hour_us = 3_600_000_000
+    bucketed = iv.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros("t0") / hour_us),
+                F.floor(F.unix_micros("t1") / hour_us),
+            )
+        ),
+    )
+    a = bucketed.select(
+        F.col("user_id").alias("user_a"),
+        F.col("session_id").alias("sess_a"),
+        F.col("t0").alias("a0"),
+        F.col("t1").alias("a1"),
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("user_id").alias("user_b"),
+        F.col("session_id").alias("sess_b"),
+        F.col("t0").alias("b0"),
+        F.col("t1").alias("b1"),
+        "bucket",
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("a0") <= F.col("b1"))
+            & (F.col("b0") <= F.col("a1"))
+        )
+        .drop("bucket")
+        .distinct()
+    )
+    return pairs.select(
+        "user_a",
+        "sess_a",
+        "user_b",
+        "sess_b",
+        (
+            F.unix_micros(F.least("a1", "b1"))
+            - F.unix_micros(F.greatest("a0", "b0"))
+        ).alias("overlap_us"),
+    )
