@@ -473,3 +473,58 @@ def u5_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInArrow(
         center, schema="event_id bigint, event_type string, centered double"
     )
+
+
+@query(
+    "u6_polymorphic_udtf",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE doc_id < 50
+        )
+        SELECT doc_id,
+               toks[1] AS part_0,
+               toks[2] AS part_1,
+               toks[3] AS part_2
+        FROM d
+    """,
+    doc="u6 polymorphic Python UDTF (Spark 4 analyze()): the table "
+        "function's OUTPUT SCHEMA is computed at plan time from its "
+        "arguments — split_fixed(text, 3) produces columns "
+        "part_0..part_2, split_fixed(text, 5) five columns, one "
+        "registration serving both. This is the dynamic-schema slot "
+        "(u4 is the static UDTF): schema-from-arguments is what "
+        "config-driven extractors need without codegen'ing a new "
+        "function per layout. Runs as a lateral join, one eval per "
+        "row, Arrow-batched. Oracle: DuckDB list indexing.",
+    tags=("udf",),
+)
+def u6_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class SplitFixed:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"part_{i}", "string")
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            toks = text.split(" ")
+            yield tuple(
+                (toks[i] if i < len(toks) else None) for i in range(n)
+            )
+
+    spark.udtf.register("split_fixed_u6", SplitFixed)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_u6")
+    return spark.sql(
+        """
+        SELECT doc_id, s.*
+        FROM docs_u6, LATERAL split_fixed_u6(text, 3) s
+        WHERE doc_id < 50
+        """
+    )
