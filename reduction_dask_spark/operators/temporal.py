@@ -1088,3 +1088,63 @@ def j9_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.greatest("a0", "b0"))
         ).alias("overlap_us"),
     )
+
+
+@query(
+    "ru1_running_distinct_users",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, min(date_trunc('day', ts)) AS first_day
+            FROM events GROUP BY user_id
+        ),
+        daily AS (
+            SELECT d.day,
+                   CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users
+            FROM (SELECT DISTINCT date_trunc('day', ts) AS day FROM events) d
+            LEFT JOIN (
+                SELECT first_day, count(*) AS new_users
+                FROM firsts GROUP BY first_day
+            ) n ON n.first_day = d.day
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+               CAST(sum(new_users) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS running_distinct_users
+        FROM daily
+    """,
+    doc="ru1 running distinct users per day — the cumulative-"
+        "distinct-count idiom. COUNT(DISTINCT) OVER a growing frame "
+        "is unbounded state per window row; the scalable identity is "
+        "first-seen attribution: a user contributes to the running "
+        "distinct exactly once, on their first-activity day, so "
+        "running_distinct(day) = Σ new_users — one groupBy(user) min, "
+        "one |days|-row daily relation, and a triangular broadcast "
+        "self-join on it for the prefix sum (w2's pattern — a "
+        "constant-key window would single-partition a WindowExec "
+        "node; the day relation is calendar-bounded, so the triangle "
+        "is metadata-sized). hll1 is the approximate/mergeable "
+        "cousin for per-cell distinct; this is the exact running "
+        "form.",
+    tags=("temporal", "window", "analytics"),
+)
+def ru1_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("first_day")
+    )
+    newbies = firsts.groupBy("first_day").agg(F.count("*").alias("new_users"))
+    days = ev.select(F.date_trunc("day", "ts").alias("day")).distinct()
+    daily = days.join(
+        newbies.withColumnRenamed("first_day", "day"), "day", "left"
+    ).select("day", F.coalesce("new_users", F.lit(0)).cast("bigint").alias("new_users"))
+    prev = daily.select(F.col("day").alias("d2"), F.col("new_users").alias("n2"))
+    return (
+        daily.join(F.broadcast(prev), F.col("d2") <= F.col("day"))
+        .groupBy("day", "new_users")
+        .agg(F.sum("n2").cast("bigint").alias("running_distinct_users"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "new_users",
+            "running_distinct_users",
+        )
+    )

@@ -52,6 +52,7 @@ CROSS_OK = {
     "f3_power_mean": "1-row mean broadcast",
     "x4_linear_shap": "p-row coefficient table broadcast",
     "w2_rank_importance": "triangular partition-offset metadata join",
+    "ru1_running_distinct_users": "triangular day-prefix join on the calendar-bounded daily relation",
     "dd4_simhash_dedup": "64-row bit/band tables broadcast",
     "ss1_cosine_topk_brute": "bounded query-set broadcast (documented)",
     "rrf1_hybrid_retrieval": "bounded query-set broadcast (ss1's vector scan feeding the rank fusion)",
