@@ -396,3 +396,45 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(merged.columns) == {"event_id", "value", "schema_rev"}
     assert merged.count() == 20
     assert merged.filter(F.col("schema_rev").isNull()).count() == 10
+
+
+def test_observation_metrics_without_extra_pass(spark):
+    """spark.sql.Observation: aggregate metrics collected DURING the
+    action (one pass) — the pipeline-health counters a 100 TB job
+    wants without re-scanning its input."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from reduction_dask_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    obs = Observation("ingest_health")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_values"),
+        F.round(F.avg("value"), 2).alias("avg_value"),
+    )
+    n_written = observed.filter(F.col("value") > 0).count()  # the real action
+    got = obs.get
+    assert got["rows"] == ev.count()
+    assert got["null_values"] == 0
+    assert got["avg_value"] > 0
+    assert n_written <= got["rows"]
+
+
+def test_zstd_beats_snappy_on_text(spark, tmp_path):
+    """Storage-encoding choice is a first-order 100 TB cost lever:
+    zstd parquet is materially smaller than snappy on text-heavy
+    tables, with identical reads."""
+    import glob
+    import os
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    sizes = {}
+    for codec in ("snappy", "zstd"):
+        p = str(tmp_path / codec)
+        docs.coalesce(1).write.option("compression", codec).parquet(p)
+        sizes[codec] = sum(os.path.getsize(f) for f in glob.glob(f"{p}/*.parquet"))
+        assert spark.read.parquet(p).count() == docs.count()
+    assert sizes["zstd"] < sizes["snappy"]
