@@ -960,3 +960,57 @@ def lp1_nb_loglik_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("score") / F.col("n_doc"), 6).alias("per_token_ll"),
         )
     )
+
+
+# ---------------------------------------------------------------- cm1
+
+def _cm1_oracle() -> str:
+    from ..registry import REGISTRY
+
+    t3_sql = REGISTRY["t3_lang_id_naive_bayes"].oracle
+    return f"""
+        WITH t3 AS ({t3_sql})
+        SELECT d.lang AS true_lang, t3.pred_lang,
+               CAST(count(*) AS BIGINT) AS n,
+               round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY d.lang)
+                                     AS DOUBLE), 6) AS frac_of_true
+        FROM t3 JOIN documents d USING (doc_id)
+        GROUP BY d.lang, t3.pred_lang
+    """
+
+
+@query(
+    "cm1_langid_confusion",
+    oracle=None,  # composed from t3's registered oracle at import time
+    doc="cm1 classifier-evaluation confusion matrix: t3's language "
+        "predictions joined back to ground truth, counted per "
+        "(true, predicted) cell with per-true-class fractions (row-"
+        "normalized recall view) — the standard model-quality report "
+        "a curation pipeline runs after any classifier stage. The "
+        "oracle is COMPOSED from t3's registered oracle text (one "
+        "WITH wrapper), so the two stay in lockstep by construction. "
+        "Scale: inherits t3's factored-NB plan; the matrix itself is "
+        "|langs|² cells, the fraction window partitions by true "
+        "lang.",
+    tags=("text", "ml", "analytics"),
+)
+def cm1_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    preds = t3_lang_id_naive_bayes(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("true_lang")
+    )
+    cells = preds.join(d, "doc_id").groupBy("true_lang", "pred_lang").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("true_lang")
+    return cells.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("frac_of_true"),
+    )
+
+
+from ..registry import REGISTRY as _REG_CM  # noqa: E402
+
+_REG_CM["cm1_langid_confusion"].oracle = _cm1_oracle()
