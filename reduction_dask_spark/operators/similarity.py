@@ -1422,3 +1422,69 @@ def ss9_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.groupBy("qid").applyInPandas(
         mmr, "qid long, rank int, neighbor_id long, cos double"
     )
+
+
+# ---------------------------------------------------------------- sem1
+
+def _sem1_oracle() -> str:
+    from ..registry import REGISTRY
+
+    dd5_sql = REGISTRY["dd5_embedding_neardup"].oracle
+    return f"""
+        WITH RECURSIVE p AS ({dd5_sql}),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM p
+            UNION ALL
+            SELECT id_b, id_a FROM p
+        ),
+        nodes AS (SELECT DISTINCT a AS n FROM edges),
+        reach AS (
+            SELECT n AS src, n AS dst FROM nodes
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ),
+        clus AS (SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+        SELECT e.vec_id,
+               CAST(coalesce(c.cluster_id, e.vec_id) AS BIGINT) AS cluster_id,
+               (coalesce(c.cluster_id, e.vec_id) = e.vec_id) AS is_representative
+        FROM embeddings e LEFT JOIN clus c ON e.vec_id = c.vec_id
+    """
+
+
+@query(
+    "sem1_semantic_dedup",
+    oracle=None,  # composed from dd5's registered oracle at import time
+    doc="sem1 semantic deduplication (the SemDeDup shape): embedding-"
+        "cosine near-dup pairs (dd5's LSH-bucketed candidates) → "
+        "connected components (dedup.min_label_components, the dd6 "
+        "iterative min-label operator) → one representative per "
+        "semantic cluster (min vec_id; canon1 shows the quality-"
+        "argmax policy on the text side). Every vector is labeled; "
+        "singletons represent themselves. Oracle: recursive-SQL "
+        "closure COMPOSED around dd5's registered oracle text, so "
+        "candidate generation and clustering stay in lockstep with "
+        "the checked pair op. Scale: inherits dd5's bucketed pair "
+        "mass + dd6's O(diameter) rounds.",
+    tags=("dedup", "similarity", "pipeline"),
+)
+def sem1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import min_label_components
+
+    pairs = dd5_embedding_neardup(spark, sf_dir).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    labels = min_label_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    out = emb.join(labels, "vec_id", "left").select(
+        "vec_id", F.coalesce("cluster_id", "vec_id").alias("cluster_id")
+    )
+    return out.withColumn(
+        "is_representative", F.col("cluster_id") == F.col("vec_id")
+    )
+
+
+from ..registry import REGISTRY as _REG_SEM  # noqa: E402
+
+_REG_SEM["sem1_semantic_dedup"].oracle = _sem1_oracle()
