@@ -36,6 +36,7 @@ CROSS_OK = {
     "sk2_salted_join": "3-row dim × 8 salts explosion (24 rows)",
     "t3_lang_id_naive_bayes": "×|langs| model fan-out + 1-row vocab broadcast",
     "lp1_nb_loglik_quality": "×|langs| score fan-out + 1-row vocab broadcast (t3's shape)",
+    "cm1_langid_confusion": "inherits t3's ×|langs| fan-out + 1-row vocab broadcast",
     "f6_histogram": "bin edges (1-row aggregate) broadcast",
     "zo1_zorder_curve": "1-row global-extent aggregate broadcast (min-max scaling)",
     "dq3_volume_anomaly": "1-row mean/stddev aggregate broadcast",
@@ -99,6 +100,7 @@ ROW_UDF_OK = {
     "u1_scalar_pandas_udf",  # the UDF-surface demo family is the point
     "u2_grouped_agg_pandas_udf",
     "u4_python_udtf",
+    "u6_polymorphic_udtf",
 }
 
 
