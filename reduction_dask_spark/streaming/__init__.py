@@ -22,7 +22,7 @@ from ..session import ensure_engine_confs
 from ..sources import normalize_ts
 
 
-def _stage_dir(sf_dir: str) -> str:
+def _stage_dir(sf_dir: str, table: str = "events") -> str:
     """FileStreamSource requires a flat directory of data files; stage
     symlinks to the events parquet under a stable temp dir. Handles
     both physical layouts: a single .parquet FILE (driver testdata)
@@ -33,8 +33,8 @@ def _stage_dir(sf_dir: str) -> str:
     import os
     import tempfile
 
-    src = f"{sf_dir.rstrip('/')}/events.parquet"
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = f"{sf_dir.rstrip('/')}/{table}.parquet"
+    tag = hashlib.md5(f"{sf_dir}:{table}".encode()).hexdigest()[:8]
     d = os.path.join(tempfile.gettempdir(), f"rds_stream_{tag}")
     os.makedirs(d, exist_ok=True)
     if os.path.isdir(src):
@@ -44,7 +44,7 @@ def _stage_dir(sf_dir: str) -> str:
                 if not os.path.exists(link):
                     os.symlink(os.path.join(src, part), link)
     else:
-        link = os.path.join(d, "events.parquet")
+        link = os.path.join(d, f"{table}.parquet")
         if not os.path.exists(link):
             os.symlink(src, link)
     return d
@@ -611,4 +611,84 @@ def st9_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tier",
         "n",
         "sum_value",
+    )
+
+
+@query(
+    "st10_stream_incremental_dedup",
+    oracle="""
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(lower(array_to_string(string_split(trim(text), ' ')[1:8], ' ')))
+                       AS fingerprint
+            FROM documents
+        ),
+        hist AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 5 <> 0),
+        batch AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 5 = 0),
+        fresh AS (SELECT fingerprint FROM batch ANTI JOIN hist USING (fingerprint))
+        SELECT CAST((SELECT count(*) FROM hist) AS BIGINT) AS n_historical,
+               CAST((SELECT count(*) FROM fresh) AS BIGINT) AS n_new_appended,
+               CAST((SELECT count(*) FROM hist) + (SELECT count(*) FROM fresh)
+                    AS BIGINT) AS n_index_total
+    """,
+    doc="st10 streaming incremental dedup — dd9's corpus-fingerprint "
+        "index maintained by a LIVE stream: documents arrive as a "
+        "file stream, and each micro-batch's foreachBatch hook "
+        "anti-joins the batch's prefix fingerprints against the "
+        "on-disk index and APPENDS only the novel ones — the "
+        "ingestion-tier dedup loop (index grows monotonically, "
+        "arrivals never rescan the corpus). The returned row is read "
+        "back from the index the sink maintained, so the oracle "
+        "checks the persisted index state end-to-end. At 100 TB the "
+        "index is a bucketed-by-fingerprint table (test_bucketing's "
+        "pattern) so each micro-batch's anti-join is exchange-free "
+        "on the index side.",
+    tags=("streaming", "dedup", "pipeline"),
+)
+def st10_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import prefix_fingerprint
+    from ..sources import load_table
+
+    ensure_engine_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", prefix_fingerprint(F.col("text")).alias("fingerprint"))
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    index_dir = os.path.join(tempfile.gettempdir(), f"rds_st10_idx_{tag}")
+    if os.path.exists(index_dir):
+        shutil.rmtree(index_dir)
+    # historical index: the already-ingested corpus (dd9's split)
+    n_hist_df = fp.filter(F.col("doc_id") % 5 != 0).select("fingerprint").distinct()
+    n_hist_df.write.mode("overwrite").parquet(index_dir)
+    n_historical = spark.read.parquet(index_dir).count()
+
+    schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(_stage_dir(sf_dir, table="documents"))
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(prefix_fingerprint(F.col("text")).alias("fingerprint"))
+    )
+
+    def ingest(batch: DataFrame, epoch_id: int) -> None:
+        idx = batch.sparkSession.read.parquet(index_dir)
+        fresh = batch.distinct().join(idx, "fingerprint", "left_anti")
+        fresh.write.mode("append").parquet(index_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+
+    n_total = spark.read.parquet(index_dir).select("fingerprint").distinct().count()
+    return spark.createDataFrame(
+        [(n_historical, n_total - n_historical, n_total)],
+        "n_historical bigint, n_new_appended bigint, n_index_total bigint",
     )
