@@ -1148,3 +1148,93 @@ def ru1_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "running_distinct_users",
         )
     )
+
+
+@query(
+    "an4_rfm_segmentation",
+    oracle="""
+        WITH p AS (
+            SELECT user_id,
+                   max(ts) AS last_ts,
+                   CAST(count(*) AS BIGINT) AS freq,
+                   round(CAST(sum(value) AS DOUBLE), 2) AS monetary
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ),
+        base AS (
+            SELECT user_id,
+                   CAST(date_diff('microsecond', last_ts,
+                                  (SELECT max(ts) FROM events)) AS BIGINT) AS rec_us,
+                   freq, monetary
+            FROM p
+        ),
+        th AS (
+            SELECT quantile_cont(rec_us, 1.0/3) AS r1, quantile_cont(rec_us, 2.0/3) AS r2,
+                   quantile_cont(freq, 1.0/3) AS f1, quantile_cont(freq, 2.0/3) AS f2,
+                   quantile_cont(monetary, 1.0/3) AS m1, quantile_cont(monetary, 2.0/3) AS m2
+            FROM base
+        )
+        SELECT user_id,
+               CAST(CASE WHEN rec_us <= r1 THEN 3 WHEN rec_us <= r2 THEN 2 ELSE 1 END AS INTEGER) AS r_score,
+               CAST(CASE WHEN freq <= f1 THEN 1 WHEN freq <= f2 THEN 2 ELSE 3 END AS INTEGER) AS f_score,
+               CAST(CASE WHEN monetary <= m1 THEN 1 WHEN monetary <= m2 THEN 2 ELSE 3 END AS INTEGER) AS m_score
+        FROM base, th
+    """,
+    doc="an4 RFM segmentation (analytics family): per-user recency/"
+        "frequency/monetary from purchase events, tercile-scored "
+        "against exact global quantiles. Plan shape: one purchase "
+        "aggregate, then TWO 1-row broadcasts (corpus max-ts, the six "
+        "tercile thresholds via exact percentile — c3's cutoff-"
+        "broadcast pattern, no global window/sort anywhere); scoring "
+        "is a codegen CASE per row. At 100 TB swap exact percentile "
+        "for approx_percentile (f5's documented trade).",
+    tags=("temporal", "analytics", "agg"),
+)
+def an4_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("freq"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+    )
+    maxts = ev.agg(F.max("ts").alias("maxts"))
+    base = p.crossJoin(F.broadcast(maxts)).select(
+        "user_id",
+        (F.unix_micros("maxts") - F.unix_micros("last_ts")).alias("rec_us"),
+        "freq",
+        "monetary",
+    )
+    th = base.agg(
+        F.percentile("rec_us", F.lit(1.0 / 3)).alias("r1"),
+        F.percentile("rec_us", F.lit(2.0 / 3)).alias("r2"),
+        F.percentile("freq", F.lit(1.0 / 3)).alias("f1"),
+        F.percentile("freq", F.lit(2.0 / 3)).alias("f2"),
+        F.percentile("monetary", F.lit(1.0 / 3)).alias("m1"),
+        F.percentile("monetary", F.lit(2.0 / 3)).alias("m2"),
+    )
+    scored = base.crossJoin(F.broadcast(th))
+    r = (
+        F.when(F.col("rec_us") <= F.col("r1"), 3)
+        .when(F.col("rec_us") <= F.col("r2"), 2)
+        .otherwise(1)
+    )
+    f_ = (
+        F.when(F.col("freq") <= F.col("f1"), 1)
+        .when(F.col("freq") <= F.col("f2"), 2)
+        .otherwise(3)
+    )
+    m = (
+        F.when(F.col("monetary") <= F.col("m1"), 1)
+        .when(F.col("monetary") <= F.col("m2"), 2)
+        .otherwise(3)
+    )
+    return scored.select(
+        "user_id",
+        r.cast("int").alias("r_score"),
+        f_.cast("int").alias("f_score"),
+        m.cast("int").alias("m_score"),
+    )
