@@ -977,3 +977,58 @@ def er1_blocked_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(F.col("dist") <= ER_MAX_DIST).select(
         "doc_a", "doc_b", F.col("dist").cast("int").alias("dist")
     )
+
+
+# ---------------------------------------------------------------- dd2b
+
+CONTAIN_TAU = 0.9
+
+
+@query(
+    "dd2b_containment_pairs",
+    oracle=f"""
+        WITH {SHINGLE_SQL},
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT i.doc_a, i.doc_b,
+               round(i.ninter::DOUBLE / sa.n, 6) AS containment
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        WHERE i.ninter::DOUBLE / sa.n >= {CONTAIN_TAU}
+    """,
+    doc="dd2b shingle containment C(A,B) = |A∩B| / |A| — the "
+        "ASYMMETRIC overlap dd2's Jaccard misses: a short document "
+        "wholly quoted inside a long one scores near-zero Jaccard "
+        "(union is huge) but containment ~1, which is exactly the "
+        "partial-copy / quotation pattern corpus curation wants to "
+        "catch. Same inverted-index plan as dd2 (pairs only "
+        "materialize when a shingle is shared; df-capped), but "
+        "directed: (a in b) and (b in a) are separate rows. Broder's "
+        "containment measure, the resemblance/containment pair from "
+        "the original shingling paper.",
+    tags=("dedup",),
+)
+def dd2b_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingle_table(spark, sf_dir).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("ninter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cont = F.col("ninter").cast("double") / F.col("na")
+    return (
+        inter.join(sa, "doc_a")
+        .filter(cont >= CONTAIN_TAU)
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+    )

@@ -1014,3 +1014,79 @@ def cm1_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..registry import REGISTRY as _REG_CM  # noqa: E402
 
 _REG_CM["cm1_langid_confusion"].oracle = _cm1_oracle()
+
+
+# ---------------------------------------------------------------- t12
+
+TFIDF_TOP_K = 5
+
+
+@query(
+    "t12_tfidf_keywords",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+               FROM tok GROUP BY doc_id, tok),
+        df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT t.doc_id, t.tok,
+                   t.tf * ln((nd.n_docs + 1.0) / (d.df + 1.0)) AS tfidf
+            FROM tf t JOIN df d USING (tok) CROSS JOIN nd
+        ),
+        ranked AS (
+            SELECT doc_id, tok, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, tok) AS rn
+            FROM scored
+        )
+        SELECT doc_id, CAST(rn AS INTEGER) AS rank, tok AS keyword,
+               round(tfidf, 6) AS tfidf
+        FROM ranked WHERE rn <= {TFIDF_TOP_K}
+    """,
+    doc="t12 TF-IDF keyword extraction: top-5 terms per document by "
+        "tf·ln((N+1)/(df+1)) — the classic smoothed IDF. Plan: one "
+        "token explode → (doc, tok) tf groupBy; the document-"
+        "frequency relation is |vocab| rows (map-side combined); one "
+        "1-row corpus-count broadcast; the per-doc top-k is a window "
+        "PARTITIONED BY doc_id (bounded by per-doc vocabulary). "
+        "Feeds t6's BM25 index shape and t5's vocab stats — this is "
+        "the per-document salience view.",
+    tags=("text",),
+)
+def t12_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    nd = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_K)
+        .select(
+            "doc_id",
+            F.col("rn").cast("int").alias("rank"),
+            F.col("tok").alias("keyword"),
+            F.round("tfidf", 6).alias("tfidf"),
+        )
+    )
