@@ -37,6 +37,8 @@ CROSS_OK = {
     "t3_lang_id_naive_bayes": "×|langs| model fan-out + 1-row vocab broadcast",
     "lp1_nb_loglik_quality": "×|langs| score fan-out + 1-row vocab broadcast (t3's shape)",
     "cm1_langid_confusion": "inherits t3's ×|langs| fan-out + 1-row vocab broadcast",
+    "t12_tfidf_keywords": "1-row corpus-count broadcast",
+    "an4_rfm_segmentation": "two 1-row broadcasts (corpus max-ts, tercile thresholds)",
     "f6_histogram": "bin edges (1-row aggregate) broadcast",
     "zo1_zorder_curve": "1-row global-extent aggregate broadcast (min-max scaling)",
     "dq3_volume_anomaly": "1-row mean/stddev aggregate broadcast",
