@@ -1537,3 +1537,56 @@ def wsamp1_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(WSAMP_K)
         .drop("_k")
     )
+
+
+MAD_TAU = 3.5  # modified z-score cutoff (Iglewicz-Hoaglin)
+MAD_CONST = 0.6745
+
+
+@query(
+    "or2_mad_outliers",
+    oracle=f"""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ),
+        mad AS (
+            SELECT e.event_type,
+                   quantile_cont(abs(e.value - m.med), 0.5) AS mad
+            FROM events e JOIN med m USING (event_type)
+            GROUP BY e.event_type
+        )
+        SELECT e.event_id, e.event_type,
+               round({MAD_CONST} * (e.value - m.med) / d.mad, 6) AS mod_z
+        FROM events e
+        JOIN med m USING (event_type)
+        JOIN mad d USING (event_type)
+        WHERE abs({MAD_CONST} * (e.value - m.med) / d.mad) > {MAD_TAU}
+    """,
+    doc="or2 MAD-based robust outliers (Iglewicz-Hoaglin modified "
+        "z-score 0.6745·(x−med)/MAD > 3.5): or1's z-score breaks when "
+        "outliers inflate sigma; median/MAD have 50% breakdown. Two "
+        "aggregate passes (per-group median, then per-group median "
+        "absolute deviation), each a |groups|-row table joined back "
+        "over the scan — no window, no sort of the fact rows; at "
+        "100 TB swap exact medians for approx_percentile (f5's "
+        "documented trade).",
+    tags=("agg", "pipeline"),
+)
+def or2_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        ev.join(med, "event_type")
+        .groupBy("event_type")
+        .agg(F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"))
+    )
+    mod_z = F.lit(MAD_CONST) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        ev.join(med, "event_type")
+        .join(mad, "event_type")
+        .filter(F.abs(mod_z) > MAD_TAU)
+        .select("event_id", "event_type", F.round(mod_z, 6).alias("mod_z"))
+    )
