@@ -182,6 +182,76 @@ def _gr2_oracle() -> str:
     """
 
 
+
+# ---------------------------------------------------------------- gr3
+
+KCORE_K = 2
+
+
+def kcore(edges: DataFrame, k: int) -> DataFrame:
+    """Iterative k-core peeling: repeatedly drop nodes with degree < k
+    from the UNDIRECTED edge set (edges must already be symmetrized)
+    until a fixpoint; returns surviving (id, deg) — deg is the degree
+    INSIDE the k-core.
+
+    Loop discipline matches :func:`pagerank`: each round is one
+    partial-aggregated degree groupBy + two semi-joins filtering the
+    edge set to surviving endpoints, ended by
+    ``localCheckpoint(eager=True)`` to truncate lineage (the edge
+    relation feeds the next round three times). The driver holds only
+    the loop counter and the per-round edge count — an O(1) scalar,
+    the standard convergence probe of every peeling/fixpoint
+    algorithm. Rounds are bounded by the peeling depth (<= graph
+    diameter-ish, tiny in practice: degeneracy ordering removes whole
+    shells per round, not single nodes)."""
+    e = edges.localCheckpoint(eager=True)
+    n_prev = e.count()
+    while True:
+        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        e2 = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        n_now = e2.count()
+        e = e2
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    return e.groupBy("src").agg(F.count("*").cast("bigint").alias("deg")).select(
+        F.col("src").alias("doc_id"), "deg"
+    )
+
+
+@query(
+    "gr3_kcore",
+    oracle=None,  # fixpoint peeling — rows-only + exact python parity test
+    doc=f"gr3 {KCORE_K}-core extraction on the verified near-dup graph "
+        "(gr2's edge set, symmetrized): iteratively peel nodes with "
+        "degree < k until stable — the k-core separates genuinely "
+        "clustered duplicate neighborhoods from chain/star artifacts "
+        "that transitive closure (dd6) lumps together; curation "
+        "treats core members as 'canonical cluster mass' and "
+        "periphery as borderline pairs to re-verify. Per round: one "
+        "map-side-combined degree aggregate + two semi-joins, "
+        "localCheckpoint-truncated; driver state is one scalar "
+        "count per round. No SQL oracle (aggregate-over-recursive-"
+        "term is outside recursive CTE semantics); pinned by exact "
+        "python peeling parity in tests.",
+    tags=("graph", "dedup"),
+)
+def gr3_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import JACCARD_TAU, jaccard_pairs, shingle_table
+
+    pairs = jaccard_pairs(shingle_table(spark, sf_dir).persist(), tau=JACCARD_TAU)
+    und = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    return kcore(und, KCORE_K)
+
+
 from ..registry import REGISTRY as _REG  # noqa: E402
 
 _REG["gr2_triangle_count"].oracle = _gr2_oracle()

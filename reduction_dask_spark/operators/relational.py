@@ -1590,3 +1590,70 @@ def or2_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(mod_z) > MAD_TAU)
         .select("event_id", "event_type", F.round(mod_z, 6).alias("mod_z"))
     )
+
+
+# ---------------------------------------------------------------- bf1
+
+BF_WORDS = 8192          # 64 Kbit filter = 1024 * 64; ~64 KB broadcast
+
+
+def _bloom_word_expr(key: str) -> tuple:
+    """(bucket, bit-word) codegen expressions for a register-blocked
+    Bloom filter: one xxhash64 picks the 64-bit word, a second
+    (salted) xxhash64 picks the bit within it."""
+    bucket = F.pmod(F.xxhash64(key), F.lit(BF_WORDS)).alias("bf_bucket")
+    word = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64({key}, 1), 64) AS INT))"
+    )
+    return bucket, word
+
+
+@query(
+    "bf1_bloom_prune_join",
+    oracle="""
+        SELECT o.o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS revenue
+        FROM orders o
+        SEMI JOIN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000) k
+          ON o.o_custkey = k.c_custkey
+        GROUP BY o.o_orderstatus
+    """,
+    doc="bf1 Bloom-filter runtime pruning: Spark's InjectRuntimeFilter "
+        "does this under AQE, but the pattern is worth owning as an "
+        "operator — build a register-blocked Bloom filter over the "
+        "build-side keys (high-balance customers) as PURE codegen "
+        "expressions: xxhash64 -> 64-bit word index, salted xxhash64 "
+        "-> bit, bit_or() aggregate folds each word; the whole filter "
+        "is a (bucket, word) table of 8192 rows (~64 KB) broadcast to "
+        "every probe task. Probe (orders) rows test membership with a "
+        "broadcast join + bitwise AND — false positives pass, so an "
+        "exact semi-join verify runs AFTER the filter, but only on "
+        "survivors: at 100 TB the Bloom pass drops ~(1-sel-fpp) of "
+        "probe-side shuffle bytes before the exact join shuffles "
+        "anything. Output is exact (oracle = plain semi-join), the "
+        "Bloom stage is pure pruning.",
+    tags=("join", "perf"),
+)
+def bf1_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    keys = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+    )
+    bucket, word = _bloom_word_expr("c_custkey")
+    bloom = keys.select(bucket, word.alias("w")).groupBy("bf_bucket").agg(
+        F.bit_or("w").alias("bf_word")
+    )
+    pbucket, pword = _bloom_word_expr("o_custkey")
+    cand = (
+        orders.select("*", pbucket)
+        .join(F.broadcast(bloom), "bf_bucket")
+        .filter(pword.bitwiseAND(F.col("bf_word")) != 0)
+    )
+    exact = cand.join(keys, cand.o_custkey == keys.c_custkey, "left_semi")
+    return exact.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

@@ -1485,6 +1485,85 @@ def sem1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------- emb3
+
+@query(
+    "emb3_int8_quantize",
+    oracle="""
+        WITH vv AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), sc AS (
+            SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+            FROM vv
+        ), qq AS (
+            SELECT vec_id, v, scale,
+                   list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q
+            FROM sc WHERE scale > 0
+        )
+        SELECT vec_id,
+               round(scale, 6) AS scale,
+               CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+               CAST(list_min(q) AS INTEGER) AS q_min,
+               CAST(list_max(q) AS INTEGER) AS q_max,
+               round(list_sum([(v[i] - q[i] * scale) * (v[i] - q[i] * scale)
+                               for i in range(1, len(v) + 1)])
+                     / len(v), 8) AS mse
+        FROM qq
+    """,
+    doc="emb3 symmetric int8 scalar quantization of the embedding "
+        "column (the standard 4x index-compression step before ANN "
+        "serving; PQ/ss6 is the vector-codebook alternative): "
+        "per-vector scale = max|x|/127, q_i = round(x_i/scale) via "
+        "floor(x+0.5) — HALF_UP in both engines, so the quantized "
+        "ints are bit-exact across Spark and DuckDB; only the "
+        "reconstruction-MSE float is rounded. Pure codegen array "
+        "expressions, one scan, no shuffle, no UDF; output is "
+        "O(corpus) narrow rows (the quantized codes would be the "
+        "payload in production — here the audit stats: scale, code "
+        "L1 mass, code range, reconstruction MSE).",
+    tags=("similarity", "pipeline"),
+)
+def emb3_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    d = e.select("vec_id", v.alias("v"))
+    d = d.select(
+        "vec_id", "v", (F.array_max(F.transform("v", F.abs)) / 127).alias("scale")
+    ).filter(F.col("scale") > 0)
+    q = F.transform("v", lambda x: F.floor(x / F.col("scale") + 0.5))
+    d = d.select("vec_id", "v", "scale", q.alias("q"))
+    mse = (
+        F.aggregate(
+            F.zip_with("v", "q", lambda a, b: (a - b * F.col("scale")) * (a - b * F.col("scale"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.size("v")
+    )
+    # NB: stats and rounding live in SEPARATE projections — aliasing
+    # round(scale) as "scale" in the same select would make the mse
+    # expression resolve "scale" to the rounded lateral alias
+    stats = d.select(
+        "vec_id",
+        "scale",
+        F.aggregate("q", F.lit(0).cast("bigint"), lambda a, x: a + F.abs(x)).alias("q_l1"),
+        F.array_min("q").cast("int").alias("q_min"),
+        F.array_max("q").cast("int").alias("q_max"),
+        mse.alias("mse_raw"),
+    )
+    return stats.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        "q_l1",
+        "q_min",
+        "q_max",
+        F.round("mse_raw", 8).alias("mse"),
+    )
+
+
 from ..registry import REGISTRY as _REG_SEM  # noqa: E402
 
 _REG_SEM["sem1_semantic_dedup"].oracle = _sem1_oracle()

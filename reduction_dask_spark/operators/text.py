@@ -1011,6 +1011,106 @@ def cm1_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------- gq1
+
+# Gopher-style rule thresholds (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher" §A1.1 repetition/quality filters, adapted to the
+# synthetic corpus). All ratio rules are evaluated as INTEGER
+# cross-multiplications so Spark and DuckDB agree bit-for-bit with no
+# float boundary rounding.
+GQ_MIN_WORDS, GQ_MAX_WORDS = 40, 100000
+GQ_MWL_LO, GQ_MWL_HI = 2, 10       # mean word length bounds
+GQ_MIN_STOPS = 2                   # >= 2 distinct stopwords present
+GQ_ALPHA_NUM, GQ_ALPHA_DEN = 4, 5  # >= 80% words contain a letter
+
+
+@query(
+    "gq1_gopher_rules",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   len(toks) AS n,
+                   list_sum(list_transform(toks, x -> len(x))) AS sum_len,
+                   len(list_filter(list_distinct(toks), x -> x IN {_STOP_SQL})) AS n_stop,
+                   len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha
+            FROM d
+        ), f AS (
+            SELECT doc_id,
+                   CASE WHEN n BETWEEN {GQ_MIN_WORDS} AND {GQ_MAX_WORDS} THEN 0 ELSE 1 END AS f_nwords,
+                   CASE WHEN sum_len >= {GQ_MWL_LO} * n AND sum_len <= {GQ_MWL_HI} * n THEN 0 ELSE 1 END AS f_mwl,
+                   CASE WHEN n_stop >= {GQ_MIN_STOPS} THEN 0 ELSE 1 END AS f_stop,
+                   CASE WHEN {GQ_ALPHA_DEN} * n_alpha >= {GQ_ALPHA_NUM} * n THEN 0 ELSE 1 END AS f_alpha
+            FROM m
+        ), t AS (
+            SELECT *, f_nwords + f_mwl + f_stop + f_alpha AS nf FROM f
+        )
+        SELECT rule,
+               CAST(sum(fail) AS BIGINT) AS n_fail,
+               CAST(sum(CASE WHEN fail = 1 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sole_fail,
+               CAST((SELECT count(*) FROM t WHERE nf = 0) AS BIGINT) AS n_survivors
+        FROM (
+            SELECT 'n_words' AS rule, f_nwords AS fail, nf FROM t
+            UNION ALL SELECT 'mean_word_len', f_mwl, nf FROM t
+            UNION ALL SELECT 'stopwords', f_stop, nf FROM t
+            UNION ALL SELECT 'alpha_ratio', f_alpha, nf FROM t
+        ) GROUP BY rule
+    """,
+    doc="gq1 Gopher-style rule-based quality filter WITH PER-RULE "
+        "ATTRIBUTION (Rae et al. 2021 A1.1): word-count bounds, mean-"
+        "word-length bounds, minimum distinct stopwords, alphabetic-"
+        "word ratio. Beyond t2's composite score, this reports per "
+        "rule how many docs it kills and how many it ALONE kills "
+        "(n_sole_fail) — the report a curation team reads before "
+        "tuning thresholds. One scan, all rules as integer-"
+        "cross-multiplied codegen expressions (no float boundary "
+        "flake), one 4-row stack + tiny aggregate; output is O(rules) "
+        "at any corpus size.",
+    tags=("text", "pipeline"),
+)
+def gq1_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    m = d.select(
+        "doc_id",
+        F.size(toks).alias("n"),
+        F.aggregate(F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x).alias("sum_len"),
+        F.size(
+            F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in STOPWORDS]))
+        ).alias("n_stop"),
+        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))).alias("n_alpha"),
+    )
+    f = m.select(
+        "doc_id",
+        F.when(F.col("n").between(GQ_MIN_WORDS, GQ_MAX_WORDS), 0).otherwise(1).alias("f_nwords"),
+        F.when(
+            (F.col("sum_len") >= GQ_MWL_LO * F.col("n")) & (F.col("sum_len") <= GQ_MWL_HI * F.col("n")), 0
+        ).otherwise(1).alias("f_mwl"),
+        F.when(F.col("n_stop") >= GQ_MIN_STOPS, 0).otherwise(1).alias("f_stop"),
+        F.when(GQ_ALPHA_DEN * F.col("n_alpha") >= GQ_ALPHA_NUM * F.col("n"), 0).otherwise(1).alias("f_alpha"),
+    ).withColumn("nf", F.col("f_nwords") + F.col("f_mwl") + F.col("f_stop") + F.col("f_alpha"))
+    stacked = f.select(
+        F.expr(
+            "stack(4, 'n_words', f_nwords, 'mean_word_len', f_mwl, "
+            "'stopwords', f_stop, 'alpha_ratio', f_alpha) AS (rule, fail)"
+        ),
+        "nf",
+    )
+    survivors = f.agg(F.sum(F.when(F.col("nf") == 0, 1).otherwise(0)).alias("n_survivors"))
+    return (
+        stacked.groupBy("rule")
+        .agg(
+            F.sum("fail").cast("bigint").alias("n_fail"),
+            F.sum(F.when((F.col("fail") == 1) & (F.col("nf") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sole_fail"),
+        )
+        .crossJoin(F.broadcast(survivors))
+    )
+
+
 from ..registry import REGISTRY as _REG_CM  # noqa: E402
 
 _REG_CM["cm1_langid_confusion"].oracle = _cm1_oracle()

@@ -528,3 +528,35 @@ def u6_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE doc_id < 50
         """
     )
+
+
+# ---------------------------------------------------------------- u7
+
+@query(
+    "u7_arrow_python_udf",
+    oracle="""
+        SELECT doc_id,
+               round(CAST(n_chars AS DOUBLE)
+                     / (1 + len(text) - len(replace(text, ' ', ''))), 6) AS chars_per_word
+        FROM documents
+    """,
+    doc="u7 Arrow-optimized Python UDF (Spark 4 useArrow=True): a "
+        "row-at-a-time Python lambda transported over Arrow batches "
+        "instead of pickled rows — the SPARK-40307 upgrade path for "
+        "legacy @udf code that can't be vectorized (true pandas_udf "
+        "u1 remains the preferred hot-path form; this demonstrates "
+        "the ~2x serialization win for the long tail). Oracle-matched "
+        "against the pure-SQL spelling, so the Arrow boundary is "
+        "value-exact.",
+    tags=("udf",),
+)
+def u7_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+
+    @F.udf(returnType=DoubleType(), useArrow=True)
+    def chars_per_word(n_chars: int, text: str) -> float:
+        return float(n_chars) / (1 + text.count(" "))
+
+    return d.select(
+        "doc_id", F.round(chars_per_word("n_chars", "text"), 6).alias("chars_per_word")
+    )

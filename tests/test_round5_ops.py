@@ -1,0 +1,155 @@
+"""Property tests for the round-5 operator batch (dd10, bf1, emb3, gq1).
+
+Oracle equality is covered by test_oracle.py (every registered oracle
+runs against DuckDB at sf0.001); these tests pin the ALGORITHMIC claims
+the oracles can't see — prefix-filter recall/pruning, Bloom candidate
+bounds, quantization error bounds, rule-attribution invariants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reduction_dask_spark.operators.dedup import (
+    JACCARD_TAU,
+    dd10_prefix_filter_pairs,
+    jaccard_pairs,
+    shingle_table,
+)
+from reduction_dask_spark.operators.relational import (
+    BF_WORDS,
+    _bloom_word_expr,
+    bf1_bloom_prune_join,
+)
+from reduction_dask_spark.operators.similarity import emb3_int8_quantize
+from reduction_dask_spark.operators.text import gq1_gopher_rules
+from reduction_dask_spark.sources import load_table
+
+from .conftest import SF_SMALL
+
+
+class TestDd10PrefixFilter:
+    def test_matches_full_inverted_index_join(self, spark):
+        """Prefix filtering is exact-recall: identical pair set to the
+        full-index Jaccard join at the same tau."""
+        got = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dd10_prefix_filter_pairs(spark, SF_SMALL).collect()
+        }
+        want = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in jaccard_pairs(
+                shingle_table(spark, SF_SMALL).persist(), tau=JACCARD_TAU
+            ).collect()
+        }
+        assert got == want
+        spark.catalog.clearCache()
+
+    def test_prefix_index_is_smaller(self, spark):
+        """The joined prefix slice must be well under the full index —
+        that's the whole point (pair mass ~ sum df^2 over joined keys)."""
+        sh = shingle_table(spark, SF_SMALL).persist()
+        full = sh.count()
+        n = sh.groupBy("doc_id").count().selectExpr("sum(count - ((7*count+9) div 10) + 1)").first()[0]
+        assert n < 0.45 * full, (n, full)
+        spark.catalog.clearCache()
+
+
+class TestBf1Bloom:
+    def test_bloom_candidates_superset_and_small(self, spark):
+        orders = load_table(spark, SF_SMALL, "orders")
+        keys = (
+            load_table(spark, SF_SMALL, "customer")
+            .filter(F.col("c_acctbal") > 9000)
+            .select("c_custkey")
+        )
+        bucket, word = _bloom_word_expr("c_custkey")
+        bloom = keys.select(bucket, word.alias("w")).groupBy("bf_bucket").agg(
+            F.bit_or("w").alias("bf_word")
+        )
+        pbucket, pword = _bloom_word_expr("o_custkey")
+        cand = (
+            orders.select("*", pbucket)
+            .join(F.broadcast(bloom), "bf_bucket")
+            .filter(pword.bitwiseAND(F.col("bf_word")) != 0)
+        )
+        n_cand = cand.count()
+        n_exact = orders.join(
+            keys, orders.o_custkey == keys.c_custkey, "left_semi"
+        ).count()
+        n_total = orders.count()
+        # no false negatives, and the filter actually prunes
+        assert n_exact <= n_cand
+        assert n_cand < n_total
+
+    def test_bf1_runs(self, spark):
+        rows = bf1_bloom_prune_join(spark, SF_SMALL).collect()
+        assert sum(r.n_orders for r in rows) > 0
+
+
+class TestEmb3Quantize:
+    def test_code_range_and_error_bound(self, spark):
+        rows = emb3_int8_quantize(spark, SF_SMALL).collect()
+        assert rows
+        for r in rows:
+            assert -127 <= r.q_min <= r.q_max <= 127
+            # round-to-nearest => per-element error <= scale/2
+            assert r.mse <= (r.scale / 2) ** 2 + 1e-9, r
+
+
+class TestGq1Rules:
+    def test_attribution_invariants(self, spark):
+        rows = {r.rule: r for r in gq1_gopher_rules(spark, SF_SMALL).collect()}
+        assert set(rows) == {"n_words", "mean_word_len", "stopwords", "alpha_ratio"}
+        n_docs = load_table(spark, SF_SMALL, "documents").count()
+        survivors = next(iter(rows.values())).n_survivors
+        for r in rows.values():
+            assert 0 <= r.n_sole_fail <= r.n_fail <= n_docs
+            assert r.n_survivors == survivors
+        # survivors + union-of-fails == total
+        assert survivors <= n_docs
+        assert survivors + max(r.n_fail for r in rows.values()) <= n_docs + sum(
+            r.n_fail for r in rows.values()
+        )
+
+
+class TestGr3Kcore:
+    def test_python_peeling_parity(self, spark):
+        """Exact parity with driver-side python peeling at sf0.001."""
+        from reduction_dask_spark.operators.dedup import (
+            JACCARD_TAU,
+            jaccard_pairs,
+            shingle_table,
+        )
+        from reduction_dask_spark.operators.graph import KCORE_K, gr3_kcore
+
+        pairs = [
+            (r.doc_a, r.doc_b)
+            for r in jaccard_pairs(
+                shingle_table(spark, SF_SMALL).persist(), tau=JACCARD_TAU
+            ).collect()
+        ]
+        adj: dict[int, set[int]] = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in [n for n, ns in adj.items() if len(ns) < KCORE_K]:
+                for m in adj.pop(n):
+                    if m in adj:
+                        adj[m].discard(n)
+                changed = True
+        want = {(n, len(ns)) for n, ns in adj.items()}
+        got = {(r.doc_id, r.deg) for r in gr3_kcore(spark, SF_SMALL).collect()}
+        assert got == want
+        spark.catalog.clearCache()
+
+    def test_kcore_subset_of_nodes(self, spark):
+        from reduction_dask_spark.operators.graph import KCORE_K, gr3_kcore
+
+        rows = gr3_kcore(spark, SF_SMALL).collect()
+        for r in rows:
+            assert r.deg >= KCORE_K
+        spark.catalog.clearCache()
