@@ -188,68 +188,105 @@ def _gr2_oracle() -> str:
 KCORE_K = 2
 
 
-def kcore(edges: DataFrame, k: int) -> DataFrame:
-    """Iterative k-core peeling: repeatedly drop nodes with degree < k
-    from the UNDIRECTED edge set (edges must already be symmetrized)
-    until a fixpoint; returns surviving (id, deg) — deg is the degree
-    INSIDE the k-core.
+def kcore_weighted(nodes: DataFrame, edges: DataFrame, k: int) -> DataFrame:
+    """k-core peeling on a COLLAPSED multigraph: ``nodes`` = (id, m)
+    where m is the exact-duplicate multiplicity of the node, ``edges``
+    = symmetrized (src, dst) between collapsed nodes. The blown-up
+    degree of every member of node u is (m_u - 1) + sum(m_v over
+    surviving neighbors v) — exact-dup members share identical
+    neighborhoods, so peeling commutes with the collapse: either the
+    whole group survives or none of it does.
 
-    Loop discipline matches :func:`pagerank`: each round is one
-    partial-aggregated degree groupBy + two semi-joins filtering the
-    edge set to surviving endpoints, ended by
-    ``localCheckpoint(eager=True)`` to truncate lineage (the edge
-    relation feeds the next round three times). The driver holds only
-    the loop counter and the per-round edge count — an O(1) scalar,
-    the standard convergence probe of every peeling/fixpoint
-    algorithm. Rounds are bounded by the peeling depth (<= graph
-    diameter-ish, tiny in practice: degeneracy ordering removes whole
-    shells per round, not single nodes)."""
-    e = edges.localCheckpoint(eager=True)
-    n_prev = e.count()
+    Loop discipline matches :func:`pagerank`: per round one weighted-
+    degree aggregate + a filter + two semi-joins shrinking the edge
+    set, each ended by ``localCheckpoint(eager=True)`` to truncate
+    lineage; the driver holds only the surviving-node count (an O(1)
+    scalar). Returns surviving (id, m, degw) with degw the blown-up
+    in-core degree."""
+    nodes = nodes.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
+    n_prev = nodes.count()
     while True:
-        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-        keep = deg.filter(F.col("deg") >= k).select("src")
-        e2 = (
-            e.join(keep, "src", "left_semi")
-            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
-            .select("src", "dst")
+        wext = (
+            edges.join(nodes.select(F.col("id").alias("dst"), "m"), "dst")
+            .groupBy("src")
+            .agg(F.sum("m").alias("wext"))
+        )
+        deg = nodes.join(wext, nodes.id == wext.src, "left").select(
+            "id",
+            "m",
+            (F.col("m") - 1 + F.coalesce("wext", F.lit(0))).cast("bigint").alias("degw"),
+        )
+        keep = deg.filter(F.col("degw") >= k).localCheckpoint(eager=True)
+        n_now = keep.count()
+        ids = keep.select("id")
+        edges = (
+            edges.join(ids.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
             .localCheckpoint(eager=True)
         )
-        n_now = e2.count()
-        e = e2
+        nodes = keep.select("id", "m")
         if n_now == n_prev:
-            break
+            return keep
         n_prev = n_now
-    return e.groupBy("src").agg(F.count("*").cast("bigint").alias("deg")).select(
-        F.col("src").alias("doc_id"), "deg"
-    )
 
 
 @query(
     "gr3_kcore",
     oracle=None,  # fixpoint peeling — rows-only + exact python parity test
-    doc=f"gr3 {KCORE_K}-core extraction on the verified near-dup graph "
-        "(gr2's edge set, symmetrized): iteratively peel nodes with "
-        "degree < k until stable — the k-core separates genuinely "
-        "clustered duplicate neighborhoods from chain/star artifacts "
-        "that transitive closure (dd6) lumps together; curation "
-        "treats core members as 'canonical cluster mass' and "
-        "periphery as borderline pairs to re-verify. Per round: one "
-        "map-side-combined degree aggregate + two semi-joins, "
-        "localCheckpoint-truncated; driver state is one scalar "
-        "count per round. No SQL oracle (aggregate-over-recursive-"
+    doc=f"gr3 {KCORE_K}-core extraction on the verified near-dup graph: "
+        "iteratively peel nodes with degree < k until stable — the "
+        "k-core separates genuinely clustered duplicate neighborhoods "
+        "from chain/star artifacts that transitive closure (dd6) "
+        "lumps together; curation treats core members as 'canonical "
+        "cluster mass' and periphery as borderline pairs to "
+        "re-verify. Scale shape: exact duplicates are COLLAPSED "
+        "before pair generation (canon1's trick — near-dup pair mass "
+        "is quadratic in duplicate multiplicity; the uncollapsed "
+        "form probed 29x at x10 replicated data) and the peeling "
+        "runs as a WEIGHTED k-core on group representatives, which "
+        "is exactly the quotient of the blown-up graph because "
+        "exact-dup members share identical shingle sets (the df-cap "
+        "is still computed on the FULL corpus so pair semantics are "
+        "unchanged). Per round: one weighted-degree aggregate + two "
+        "semi-joins, localCheckpoint-truncated; driver state is one "
+        "scalar per round. No SQL oracle (aggregate-over-recursive-"
         "term is outside recursive CTE semantics); pinned by exact "
-        "python peeling parity in tests.",
+        "python peeling parity on the UNCOLLAPSED graph in tests.",
     tags=("graph", "dedup"),
 )
 def gr3_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import JACCARD_TAU, jaccard_pairs, shingle_table
 
-    pairs = jaccard_pairs(shingle_table(spark, sf_dir).persist(), tau=JACCARD_TAU)
+    d = load_table(spark, sf_dir, "documents")
+    # full-corpus capped shingle index: the df-cap hot set must be
+    # computed over ALL docs (collapsing first would shift document
+    # frequencies and change which shingles survive the cap)
+    sh_full = shingle_table(spark, sf_dir).persist()
+    fp = d.select("doc_id", F.md5("text").alias("fp"))
+    grp = fp.groupBy("fp").agg(
+        F.min("doc_id").alias("rep_id"), F.count("*").cast("bigint").alias("m")
+    )
+    rep_sh = sh_full.join(
+        grp.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
+    ).persist()
+    pairs = jaccard_pairs(rep_sh, tau=JACCARD_TAU)
     und = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    return kcore(und, KCORE_K)
+    # nodes: reps with a non-empty capped shingle set (groups whose
+    # shingles were all hot-capped away, or too short to shingle,
+    # generate no pairs in the blown-up graph either)
+    nodes = grp.join(
+        rep_sh.select(F.col("doc_id").alias("rep_id")).distinct(), "rep_id"
+    ).select(F.col("rep_id").alias("id"), "m")
+    core = kcore_weighted(nodes, und, KCORE_K)
+    # expand back to every member of surviving groups
+    return (
+        fp.join(grp, "fp")
+        .join(core.select(F.col("id").alias("rep_id"), "degw"), "rep_id")
+        .select("doc_id", F.col("degw").alias("deg"))
+    )
 
 
 from ..registry import REGISTRY as _REG  # noqa: E402

@@ -21,6 +21,7 @@ from ..functions import (
     ERA_EVENTS_SQL,
     PRED_EVENTS_SQL,
     era_events,
+    md5i,
     md5i_sql,
     phash,
     phash_sql,
@@ -1657,3 +1658,139 @@ def bf1_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------- rs1
+
+KMV_K = 64
+_POW60 = "1152921504606846976.0"  # 2^60 as a double literal, both engines
+
+
+@query(
+    "rs1_kmv_bottomk",
+    oracle=f"""
+        WITH h AS (
+            SELECT event_id, {md5i_sql("event_id")} * 268435456 + (event_id % 268435456) AS hk
+            FROM events
+        ),
+        bk AS (SELECT event_id, hk FROM h ORDER BY hk, event_id LIMIT {KMV_K}),
+        mx AS (SELECT max(hk) AS hmax FROM bk)
+        SELECT bk.event_id, bk.hk,
+               round(({KMV_K} - 1) / (CAST(mx.hmax AS DOUBLE) / {_POW60}), 4) AS kmv_est
+        FROM bk, mx
+    """,
+    doc="rs1 bottom-k (KMV) sketch: the k smallest portable hash "
+        "values of the key column are simultaneously (a) a MERGEABLE "
+        "uniform sample — bottom-k of a union is the bottom-k of the "
+        "per-partition bottom-k's, so per-day sketches roll up "
+        "losslessly like hll1/cms1 — and (b) the K-Minimum-Values "
+        "distinct-count estimator (Bar-Yossef et al. 2002): "
+        "D ≈ (k-1)/u_k with u_k the k-th smallest normalized hash. "
+        "Unlike hll1 (engine-native sketch bytes, rows-only check) "
+        "the bottom-k sketch is EXACTLY portable, so this oracle is "
+        "exact at every scale. Plan: per-shard bottom-k via a "
+        "shard-partitioned window (k rows out per shard — the "
+        "mergeable rollup step a per-day materialization would "
+        "store), then global TakeOrdered k over the (shards × k)-row "
+        "relation — the fact table is never globally sorted; the "
+        "1-row max rides a broadcast.",
+    tags=("agg", "approx", "sketch"),
+)
+def rs1_kmv_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # 60-bit portable hash with low-bit key mixing (md5i gives 32 bits;
+    # shifting by 2^28 and mixing the key keeps ties impossible while
+    # staying < 2^60 and identical in DuckDB)
+    hk = (md5i("event_id") * F.lit(268435456) + F.col("event_id") % 268435456).alias("hk")
+    hashed = ev.select("event_id", hk)
+    # per-shard bottom-k: bounded window inside each shard partition
+    per_day = (
+        hashed.select("event_id", "hk", (F.col("event_id") % 32).alias("shard"))
+        .withColumn("rn", F.row_number().over(Window.partitionBy("shard").orderBy("hk", "event_id")))
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn", "shard")
+    )
+    merged = per_day.orderBy("hk", "event_id").limit(KMV_K)
+    mx = merged.agg(F.max("hk").alias("hmax"))
+    est = F.round(
+        F.lit(KMV_K - 1) / (F.col("hmax").cast("double") / F.expr(_POW60)), 4
+    )
+    return merged.crossJoin(F.broadcast(mx)).select(
+        "event_id", "hk", est.alias("kmv_est")
+    )
+
+
+# ---------------------------------------------------------------- dq4
+
+@query(
+    "dq4_expectation_report",
+    oracle="""
+        WITH checks AS (
+            SELECT l.l_orderkey, l.l_linenumber,
+                   CASE WHEN l.l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END AS v_qty_range,
+                   CASE WHEN l.l_discount BETWEEN 0 AND 0.1 THEN 0 ELSE 1 END AS v_disc_range,
+                   CASE WHEN l.l_extendedprice > 0 THEN 0 ELSE 1 END AS v_price_pos,
+                   CASE WHEN l.l_shipdate IS NULL THEN 1 ELSE 0 END AS v_ship_null,
+                   CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END AS v_orphan
+            FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        dup AS (
+            SELECT count(*) - count(DISTINCT l_orderkey * 16 + l_linenumber) AS n_dup,
+                   count(*) AS n FROM lineitem
+        )
+        SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+               CAST(n_checked AS BIGINT) AS n_checked
+        FROM (
+            SELECT 'qty_range' AS rule, sum(v_qty_range) AS n_violations, count(*) AS n_checked FROM checks
+            UNION ALL SELECT 'disc_range', sum(v_disc_range), count(*) FROM checks
+            UNION ALL SELECT 'price_pos', sum(v_price_pos), count(*) FROM checks
+            UNION ALL SELECT 'ship_not_null', sum(v_ship_null), count(*) FROM checks
+            UNION ALL SELECT 'fk_orders', sum(v_orphan), count(*) FROM checks
+            UNION ALL SELECT 'pk_unique', n_dup, n FROM dup
+        )
+    """,
+    doc="dq4 expectation-suite report (the Great-Expectations/dbt-test "
+        "shape): range, positivity, not-null, referential (orphan "
+        "lineitems) and primary-key-uniqueness checks over lineitem, "
+        "reported as (rule, violations, checked) — the table a "
+        "pipeline gate reads to pass/fail a batch. dq2 checks one FK "
+        "edge, dq3 screens volume anomalies; dq4 is the per-batch "
+        "rule rollup. One scan computes all row-local rules as 0/1 "
+        "codegen expressions (single stack + aggregate); the FK rule "
+        "rides ONE left join against orders keys; pk-uniqueness is a "
+        "count-distinct delta. At 100 TB every rule stays one "
+        "map-side-combined pass — rules are columns, not separate "
+        "scans.",
+    tags=("agg", "pipeline"),
+)
+def dq4_expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ok = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    checks = (
+        li.join(ok, li.l_orderkey == ok.o_orderkey, "left")
+        .select(
+            F.when(F.col("l_quantity").between(1, 50), 0).otherwise(1).alias("v_qty_range"),
+            F.when(F.col("l_discount").between(0, 0.1), 0).otherwise(1).alias("v_disc_range"),
+            F.when(F.col("l_extendedprice") > 0, 0).otherwise(1).alias("v_price_pos"),
+            F.when(F.col("l_shipdate").isNull(), 1).otherwise(0).alias("v_ship_null"),
+            F.when(F.col("o_orderkey").isNull(), 1).otherwise(0).alias("v_orphan"),
+        )
+    )
+    stacked = checks.select(
+        F.expr(
+            "stack(5, 'qty_range', v_qty_range, 'disc_range', v_disc_range, "
+            "'price_pos', v_price_pos, 'ship_not_null', v_ship_null, "
+            "'fk_orders', v_orphan) AS (rule, v)"
+        )
+    )
+    rules = stacked.groupBy("rule").agg(
+        F.sum("v").cast("bigint").alias("n_violations"),
+        F.count("*").cast("bigint").alias("n_checked"),
+    )
+    dup = li.agg(
+        (F.count("*") - F.count_distinct(F.col("l_orderkey") * 16 + F.col("l_linenumber")))
+        .cast("bigint")
+        .alias("n_violations"),
+        F.count("*").cast("bigint").alias("n_checked"),
+    ).select(F.lit("pk_unique").alias("rule"), "n_violations", "n_checked")
+    return rules.unionByName(dup)

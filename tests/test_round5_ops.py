@@ -153,3 +153,29 @@ class TestGr3Kcore:
         for r in rows:
             assert r.deg >= KCORE_K
         spark.catalog.clearCache()
+
+
+class TestRs1Kmv:
+    def test_sharded_bottomk_equals_global(self, spark):
+        """Mergeability: bottom-k of per-shard bottom-k's == global
+        bottom-k (the property that lets per-day sketches roll up)."""
+        from reduction_dask_spark.functions import md5i
+        from reduction_dask_spark.operators.relational import KMV_K, rs1_kmv_bottomk
+
+        ev = load_table(spark, SF_SMALL, "events")
+        hk = (md5i("event_id") * F.lit(268435456) + F.col("event_id") % 268435456).alias("hk")
+        direct = [
+            r.event_id
+            for r in ev.select("event_id", hk).orderBy("hk", "event_id").limit(KMV_K).collect()
+        ]
+        got = sorted(r.event_id for r in rs1_kmv_bottomk(spark, SF_SMALL).collect())
+        assert got == sorted(direct)
+
+    def test_kmv_estimate_reasonable(self, spark):
+        """KMV rse ~ 1/sqrt(k-1) ≈ 13% at k=64; allow 4 sigma."""
+        from reduction_dask_spark.operators.relational import rs1_kmv_bottomk
+
+        rows = rs1_kmv_bottomk(spark, SF_SMALL).collect()
+        est = rows[0].kmv_est
+        true = load_table(spark, SF_SMALL, "events").select("event_id").distinct().count()
+        assert abs(est - true) / true < 0.52, (est, true)

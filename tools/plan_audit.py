@@ -96,6 +96,8 @@ CROSS_OK = {
     "an2_funnel_conversion": "1-row step totals broadcast",
     "prof1_column_profile": "single-row profile explode",
     "mm2_feature_extract": "1-row normalizer broadcast",
+    "gq1_gopher_rules": "1-row survivors aggregate broadcast",
+    "rs1_kmv_bottomk": "1-row k-th-hash max broadcast over the 64-row sketch",
 }
 
 ROW_UDF_OK = {
