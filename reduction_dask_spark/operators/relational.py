@@ -1794,3 +1794,107 @@ def dq4_expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_checked"),
     ).select(F.lit("pk_unique").alias("rule"), "n_violations", "n_checked")
     return rules.unionByName(dup)
+
+
+# --------------------------------------------------------------- kll1
+
+QSK_K = 8192            # sketch capacity per shard; exact below this
+QSK_SHARDS = 32
+QSK_PCTS = (10, 25, 50, 75, 90)
+
+
+def _qsk_compact(v, w, cap):
+    """Deterministic KLL-shaped compaction: sort by value, pair
+    adjacent items, keep the first of each pair with the summed
+    weight. Rank error per pass is bounded by the max item weight;
+    exact while the item count stays under ``cap``."""
+    import numpy as np
+
+    order = np.argsort(v, kind="mergesort")
+    v, w = v[order], w[order]
+    while len(v) > cap:
+        if len(v) % 2:  # keep the last odd item as-is
+            v_odd, w_odd = v[-1:], w[-1:]
+            v2, w2 = v[:-1], w[:-1]
+        else:
+            v_odd = w_odd = None
+            v2, w2 = v, w
+        v = v2[0::2]
+        w = w2[0::2] + w2[1::2]
+        if v_odd is not None:
+            import numpy as np
+
+            v = np.concatenate([v, v_odd])
+            w = np.concatenate([w, w_odd])
+    return v, w
+
+
+@query(
+    "kll1_quantile_sketch_rollup",
+    oracle=f"""
+        WITH n AS (SELECT count(*) AS n FROM events),
+        r AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM events),
+        qs AS (SELECT unnest([{", ".join(str(p) for p in QSK_PCTS)}]) AS q_pct)
+        SELECT CAST(qs.q_pct AS INTEGER) AS q_pct, round(r.value, 6) AS est
+        FROM qs, n
+        JOIN r ON r.rn = (qs.q_pct * n.n + 99) // 100
+    """,
+    doc="kll1 mergeable quantile-sketch rollup, completing the sketch "
+        "family (hll1 distinct, cms1 frequency, rs1 sample/KMV): each "
+        "shard builds a KLL-shaped bounded summary — sorted (value, "
+        "weight) pairs, deterministically compacted above capacity K "
+        "by pairing adjacent items (rank error <= max item weight per "
+        "pass; EXACT while a shard holds < K items) — and the rollup "
+        "answers global quantiles by merging the per-shard summaries, "
+        "never rescanning raw data. The merge input is O(shards x K) "
+        "regardless of corpus size (tree-merge the shards at extreme "
+        "scale); at the test/driver scales no compaction triggers, so "
+        "the oracle is the exact nearest-rank quantile with INTEGER "
+        "rank arithmetic ((pct*n + 99) div 100 — float ceil(q*n) "
+        "mis-rounds exactly at the divisible boundaries). Arrow-"
+        "batched applyInPandas for build and merge; the forced-"
+        "compaction error bound is pinned in tests.",
+    tags=("agg", "approx", "sketch"),
+)
+def kll1_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    sharded = ev.select(
+        (F.col("event_id") % QSK_SHARDS).alias("shard"), "value"
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        w = np.ones(len(v), dtype=np.int64)
+        v, w = _qsk_compact(v, w, QSK_K)
+        return pd.DataFrame({"shard": pdf["shard"].iloc[0], "v": v, "w": w})
+
+    sketches = sharded.groupBy("shard").applyInPandas(
+        build, "shard bigint, v double, w bigint"
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        # the merge input is bounded at shards x K items; answering
+        # quantiles needs NO re-compaction (compact again only when
+        # storing the merged sketch for a further rollup level), so
+        # the answer is exact whenever the per-shard builds were
+        v = pdf["v"].to_numpy(dtype=np.float64)
+        w = pdf["w"].to_numpy(dtype=np.int64)
+        order = np.argsort(v, kind="mergesort")
+        v, w = v[order], w[order]
+        cum = np.cumsum(w)
+        total = int(cum[-1])
+        out = []
+        for pct in QSK_PCTS:
+            rank = (pct * total + 99) // 100
+            est = v[int(np.searchsorted(cum, rank))]
+            out.append((pct, round(est, 6)))
+        return pd.DataFrame(out, columns=["q_pct", "est"])
+
+    return (
+        sketches.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(merge, "q_pct int, est double")
+    )

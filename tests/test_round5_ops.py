@@ -179,3 +179,45 @@ class TestRs1Kmv:
         est = rows[0].kmv_est
         true = load_table(spark, SF_SMALL, "events").select("event_id").distinct().count()
         assert abs(est - true) / true < 0.52, (est, true)
+
+
+class TestKll1Sketch:
+    def test_forced_compaction_error_bound(self):
+        """With capacity forced far below n, the deterministic
+        compactor's median rank error stays within the per-pass
+        bound (sum of max item weight per pass <= n/cap * cap-ish;
+        assert a generous 2*n/cap ranks)."""
+        import numpy as np
+
+        from reduction_dask_spark.operators.relational import _qsk_compact
+
+        rng = np.random.default_rng(42)
+        n, cap = 20000, 256
+        x = rng.uniform(0, 1, n)
+        v, w = _qsk_compact(x.copy(), np.ones(n, dtype=np.int64), cap)
+        assert len(v) <= cap
+        assert int(w.sum()) == n
+        cum = np.cumsum(w)
+        est = v[int(np.searchsorted(cum, (50 * n + 99) // 100))]
+        true_rank = int(np.searchsorted(np.sort(x), est))
+        assert abs(true_rank - n // 2) <= 2 * n / cap * 8, (true_rank, n // 2)
+
+    def test_exact_below_capacity(self, spark):
+        """At sf0.001 no compaction triggers: sketch quantiles equal
+        exact nearest-rank quantiles of the raw column."""
+        import numpy as np
+
+        from reduction_dask_spark.operators.relational import (
+            QSK_PCTS,
+            kll1_quantile_sketch_rollup,
+        )
+
+        vals = np.sort(
+            np.array(
+                [r.value for r in load_table(spark, SF_SMALL, "events").select("value").collect()]
+            )
+        )
+        n = len(vals)
+        got = {r.q_pct: r.est for r in kll1_quantile_sketch_rollup(spark, SF_SMALL).collect()}
+        for pct in QSK_PCTS:
+            assert got[pct] == round(vals[(pct * n + 99) // 100 - 1], 6)
