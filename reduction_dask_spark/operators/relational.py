@@ -1898,3 +1898,110 @@ def kll1_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g")
         .applyInPandas(merge, "q_pct int, est double")
     )
+
+
+# ---------------------------------------------------------------- rs2
+
+@query(
+    "rs2_kmv_overlap",
+    oracle=f"""
+        WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        sk AS (
+            SELECT event_type, user_id,
+                   {md5i_sql("user_id")} * 268435456 + (user_id % 268435456) AS hk,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY {md5i_sql("user_id")} * 268435456 + (user_id % 268435456),
+                                               user_id) AS rn
+            FROM du QUALIFY rn <= {KMV_K}
+        ),
+        pr AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b
+            FROM (SELECT DISTINCT event_type FROM sk) a
+            JOIN (SELECT DISTINCT event_type FROM sk) b ON a.event_type < b.event_type
+        ),
+        bo AS (
+            SELECT pr.type_a, pr.type_b, sk.user_id, sk.hk,
+                   count(*) AS n_sides
+            FROM pr JOIN sk ON sk.event_type IN (pr.type_a, pr.type_b)
+            GROUP BY 1, 2, 3, 4
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY type_a, type_b
+                                         ORDER BY hk, user_id) AS rn
+            FROM bo QUALIFY rn <= {KMV_K}
+        ),
+        agg AS (
+            SELECT type_a, type_b,
+                   count(*) AS n_sk,
+                   max(hk) AS hmax,
+                   sum(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS rho
+            FROM ranked GROUP BY 1, 2
+        )
+        SELECT type_a, type_b, CAST(rho AS BIGINT) AS rho,
+               round(CASE WHEN n_sk < {KMV_K} THEN CAST(rho AS DOUBLE)
+                          ELSE rho / CAST({KMV_K} AS DOUBLE)
+                               * (({KMV_K} - 1) / (CAST(hmax AS DOUBLE) / {_POW60}))
+                     END, 4) AS est_inter
+        FROM agg
+    """,
+    doc="rs2 audience-overlap matrix from KMV sketches (rs1's "
+        "set-operation payoff; Beyer et al. 2007): per-segment "
+        "bottom-k sketches of the distinct-user set answer "
+        "|A ∩ B| for EVERY segment pair without rescanning raw "
+        "events — rho = members of the union bottom-k seen on both "
+        "sides (any union-threshold-passing element of A is "
+        "necessarily in A's own sketch, so the test is sketch-only), "
+        "est = rho/k x KMV-union-estimate, collapsing to exact rho "
+        "when the union fits the sketch. The pair computation runs "
+        "entirely on the O(|segments| x k)-row sketch relation — the "
+        "fact scan happens ONCE to build sketches; pairs cost is "
+        "independent of corpus size. Portable hashes make the whole "
+        "estimator deterministic, so the oracle checks the ESTIMATE "
+        "exactly, not just within tolerance.",
+    tags=("agg", "approx", "sketch"),
+)
+def rs2_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hk = (md5i("user_id") * F.lit(268435456) + F.col("user_id") % 268435456).alias("hk")
+    du = ev.select("event_type", "user_id").distinct()
+    wk = Window.partitionBy("event_type").orderBy("hk", "user_id")
+    sk = (
+        du.select("event_type", "user_id", hk)
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn")
+        .persist()
+    )
+    types = sk.select("event_type").distinct()
+    pr = (
+        types.alias("a")
+        .join(types.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+    )
+    both = (
+        pr.join(
+            sk,
+            (sk.event_type == F.col("type_a")) | (sk.event_type == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "user_id", "hk")
+        .agg(F.count("*").alias("n_sides"))
+    )
+    wp = Window.partitionBy("type_a", "type_b").orderBy("hk", "user_id")
+    ranked = both.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= KMV_K)
+    agg = ranked.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("n_sk"),
+        F.max("hk").alias("hmax"),
+        F.sum(F.when(F.col("n_sides") == 2, 1).otherwise(0)).alias("rho"),
+    )
+    est = F.when(
+        F.col("n_sk") < KMV_K, F.col("rho").cast("double")
+    ).otherwise(
+        F.col("rho") / F.lit(float(KMV_K))
+        * (F.lit(KMV_K - 1) / (F.col("hmax").cast("double") / F.expr(_POW60)))
+    )
+    return agg.select(
+        "type_a", "type_b", F.col("rho").cast("bigint").alias("rho"),
+        F.round(est, 4).alias("est_inter"),
+    )

@@ -221,3 +221,30 @@ class TestKll1Sketch:
         got = {r.q_pct: r.est for r in kll1_quantile_sketch_rollup(spark, SF_SMALL).collect()}
         for pct in QSK_PCTS:
             assert got[pct] == round(vals[(pct * n + 99) // 100 - 1], 6)
+
+
+class TestRs2Overlap:
+    def test_estimate_tracks_true_overlap(self, spark):
+        """KMV intersection estimate within 4-sigma-ish of truth for
+        every segment pair (rse ~ sqrt(est)/rho-scaled; generous)."""
+        from reduction_dask_spark.operators.relational import rs2_kmv_overlap
+
+        ev = load_table(spark, SF_SMALL, "events")
+        rows = rs2_kmv_overlap(spark, SF_SMALL).collect()
+        assert rows
+        truth = {}
+        for r in rows:
+            a = {
+                x.user_id
+                for x in ev.filter(F.col("event_type") == r.type_a)
+                .select("user_id").distinct().collect()
+            }
+            b = {
+                x.user_id
+                for x in ev.filter(F.col("event_type") == r.type_b)
+                .select("user_id").distinct().collect()
+            }
+            truth[(r.type_a, r.type_b)] = len(a & b)
+        for r in rows:
+            t = truth[(r.type_a, r.type_b)]
+            assert abs(r.est_inter - t) <= max(10, 0.6 * t), (r, t)

@@ -98,6 +98,7 @@ CROSS_OK = {
     "mm2_feature_extract": "1-row normalizer broadcast",
     "gq1_gopher_rules": "1-row survivors aggregate broadcast",
     "rs1_kmv_bottomk": "1-row k-th-hash max broadcast over the 64-row sketch",
+    "rs2_kmv_overlap": "segment-pair theta-join on the |segments|xk sketch relation (bounded)",
 }
 
 ROW_UDF_OK = {
