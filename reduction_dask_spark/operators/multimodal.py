@@ -193,3 +193,105 @@ def mm4_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize,
         schema="doc_id bigint, thumb binary, thumb_bytes bigint, orig_bytes bigint",
     )
+
+
+# ---------------------------------------------------------------- mm5
+
+PHASH_SIDE = 16      # stub "image" side: first 256 payload bytes as 16x16
+PHASH_BITS = 64      # 8x8 low-frequency DCT block, DC excluded + pad bit
+PHASH_BANDS = 4      # 16-bit pigeonhole bands => guaranteed recall hd <= 3
+PHASH_TAU = 3
+
+
+def phash64(payload: bytes) -> int:
+    """Perceptual hash of the stub-decoded image: first 256 bytes as a
+    16x16 grayscale, 2-D DCT-II, top-left 8x8 coefficient block minus
+    the DC term thresholded at its median -> 63 bits (+1 pad) packed
+    into a signed 64-bit int. Deterministic; swap the byte-reshape for
+    a real luma plane when a codec is wired into DECODERS."""
+    arr = np.frombuffer(payload[: PHASH_SIDE * PHASH_SIDE], dtype=np.uint8).astype(
+        np.float64
+    )
+    if len(arr) < PHASH_SIDE * PHASH_SIDE:
+        arr = np.pad(arr, (0, PHASH_SIDE * PHASH_SIDE - len(arr)))
+    img = arr.reshape(PHASH_SIDE, PHASH_SIDE)
+    # separable DCT-II via the explicit cosine basis (no scipy in-container)
+    n = PHASH_SIDE
+    k = np.arange(n)
+    basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    dct = basis @ img @ basis.T
+    block = dct[:8, :8].ravel()[1:]          # drop DC
+    bits = (block > np.median(block)).astype(np.uint64)
+    h = np.uint64(0)
+    for b in bits:
+        h = (h << np.uint64(1)) | b
+    return int(h.astype(np.int64))           # signed 64-bit for Spark
+
+
+@query(
+    "mm5_image_phash_neardup",
+    oracle=None,  # DCT is not SQL-expressible; numpy end-to-end parity test
+    doc="mm5 perceptual-hash image near-dup: the multimodal sibling of "
+        "dd4 — pHash (DCT low-frequency signs) computed per image in "
+        "ONE Arrow-batched mapInPandas pass, then the SimHash banded "
+        "pigeonhole join on the 64-bit hashes: 4x16-bit bands "
+        "guarantee recall for Hamming distance <= 3, candidates are "
+        "verified with codegen bit_count(a XOR b) — everything after "
+        "the hash UDF is JVM-side and O(corpus + candidates), never "
+        "O(n^2). The standard near-duplicate image detection shape "
+        "(resized/re-encoded copies share low-frequency structure); "
+        "with a real codec only the decode line changes. Pinned by a "
+        "numpy end-to-end parity test (hashes AND pair set).",
+    tags=("multimodal", "dedup"),
+)
+def mm5_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blobs = blob_table(spark, sf_dir).filter(F.col("kind") == "image")
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ph": [phash64(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    hashed = blobs.mapInPandas(hash_batch, schema="doc_id bigint, ph bigint").persist()
+    band_w = PHASH_BITS // PHASH_BANDS
+    bands = hashed.select(
+        "doc_id",
+        "ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        F.shiftrightunsigned("ph", b * band_w)
+                        .bitwiseAND(F.lit((1 << band_w) - 1))
+                        .alias("bkey"),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "ph", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ph").alias("pha"),
+            F.col("b.ph").alias("phb"),
+        )
+        .distinct()
+    )
+    hd = F.bit_count(F.col("pha").bitwiseXOR(F.col("phb")))
+    return cand.select("doc_a", "doc_b", hd.cast("int").alias("hd")).filter(
+        F.col("hd") <= PHASH_TAU
+    )

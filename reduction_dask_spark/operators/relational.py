@@ -2005,3 +2005,119 @@ def rs2_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_a", "type_b", F.col("rho").cast("bigint").alias("rho"),
         F.round(est, 4).alias("est_inter"),
     )
+
+
+# --------------------------------------------------------------- kano1
+
+KANO_KS = (2, 5, 10)
+
+
+@query(
+    "kano1_k_anonymity",
+    oracle=f"""
+        WITH g AS (
+            SELECT c_nationkey, c_mktsegment, count(*) AS sz
+            FROM customer GROUP BY 1, 2
+        ),
+        ks AS (SELECT unnest([{", ".join(str(k) for k in KANO_KS)}]) AS k)
+        SELECT CAST(ks.k AS INTEGER) AS k,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(CASE WHEN g.sz < ks.k THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups,
+               CAST(sum(CASE WHEN g.sz < ks.k THEN g.sz ELSE 0 END) AS BIGINT) AS n_risky_rows,
+               round(sum(CASE WHEN g.sz < ks.k THEN g.sz ELSE 0 END)
+                     / CAST(sum(g.sz) AS DOUBLE), 6) AS suppression_rate
+        FROM g CROSS JOIN ks
+        GROUP BY ks.k
+    """,
+    doc="kano1 k-anonymity audit over a quasi-identifier set "
+        "(nation x market segment on customer; Sweeney 2002): for "
+        "each candidate k, how many QI-groups have fewer than k "
+        "members, how many rows they hold, and the suppression rate "
+        "publishing at that k would cost — the re-identification-risk "
+        "report a privacy review reads before a dataset release (the "
+        "governance sibling of pii1's regex scrubbing). One "
+        "map-side-combined groupBy on the QI columns produces the "
+        "group-size relation (|QI-value combinations| rows — tiny "
+        "versus the fact table), the per-k rollup is a bounded "
+        "k-values fan-out over it; output is O(|ks|) at any scale.",
+    tags=("agg", "pipeline"),
+)
+def kano1_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count("*").alias("sz"))
+    ks = spark.range(0).sparkSession.createDataFrame(
+        [(k,) for k in KANO_KS], "k int"
+    )
+    risky = F.when(F.col("sz") < F.col("k"), F.col("sz")).otherwise(0)
+    return (
+        g.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("sz") < F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_risky_groups"),
+            F.sum(risky).cast("bigint").alias("n_risky_rows"),
+            F.round(F.sum(risky) / F.sum("sz").cast("double"), 6).alias(
+                "suppression_rate"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------- ts3
+
+@query(
+    "ts3_seasonal_profile",
+    oracle="""
+        WITH base AS (
+            SELECT event_type,
+                   CAST(dayofweek(ts) AS INTEGER) AS dow,
+                   CAST(hour(ts) AS INTEGER) AS hr,
+                   value
+            FROM events
+        ),
+        cell AS (
+            SELECT event_type, dow, hr, count(*) AS n, avg(value) AS mean_v
+            FROM base GROUP BY 1, 2, 3
+        ),
+        overall AS (
+            SELECT event_type, avg(value) AS type_mean FROM base GROUP BY 1
+        )
+        SELECT c.event_type, c.dow, c.hr, CAST(c.n AS BIGINT) AS n,
+               round(c.mean_v, 6) AS mean_v,
+               round(c.mean_v - o.type_mean, 6) AS seasonal_dev
+        FROM cell c JOIN overall o USING (event_type)
+    """,
+    doc="ts3 seasonal profile: per (event_type, day-of-week, hour) "
+        "count/mean plus the deviation from the type's overall mean — "
+        "the weekly-seasonality fingerprint that feeds anomaly "
+        "baselines (dq3 screens volume against a global mean; ts3 is "
+        "the seasonally-adjusted reference it should graduate to). "
+        "Two map-side-combined aggregates (cell grain and type "
+        "grain) joined on the tiny type key; output is bounded at "
+        "|types| x 7 x 24 rows at any corpus size. NB DuckDB "
+        "dayofweek is 0-6 Sunday-first while Spark's dayofweek() is "
+        "1-7 — the Spark side uses dayofweek()-1 to match.",
+    tags=("agg", "temporal"),
+)
+def ts3_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+        "value",
+    )
+    cell = base.groupBy("event_type", "dow", "hr").agg(
+        F.count("*").cast("bigint").alias("n"), F.avg("value").alias("mean_v")
+    )
+    overall = base.groupBy("event_type").agg(F.avg("value").alias("type_mean"))
+    return cell.join(overall, "event_type").select(
+        "event_type",
+        "dow",
+        "hr",
+        "n",
+        F.round("mean_v", 6).alias("mean_v"),
+        F.round(F.col("mean_v") - F.col("type_mean"), 6).alias("seasonal_dev"),
+    )

@@ -248,3 +248,31 @@ class TestRs2Overlap:
         for r in rows:
             t = truth[(r.type_a, r.type_b)]
             assert abs(r.est_inter - t) <= max(10, 0.6 * t), (r, t)
+
+
+class TestMm5Phash:
+    def test_numpy_end_to_end_parity(self, spark):
+        """Hashes AND the hd<=3 pair set match a pure-numpy all-pairs
+        computation (banded pigeonhole is lossless for hd <= bands-1)."""
+        from reduction_dask_spark.operators.multimodal import (
+            PHASH_TAU,
+            blob_table,
+            mm5_image_phash_neardup,
+            phash64,
+        )
+
+        blobs = blob_table(spark, SF_SMALL).filter(F.col("kind") == "image").collect()
+        want_h = {r.doc_id: phash64(bytes(r.payload)) for r in blobs}
+        ids = sorted(want_h)
+        want_pairs = set()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                hd = bin((want_h[a] ^ want_h[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+                if hd <= PHASH_TAU:
+                    want_pairs.add((a, b, hd))
+        got = {
+            (r.doc_a, r.doc_b, r.hd)
+            for r in mm5_image_phash_neardup(spark, SF_SMALL).collect()
+        }
+        assert got == want_pairs
+        spark.catalog.clearCache()

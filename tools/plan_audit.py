@@ -99,6 +99,7 @@ CROSS_OK = {
     "gq1_gopher_rules": "1-row survivors aggregate broadcast",
     "rs1_kmv_bottomk": "1-row k-th-hash max broadcast over the 64-row sketch",
     "rs2_kmv_overlap": "segment-pair theta-join on the |segments|xk sketch relation (bounded)",
+    "kano1_k_anonymity": "|ks|-row k-values broadcast over the QI-group relation",
 }
 
 ROW_UDF_OK = {
