@@ -692,3 +692,104 @@ def st10_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         [(n_historical, n_total - n_historical, n_total)],
         "n_historical bigint, n_new_appended bigint, n_index_total bigint",
     )
+
+
+# ---------------------------------------------------------------- st11
+
+@query(
+    "st11_stream_quantile_sketch",
+    oracle="""
+        WITH n AS (SELECT count(*) AS n FROM events),
+        r AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM events),
+        qs AS (SELECT unnest([10, 25, 50, 75, 90]) AS q_pct)
+        SELECT CAST(qs.q_pct AS INTEGER) AS q_pct, round(r.value, 6) AS est
+        FROM qs, n
+        JOIN r ON r.rn = (qs.q_pct * n.n + 99) // 100
+    """,
+    doc="st11 streaming quantile monitoring — kll1's mergeable sketch "
+        "maintained by a LIVE stream: each micro-batch builds per-"
+        "shard KLL-shaped summaries (kll1's compactor), merges them "
+        "with the persisted sketch state, re-compacts per shard and "
+        "swaps the state atomically — the state is bounded at "
+        "shards x K rows FOREVER regardless of how much data has "
+        "streamed through, which is the entire point of sketch-"
+        "based monitoring (a latency dashboard never rescans "
+        "history). The final answer is read from the persisted "
+        "state, so the oracle checks the maintained-state path "
+        "end-to-end: exact nearest-rank quantiles whenever no "
+        "compaction triggered (true at driver scales), within the "
+        "compactor's rank-error bound otherwise.",
+    tags=("streaming", "agg", "sketch"),
+)
+def st11_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.relational import QSK_K, QSK_PCTS, QSK_SHARDS, _qsk_compact
+
+    ensure_engine_confs(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    state_dir = os.path.join(tempfile.gettempdir(), f"rds_st11_state_{tag}")
+    for d in (state_dir, state_dir + "_next"):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    spark.createDataFrame([], "shard bigint, v double, w bigint").write.mode(
+        "overwrite"
+    ).parquet(state_dir)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["v"].to_numpy(dtype=np.float64)
+        w = pdf["w"].to_numpy(dtype=np.int64)
+        v, w = _qsk_compact(v, w, QSK_K)
+        return pd.DataFrame({"shard": pdf["shard"].iloc[0], "v": v, "w": w})
+
+    schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(_stage_dir(sf_dir))
+        .select(
+            (F.col("event_id") % QSK_SHARDS).alias("shard"),
+            F.col("value").alias("v"),
+            F.lit(1).cast("bigint").alias("w"),
+        )
+    )
+
+    def update(batch: DataFrame, epoch_id: int) -> None:
+        sp = batch.sparkSession
+        merged = (
+            sp.read.parquet(state_dir)
+            .unionByName(batch)
+            .groupBy("shard")
+            .applyInPandas(build, "shard bigint, v double, w bigint")
+        )
+        merged.write.mode("overwrite").parquet(state_dir + "_next")
+        shutil.rmtree(state_dir)
+        os.rename(state_dir + "_next", state_dir)
+
+    q = stream.writeStream.foreachBatch(update).trigger(availableNow=True).start()
+    q.awaitTermination(timeout=300)
+
+    def answer(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["v"].to_numpy(dtype=np.float64)
+        w = pdf["w"].to_numpy(dtype=np.int64)
+        order = np.argsort(v, kind="mergesort")
+        v, w = v[order], w[order]
+        cum = np.cumsum(w)
+        total = int(cum[-1])
+        out = []
+        for pct in QSK_PCTS:
+            rank = (pct * total + 99) // 100
+            out.append((pct, round(float(v[int(np.searchsorted(cum, rank))]), 6)))
+        return pd.DataFrame(out, columns=["q_pct", "est"])
+
+    return (
+        spark.read.parquet(state_dir)
+        .withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(answer, "q_pct int, est double")
+    )
