@@ -1238,3 +1238,76 @@ def an4_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_.cast("int").alias("f_score"),
         m.cast("int").alias("m_score"),
     )
+
+
+# --------------------------------------------------------------- pit1
+
+@query(
+    "pit1_point_in_time_join",
+    oracle="""
+        WITH feat AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   count(*) AS n_ev, sum(value) AS sum_v
+            FROM events GROUP BY 1, 2
+        ),
+        lab AS (
+            SELECT event_id, user_id, CAST(ts AS DATE) AS day
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT l.event_id,
+               CAST(f.day - DATE '1970-01-01' AS INTEGER) AS feat_day,
+               CAST(f.n_ev AS BIGINT) AS n_ev,
+               round(f.sum_v, 6) AS sum_v
+        FROM lab l
+        ASOF LEFT JOIN feat f ON l.user_id = f.user_id AND f.day < l.day
+    """,
+    doc="pit1 point-in-time feature join — THE feature-store op for "
+        "assembling leakage-free training sets: each label event "
+        "(purchase) is joined to the latest daily feature row "
+        "STRICTLY BEFORE its own day, so no same-day (future-"
+        "contaminated) aggregates leak into the features. Spark has "
+        "no ASOF JOIN; j7's carry-forward trick generalizes: union "
+        "the daily-feature rows and the label rows on the per-user "
+        "day timeline and take max(feature-struct) over a RANGE "
+        "frame ending at -1 — the strict inequality is the frame "
+        "bound itself, so same-day rows are excluded by "
+        "construction, not by a tie-break. One shuffle on user_id "
+        "for the window plus one map-side-combined daily aggregate; "
+        "no per-label range explosion at any scale. Oracle: DuckDB's "
+        "native ASOF LEFT JOIN (deterministic — one feature row per "
+        "(user, day) by construction).",
+    tags=("join", "temporal", "pipeline"),
+)
+def pit1_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day_int = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    feat = (
+        ev.select("user_id", day_int.alias("day_int"), "value")
+        .groupBy("user_id", "day_int")
+        .agg(F.count("*").alias("n_ev"), F.sum("value").alias("sum_v"))
+        .select(
+            "user_id",
+            "day_int",
+            F.struct("day_int", "n_ev", "sum_v").alias("fs"),
+            F.lit(None).cast("bigint").alias("event_id"),
+        )
+    )
+    lab = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        day_int.alias("day_int"),
+        F.lit(None).cast("struct<day_int:int,n_ev:bigint,sum_v:double>").alias("fs"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("day_int").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    joined = feat.unionByName(lab).withColumn("prev", F.max("fs").over(w))
+    return (
+        joined.filter(F.col("event_id").isNotNull())
+        .select(
+            "event_id",
+            F.col("prev.day_int").cast("int").alias("feat_day"),
+            F.col("prev.n_ev").alias("n_ev"),
+            F.round("prev.sum_v", 6).alias("sum_v"),
+        )
+    )

@@ -276,3 +276,28 @@ class TestMm5Phash:
         }
         assert got == want_pairs
         spark.catalog.clearCache()
+
+
+class TestPit1:
+    def test_no_leakage(self, spark):
+        """Every joined feature day is STRICTLY before the label day."""
+        from reduction_dask_spark.operators.temporal import pit1_point_in_time_join
+
+        ev = load_table(spark, SF_SMALL, "events")
+        lab_day = {
+            r.event_id: r.d
+            for r in ev.filter(F.col("event_type") == "purchase")
+            .select(
+                "event_id",
+                F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+            )
+            .collect()
+        }
+        rows = pit1_point_in_time_join(spark, SF_SMALL).collect()
+        assert rows
+        n_matched = 0
+        for r in rows:
+            if r.feat_day is not None:
+                assert r.feat_day < lab_day[r.event_id], r
+                n_matched += 1
+        assert n_matched > 0
