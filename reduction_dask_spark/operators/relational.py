@@ -2121,3 +2121,80 @@ def ts3_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_v", 6).alias("mean_v"),
         F.round(F.col("mean_v") - F.col("type_mean"), 6).alias("seasonal_dev"),
     )
+
+
+# ---------------------------------------------------------------- sky1
+
+@query(
+    "sky1_pareto_front",
+    oracle="""
+        WITH pl AS (
+            SELECT p_retailprice AS price, min(p_size) AS msz
+            FROM part GROUP BY 1
+        ),
+        pm AS (
+            SELECT price, msz,
+                   min(msz) OVER (ORDER BY price ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS m
+            FROM pl
+        )
+        SELECT p.p_partkey, p.p_retailprice AS price,
+               CAST(p.p_size AS INTEGER) AS size
+        FROM part p JOIN pm ON p.p_retailprice = pm.price
+        WHERE (pm.m IS NULL OR pm.m > p.p_size)
+          AND p.p_size = pm.msz
+    """,
+    doc="sky1 2-D Pareto front (skyline: minimize price AND size, "
+        "Borzsonyi et al. ICDE'01): a part survives iff no part is "
+        "<= in both dimensions and < in one. The naive NOT-EXISTS "
+        "self-join is O(n²); the 2-D skyline reduces to an ORDER "
+        "STATISTIC — a part is on the front iff its size beats the "
+        "min size of every strictly-cheaper part (and the min of its "
+        "own price group). The strict-prefix min runs DISTRIBUTED "
+        "with w2's two-pass trick: range-repartition the per-price "
+        "relation, window the prefix min INSIDE each range "
+        "partition, and fold in previous partitions' minima through "
+        "the triangular metadata join (one row per partition — never "
+        "a single-partition global window). Cost: one groupBy on "
+        "price + one range exchange of the |distinct prices| "
+        "relation + a hash join back to the fact.",
+    tags=("agg", "order", "perf"),
+)
+def sky1_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    pl = part.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.min("p_size").alias("msz")
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = pl.repartitionByRange(n_part, "price").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn("_lmin", F.min("msz").over(wloc))
+    pmins = ranged.groupBy("_pid").agg(F.min("msz").alias("_pmin"))
+    prev = pmins.select(F.col("_pid").alias("_p2"), F.col("_pmin").alias("_m2"))
+    offs = (
+        pmins.join(F.broadcast(prev), F.col("_p2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.min("_m2").alias("_off"))
+    )
+    pm = (
+        local.join(F.broadcast(offs), "_pid")
+        .select(
+            "price",
+            "msz",
+            F.least(
+                F.coalesce("_lmin", F.lit(float("inf"))),
+                F.coalesce("_off", F.lit(float("inf"))),
+            ).alias("m"),
+        )
+    )
+    return (
+        part.join(pm, part.p_retailprice == pm.price)
+        .filter((F.col("m") > F.col("p_size")) & (F.col("p_size") == F.col("msz")))
+        .select("p_partkey", "price", F.col("p_size").cast("int").alias("size"))
+    )

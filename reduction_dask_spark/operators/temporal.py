@@ -1311,3 +1311,93 @@ def pit1_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("prev.sum_v", 6).alias("sum_v"),
         )
     )
+
+
+# ---------------------------------------------------------------- ivl1
+
+IVL_LEN_S = 300  # each event opens a 5-minute activity interval
+
+
+@query(
+    "ivl1_interval_union",
+    oracle=f"""
+        WITH iv AS (
+            SELECT user_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + {IVL_LEN_S} * 1000000 AS e,
+                   event_id
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, s, e, event_id,
+                   CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS new_island
+            FROM iv
+        ),
+        islands AS (
+            SELECT user_id, s, e,
+                   sum(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            FROM flagged
+        ),
+        merged AS (
+            SELECT user_id, island, min(s) AS ms, max(e) AS me
+            FROM islands GROUP BY 1, 2
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_islands,
+               CAST(sum(me - ms) AS BIGINT) AS covered_us
+        FROM merged GROUP BY user_id
+    """,
+    doc="ivl1 interval union (merged coverage): every event opens a "
+        "5-minute activity interval; overlapping intervals per user "
+        "merge into islands and the output is each user's island "
+        "count and total covered time — the 'true active time' "
+        "metric that naive sum-of-durations double-counts (w4 "
+        "sessionizes by GAP between points; ivl1 merges explicit "
+        "INTERVALS, the overlap-aware sibling). Classic running-max "
+        "sweep: new-island flag = start exceeds the running max end "
+        "over preceding rows (user-partitioned window, fully "
+        "parallel), island id = prefix sum of flags, then one "
+        "map-side-combined aggregate per island. The new-island "
+        "flag is tie-order-invariant (it compares against the max "
+        "over ALL preceding rows), so equal timestamps cannot flake "
+        "the oracle.",
+    tags=("temporal", "agg"),
+)
+def ivl1_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + IVL_LEN_S * 1_000_000).alias("e"),
+        "event_id",
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        "event_id",
+        F.when(F.col("s") > F.max("e").over(wprev), 1).otherwise(0).alias("new_island"),
+    )
+    # same total (s, event_id) order as the flag window: a tie-broken-
+    # differently prefix sum could attach an equal-timestamp row to the
+    # previous island in one engine and the new one in the other
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(wrun))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_islands"),
+        F.sum(F.col("me") - F.col("ms")).cast("bigint").alias("covered_us"),
+    )

@@ -301,3 +301,57 @@ class TestPit1:
                 assert r.feat_day < lab_day[r.event_id], r
                 n_matched += 1
         assert n_matched > 0
+
+
+class TestSky1:
+    def test_brute_force_dominance_parity(self, spark):
+        """Front equals the O(n^2) dominance definition at sf0.001."""
+        from reduction_dask_spark.operators.relational import sky1_pareto_front
+
+        parts = [
+            (r.p_partkey, r.p_retailprice, r.p_size)
+            for r in load_table(spark, SF_SMALL, "part")
+            .select("p_partkey", "p_retailprice", "p_size")
+            .collect()
+        ]
+        want = set()
+        for k, pr, sz in parts:
+            dominated = any(
+                (qr <= pr and qs <= sz and (qr < pr or qs < sz))
+                for _, qr, qs in parts
+            )
+            if not dominated:
+                want.add((k, pr, sz))
+        got = {
+            (r.p_partkey, r.price, r.size)
+            for r in sky1_pareto_front(spark, SF_SMALL).collect()
+        }
+        assert got == want
+
+
+class TestIvl1:
+    def test_coverage_bounds(self, spark):
+        """Covered time per user is bounded by n_events*len and by the
+        observed span plus one interval length."""
+        from reduction_dask_spark.operators.temporal import (
+            IVL_LEN_S,
+            ivl1_interval_union,
+        )
+
+        ev = load_table(spark, SF_SMALL, "events")
+        spans = {
+            r.user_id: (r.n, r.span_us)
+            for r in ev.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("span_us"),
+            )
+            .collect()
+        }
+        rows = ivl1_interval_union(spark, SF_SMALL).collect()
+        assert rows
+        for r in rows:
+            n, span = spans[r.user_id]
+            assert 1 <= r.n_islands <= n
+            assert IVL_LEN_S * 1_000_000 <= r.covered_us <= n * IVL_LEN_S * 1_000_000
+            assert r.covered_us <= span + IVL_LEN_S * 1_000_000

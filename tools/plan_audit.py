@@ -100,6 +100,7 @@ CROSS_OK = {
     "rs1_kmv_bottomk": "1-row k-th-hash max broadcast over the 64-row sketch",
     "rs2_kmv_overlap": "segment-pair theta-join on the |segments|xk sketch relation (bounded)",
     "kano1_k_anonymity": "|ks|-row k-values broadcast over the QI-group relation",
+    "sky1_pareto_front": "triangular partition-offset metadata join (w2's prefix-min pattern)",
 }
 
 ROW_UDF_OK = {
