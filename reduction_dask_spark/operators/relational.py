@@ -2198,3 +2198,62 @@ def sky1_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("m") > F.col("p_size")) & (F.col("p_size") == F.col("msz")))
         .select("p_partkey", "price", F.col("p_size").cast("int").alias("size"))
     )
+
+
+# ---------------------------------------------------------------- dp1
+
+DP_EPS = (("0.5", 0.5), ("2.0", 2.0))
+_POW32 = "4294967296.0"  # 2^32 as a double literal, both engines
+
+
+@query(
+    "dp1_noisy_counts",
+    oracle=f"""
+        WITH ct AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        es AS (SELECT * FROM (VALUES {", ".join(f"('{s}', {v})" for s, v in DP_EPS)}) AS t(eps_s, eps)),
+        x AS (
+            SELECT event_type, n, eps,
+                   ({md5i_sql("event_type || '|' || eps_s")} + 0.5) / {_POW32} AS u
+            FROM ct CROSS JOIN es
+        )
+        SELECT event_type, round(eps, 1) AS eps,
+               round(n - (1.0 / eps) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 4)
+                   AS noisy_n
+        FROM x
+    """,
+    doc="dp1 differentially-private histogram release (Laplace "
+        "mechanism, Dwork et al. 2006): per-type counts plus "
+        "Laplace(1/eps) noise via the inverse CDF — sensitivity of a "
+        "unit-count histogram is 1, so noise scale 1/eps gives "
+        "eps-DP per release. Noise is derived from a SEEDED portable "
+        "hash (md5 of type x eps) rather than true randomness: that "
+        "makes the release reproducible and the mechanism testable "
+        "bit-for-bit against the oracle — production DP swaps the "
+        "seed source for a CSPRNG, everything else (sensitivity "
+        "accounting, scale, post-processing) is identical. Two eps "
+        "rows per type show the privacy/utility trade. Third member "
+        "of the governance family (pii1 scrubbing, kano1 "
+        "k-anonymity). One map-side-combined aggregate + a "
+        "|eps|-value broadcast fan-out; output O(types x eps).",
+    tags=("agg", "pipeline"),
+)
+def dp1_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ct = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    es = spark.createDataFrame([(s, v) for s, v in DP_EPS], "eps_s string, eps double")
+    u = (
+        (md5i(F.concat(F.col("event_type"), F.lit("|"), F.col("eps_s"))) + F.lit(0.5))
+        / F.expr(_POW32)
+    )
+    # inverse CDF: X = -b * sign(u-1/2) * ln(1 - 2|u-1/2|)
+    noise = -(F.lit(1.0) / F.col("eps")) * F.signum(u - 0.5) * F.log(
+        F.lit(1.0) - 2 * F.abs(u - 0.5)
+    )
+    return (
+        ct.crossJoin(F.broadcast(es))
+        .select(
+            "event_type",
+            F.round("eps", 1).alias("eps"),
+            F.round(F.col("n") + noise, 4).alias("noisy_n"),
+        )
+    )

@@ -101,6 +101,7 @@ CROSS_OK = {
     "rs2_kmv_overlap": "segment-pair theta-join on the |segments|xk sketch relation (bounded)",
     "kano1_k_anonymity": "|ks|-row k-values broadcast over the QI-group relation",
     "sky1_pareto_front": "triangular partition-offset metadata join (w2's prefix-min pattern)",
+    "dp1_noisy_counts": "|eps|-row mechanism-parameter broadcast over the per-type count relation",
 }
 
 ROW_UDF_OK = {
