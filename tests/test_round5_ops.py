@@ -355,3 +355,36 @@ class TestIvl1:
             assert 1 <= r.n_islands <= n
             assert IVL_LEN_S * 1_000_000 <= r.covered_us <= n * IVL_LEN_S * 1_000_000
             assert r.covered_us <= span + IVL_LEN_S * 1_000_000
+
+
+class TestAuc1:
+    def test_sklearn_free_numpy_parity(self, spark):
+        """Midrank AUC equals the direct numpy rank-sum computation."""
+        import numpy as np
+
+        from reduction_dask_spark.operators.metrics import auc1_roc_auc
+
+        rows = (
+            load_table(spark, SF_SMALL, "events")
+            .select("value", "event_type")
+            .collect()
+        )
+        score = np.array([r.value for r in rows])
+        y = np.array([1 if r.event_type == "purchase" else 0 for r in rows])
+        order = np.argsort(score, kind="mergesort")
+        ranks = np.empty(len(score))
+        sorted_s = score[order]
+        i = 0
+        rank_val = np.empty(len(score))
+        while i < len(sorted_s):
+            j = i
+            while j < len(sorted_s) and sorted_s[j] == sorted_s[i]:
+                j += 1
+            rank_val[i:j] = (i + 1 + j) / 2.0
+            i = j
+        ranks[order] = rank_val
+        npos, nneg = int(y.sum()), int((1 - y).sum())
+        want = (ranks[y == 1].sum() - npos * (npos + 1) / 2) / (npos * nneg)
+        got = auc1_roc_auc(spark, SF_SMALL).collect()[0]
+        assert got.npos == npos and got.nneg == nneg
+        assert abs(got.auc - want) < 1e-6, (got.auc, want)

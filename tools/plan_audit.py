@@ -102,6 +102,7 @@ CROSS_OK = {
     "kano1_k_anonymity": "|ks|-row k-values broadcast over the QI-group relation",
     "sky1_pareto_front": "triangular partition-offset metadata join (w2's prefix-min pattern)",
     "dp1_noisy_counts": "|eps|-row mechanism-parameter broadcast over the per-type count relation",
+    "auc1_roc_auc": "triangular partition-offset prefix sum + two 1-row aggregate broadcasts",
 }
 
 ROW_UDF_OK = {
