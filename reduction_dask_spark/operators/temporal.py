@@ -1401,3 +1401,80 @@ def ivl1_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_islands"),
         F.sum(F.col("me") - F.col("ms")).cast("bigint").alias("covered_us"),
     )
+
+
+# ---------------------------------------------------------------- an5
+
+@query(
+    "an5_touch_attribution",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events
+        ),
+        m AS (
+            SELECT user_id, event_type,
+                   max(CASE WHEN event_type <> 'purchase'
+                            THEN {'us': us, 'id': event_id, 'ch': event_type} END)
+                       OVER (PARTITION BY user_id ORDER BY us
+                             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt,
+                   min(CASE WHEN event_type <> 'purchase'
+                            THEN {'us': us, 'id': event_id, 'ch': event_type} END)
+                       OVER (PARTITION BY user_id ORDER BY us
+                             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft
+            FROM e
+        ),
+        p AS (
+            SELECT coalesce(lt['ch'], '(none)') AS lc,
+                   coalesce(ft['ch'], '(none)') AS fc
+            FROM m WHERE event_type = 'purchase'
+        )
+        SELECT model, channel, CAST(count(*) AS BIGINT) AS n_conv
+        FROM (
+            SELECT 'last' AS model, lc AS channel FROM p
+            UNION ALL SELECT 'first', fc FROM p
+        ) GROUP BY 1, 2
+    """,
+    doc="an5 conversion attribution, first- and last-touch: each "
+        "purchase is credited to the user's earliest (first-touch) "
+        "and latest (last-touch) STRICTLY-PRIOR non-purchase event — "
+        "j7's carry-forward trick again, with BOTH extremes read "
+        "from the same strict RANGE frame in one window pass "
+        "(max/min of a (ts, id, channel) struct; the struct ordering "
+        "makes ties deterministic, the -1 range bound makes the "
+        "strict inequality structural). Purchases with no prior "
+        "touch report as '(none)' rather than silently dropping — "
+        "the number a marketing report must not hide. One shuffle "
+        "on user_id; output is O(models x channels).",
+    tags=("temporal", "agg", "pipeline"),
+)
+def an5_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("us").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    touch = F.when(
+        F.col("event_type") != "purchase",
+        F.struct(
+            F.col("us").alias("t_us"),
+            F.col("event_id").alias("t_id"),
+            F.col("event_type").alias("ch"),
+        ),
+    )
+    m = e.select(
+        "event_type",
+        F.max(touch).over(w).alias("lt"),
+        F.min(touch).over(w).alias("ft"),
+    )
+    p = m.filter(F.col("event_type") == "purchase").select(
+        F.coalesce(F.col("lt.ch"), F.lit("(none)")).alias("lc"),
+        F.coalesce(F.col("ft.ch"), F.lit("(none)")).alias("fc"),
+    )
+    stacked = p.select(
+        F.expr("stack(2, 'last', lc, 'first', fc) AS (model, channel)")
+    )
+    return stacked.groupBy("model", "channel").agg(
+        F.count("*").cast("bigint").alias("n_conv")
+    )
