@@ -2257,3 +2257,67 @@ def dp1_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") + noise, 4).alias("noisy_n"),
         )
     )
+
+
+# ---------------------------------------------------------------- ret1
+
+@query(
+    "ret1_bitmap_retention",
+    oracle="""
+        WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        act AS (SELECT day, count(*) AS n_active FROM du GROUP BY 1),
+        ret AS (
+            SELECT a.day, count(*) AS n_ret
+            FROM du a JOIN du b
+              ON b.user_id = a.user_id AND b.day = a.day + 1
+            GROUP BY 1
+        )
+        SELECT CAST(act.day - DATE '1970-01-01' AS INTEGER) AS day,
+               CAST(act.n_active AS BIGINT) AS n_active,
+               CAST(coalesce(ret.n_ret, 0) AS BIGINT) AS n_retained_next,
+               round(coalesce(ret.n_ret, 0) / CAST(act.n_active AS DOUBLE), 6)
+                   AS retention_rate
+        FROM act LEFT JOIN ret USING (day)
+    """,
+    doc="ret1 day-over-day retention via BITMAP rollup — the "
+        "ClickHouse/Druid technique for retention at scale: each "
+        "day's active-user set is packed into 64-bit words "
+        "(word index = user_id div 64, word = bit_or(1 << bit)), so "
+        "a day's audience is |users|/64 longs instead of |users| "
+        "rows, and retained(d, d+1) is sum(bit_count(w_d AND "
+        "w_d+1)) over a join on the word index — set intersection "
+        "becomes codegen'd bitwise AND + popcount on a 64x-smaller "
+        "relation. The oracle computes the SAME numbers from the "
+        "direct distinct-user intersection, pinning the bitmap "
+        "encode/decode exactly (contrast rs2: sketched/approximate "
+        "when IDs are unboundedly sparse; bitmaps are exact when "
+        "the ID space is dense enough to pack). One distinct pass, "
+        "one map-side-combined bit_or aggregate, one word-index "
+        "join.",
+    tags=("agg", "temporal", "perf"),
+)
+def ret1_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    du = ev.select(day.alias("day"), "user_id").distinct()
+    word = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 64) AS INT))")
+    wm = du.select(
+        "day", (F.col("user_id") / 64).cast("bigint").alias("widx"), word.alias("w")
+    ).groupBy("day", "widx").agg(F.bit_or("w").alias("word"))
+    act = wm.groupBy("day").agg(F.sum(F.bit_count("word")).alias("n_active"))
+    nxt = wm.select((F.col("day") - 1).alias("day"), "widx", F.col("word").alias("word_next"))
+    ret = (
+        wm.join(nxt, ["day", "widx"])
+        .groupBy("day")
+        .agg(
+            F.sum(F.bit_count(F.col("word").bitwiseAND(F.col("word_next")))).alias("n_ret")
+        )
+    )
+    return act.join(ret, "day", "left").select(
+        F.col("day").cast("int").alias("day"),
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.coalesce("n_ret", F.lit(0)).cast("bigint").alias("n_retained_next"),
+        F.round(
+            F.coalesce("n_ret", F.lit(0)) / F.col("n_active").cast("double"), 6
+        ).alias("retention_rate"),
+    )
