@@ -1100,3 +1100,68 @@ def dd10_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= JACCARD_TAU
     )
+
+
+# ---------------------------------------------------------------- er2
+
+@query(
+    "er2_golden_record",
+    oracle=f"""
+        WITH RECURSIVE p AS (
+            SELECT doc_id,
+                   array_to_string(string_split(text, ' ')[1:{ER_PREFIX_TOKENS}], ' ') AS prefix,
+                   array_to_string(string_split(text, ' ')[1:{ER_BLOCK_TOKENS}], ' ') AS blk
+            FROM documents
+        ),
+        hot AS (SELECT blk FROM p GROUP BY blk HAVING count(*) > {ER_BLOCK_CAP}),
+        kept AS (SELECT * FROM p ANTI JOIN hot USING (blk)),
+        m AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM kept a JOIN kept b
+              ON a.blk = b.blk AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.prefix, b.prefix) <= {ER_MAX_DIST}
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM m
+            UNION ALL SELECT doc_b, doc_a FROM m
+        ),
+        nodes AS (SELECT DISTINCT a AS n FROM edges),
+        reach AS (
+            SELECT n AS src, n AS dst FROM nodes
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ),
+        comp AS (SELECT src AS doc_id, min(dst) AS entity_id FROM reach GROUP BY src)
+        SELECT c.doc_id, CAST(c.entity_id AS BIGINT) AS entity_id,
+               CAST(d.n_chars AS BIGINT) AS n_chars,
+               (row_number() OVER (PARTITION BY c.entity_id
+                                   ORDER BY d.n_chars DESC, c.doc_id) = 1) AS is_golden
+        FROM comp c JOIN documents d USING (doc_id)
+    """,
+    doc="er2 golden-record selection — the master-data-management "
+        "step AFTER er1's fuzzy matching: pairwise matches are not "
+        "transitive, so entities come from connected components over "
+        "the match graph (min-label propagation, dd6's loop), and "
+        "each entity elects one golden record by a survivorship rule "
+        "(here: richest record = max n_chars, doc_id tie-break) — "
+        "the same collapse-then-elect shape as canon1, on the "
+        "entity-resolution graph instead of the near-dup graph. "
+        "Entity-partitioned argmax window (entities are small by "
+        "construction); oracle = recursive-SQL closure + the same "
+        "windowed election.",
+    tags=("dedup", "pipeline"),
+)
+def er2_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = er1_blocked_fuzzy_match(spark, sf_dir).select("doc_a", "doc_b")
+    comp = min_label_components(pairs)
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        comp.join(d.select("doc_id", "n_chars"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("cluster_id").cast("bigint").alias("entity_id"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            (F.row_number().over(w) == 1).alias("is_golden"),
+        )
+    )

@@ -2321,3 +2321,77 @@ def ret1_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_ret", F.lit(0)) / F.col("n_active").cast("double"), 6
         ).alias("retention_rate"),
     )
+
+
+# ---------------------------------------------------------------- j11
+
+@query(
+    "j11_null_safe_join",
+    oracle="""
+        WITH c AS (SELECT c_custkey, nullif(c_nationkey, 0) AS nk FROM customer),
+        s AS (SELECT s_suppkey, nullif(s_nationkey, 0) AS nk FROM supplier)
+        SELECT c.nk AS nationkey,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
+        GROUP BY 1
+    """,
+    doc="j11 null-safe equi-join (<=> / IS NOT DISTINCT FROM): nation "
+        "key 0 is mapped to NULL on both sides, and the null-safe "
+        "predicate matches the NULL group with itself — a plain "
+        "equi-join silently DROPS those rows, the classic "
+        "unknown-bucket bug in dimension joins (f13 covers scalar "
+        "null semantics; j11 is the join-shaped case). Spark plans "
+        "<=> as an ordinary hash join on the null-safe key, so this "
+        "costs the same shuffle as = (NULL hashes to one bucket — "
+        "salt the unknown bucket if it's a heavy hitter at scale).",
+    tags=("join",),
+)
+def j11_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(0)).alias("nk")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.nullif(F.col("s_nationkey"), F.lit(0)).alias("nk_s")
+    )
+    return (
+        c.join(s, c.nk.eqNullSafe(s.nk_s))
+        .groupBy(F.col("nk").alias("nationkey"))
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------- a13
+
+@query(
+    "a13_filtered_agg",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_all,
+               CAST(count(*) FILTER (WHERE value > 50) AS BIGINT) AS n_high,
+               round(avg(value) FILTER (WHERE value > 50), 6) AS avg_high,
+               CAST(count(DISTINCT user_id) FILTER (WHERE value > 50) AS BIGINT)
+                   AS users_high
+        FROM events GROUP BY event_type
+    """,
+    doc="a13 FILTER-clause aggregates (SQL:2003): per-group totals and "
+        "conditionally-filtered aggregates in ONE pass — the idiom "
+        "that replaces self-joining a table against its own filtered "
+        "copy. Declared through spark.sql to exercise the SQL "
+        "front-end's FILTER clause (Catalyst rewrites to the same "
+        "conditional-aggregation plan as the when()-spelling, fully "
+        "map-side-combined except the distinct).",
+    tags=("agg", "sql"),
+)
+def a13_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_a13")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_all,
+               CAST(count(*) FILTER (WHERE value > 50) AS BIGINT) AS n_high,
+               round(avg(value) FILTER (WHERE value > 50), 6) AS avg_high,
+               CAST(count(DISTINCT user_id) FILTER (WHERE value > 50) AS BIGINT)
+                   AS users_high
+        FROM events_a13 GROUP BY event_type
+        """
+    )
