@@ -1190,3 +1190,74 @@ def t12_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("tfidf", 6).alias("tfidf"),
         )
     )
+
+
+# ---------------------------------------------------------------- mg1
+
+MG_K = 200          # summary capacity; recall guaranteed for freq > n/k
+MG_SHARDS = 32
+
+
+@query(
+    "mg1_heavy_hitters",
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ),
+        n AS (SELECT count(*) AS n FROM tok),
+        ct AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
+        SELECT ct.token, CAST(ct.cnt AS BIGINT) AS cnt
+        FROM ct, n WHERE ct.cnt * {MG_K} > n.n
+    """,
+    doc="mg1 heavy hitters via Misra-Gries (1982) candidate "
+        "generation + exact verify: every token with global "
+        "frequency > n/k must exceed its shard's local n_s/k in at "
+        "least one shard (averaging argument), so the UNION of "
+        "per-shard size-k MG summaries has GUARANTEED recall — the "
+        "candidate set is O(shards x k) regardless of vocabulary "
+        "size, and one exact counting pass over just the candidates "
+        "(broadcast semi-join) yields exact counts with zero false "
+        "positives. This is the bounded-memory alternative to t5's "
+        "full-vocabulary groupBy when the token space is unbounded "
+        "(URLs, n-grams, user agents at 100 TB): the wide shuffle "
+        "carries only candidate tokens. Output semantics are "
+        "sketch-independent (all tokens with cnt*k > n), so the "
+        "oracle is the plain exact computation.",
+    tags=("text", "agg", "approx", "sketch"),
+)
+def mg1_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(tokens(F.col("text"))).alias("token"),
+        (F.col("doc_id") % MG_SHARDS).alias("shard"),
+    )
+
+    def mg_summary(pdf: pd.DataFrame) -> pd.DataFrame:
+        counters: dict[str, int] = {}
+        for t in pdf["token"]:
+            if t in counters:
+                counters[t] += 1
+            elif len(counters) < MG_K:
+                counters[t] = 1
+            else:
+                for key in list(counters):
+                    counters[key] -= 1
+                    if counters[key] == 0:
+                        del counters[key]
+        return pd.DataFrame({"token": list(counters)})
+
+    cand = (
+        tok.groupBy("shard")
+        .applyInPandas(mg_summary, "token string")
+        .select("token")
+        .distinct()
+    )
+    n_total = tok.count()
+    exact = (
+        tok.join(F.broadcast(cand), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    return exact.filter(F.col("cnt") * MG_K > F.lit(n_total))

@@ -388,3 +388,18 @@ class TestAuc1:
         got = auc1_roc_auc(spark, SF_SMALL).collect()[0]
         assert got.npos == npos and got.nneg == nneg
         assert abs(got.auc - want) < 1e-6, (got.auc, want)
+
+
+class TestMg1:
+    def test_candidate_bound(self, spark):
+        """The MG candidate union is bounded by shards x k regardless
+        of vocabulary size."""
+        from reduction_dask_spark.operators.text import MG_K, MG_SHARDS, mg1_heavy_hitters
+        from reduction_dask_spark.operators.text import tokens as _toks
+
+        d = load_table(spark, SF_SMALL, "documents")
+        vocab = d.select(F.explode(_toks(F.col("text"))).alias("t")).distinct().count()
+        rows = mg1_heavy_hitters(spark, SF_SMALL).collect()
+        assert len(rows) <= MG_SHARDS * MG_K
+        # the op returns heavy hitters only; sanity: far fewer than vocab
+        assert len(rows) < vocab
