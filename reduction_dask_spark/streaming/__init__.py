@@ -793,3 +793,64 @@ def st11_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g")
         .applyInPandas(answer, "q_pct int, est double")
     )
+
+
+# ---------------------------------------------------------------- st12
+
+@query(
+    "st12_custom_source_stream",
+    oracle="""
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang
+    """,
+    doc="st12 streaming from the CUSTOM Python DataSource (format "
+        "'jsonl', sources/jsonl_source.py): documents land as "
+        "json-lines files, the SimpleDataSourceStreamReader tails the "
+        "directory with an O(1) integer offset (count of consumed "
+        "files — checkpoint state stays constant no matter how many "
+        "files ever land), and a complete-mode per-language count "
+        "aggregates across micro-batches. Closes the loop on the "
+        "DataSource V2 surface: the batch reader/sink and pushFilters "
+        "are pytest-covered, this registers the STREAMING path under "
+        "the oracle gate (final counts must equal the batch "
+        "aggregate over the same rows — exactly-once, no file "
+        "dropped or double-read).",
+    tags=("streaming", "source"),
+)
+def st12_custom_source_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import load_table
+    from ..sources.jsonl_source import register_jsonl_source
+
+    ensure_engine_confs(spark)
+    register_jsonl_source(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    land_dir = os.path.join(tempfile.gettempdir(), f"rds_st12_land_{tag}")
+    if os.path.exists(land_dir):
+        shutil.rmtree(land_dir)
+    load_table(spark, sf_dir, "documents").select("doc_id", "lang").repartition(
+        4
+    ).write.format("jsonl").mode("overwrite").save(land_dir)
+
+    qname = f"st12_counts_{tag}"
+    stream = (
+        spark.readStream.format("jsonl")
+        .schema("doc_id bigint, lang string")
+        .load(land_dir)
+    )
+    agg = stream.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    return spark.sql(
+        f"SELECT lang, CAST(n_docs AS BIGINT) AS n_docs FROM {qname}"
+    )
