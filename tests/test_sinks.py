@@ -438,3 +438,42 @@ def test_zstd_beats_snappy_on_text(spark, tmp_path):
         sizes[codec] = sum(os.path.getsize(f) for f in glob.glob(f"{p}/*.parquet"))
         assert spark.read.parquet(p).count() == docs.count()
     assert sizes["zstd"] < sizes["snappy"]
+
+
+def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
+    """The idempotent-backfill pattern: with partitionOverwriteMode=
+    dynamic, rewriting ONE day's partition replaces only that
+    partition — static mode would truncate every other day. This is
+    how a 100 TB pipeline re-runs a bad day without touching the
+    rest of the table."""
+    from pyspark.sql import functions as F
+
+    from reduction_dask_spark.sources import load_table
+
+    out = str(tmp_path / "events_by_day")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    ev.write.partitionBy("day").mode("overwrite").parquet(out)
+    days = [r.day for r in spark.read.parquet(out).select("day").distinct().collect()]
+    assert len(days) > 1
+    target = sorted(days)[0]
+    before_total = spark.read.parquet(out).count()
+    n_target = spark.read.parquet(out).filter(F.col("day") == target).count()
+
+    # backfill the target day with a corrected copy (value doubled)
+    fixed = ev.filter(F.col("day") == target).withColumn("value", F.col("value") * 2)
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fixed.write.partitionBy("day").mode("overwrite").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+
+    after = spark.read.parquet(out)
+    assert after.count() == before_total  # no other partition truncated
+    assert after.filter(F.col("day") == target).count() == n_target
+    # the rewritten day actually carries the corrected values
+    orig_sum = ev.filter(F.col("day") == target).agg(F.sum("value")).first()[0]
+    new_sum = after.filter(F.col("day") == target).agg(F.sum("value")).first()[0]
+    assert abs(new_sum - 2 * orig_sum) < 1e-6
