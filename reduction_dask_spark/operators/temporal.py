@@ -1478,3 +1478,52 @@ def an5_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stacked.groupBy("model", "channel").agg(
         F.count("*").cast("bigint").alias("n_conv")
     )
+
+
+# ---------------------------------------------------------------- roll2
+
+@query(
+    "roll2_sliding_window",
+    oracle="""
+        WITH e AS (
+            SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS d, value
+            FROM events
+        ),
+        offs AS (SELECT unnest([0, 1]) AS k),
+        w AS (SELECT e.d - offs.k AS win_start, e.value FROM e CROSS JOIN offs)
+        SELECT CAST(win_start AS INTEGER) AS win_start,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 4) AS sum_v
+        FROM w GROUP BY 1
+    """,
+    doc="roll2 sliding (HOP) window aggregate in BATCH mode via the "
+        "window() TVF — 2-day windows hopping daily, so every event "
+        "contributes to exactly two windows: the overlap factor is "
+        "the fan-out (size/slide), made explicit here and mirrored "
+        "in the oracle as a 2-row offsets cross join. st1 uses the "
+        "same TVF under a watermark for streams; roll1 is the "
+        "hierarchical (ROLLUP) flavor. The TVF expands rows "
+        "BEFORE the shuffle (map-side fan-out x2, then one "
+        "partial-aggregated groupBy on window start) — at 100 TB "
+        "pick slide close to size to bound the fan-out, or "
+        "pre-aggregate to the slide grain first and roll windows "
+        "up from slide-grain partials.",
+    tags=("temporal", "window", "agg"),
+)
+def roll2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "2 days", "1 day")
+    return (
+        ev.groupBy(win.alias("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_v"),
+        )
+        .select(
+            F.datediff(F.to_date("w.start"), F.lit("1970-01-01").cast("date"))
+            .cast("int")
+            .alias("win_start"),
+            "n",
+            "sum_v",
+        )
+    )
