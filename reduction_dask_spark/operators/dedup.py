@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from ..functions import md5h60, md5h60_sql, md5i, md5i_sql
+from ..functions import md5h60, md5h60_sql, md5i, md5i_sql, phash, phash_sql
 from ..registry import query
 from ..sources import load_table
 from .text import normalized_fingerprint
@@ -1164,4 +1164,48 @@ def er2_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("bigint").alias("n_chars"),
             (F.row_number().over(w) == 1).alias("is_golden"),
         )
+    )
+
+
+# ---------------------------------------------------------------- t13
+
+SOFT_MOD = 1_000_000
+
+
+@query(
+    "t13_dedup_weighted_sample",
+    oracle=f"""
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        ),
+        grp AS (SELECT fingerprint, count(*) AS n_dups FROM fp GROUP BY 1),
+        j AS (SELECT fp.doc_id, fp.fingerprint, grp.n_dups FROM fp JOIN grp USING (fingerprint))
+        SELECT doc_id, CAST(n_dups AS BIGINT) AS n_dups
+        FROM j
+        WHERE {phash_sql("doc_id", SOFT_MOD)} * n_dups < {SOFT_MOD}
+    """,
+    doc="t13 dedup-weighted (soft-dedup) sampling: instead of hard-"
+        "keeping one copy per duplicate group (dd1), keep each row "
+        "with probability 1/n_dups — every CONTENT then survives "
+        "with expected multiplicity one while the surviving copy is "
+        "chosen uniformly, which preserves within-group diversity of "
+        "metadata (source, position) that keep-min-id dedup "
+        "destroys; this is the standard soft dedup used when "
+        "duplicate count correlates with quality. The coin is a "
+        "deterministic portable hash (phash(doc_id) * n_dups < MOD "
+        "⟺ u < 1/n_dups), so the sample is reproducible and "
+        "oracle-exact. One fingerprint groupBy (dd1's pass) + one "
+        "map-side-combined count join; no extra shuffle beyond dd1.",
+    tags=("dedup", "pipeline"),
+)
+def t13_dedup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", normalized_fingerprint(F.col("text")).alias("fingerprint"))
+    grp = fp.groupBy("fingerprint").agg(F.count("*").alias("n_dups"))
+    j = fp.join(grp, "fingerprint")
+    return (
+        j.filter(phash("doc_id", SOFT_MOD) * F.col("n_dups") < SOFT_MOD)
+        .select("doc_id", F.col("n_dups").cast("bigint").alias("n_dups"))
     )

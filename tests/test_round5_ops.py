@@ -403,3 +403,25 @@ class TestMg1:
         assert len(rows) <= MG_SHARDS * MG_K
         # the op returns heavy hitters only; sanity: far fewer than vocab
         assert len(rows) < vocab
+
+
+class TestT13SoftDedup:
+    def test_unique_contents_always_kept(self, spark):
+        """n_dups==1 rows keep probability 1; kept count per group is
+        at most the group size."""
+        from reduction_dask_spark.operators.dedup import t13_dedup_weighted_sample
+        from reduction_dask_spark.operators.text import normalized_fingerprint
+
+        d = load_table(spark, SF_SMALL, "documents")
+        groups = {
+            r.fingerprint: r.n
+            for r in d.select(normalized_fingerprint(F.col("text")).alias("fingerprint"))
+            .groupBy("fingerprint")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        n_unique_contents = sum(1 for n in groups.values() if n == 1)
+        rows = t13_dedup_weighted_sample(spark, SF_SMALL).collect()
+        kept_unique = sum(1 for r in rows if r.n_dups == 1)
+        assert kept_unique == n_unique_contents
+        assert len(rows) <= sum(groups.values())
