@@ -2395,3 +2395,103 @@ def a13_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events_a13 GROUP BY event_type
         """
     )
+
+
+# ---------------------------------------------------------------- f16
+
+FH_DIM = 64
+
+
+@query(
+    "f16_feature_hashing",
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id, 'lang=' || lang AS feat FROM documents
+            UNION ALL
+            SELECT doc_id, 'source=' || source FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id, {md5i_sql("feat")} % {FH_DIM} AS slot FROM feats
+        )
+        SELECT doc_id, CAST(slot AS INTEGER) AS slot,
+               CAST(count(*) AS BIGINT) AS val
+        FROM hashed GROUP BY 1, 2
+    """,
+    doc="f16 feature hashing (the 'hashing trick', Weinberger et al. "
+        "2009): categorical features map to a FIXED D-dimensional "
+        "slot space via a portable hash, collisions and all — the "
+        "scale path that replaces f2's one-hot pivot when the "
+        "category vocabulary is unbounded (domains, user agents, "
+        "n-grams): no vocabulary pass, no global distinct, no "
+        "schema that grows with the data; the feature matrix is "
+        "(row, slot, val) triples ready for suffstats ridge (x1b) "
+        "or hashed logistic (log1). One union-scan + one map-side-"
+        "combined groupBy; output bounded at rows x features.",
+    tags=("feature", "agg", "pipeline"),
+)
+def f16_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id", F.concat(F.lit("lang="), F.col("lang")).alias("feat")
+    ).unionByName(
+        d.select("doc_id", F.concat(F.lit("source="), F.col("source")).alias("feat"))
+    )
+    return (
+        feats.select("doc_id", (md5i("feat") % FH_DIM).cast("int").alias("slot"))
+        .groupBy("doc_id", "slot")
+        .agg(F.count("*").cast("bigint").alias("val"))
+    )
+
+
+# ---------------------------------------------------------------- imp1
+
+@query(
+    "imp1_group_impute",
+    oracle="""
+        WITH masked AS (
+            SELECT event_id, event_type,
+                   CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+            FROM events
+        ),
+        med AS (
+            SELECT event_type, quantile_cont(v, 0.5) AS grp_med
+            FROM masked WHERE v IS NOT NULL GROUP BY 1
+        )
+        SELECT m.event_id, m.event_type,
+               (m.v IS NULL) AS was_imputed,
+               round(coalesce(m.v, med.grp_med), 6) AS v_imputed
+        FROM masked m JOIN med USING (event_type)
+    """,
+    doc="imp1 grouped median imputation — the standard numeric "
+        "missing-value repair before model fitting (mean is "
+        "outlier-fragile; or2's MAD logic applies to the median "
+        "here): nulls (simulated deterministically on 1/7 of rows — "
+        "the testdata carries none) are filled with their GROUP's "
+        "median, keeping per-segment distributions centered where a "
+        "global fill would drag every group toward the corpus "
+        "median. Plan: one per-group exact-median aggregate "
+        "(|groups| rows) joined back over the scan — no window, no "
+        "sort of the fact rows; at 100 TB swap exact percentile for "
+        "approx_percentile (f5's documented trade). was_imputed is "
+        "kept as a column — imputation without provenance poisons "
+        "downstream error analysis.",
+    tags=("feature", "agg", "pipeline"),
+)
+def imp1_group_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    masked = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value")).alias("v"),
+    )
+    med = (
+        masked.filter(F.col("v").isNotNull())
+        .groupBy("event_type")
+        .agg(F.percentile("v", F.lit(0.5)).alias("grp_med"))
+    )
+    return masked.join(med, "event_type").select(
+        "event_id",
+        "event_type",
+        F.col("v").isNull().alias("was_imputed"),
+        F.round(F.coalesce("v", "grp_med"), 6).alias("v_imputed"),
+    )
