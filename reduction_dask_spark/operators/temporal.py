@@ -1527,3 +1527,53 @@ def roll2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_v",
         )
     )
+
+
+# ---------------------------------------------------------------- cal1
+
+@query(
+    "cal1_date_dimension",
+    oracle="""
+        WITH span AS (
+            SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+                   max(CAST(o_orderdate AS DATE)) AS hi
+            FROM orders
+        ),
+        days AS (
+            SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+            FROM span
+        )
+        SELECT CAST(d - DATE '1970-01-01' AS INTEGER) AS day,
+               CAST(isodow(d) AS INTEGER) AS iso_dow,
+               CAST(month(d) AS INTEGER) AS month,
+               CAST(quarter(d) AS INTEGER) AS quarter,
+               (d = last_day(d)) AS is_month_end
+        FROM days
+    """,
+    doc="cal1 date-dimension spine: the calendar table every "
+        "time-rollup joins against (roll1/ts1 build ad-hoc spines; "
+        "cal1 is the materialized-dimension form) — one row per day "
+        "across the fact span with ISO weekday, month, quarter and "
+        "month-end flag. Generated from a 1-row min/max aggregate "
+        "broadcast into a sequence() explode: |days| rows total, "
+        "driver never materializes the span, and the dimension "
+        "broadcasts into any fact join at 100 TB (a few KB per "
+        "decade).",
+    tags=("temporal", "source"),
+)
+def cal1_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    span = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    days = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    return days.select(
+        F.datediff("d", F.lit("1970-01-01").cast("date")).cast("int").alias("day"),
+        F.expr("extract(DAYOFWEEK_ISO FROM d)").cast("int").alias("iso_dow"),
+        F.month("d").cast("int").alias("month"),
+        F.quarter("d").cast("int").alias("quarter"),
+        (F.col("d") == F.last_day("d")).alias("is_month_end"),
+    )
