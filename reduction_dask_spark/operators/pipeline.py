@@ -11,6 +11,7 @@ the whole funnel is oracle-checked end-to-end in DuckDB.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from ..registry import query
 from ..sources import load_table
@@ -514,3 +515,54 @@ def prof1_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s")
     )
     return stacked.select("s.*")
+
+
+# ---------------------------------------------------------------- cdc2
+
+@query(
+    "cdc2_changelog_apply",
+    oracle="""
+        WITH log AS (
+            SELECT o_orderkey AS key,
+                   epoch_us(o_orderdate) * 10 + (o_orderkey % 10) AS seq,
+                   CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                   o_totalprice AS val
+            FROM orders
+        ),
+        latest AS (
+            SELECT key, op, val,
+                   row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+            FROM log
+        )
+        SELECT key, round(val, 2) AS val
+        FROM latest WHERE rn = 1 AND op = 'U'
+    """,
+    doc="cdc2 changelog apply with DELETES — the retraction-aware "
+        "sibling of ivm1 (which merges additive deltas) and scd1 "
+        "(which upserts without tombstones): a (key, seq, op, val) "
+        "change log collapses to final state by latest-wins — "
+        "row_number over a per-key sequence-descending window, keep "
+        "rn=1, drop keys whose last op is a tombstone. The seq is "
+        "made total per key (timestamp*10 + key mod 10) because "
+        "latest-wins under a tied sequence is UNDEFINED — real CDC "
+        "streams must carry a total order (LSN) or the apply is "
+        "non-deterministic. Per-key window (fully parallel); at "
+        "100 TB apply incrementally per micro-batch against a "
+        "bucketed state table (st10's pattern) instead of "
+        "re-collapsing history.",
+    tags=("pipeline", "window"),
+)
+def cdc2_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    log = o.select(
+        F.col("o_orderkey").alias("key"),
+        (F.unix_micros(F.col("o_orderdate")) * 10 + F.col("o_orderkey") % 10).alias("seq"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+        F.col("o_totalprice").alias("val"),
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("seq"))
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select("key", F.round("val", 2).alias("val"))
+    )
