@@ -224,3 +224,72 @@ def auc1_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nneg").cast("bigint").alias("nneg"),
         F.round(auc, 6).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------- ips1
+
+@query(
+    "ips1_offpolicy_eval",
+    oracle="""
+        WITH log AS (
+            SELECT user_id, event_type AS a, value AS reward FROM events
+        ),
+        marg AS (
+            SELECT a, count(*) / CAST((SELECT count(*) FROM log) AS DOUBLE) AS p
+            FROM log GROUP BY a
+        ),
+        pref AS (
+            SELECT user_id, a AS a_star,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY count(*) DESC, a) AS rn
+            FROM log GROUP BY user_id, a QUALIFY rn = 1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN l.a = pref.a_star THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_matched,
+               round(avg(l.reward), 6) AS naive_mean,
+               round(sum(CASE WHEN l.a = pref.a_star THEN l.reward / m.p ELSE 0 END)
+                     / count(*), 6) AS ips_estimate
+        FROM log l
+        JOIN marg m ON l.a = m.a
+        JOIN pref ON l.user_id = pref.user_id
+    """,
+    doc="ips1 off-policy (counterfactual) evaluation via inverse "
+        "propensity scoring — the Horvitz-Thompson / replay estimator "
+        "(Li et al. WSDM'11): estimate what a TARGET policy (here: "
+        "recommend each user's modal action, deterministic tie-break) "
+        "would have earned from logs collected under the LOGGING "
+        "policy (propensity = global action marginal), without ever "
+        "deploying it: sum reward x match-indicator / propensity over "
+        "the log. The estimator every recommender/ads team runs "
+        "before an A/B test; naive_mean is the (biased) baseline it "
+        "corrects. Plan: one map-side-combined marginal (broadcast), "
+        "one per-user modal-action aggregate joined back, one final "
+        "1-row reduce — no window over fact rows except the per-user "
+        "modal argmax (user-partitioned).",
+    tags=("metric", "agg", "pipeline"),
+)
+def ips1_offpolicy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select("user_id", F.col("event_type").alias("a"), F.col("value").alias("reward"))
+    n_total = log.count()
+    marg = log.groupBy("a").agg((F.count("*") / F.lit(float(n_total))).alias("p"))
+    cnt = log.groupBy("user_id", "a").agg(F.count("*").alias("c"))
+    wpref = Window.partitionBy("user_id").orderBy(F.desc("c"), F.asc("a"))
+    pref = (
+        cnt.withColumn("rn", F.row_number().over(wpref))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("a").alias("a_star"))
+    )
+    joined = log.join(F.broadcast(marg), "a").join(pref, "user_id")
+    match = F.when(F.col("a") == F.col("a_star"), 1).otherwise(0)
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(match).cast("bigint").alias("n_matched"),
+        F.round(F.avg("reward"), 6).alias("naive_mean"),
+        F.round(
+            F.sum(F.when(F.col("a") == F.col("a_star"), F.col("reward") / F.col("p")).otherwise(0.0))
+            / F.count("*"),
+            6,
+        ).alias("ips_estimate"),
+    )
