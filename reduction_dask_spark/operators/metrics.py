@@ -293,3 +293,108 @@ def ips1_offpolicy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ips_estimate"),
     )
+
+
+# ---------------------------------------------------------------- ab1
+
+@query(
+    "ab1_cuped_abtest",
+    oracle="""
+        WITH span AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events),
+        marked AS (
+            SELECT e.user_id, e.value,
+                   (epoch_us(e.ts) - epoch_us(s.lo)) * 2
+                       >= (epoch_us(s.hi) - epoch_us(s.lo)) AS is_post
+            FROM events e CROSS JOIN span s
+        ),
+        per_user AS (
+            SELECT user_id, user_id % 2 AS arm,
+                   avg(CASE WHEN is_post THEN value END) AS y,
+                   avg(CASE WHEN NOT is_post THEN value END) AS x
+            FROM marked GROUP BY user_id
+            HAVING y IS NOT NULL AND x IS NOT NULL
+        ),
+        theta AS (
+            SELECT covar_samp(x, y) / var_samp(x) AS th FROM per_user
+        ),
+        adj AS (
+            SELECT arm, y, y - th * x AS y_adj FROM per_user CROSS JOIN theta
+        ),
+        stats AS (
+            SELECT arm, count(*) AS n,
+                   avg(y) AS m_raw, var_samp(y) AS v_raw,
+                   avg(y_adj) AS m_adj, var_samp(y_adj) AS v_adj
+            FROM adj GROUP BY arm
+        )
+        SELECT CAST(a.n AS BIGINT) AS n_treat, CAST(b.n AS BIGINT) AS n_ctrl,
+               round(a.m_raw - b.m_raw, 6) AS lift_raw,
+               round((a.m_raw - b.m_raw)
+                     / sqrt(a.v_raw / a.n + b.v_raw / b.n), 6) AS t_raw,
+               round(a.m_adj - b.m_adj, 6) AS lift_cuped,
+               round((a.m_adj - b.m_adj)
+                     / sqrt(a.v_adj / a.n + b.v_adj / b.n), 6) AS t_cuped
+        FROM stats a JOIN stats b ON a.arm = 1 AND b.arm = 0
+    """,
+    doc="ab1 A/B-test readout with CUPED variance reduction (Deng et "
+        "al. WSDM'13): per-user post-period metric vs a pre-period "
+        "covariate (first half of the event span), arms by user "
+        "hash. Reports the raw Welch t alongside the CUPED-adjusted "
+        "one (y - theta x, theta = cov(x,y)/var(x)) — the standard "
+        "sensitivity win every experimentation platform ships, "
+        "reducing metric variance by the covariate's R^2. Everything "
+        "is closed-form aggregates: one per-user conditional "
+        "aggregate, a 1-row theta broadcast, a 2-row arm rollup — "
+        "so unlike the model-fit family this is fully ORACLE-exact. "
+        "At 100 TB the per-user aggregate is the only wide shuffle.",
+    tags=("metric", "agg", "pipeline"),
+)
+def ab1_cuped_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    marked = ev.crossJoin(F.broadcast(span)).select(
+        "user_id",
+        "value",
+        (
+            (F.unix_micros("ts") - F.unix_micros("lo")) * 2
+            >= (F.unix_micros("hi") - F.unix_micros("lo"))
+        ).alias("is_post"),
+    )
+    per_user = (
+        marked.groupBy("user_id")
+        .agg(
+            F.avg(F.when(F.col("is_post"), F.col("value"))).alias("y"),
+            F.avg(F.when(~F.col("is_post"), F.col("value"))).alias("x"),
+        )
+        .filter(F.col("y").isNotNull() & F.col("x").isNotNull())
+        .select((F.col("user_id") % 2).alias("arm"), "x", "y")
+    )
+    theta = per_user.agg(
+        (F.covar_samp("x", "y") / F.var_samp("x")).alias("th")
+    )
+    adj = per_user.crossJoin(F.broadcast(theta)).select(
+        "arm", "y", (F.col("y") - F.col("th") * F.col("x")).alias("y_adj")
+    )
+    stats = adj.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.avg("y").alias("m_raw"),
+        F.var_samp("y").alias("v_raw"),
+        F.avg("y_adj").alias("m_adj"),
+        F.var_samp("y_adj").alias("v_adj"),
+    )
+    a, b = stats.alias("a"), stats.alias("b")
+    return a.join(b, (F.col("a.arm") == 1) & (F.col("b.arm") == 0)).select(
+        F.col("a.n").cast("bigint").alias("n_treat"),
+        F.col("b.n").cast("bigint").alias("n_ctrl"),
+        F.round(F.col("a.m_raw") - F.col("b.m_raw"), 6).alias("lift_raw"),
+        F.round(
+            (F.col("a.m_raw") - F.col("b.m_raw"))
+            / F.sqrt(F.col("a.v_raw") / F.col("a.n") + F.col("b.v_raw") / F.col("b.n")),
+            6,
+        ).alias("t_raw"),
+        F.round(F.col("a.m_adj") - F.col("b.m_adj"), 6).alias("lift_cuped"),
+        F.round(
+            (F.col("a.m_adj") - F.col("b.m_adj"))
+            / F.sqrt(F.col("a.v_adj") / F.col("a.n") + F.col("b.v_adj") / F.col("b.n")),
+            6,
+        ).alias("t_cuped"),
+    )
