@@ -374,27 +374,37 @@ def ab1_cuped_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = per_user.crossJoin(F.broadcast(theta)).select(
         "arm", "y", (F.col("y") - F.col("th") * F.col("x")).alias("y_adj")
     )
-    stats = adj.groupBy("arm").agg(
-        F.count("*").alias("n"),
-        F.avg("y").alias("m_raw"),
-        F.var_samp("y").alias("v_raw"),
-        F.avg("y_adj").alias("m_adj"),
-        F.var_samp("y_adj").alias("v_adj"),
+    # fold the 2-row arm stats into ONE conditional reduce — a 2-row
+    # theta-join on arm compiles to a CartesianProduct node, and the
+    # audit (rightly) has no reason to allowlist a join we don't need
+    def arm_stat(agg, col, arm):
+        return agg(F.when(F.col("arm") == arm, F.col(col)))
+
+    stats = adj.agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_c"),
+        arm_stat(F.avg, "y", 1).alias("mt_raw"),
+        arm_stat(F.avg, "y", 0).alias("mc_raw"),
+        arm_stat(F.var_samp, "y", 1).alias("vt_raw"),
+        arm_stat(F.var_samp, "y", 0).alias("vc_raw"),
+        arm_stat(F.avg, "y_adj", 1).alias("mt_adj"),
+        arm_stat(F.avg, "y_adj", 0).alias("mc_adj"),
+        arm_stat(F.var_samp, "y_adj", 1).alias("vt_adj"),
+        arm_stat(F.var_samp, "y_adj", 0).alias("vc_adj"),
     )
-    a, b = stats.alias("a"), stats.alias("b")
-    return a.join(b, (F.col("a.arm") == 1) & (F.col("b.arm") == 0)).select(
-        F.col("a.n").cast("bigint").alias("n_treat"),
-        F.col("b.n").cast("bigint").alias("n_ctrl"),
-        F.round(F.col("a.m_raw") - F.col("b.m_raw"), 6).alias("lift_raw"),
+    return stats.select(
+        F.col("n_t").cast("bigint").alias("n_treat"),
+        F.col("n_c").cast("bigint").alias("n_ctrl"),
+        F.round(F.col("mt_raw") - F.col("mc_raw"), 6).alias("lift_raw"),
         F.round(
-            (F.col("a.m_raw") - F.col("b.m_raw"))
-            / F.sqrt(F.col("a.v_raw") / F.col("a.n") + F.col("b.v_raw") / F.col("b.n")),
+            (F.col("mt_raw") - F.col("mc_raw"))
+            / F.sqrt(F.col("vt_raw") / F.col("n_t") + F.col("vc_raw") / F.col("n_c")),
             6,
         ).alias("t_raw"),
-        F.round(F.col("a.m_adj") - F.col("b.m_adj"), 6).alias("lift_cuped"),
+        F.round(F.col("mt_adj") - F.col("mc_adj"), 6).alias("lift_cuped"),
         F.round(
-            (F.col("a.m_adj") - F.col("b.m_adj"))
-            / F.sqrt(F.col("a.v_adj") / F.col("a.n") + F.col("b.v_adj") / F.col("b.n")),
+            (F.col("mt_adj") - F.col("mc_adj"))
+            / F.sqrt(F.col("vt_adj") / F.col("n_t") + F.col("vc_adj") / F.col("n_c")),
             6,
         ).alias("t_cuped"),
     )

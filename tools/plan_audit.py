@@ -103,7 +103,7 @@ CROSS_OK = {
     "sky1_pareto_front": "triangular partition-offset metadata join (w2's prefix-min pattern)",
     "dp1_noisy_counts": "|eps|-row mechanism-parameter broadcast over the per-type count relation",
     "auc1_roc_auc": "triangular partition-offset prefix sum + two 1-row aggregate broadcasts",
-    "ab1_cuped_abtest": "1-row span + 1-row theta broadcasts; 2-row arm-stats theta-join",
+    "ab1_cuped_abtest": "two 1-row broadcasts (event span, CUPED theta)",
 }
 
 ROW_UDF_OK = {
