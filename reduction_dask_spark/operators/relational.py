@@ -2341,22 +2341,32 @@ def ret1_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "equi-join silently DROPS those rows, the classic "
         "unknown-bucket bug in dimension joins (f13 covers scalar "
         "null semantics; j11 is the join-shaped case). Spark plans "
-        "<=> as an ordinary hash join on the null-safe key, so this "
-        "costs the same shuffle as = (NULL hashes to one bucket — "
-        "salt the unknown bucket if it's a heavy hitter at scale).",
+        "<=> as an ordinary hash join on the null-safe key. Shape "
+        "matters: pair COUNTS per key never need the pair relation — "
+        "each side pre-aggregates to |keys| rows and the null-safe "
+        "join runs on those (the x100 probe measured 266x for the "
+        "row-level many-to-many form: low-cardinality fact-fact "
+        "joins materialize |A_k| x |B_k| rows per key, quadratic "
+        "under growth — pre-aggregate, or carry <=> into a "
+        "pre-filtered/bucketed pairing).",
     tags=("join",),
 )
 def j11_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(0)).alias("nk")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.nullif(F.col("c_nationkey"), F.lit(0)).alias("nk"))
+        .groupBy("nk")
+        .agg(F.count("*").alias("n_c"))
     )
-    s = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", F.nullif(F.col("s_nationkey"), F.lit(0)).alias("nk_s")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.nullif(F.col("s_nationkey"), F.lit(0)).alias("nk_s"))
+        .groupBy("nk_s")
+        .agg(F.count("*").alias("n_s"))
     )
-    return (
-        c.join(s, c.nk.eqNullSafe(s.nk_s))
-        .groupBy(F.col("nk").alias("nationkey"))
-        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    return c.join(s, c.nk.eqNullSafe(s.nk_s)).select(
+        F.col("nk").alias("nationkey"),
+        (F.col("n_c") * F.col("n_s")).cast("bigint").alias("n_pairs"),
     )
 
 
