@@ -2505,3 +2505,35 @@ def imp1_group_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNull().alias("was_imputed"),
         F.round(F.coalesce("v", "grp_med"), 6).alias("v_imputed"),
     )
+
+
+# ---------------------------------------------------------------- pr1
+
+@query(
+    "pr1_global_pct_rank",
+    oracle="""
+        SELECT event_id,
+               round(CAST(row_number() OVER (ORDER BY value, event_id) - 1 AS DOUBLE)
+                     / (count(*) OVER () - 1), 6) AS pct
+        FROM events
+    """,
+    doc="pr1 GLOBAL percent-rank of every row (score normalization "
+        "over the whole fact table — m1/w1 rank within eras, pr1 "
+        "ranks across the corpus): pct = (rank-1)/(n-1) with rank "
+        "from the two-pass distributed global_rank (range "
+        "repartition + per-partition row_number + triangular offset "
+        "join) and n from a broadcast 1-row count — the naive "
+        "`percent_rank() OVER ()` moves the entire table through ONE "
+        "partition and is the single most common scale-killer in "
+        "scoring pipelines. Unique (value, event_id) tie-break keeps "
+        "both engines deterministic.",
+    tags=("window", "order", "perf"),
+)
+def pr1_global_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    ranked = global_rank(ev, "value", "event_id", out="rnk")
+    n = ev.agg(F.count("*").alias("n"))
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "event_id",
+        F.round((F.col("rnk") - 1).cast("double") / (F.col("n") - 1), 6).alias("pct"),
+    )

@@ -135,7 +135,11 @@ def main() -> None:
         end = len(text) if nxt == -1 else nxt + 1
         section = text[start:end]
         sec_lines = section.rstrip("\n").split("\n")
-        new_rows = {ln.split("|")[1].strip(): ln for ln in lines if ln.startswith("| ")}
+        new_rows = {
+            ln.split("|")[1].strip(): ln
+            for ln in lines
+            if ln.startswith("| ") and not ln.startswith("| query |")
+        }
         out_lines, seen = [], set()
         for ln in sec_lines:
             if ln.startswith("| ") and not ln.startswith("| query |"):
