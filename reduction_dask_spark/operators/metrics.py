@@ -408,3 +408,120 @@ def ab1_cuped_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("t_cuped"),
     )
+
+
+# ---------------------------------------------------------------- srv1
+
+@query(
+    "srv1_kaplan_meier",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   min(CAST(ts AS DATE)) AS t0,
+                   min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END) AS tp,
+                   max(CAST(ts AS DATE)) AS tl
+            FROM events GROUP BY user_id
+        ),
+        obs AS (
+            SELECT CASE WHEN tp IS NOT NULL THEN tp - t0 ELSE tl - t0 END AS dur,
+                   CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM per_user
+        ),
+        lvl AS (
+            SELECT dur, sum(ev) AS d, count(*) - sum(ev) AS c
+            FROM obs GROUP BY dur
+        ),
+        risk AS (
+            SELECT dur, d, c,
+                   (SELECT count(*) FROM obs) -
+                   coalesce(sum(d + c) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED
+                                             PRECEDING AND 1 PRECEDING), 0) AS n_risk
+            FROM lvl
+        )
+        SELECT CAST(dur AS INTEGER) AS dur,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(d AS BIGINT) AS d_events,
+               round(CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                              OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED
+                                    PRECEDING AND CURRENT ROW) = 1
+                          THEN 0.0
+                          ELSE exp(sum(CASE WHEN d < n_risk
+                                            THEN ln(1 - CAST(d AS DOUBLE) / n_risk)
+                                            ELSE 0.0 END)
+                                   OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED
+                                         PRECEDING AND CURRENT ROW))
+                     END, 6) AS survival
+        FROM risk
+    """,
+    doc="srv1 Kaplan-Meier survival curve for time-to-conversion with "
+        "right censoring: per user, duration = days from first event "
+        "to first purchase, censored at last activity if none — the "
+        "estimator behind churn/retention/time-to-value curves, and "
+        "the CORRECT way to use users who haven't converted YET "
+        "(dropping them biases the curve optimistic; an1's retention "
+        "matrix has no censoring notion). S(t) = prod(1 - d_i/n_i) "
+        "over event times, computed distributed as exp(prefix-sum of "
+        "ln terms): one per-user aggregate (the only wide shuffle), "
+        "then ALL curve math lives on the duration-level relation — "
+        "bounded by the calendar span, so its prefix windows are "
+        "bounded metadata work (ru1's calendar-bounded pattern), "
+        "never a window over users.",
+    tags=("metric", "temporal", "agg"),
+)
+def srv1_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(day).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", day)).alias("tp"),
+        F.max(day).alias("tl"),
+    )
+    obs = per_user.select(
+        F.when(
+            F.col("tp").isNotNull(), F.datediff("tp", "t0")
+        ).otherwise(F.datediff("tl", "t0")).alias("dur"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    lvl = obs.groupBy("dur").agg(
+        F.sum("ev").alias("d"), (F.count("*") - F.sum("ev")).alias("c")
+    )
+    total = obs.agg(F.count("*").alias("n_total"))
+    # duration-level relation is bounded by the calendar span: the
+    # triangular prefix join is metadata-sized (ru1's pattern), not a
+    # fact-table window
+    prev = lvl.select(F.col("dur").alias("dur2"), (F.col("d") + F.col("c")).alias("out2"))
+    risk = (
+        lvl.join(F.broadcast(prev), F.col("dur2") < F.col("dur"), "left")
+        .groupBy("dur", "d", "c")
+        .agg(F.coalesce(F.sum("out2"), F.lit(0)).alias("gone"))
+        .crossJoin(F.broadcast(total))
+        .select("dur", "d", "c", (F.col("n_total") - F.col("gone")).alias("n_risk"))
+    )
+    lnterm = risk.select(
+        "dur", "d", "n_risk",
+        # d == n_risk means survival hits exactly 0 at this time point;
+        # ln(0) is guarded by the zero flag instead
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")),
+        ).otherwise(F.lit(0.0)).alias("lt"),
+        F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0).alias("z"),
+    )
+    prev_lt = lnterm.select(
+        F.col("dur").alias("dur3"), F.col("lt").alias("lt3"), F.col("z").alias("z3")
+    )
+    return (
+        lnterm.join(F.broadcast(prev_lt), F.col("dur3") <= F.col("dur"), "left")
+        .groupBy("dur", "d", "n_risk")
+        .agg(
+            F.when(F.max("z3") == 1, F.lit(0.0))
+            .otherwise(F.exp(F.sum("lt3")))
+            .alias("s")
+        )
+        .select(
+            F.col("dur").cast("int").alias("dur"),
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("d").cast("bigint").alias("d_events"),
+            F.round("s", 6).alias("survival"),
+        )
+    )

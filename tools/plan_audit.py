@@ -105,6 +105,7 @@ CROSS_OK = {
     "auc1_roc_auc": "triangular partition-offset prefix sum + two 1-row aggregate broadcasts",
     "ab1_cuped_abtest": "two 1-row broadcasts (event span, CUPED theta)",
     "pr1_global_pct_rank": "triangular partition-offset join + 1-row count broadcast (w2's pattern)",
+    "srv1_kaplan_meier": "triangular prefix joins on the calendar-bounded duration relation (ru1's pattern)",
 }
 
 ROW_UDF_OK = {
