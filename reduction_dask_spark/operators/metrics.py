@@ -525,3 +525,61 @@ def srv1_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("s", 6).alias("survival"),
         )
     )
+
+
+# ---------------------------------------------------------------- ols1
+
+@query(
+    "ols1_regression_report",
+    oracle="""
+        WITH s AS (
+            SELECT count(*) AS n,
+                   avg(l_quantity) AS mx, avg(l_extendedprice) AS my,
+                   covar_samp(l_quantity, l_extendedprice) AS sxy,
+                   var_samp(l_quantity) AS sxx,
+                   var_samp(l_extendedprice) AS syy
+            FROM lineitem
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               round(sxy / sxx, 6) AS slope,
+               round(my - (sxy / sxx) * mx, 6) AS intercept,
+               round((sxy * sxy) / (sxx * syy), 6) AS r2,
+               round(sqrt((syy - sxy * sxy / sxx) * (n - 1) / n), 6) AS rmse
+        FROM s
+    """,
+    doc="ols1 simple-regression diagnostics report (price ~ quantity "
+        "on lineitem): slope, intercept, R^2 and population RMSE from "
+        "the CLOSED-FORM normal equations — one pass of five "
+        "covariance-family aggregates (all map-side combined, "
+        "Welford-merged by the engine), a 1-row output at any scale. "
+        "The oracle-exact little sibling of the suffstats ridge "
+        "(x1b): same statistics, one feature, no matrix inversion — "
+        "and the template for any 'fit a line to 100 TB in one "
+        "aggregate pass' diagnostic.",
+    tags=("metric", "agg"),
+)
+def ols1_regression_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.agg(
+        F.count("*").alias("n"),
+        F.avg("l_quantity").alias("mx"),
+        F.avg("l_extendedprice").alias("my"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("sxy"),
+        F.var_samp("l_quantity").alias("sxx"),
+        F.var_samp("l_extendedprice").alias("syy"),
+    )
+    slope = F.col("sxy") / F.col("sxx")
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("my") - slope * F.col("mx"), 6).alias("intercept"),
+        F.round((F.col("sxy") * F.col("sxy")) / (F.col("sxx") * F.col("syy")), 6).alias("r2"),
+        F.round(
+            F.sqrt(
+                (F.col("syy") - F.col("sxy") * F.col("sxy") / F.col("sxx"))
+                * (F.col("n") - 1)
+                / F.col("n")
+            ),
+            6,
+        ).alias("rmse"),
+    )

@@ -1577,3 +1577,92 @@ def cal1_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("d").cast("int").alias("quarter"),
         (F.col("d") == F.last_day("d")).alias("is_month_end"),
     )
+
+
+# ---------------------------------------------------------------- ts4
+
+@query(
+    "ts4_seasonal_decompose",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hb,
+                   CAST(round(avg(value) * 1000000, 0) AS BIGINT) AS vi
+            FROM events GROUP BY 1, 2
+        ),
+        tr AS (
+            SELECT event_type, hb, vi,
+                   sum(vi) OVER w / CAST(count(*) OVER w AS DOUBLE) / 1000000 AS trend
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY hb
+                         ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+        ),
+        de AS (
+            SELECT event_type, hb, vi, trend,
+                   CAST(round((vi / 1000000.0 - trend) * 1000000000, 0) AS BIGINT) AS di
+            FROM tr
+        ),
+        se AS (
+            SELECT event_type, hb, vi, trend, di,
+                   sum(di) OVER (PARTITION BY event_type, hb % 24)
+                       / CAST(count(*) OVER (PARTITION BY event_type, hb % 24) AS DOUBLE)
+                       / 1000000000 AS seasonal
+            FROM de
+        )
+        SELECT event_type, hb,
+               round(vi / 1000000.0, 6) AS v,
+               round(trend, 6) AS trend,
+               round(seasonal, 6) AS seasonal,
+               round(di / 1000000000.0 - seasonal, 6) AS residual
+        FROM se
+    """,
+    doc="ts4 classical seasonal decomposition (trend + daily "
+        "seasonality + residual) of each type's hourly mean series: "
+        "trend = centered 24-hour moving average, seasonal = mean "
+        "detrended value per hour-of-day, residual = what anomaly "
+        "detection should actually look at (dq3 thresholds raw "
+        "volume; ts3 profiles the seasonal shape; ts4 separates all "
+        "three components). Every window is PARTITIONED (by type, or "
+        "type x hour-of-day) over the calendar-bounded hourly "
+        "relation — the fact scan contributes one map-side-combined "
+        "hourly aggregate and is never windowed itself.",
+    tags=("temporal", "window", "agg"),
+)
+def ts4_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # FIXED-POINT window sums: a 24-row float moving average accumulates
+    # in engine-specific order and flakes the 6th decimal at rounding
+    # boundaries; integer micro-units sum exactly in any order
+    hourly = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_micros("ts") / 3_600_000_000).cast("bigint").alias("hb"),
+            "value",
+        )
+        .groupBy("event_type", "hb")
+        .agg(F.round(F.avg("value") * 1_000_000, 0).cast("bigint").alias("vi"))
+    )
+    wtr = Window.partitionBy("event_type").orderBy("hb").rowsBetween(-12, 11)
+    tr = hourly.withColumn(
+        "trend",
+        F.sum("vi").over(wtr) / F.count("*").over(wtr).cast("double") / 1_000_000,
+    )
+    de = tr.withColumn(
+        "di",
+        F.round((F.col("vi") / 1_000_000.0 - F.col("trend")) * 1_000_000_000, 0).cast(
+            "bigint"
+        ),
+    )
+    wse = Window.partitionBy("event_type", F.col("hb") % 24)
+    se = de.withColumn(
+        "seasonal",
+        F.sum("di").over(wse) / F.count("*").over(wse).cast("double") / 1_000_000_000,
+    )
+    return se.select(
+        "event_type",
+        "hb",
+        F.round(F.col("vi") / 1_000_000.0, 6).alias("v"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(F.col("di") / 1_000_000_000.0 - F.col("seasonal"), 6).alias("residual"),
+    )
