@@ -583,3 +583,161 @@ def ols1_regression_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rmse"),
     )
+
+
+# ---------------------------------------------------------------- chi1
+
+@query(
+    "chi1_independence",
+    oracle="""
+        WITH o AS (
+            SELECT lang, source, count(*) AS obs FROM documents GROUP BY 1, 2
+        ),
+        r AS (SELECT lang, sum(obs) AS rn FROM o GROUP BY 1),
+        c AS (SELECT source, sum(obs) AS cn FROM o GROUP BY 1),
+        t AS (SELECT sum(obs) AS n FROM o),
+        cells AS (
+            SELECT o.obs, r.rn * c.cn / CAST(t.n AS DOUBLE) AS e,
+                   r.rn, c.cn, t.n
+            FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n,
+               CAST((SELECT count(*) - 1 FROM r) * (SELECT count(*) - 1 FROM c)
+                    AS BIGINT) AS dof,
+               round(sum((obs - e) * (obs - e) / e), 4) AS chi2,
+               round(sqrt(sum((obs - e) * (obs - e) / e) / max(n)
+                          / least((SELECT count(*) - 1 FROM r),
+                                  (SELECT count(*) - 1 FROM c))), 4) AS cramers_v
+        FROM cells
+    """,
+    doc="chi1 chi-square test of independence (lang x source on the "
+        "corpus) + Cramer's V effect size — the categorical-"
+        "association audit a curation team runs before stratifying "
+        "or mixing by either column (high V means lang and source "
+        "are confounded and per-source quotas silently skew the "
+        "language mix). Contingency, marginals and the statistic are "
+        "all map-side-combined integer-count aggregates; the cell "
+        "relation is |lang| x |source| rows at any corpus size.",
+    tags=("metric", "agg", "text"),
+)
+def chi1_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(F.count("*").alias("obs"))
+    r = o.groupBy("lang").agg(F.sum("obs").alias("rn"))
+    c = o.groupBy("source").agg(F.sum("obs").alias("cn"))
+    t = o.agg(F.sum("obs").alias("n"))
+    nr = r.count()
+    nc = c.count()
+    cells = (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "obs",
+            (F.col("rn") * F.col("cn") / F.col("n").cast("double")).alias("e"),
+            "n",
+        )
+    )
+    chi2 = F.sum((F.col("obs") - F.col("e")) * (F.col("obs") - F.col("e")) / F.col("e"))
+    return cells.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.lit((nr - 1) * (nc - 1)).cast("bigint").alias("dof"),
+        F.round(chi2, 4).alias("chi2"),
+        F.round(
+            F.sqrt(chi2 / F.max("n") / F.lit(min(nr - 1, nc - 1))), 4
+        ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------- ks1
+
+@query(
+    "ks1_two_sample",
+    oracle="""
+        WITH s AS (
+            SELECT value,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
+            FROM events WHERE event_type IN ('purchase', 'click')
+        ),
+        v AS (SELECT value, sum(g1) AS c1, sum(g2) AS c2 FROM s GROUP BY 1),
+        t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM v),
+        p AS (
+            SELECT sum(c1) OVER (ORDER BY value) AS f1,
+                   sum(c2) OVER (ORDER BY value) AS f2
+            FROM v
+        )
+        SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
+               round(max(abs(f1 / CAST(t.n1 AS DOUBLE)
+                             - f2 / CAST(t.n2 AS DOUBLE))), 6) AS ks_stat
+        FROM p, t
+        GROUP BY t.n1, t.n2
+    """,
+    doc="ks1 two-sample Kolmogorov-Smirnov statistic (purchase vs "
+        "click value distributions) — the standard nonparametric "
+        "DRIFT test a pipeline runs between data batches or "
+        "before/after a filter change: sup |F1 - F2| over the merged "
+        "support. Distributed shape = auc1's: one value-level count "
+        "aggregate, then BOTH empirical CDFs as prefix sums over the "
+        "distinct-value relation via the two-pass range-partition "
+        "pattern (local window + triangular partition-offset join), "
+        "one final max-reduce — never a global sort of raw rows, "
+        "never a single-partition window. Integer prefix counts, so "
+        "only the final ratio is float: oracle-exact.",
+    tags=("metric", "agg", "pipeline"),
+)
+def ks1_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g1"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g2"),
+    )
+    v = s.groupBy("value").agg(F.sum("g1").alias("c1"), F.sum("g2").alias("c2"))
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = v.repartitionByRange(n_part, "value").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("_l1", F.sum("c1").over(wloc)).withColumn(
+        "_l2", F.sum("c2").over(wloc)
+    )
+    psums = ranged.groupBy("_pid").agg(
+        F.sum("c1").alias("_s1"), F.sum("c2").alias("_s2")
+    )
+    prev = psums.select(
+        F.col("_pid").alias("_p2"), F.col("_s1").alias("_o1"), F.col("_s2").alias("_o2")
+    )
+    offs = (
+        psums.join(F.broadcast(prev), F.col("_p2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(
+            F.coalesce(F.sum("_o1"), F.lit(0)).alias("_off1"),
+            F.coalesce(F.sum("_o2"), F.lit(0)).alias("_off2"),
+        )
+    )
+    t = s.agg(F.sum("g1").alias("n1"), F.sum("g2").alias("n2"))
+    p = local.join(F.broadcast(offs), "_pid").select(
+        (F.col("_l1") + F.col("_off1")).alias("f1"),
+        (F.col("_l2") + F.col("_off2")).alias("f2"),
+    )
+    return (
+        p.crossJoin(F.broadcast(t))
+        .agg(
+            F.max("n1").cast("bigint").alias("n1"),
+            F.max("n2").cast("bigint").alias("n2"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("f1") / F.col("n1").cast("double")
+                        - F.col("f2") / F.col("n2").cast("double")
+                    )
+                ),
+                6,
+            ).alias("ks_stat"),
+        )
+    )

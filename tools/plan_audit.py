@@ -106,6 +106,8 @@ CROSS_OK = {
     "ab1_cuped_abtest": "two 1-row broadcasts (event span, CUPED theta)",
     "pr1_global_pct_rank": "triangular partition-offset join + 1-row count broadcast (w2's pattern)",
     "srv1_kaplan_meier": "triangular prefix joins on the calendar-bounded duration relation (ru1's pattern)",
+    "chi1_independence": "1-row total broadcast over the |lang|x|source| cell relation",
+    "ks1_two_sample": "triangular partition-offset prefix sums + 1-row sizes broadcast (auc1's pattern)",
 }
 
 ROW_UDF_OK = {
