@@ -741,3 +741,106 @@ def ks1_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_stat"),
         )
     )
+
+
+# ---------------------------------------------------------------- psi1
+
+PSI_BINS = 10
+PSI_EPS = "0.0001"  # Laplace-style floor for empty bins, both engines
+
+
+@query(
+    "psi1_population_stability",
+    oracle=f"""
+        WITH span AS (
+            SELECT min(ts) AS lo, max(ts) AS hi,
+                   min(value) AS vlo, max(value) AS vhi
+            FROM events
+        ),
+        b AS (
+            SELECT e.event_type,
+                   (epoch_us(e.ts) - epoch_us(s.lo)) * 2
+                       >= (epoch_us(s.hi) - epoch_us(s.lo)) AS is_new,
+                   least({PSI_BINS} - 1,
+                         greatest(0, CAST(floor((e.value - s.vlo)
+                                    / ((s.vhi - s.vlo) / {PSI_BINS})) AS INTEGER)))
+                       AS bin
+            FROM events e CROSS JOIN span s
+        ),
+        ct AS (
+            SELECT event_type, bin,
+                   sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS c_ref,
+                   sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS c_new
+            FROM b GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT event_type, sum(c_ref) AS n_ref, sum(c_new) AS n_new
+            FROM ct GROUP BY 1
+        ),
+        frac AS (
+            SELECT ct.event_type,
+                   greatest(c_ref / CAST(n_ref AS DOUBLE), {PSI_EPS}) AS p,
+                   greatest(c_new / CAST(n_new AS DOUBLE), {PSI_EPS}) AS q
+            FROM ct JOIN tot USING (event_type)
+        )
+        SELECT event_type,
+               round(sum((p - q) * ln(p / q)), 6) AS psi
+        FROM frac GROUP BY event_type
+    """,
+    doc="psi1 Population Stability Index per event type — THE "
+        "production drift metric (credit-scoring lineage; the number "
+        "on every model-monitoring dashboard, rule of thumb: <0.1 "
+        "stable, >0.25 retrain): value distribution of the first "
+        "half of the span (reference) vs the second (current) over "
+        f"{PSI_BINS} fixed-width bins, PSI = sum (p-q) ln(p/q) with "
+        "an epsilon floor for empty bins (identical in both engines, "
+        "so the oracle is exact — ks1 is the nonparametric sibling; "
+        "PSI is what ops teams actually alert on). Integer bin "
+        "counts from one scan with two 1-row broadcasts (time span, "
+        "value extent); all float math happens on the bounded "
+        "|types| x |bins| relation.",
+    tags=("metric", "agg", "pipeline"),
+)
+def psi1_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min("ts").alias("lo"),
+        F.max("ts").alias("hi"),
+        F.min("value").alias("vlo"),
+        F.max("value").alias("vhi"),
+    )
+    b = ev.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        (
+            (F.unix_micros("ts") - F.unix_micros("lo")) * 2
+            >= (F.unix_micros("hi") - F.unix_micros("lo"))
+        ).alias("is_new"),
+        F.least(
+            F.lit(PSI_BINS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("value") - F.col("vlo"))
+                    / ((F.col("vhi") - F.col("vlo")) / PSI_BINS)
+                ).cast("int"),
+            ),
+        ).alias("bin"),
+    )
+    ct = b.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("is_new"), 0).otherwise(1)).alias("c_ref"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("c_new"),
+    )
+    tot = ct.groupBy("event_type").agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_new").alias("n_new")
+    )
+    eps = float(PSI_EPS)
+    frac = ct.join(tot, "event_type").select(
+        "event_type",
+        F.greatest(F.col("c_ref") / F.col("n_ref").cast("double"), F.lit(eps)).alias("p"),
+        F.greatest(F.col("c_new") / F.col("n_new").cast("double"), F.lit(eps)).alias("q"),
+    )
+    return frac.groupBy("event_type").agg(
+        F.round(
+            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6
+        ).alias("psi")
+    )

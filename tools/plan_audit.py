@@ -108,6 +108,7 @@ CROSS_OK = {
     "srv1_kaplan_meier": "triangular prefix joins on the calendar-bounded duration relation (ru1's pattern)",
     "chi1_independence": "1-row total broadcast over the |lang|x|source| cell relation",
     "ks1_two_sample": "triangular partition-offset prefix sums + 1-row sizes broadcast (auc1's pattern)",
+    "psi1_population_stability": "1-row span/extent broadcast over the fact scan",
 }
 
 ROW_UDF_OK = {
