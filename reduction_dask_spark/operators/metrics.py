@@ -844,3 +844,55 @@ def psi1_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6
         ).alias("psi")
     )
+
+
+# ---------------------------------------------------------------- gini1
+
+@query(
+    "gini1_revenue_concentration",
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey, sum(o_totalprice) AS r
+            FROM orders GROUP BY 1
+        ),
+        ranked AS (
+            SELECT r, row_number() OVER (ORDER BY r, o_custkey) AS i,
+                   count(*) OVER () AS n, sum(r) OVER () AS tot
+            FROM rev
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n_customers,
+               round(2.0 * sum(i * r) / (max(n) * max(tot))
+                     - (max(n) + 1.0) / max(n), 6) AS gini
+        FROM ranked
+    """,
+    doc="gini1 revenue-concentration Gini coefficient over customers "
+        "(G = 2 sum(i x_i)/(n sum x) - (n+1)/n on rank-sorted "
+        "revenue) — the whale-dependence number a marketplace watches "
+        "(0 = uniform, ->1 = one customer is the business), and the "
+        "same computation as a training-corpus's source-concentration "
+        "audit. The rank weights come from the two-pass distributed "
+        "global_rank over the customer-revenue relation (w2's "
+        "machinery — never a single-partition window), followed by "
+        "one reduce. Revenue ties are broken by key so both engines "
+        "rank identically; sum(i*x) is then order-free up to float "
+        "rounding on the final reduce.",
+    tags=("metric", "agg", "order"),
+)
+def gini1_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import global_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
+    ranked = global_rank(rev, "r", "o_custkey", out="i")
+    tot = rev.agg(F.count("*").alias("n"), F.sum("r").alias("tot"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.round(
+                F.lit(2.0) * F.sum(F.col("i") * F.col("r")) / (F.max("n") * F.max("tot"))
+                - (F.max("n") + F.lit(1.0)) / F.max("n"),
+                6,
+            ).alias("gini"),
+        )
+    )

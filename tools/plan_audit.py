@@ -109,6 +109,7 @@ CROSS_OK = {
     "chi1_independence": "1-row total broadcast over the |lang|x|source| cell relation",
     "ks1_two_sample": "triangular partition-offset prefix sums + 1-row sizes broadcast (auc1's pattern)",
     "psi1_population_stability": "1-row span/extent broadcast over the fact scan",
+    "gini1_revenue_concentration": "triangular partition-offset rank join + 1-row totals broadcast (w2's pattern)",
 }
 
 ROW_UDF_OK = {
