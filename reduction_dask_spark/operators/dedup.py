@@ -367,15 +367,30 @@ def dd3_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # MLlib hash seeds aren't portable; rows-only check
     doc="dd3b MinHash-LSH via Spark MLlib (HashingTF on shingles + "
         "MinHashLSH.approxSimilarityJoin) — the built-in scale path; "
-        "same pipeline shape as dd3 with JVM-native hashing.",
+        "same pipeline shape as dd3 with JVM-native hashing. Scale "
+        "shape: approxSimilarityJoin runs over EXACT-DUPLICATE "
+        "REPRESENTATIVES only (dd6's quotient — identical text ⇒ "
+        "identical shingle multiset ⇒ identical MinHash signature, so "
+        "a k-way duplicate group would otherwise flood the LSH "
+        "buckets with ~k²/2 self-evident pairs; the ×10 dup-load "
+        "probe measured the uncollapsed form at 172 s). The output is "
+        "the WEIGHTED pair relation: one row per near-dup pair of "
+        "distinct contents carrying the duplicate multiplicities "
+        "(m_a, m_b) and the implied uncollapsed pair count n_pairs "
+        "(m_a·m_b cross-content, m·(m-1)/2 for the within-group "
+        "self row doc_a = doc_b) — full information of the blown-up "
+        "pair set at linear size, which is what a 100 TB pipeline "
+        "materializes anyway.",
     tags=("dedup",),
 )
 def dd3b_minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     d = load_table(spark, sf_dir, "documents")
+    _, grp = exact_groups(d)
+    reps = d.join(grp.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi")
     docs = (
-        d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        reps.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
         .filter(F.size("toks") >= K_SHINGLE)
         .select("doc_id", shingles_of_tokens(F.col("toks")).alias("shingles"))
     )
@@ -384,7 +399,7 @@ def dd3b_minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 1.0 - JACCARD_TAU, distCol="dist")
-    return (
+    rep_pairs = (
         pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
             F.col("datasetA.doc_id").alias("doc_a"),
@@ -392,6 +407,25 @@ def dd3b_minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1.0 - F.col("dist"), 6).alias("jaccard_est"),
         )
     )
+    ma = grp.select(F.col("rep_id").alias("doc_a"), F.col("m").alias("m_a"))
+    mb = grp.select(F.col("rep_id").alias("doc_b"), F.col("m").alias("m_b"))
+    cross = (
+        rep_pairs.join(ma, "doc_a").join(mb, "doc_b")
+        .select("doc_a", "doc_b", "jaccard_est",
+                (F.col("m_a") * F.col("m_b")).cast("bigint").alias("n_pairs"))
+    )
+    # within-group rows: a duplicated content (m ≥ 2) with ≥1 shingle
+    # pairs with its own copies at Jaccard exactly 1
+    selfp = (
+        grp.filter(F.col("m") >= 2)
+        .join(docs.select(F.col("doc_id").alias("rep_id")), "rep_id", "left_semi")
+        .select(
+            F.col("rep_id").alias("doc_a"), F.col("rep_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard_est"),
+            (F.col("m") * (F.col("m") - 1) / 2).cast("bigint").alias("n_pairs"),
+        )
+    )
+    return cross.unionByName(selfp)
 
 
 # ---------------------------------------------------------------- dd4
@@ -529,14 +563,87 @@ def dd4_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "final fuzzy-dedup step (pick one canonical doc per component; "
         "pairs alone are not transitive). Driver loop of O(graph "
         "diameter) join rounds, each fully distributed; dup components "
-        "are tiny and diameters short in practice. Oracle: recursive "
-        "SQL transitive closure.",
+        "are tiny and diameters short in practice. Scale shape: EXACT "
+        "duplicates are collapsed to their min-doc_id representative "
+        "BEFORE pair generation (k-way duplicate groups otherwise emit "
+        "~k²/2 identical-text edges and label propagation iterates over "
+        "that quadratic edge mass — the ×10 dup-load probe measured the "
+        "uncollapsed form at 148 s vs ~1 s at sf0.1). The collapse is "
+        "an exact quotient of the full graph: members of an exact group "
+        "share the literal text, hence the identical shingle set, so "
+        "every cross-group Jaccard — and therefore every edge — is "
+        "invariant under the choice of member, and the df-cap hot set "
+        "is still computed over the FULL corpus so pair semantics are "
+        "unchanged (gr3/canon1's proven pattern, 29×→1.41× on gr3). "
+        "Expansion: each member inherits its representative's component "
+        "label (rep = group min, so the component min over reps IS the "
+        "min over all members); groups of ≥2 docs with a surviving "
+        "shingle set are self-paired (Jaccard 1.0) even without "
+        "external edges, exactly as in the uncollapsed closure. "
+        "Oracle: recursive SQL transitive closure over ALL documents.",
     tags=("dedup", "graph"),
 )
 def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingle_table(spark, sf_dir).persist()
-    pairs = jaccard_pairs(sh, tau=JACCARD_TAU)
-    return min_label_components(pairs)
+    d = load_table(spark, sf_dir, "documents")
+    # df-cap over the FULL corpus (collapsing first would shift document
+    # frequencies and change which shingles survive the cap — gr3's rule)
+    sh_full = shingle_table(spark, sf_dir).persist()
+    fp, grp = exact_groups(d)
+    rep_sh = sh_full.join(
+        grp.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
+    ).persist()
+    pairs = jaccard_pairs(rep_sh, tau=JACCARD_TAU)
+    labels = min_label_components(pairs).select(
+        F.col("doc_id").alias("rep_id"), F.col("cluster_id").alias("comp")
+    )
+    # reps whose capped shingle set is non-empty: identical copies of
+    # such a doc pair with each other (Jaccard 1.0) in the full graph
+    shingled = rep_sh.select(F.col("doc_id").alias("rep_id")).distinct()
+    return expand_collapsed_labels(fp, grp, labels, shingled)
+
+
+def exact_groups(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Collapse exact duplicates (raw md5 of text — members share the
+    literal text, hence identical shingles/prefixes/blocks) to their
+    min-doc_id representative. Returns (fp, grp):
+    fp = (doc_id, fp), grp = (fp, rep_id, m). Pair generation over
+    representatives is an exact quotient of the full pair graph; any
+    corpus-frequency cap (df-cap, block cap) must still be computed
+    over the FULL corpus before restricting to representatives."""
+    fp = d.select("doc_id", F.md5("text").alias("fp"))
+    grp = fp.groupBy("fp").agg(
+        F.min("doc_id").alias("rep_id"), F.count("*").alias("m")
+    )
+    return fp, grp
+
+
+def expand_collapsed_labels(
+    fp: DataFrame, grp: DataFrame, labels: DataFrame,
+    eligible: DataFrame, out_col: str = "cluster_id",
+) -> DataFrame:
+    """Expand component labels computed on exact-dup REPRESENTATIVES
+    back to every member document, reproducing the uncollapsed closure
+    exactly: rep = group min, so the component min over reps IS the min
+    over all members; a group of m ≥ 2 eligible docs self-pairs in the
+    full graph (its members are identical) even with no external edge.
+
+    fp: (doc_id, fp); grp: (fp, rep_id, m); labels: (rep_id, comp) from
+    min_label_components over rep pairs; eligible: (rep_id) reps that
+    would pair with an identical copy of themselves (e.g. non-empty
+    capped shingle set / surviving block)."""
+    lab = (
+        grp.join(labels, "rep_id", "left")
+        .join(eligible.select("rep_id", F.lit(True).alias("_elig")), "rep_id", "left")
+        .filter(
+            F.col("comp").isNotNull()
+            | ((F.col("m") >= 2) & F.col("_elig").isNotNull())
+        )
+        .select(
+            "fp",
+            F.coalesce(F.col("comp"), F.col("rep_id").cast("bigint")).alias(out_col),
+        )
+    )
+    return fp.join(lab, "fp").select("doc_id", out_col)
 
 
 def min_label_components(pairs: DataFrame) -> DataFrame:
@@ -1148,19 +1255,51 @@ def dd10_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entity-resolution graph instead of the near-dup graph. "
         "Entity-partitioned argmax window (entities are small by "
         "construction); oracle = recursive-SQL closure + the same "
-        "windowed election.",
+        "windowed election. Scale shape: exact duplicates collapse to "
+        "min-id representatives BEFORE the blocked match (dd6's "
+        "quotient — identical text ⇒ identical block key and prefix, "
+        "so every cross-group edge is member-invariant and a group of "
+        "≥2 docs in a surviving block always self-pairs at distance "
+        "0); the hot-block cap is still counted over the FULL corpus, "
+        "so which blocks survive is unchanged.",
     tags=("dedup", "pipeline"),
 )
 def er2_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    pairs = er1_blocked_fuzzy_match(spark, sf_dir).select("doc_a", "doc_b")
-    comp = min_label_components(pairs)
-    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    toks = F.split(F.col("text"), " ")
+    p = d.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(toks, 1, ER_PREFIX_TOKENS)).alias("prefix"),
+        F.concat_ws(" ", F.slice(toks, 1, ER_BLOCK_TOKENS)).alias("blk"),
+    )
+    # block cap over the FULL corpus — duplicate multiplicity counts
+    # toward the cap exactly as in er1's pair graph
+    hot = (
+        p.groupBy("blk").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > ER_BLOCK_CAP)
+        .select("blk")
+    )
+    fp, grp = exact_groups(d)
+    reps = p.join(grp.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi")
+    kept = reps.join(F.broadcast(hot), "blk", "left_anti").persist()
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(F.levenshtein(F.col("a.prefix"), F.col("b.prefix")) <= ER_MAX_DIST)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    labels = min_label_components(pairs).select(
+        F.col("doc_id").alias("rep_id"), F.col("cluster_id").alias("comp")
+    )
+    comp = expand_collapsed_labels(
+        fp, grp, labels, kept.select(F.col("doc_id").alias("rep_id")), out_col="entity_id"
+    )
+    w = Window.partitionBy("entity_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
     return (
         comp.join(d.select("doc_id", "n_chars"), "doc_id")
         .select(
             "doc_id",
-            F.col("cluster_id").cast("bigint").alias("entity_id"),
+            F.col("entity_id").cast("bigint").alias("entity_id"),
             F.col("n_chars").cast("bigint").alias("n_chars"),
             (F.row_number().over(w) == 1).alias("is_golden"),
         )

@@ -1464,20 +1464,55 @@ def _sem1_oracle() -> str:
         "closure COMPOSED around dd5's registered oracle text, so "
         "candidate generation and clustering stay in lockstep with "
         "the checked pair op. Scale: inherits dd5's bucketed pair "
-        "mass + dd6's O(diameter) rounds.",
+        "mass + dd6's O(diameter) rounds, and — dd6's quotient — "
+        "EXACT-duplicate vectors collapse to their min-id "
+        "representative before pair generation (bit-identical vectors "
+        "share the LSH bucket and every cosine, so k-way duplicated "
+        "embeddings would otherwise emit ~k²/2 cos=1 edges into label "
+        "propagation); a group of ≥2 identical non-zero vectors "
+        "always self-pairs in the full graph, so members inherit the "
+        "representative's label and the uncollapsed closure is "
+        "reproduced exactly.",
     tags=("dedup", "similarity", "pipeline"),
 )
 def sem1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import min_label_components
+    from .dedup import expand_collapsed_labels, min_label_components
 
-    pairs = dd5_embedding_neardup(spark, sf_dir).select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    emb = load_table(spark, sf_dir, "embeddings")
+    # collapse bit-identical vectors (portable value fingerprint)
+    fp = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.md5(F.concat_ws(",", F.transform("embedding", lambda x: x.cast("string")))).alias("fp"),
+    )
+    grp = fp.groupBy("fp").agg(
+        F.min("doc_id").alias("rep_id"), F.count("*").alias("m")
+    )
+    reps = grp.select(F.col("rep_id").alias("vec_id"))
+    buckets = lsh_buckets(spark, sf_dir).join(reps, "vec_id", "left_semi")
+    v = emb.join(reps, "vec_id", "left_semi").select(
+        "vec_id", as_double(F.col("embedding")).alias("ev")
+    )
+    a = buckets.select(F.col("vec_id").alias("doc_a"), "bucket")
+    b = buckets.select(F.col("vec_id").alias("doc_b"), "bucket")
+    cand = a.join(b, "bucket").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+    va = v.select(F.col("vec_id").alias("doc_a"), F.col("ev").alias("ea"))
+    vb = v.select(F.col("vec_id").alias("doc_b"), F.col("ev").alias("eb"))
+    pairs = (
+        cand.join(va, "doc_a").join(vb, "doc_b")
+        .filter(cosine(F.col("ea"), F.col("eb")) >= NEARDUP_TAU)
+        .select("doc_a", "doc_b")
     )
     labels = min_label_components(pairs).select(
+        F.col("doc_id").alias("rep_id"), F.col("cluster_id").alias("comp")
+    )
+    # a rep self-pairs iff its vector has non-zero norm (cos(v,v)=1)
+    eligible = v.filter(
+        F.aggregate("ev", F.lit(0.0), lambda acc, x: acc + x * x) > 0
+    ).select(F.col("vec_id").alias("rep_id"))
+    expanded = expand_collapsed_labels(fp, grp, labels, eligible).select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
     )
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
-    out = emb.join(labels, "vec_id", "left").select(
+    out = emb.select("vec_id").join(expanded, "vec_id", "left").select(
         "vec_id", F.coalesce("cluster_id", "vec_id").alias("cluster_id")
     )
     return out.withColumn(

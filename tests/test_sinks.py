@@ -60,11 +60,15 @@ def test_partitioned_write(spark):
 
 def test_dedup_pipelines_agree(spark):
     """dd2 (exact), dd3 (portable LSH) and dd3b (MLlib LSH) must find
-    the same planted near-dup pairs at jaccard ≥ 0.7."""
+    the same planted near-dup pairs at jaccard ≥ 0.7. dd3b reports the
+    collapsed (exact-dup representative) weighted pair relation, so
+    dd2/dd3's pair sets are quotiented to representative level before
+    comparing; n_pairs must account for every uncollapsed pair."""
     from reduction_dask_spark.operators.dedup import (
         dd2_shingle_jaccard,
         dd3_minhash_lsh_dedup,
         dd3b_minhash_lsh_ml,
+        exact_groups,
     )
 
     exact = {
@@ -73,10 +77,21 @@ def test_dedup_pipelines_agree(spark):
         if r["jaccard"] >= 0.7
     }
     lsh = {(r["doc_a"], r["doc_b"]) for r in dd3_minhash_lsh_dedup(spark, SF_SMALL).collect()}
-    ml = {(r["doc_a"], r["doc_b"]) for r in dd3b_minhash_lsh_ml(spark, SF_SMALL).collect()}
     assert exact, "no planted near-dups found at all"
     assert lsh == exact
-    assert ml == exact
+
+    d = load_table(spark, SF_SMALL, "documents")
+    fp, grp = exact_groups(d)
+    rep_of = {
+        r["doc_id"]: r["rep_id"]
+        for r in fp.join(grp, "fp").select("doc_id", "rep_id").collect()
+    }
+    exact_rep = {tuple(sorted((rep_of[a], rep_of[b]))) for a, b in exact}
+    ml_rows = dd3b_minhash_lsh_ml(spark, SF_SMALL).collect()
+    ml = {(r["doc_a"], r["doc_b"]) for r in ml_rows}
+    assert ml == exact_rep
+    # weighted relation reconstructs the uncollapsed pair count
+    assert sum(r["n_pairs"] for r in ml_rows) == len(exact)
 
 
 def test_mm2_feature_extract_matches_numpy(spark):
