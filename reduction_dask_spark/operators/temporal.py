@@ -583,12 +583,17 @@ def an3_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ts2 time-series linear interpolation (ts1's LOCF upgraded): "
         "densify each user's hourly series and fill silent hours by "
         "interpolating between the PREVIOUS and NEXT observed points "
-        "in event-time proportion. Two keyed window passes (backward "
-        "last-ignore-nulls, forward first-ignore-nulls) carry both "
-        "the bracketing values and their timestamps; the blend is one "
-        "codegen arithmetic expression. Same scale envelope as ts1: "
-        "all windows partitioned by user_id, spine bounded by "
-        "time-range x users.",
+        "in event-time proportion. Scale shape (the bracket-join "
+        "rewrite): ONE lead() window over the SPARSE hourly relation "
+        "pairs each observation with its successor, then each "
+        "[obs, next_obs) interval explodes its dense hours map-side "
+        "with the bracketing (value, timestamp) pairs already on the "
+        "row — no dense spine join and no window over the densified "
+        "output (the previous two-dense-window form probed 250 s at "
+        "the ×10 sweep; windows now touch only |observations| rows "
+        "and the dense mass is pure codegen arithmetic). Every "
+        "generated hour has both brackets by construction; the last "
+        "observation emits itself (frac 0 ⇒ exact observed value).",
     tags=("temporal", "window"),
 )
 def ts2_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -596,47 +601,38 @@ def ts2_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour")).agg(
         F.round(F.sum("value"), 2).alias("hour_value")
     )
-    bounds = hourly.groupBy("user_id").agg(
-        F.min("hour").alias("h0"), F.max("hour").alias("h1")
-    )
-    spine = bounds.select(
+    w = Window.partitionBy("user_id").orderBy("hour")
+    span = hourly.select(
         "user_id",
-        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+        F.col("hour").alias("ph"),
+        F.col("hour_value").alias("pv"),
+        F.lead("hour").over(w).alias("nh"),
+        F.lead("hour_value").over(w).alias("nv"),
     )
-    joined = spine.join(hourly, ["user_id", "hour"], "left").withColumn(
-        "obs_hour", F.when(F.col("hour_value").isNotNull(), F.col("hour"))
-    )
-    wb = (
-        Window.partitionBy("user_id")
-        .orderBy("hour")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wf = (
-        Window.partitionBy("user_id")
-        .orderBy("hour")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    ctx = joined.select(
+    # explode [ph, nh) per interval; the terminal observation (nh null)
+    # emits just itself — dense coverage of [h0, h1], each hour once
+    gaps = span.select(
         "user_id",
-        "hour",
-        "hour_value",
-        F.last("hour_value", ignorenulls=True).over(wb).alias("pv"),
-        F.last("obs_hour", ignorenulls=True).over(wb).alias("ph"),
-        F.first("hour_value", ignorenulls=True).over(wf).alias("nv"),
-        F.first("obs_hour", ignorenulls=True).over(wf).alias("nh"),
+        "ph",
+        "pv",
+        "nh",
+        "nv",
+        F.explode(
+            F.sequence(
+                "ph",
+                F.coalesce(F.col("nh") - F.expr("INTERVAL 1 HOUR"), F.col("ph")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour"),
     )
     frac = (
         (F.unix_micros("hour") - F.unix_micros("ph")).cast("double")
         / (F.unix_micros("nh") - F.unix_micros("ph"))
     )
-    interp = (
-        F.when(F.col("hour_value").isNotNull(), F.col("hour_value"))
-        .when(
-            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
-            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
-        )
-        .otherwise(F.coalesce("pv", "nv"))
+    interp = F.when(F.col("hour") == F.col("ph"), F.col("pv")).otherwise(
+        F.col("pv") + (F.col("nv") - F.col("pv")) * frac
     )
+    ctx = gaps.withColumn("hour_value", F.when(F.col("hour") == F.col("ph"), F.col("pv")))
     return ctx.select(
         "user_id",
         "hour",
