@@ -233,10 +233,125 @@ def x4_linear_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_shap_scores(spark, sf_dir)
 
 
+# ------------------------------------------------------------ X4b
+
+
+def stump_shap_closed_form(
+    stumps: list[tuple[int, float, float, float]],
+    x: "np.ndarray",
+    background: "np.ndarray",
+) -> "np.ndarray":
+    """Exact interventional SHAP of a depth-1 stump ensemble at point x
+    against a background sample, in closed form.
+
+    A stump s = (f, thr, vl, vr) depends on feature f ALONE, so its
+    Shapley attribution lands entirely on f:
+        φ_f += s(x_f) − E_b[s(b_f)]
+    and the ensemble's SHAP is the sum over stumps (Shapley values are
+    additive across additive model components). This is TreeExplainer's
+    interventional value specialized to depth 1 — exact, no
+    approximation (parity-tested against brute-force subset
+    enumeration in tests/test_round5_ops.py)."""
+    phi = np.zeros(len(x))
+    for f, thr, vl, vr in stumps:
+        sx = vl if x[f] <= thr else vr
+        eb = float(np.where(background[:, f] <= thr, vl, vr).mean())
+        phi[f] += sx - eb
+    return phi
+
+
+def tree_shap_scores(
+    spark: SparkSession, sf_dir: str, n_rows: int = 1000, k: int = K_FOLDS
+) -> DataFrame:
+    """X4b: mean |SHAP| per feature of the GBT stump ensembles over the
+    pinned head sample, computed OUT-OF-FOLD (each row is explained by
+    the model that did not train on it) with the same head sample as
+    the interventional background.
+
+    Plan shape: the model is a k×T-row stump table (broadcast, KBs).
+    One melt of the sample feeds (a) the per-stump background mean
+    E_b[s(b_f)] — broadcast-join + tiny agg — and (b) the per-row leaf
+    values; SHAP_f(x) = Σ_{stumps on f} (s(x_f) − E_b[s]) is a
+    broadcast join + groupBy. No Python UDF in the explanation path;
+    the T boosting-round fit passes dominate. Features no stump splits
+    on have SHAP exactly 0 and are reported at 0 via the stump-feature
+    domain."""
+    from ..ml import fit_gbt_fold_models
+
+    df = kfold_era(
+        supervised_frame(spark, sf_dir), "era", k=k, eras=list(ERA_DOMAIN)
+    ).persist()
+    models = fit_gbt_fold_models(df, k=k)
+    sample = df.orderBy("vec_id").limit(n_rows)
+    melted = sample.select(
+        "vec_id", "fold", F.posexplode("features").alias("feature", "val")
+    )
+    st = spark.createDataFrame(
+        [
+            (int(m), ti, int(f), float(thr), float(vl), float(vr))
+            for m, stumps in models.items()
+            for ti, (f, thr, vl, vr) in enumerate(stumps)
+        ],
+        "sfold int, t int, sfeature int, thr double, vl double, vr double",
+    )
+    leaf = F.when(F.col("val") <= F.col("thr"), F.col("vl")).otherwise(F.col("vr"))
+    # background mean per stump over the WHOLE head sample (the
+    # interventional reference distribution), any row fold
+    bg = (
+        melted.join(F.broadcast(st), melted["feature"] == st["sfeature"])
+        .groupBy("sfold", "t")
+        .agg(F.avg(leaf).alias("mval"))
+    )
+    own = (
+        melted.join(
+            F.broadcast(st),
+            (melted["feature"] == st["sfeature"]) & (melted["fold"] == st["sfold"]),
+        )
+        .select("vec_id", "feature", "sfold", "t", "val", "thr", "vl", "vr")
+    )
+    shap = (
+        own.join(F.broadcast(bg), ["sfold", "t"])
+        .select("vec_id", "feature", (leaf - F.col("mval")).alias("c"))
+        .groupBy("vec_id", "feature")
+        .agg(F.sum("c").alias("shap"))
+    )
+    scores = shap.groupBy("feature").agg(
+        F.round(F.avg(F.abs("shap")), 6).alias("mean_abs_shap")
+    )
+    # features never split on: SHAP ≡ 0 (explicit rows keep the table
+    # schema-stable against x4's 64-feature output)
+    domain = spark.createDataFrame([(j,) for j in range(DIM)], "feature int")
+    return (
+        domain.join(scores, "feature", "left")
+        .select("feature", F.coalesce("mean_abs_shap", F.lit(0.0)).alias("mean_abs_shap"))
+        .orderBy(F.desc("mean_abs_shap"), F.asc("feature"))
+    )
+
+
+@query(
+    "x4b_tree_shap",
+    oracle=None,
+    doc="X4b shapely_values with the TREE kernel — the reference's "
+        "actual SHAP path is shap.TreeExplainer over a forest "
+        "(feature_selection_numerai.py:271-288); here the in-repo GBT "
+        "stump ensemble (ml.fit_gbt_fold_models) is explained with "
+        "EXACT interventional tree-SHAP: for depth-1 stumps the "
+        "Shapley attribution is closed-form per stump, "
+        "φ_f += s(x_f) − E_background[s] (parity-tested against "
+        "brute-force subset enumeration). Out-of-fold explanation, "
+        "pinned head-sample background, broadcast stump table, zero "
+        "Python in the explanation path.",
+    tags=("importance", "ml"),
+)
+def x4b_tree_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tree_shap_scores(spark, sf_dir)
+
+
 # ------------------------------------------------------------ X2 / X5
 
 def forward_selection(
-    spark: SparkSession, sf_dir: str, sizes=(4, 8, 16, 32, 64), lam: float = LAM
+    spark: SparkSession, sf_dir: str, sizes=(4, 8, 16, 32, 64), lam: float = LAM,
+    rank_fn=None,
 ) -> DataFrame:
     """X2/X5 forward selection (feature_selection_numerai.py:157-246):
     for each n take the top-n features by importance rank (O2), run
@@ -245,8 +360,13 @@ def forward_selection(
     The projection happens on the SUFFICIENT STATISTICS, not the data:
     top-n selection just slices rows/cols of XtX/Xty, so the whole
     sweep costs one stats pass + one scoring pass per n (scoring uses
-    zero-padded coefficients over the full feature array)."""
-    rank_pdf = linear_shap_scores(spark, sf_dir).toPandas()
+    zero-padded coefficients over the full feature array).
+
+    ``rank_fn`` chooses the importance ranking (the reference's
+    shap-rank branch, :291-376): default linear SHAP; x2b passes
+    tree_shap_scores so the selection order comes from the exact
+    tree-SHAP of the GBT stump ensemble."""
+    rank_pdf = (rank_fn or linear_shap_scores)(spark, sf_dir).toPandas()
     order = rank_pdf["feature"].to_list()
     df = kfold_era(supervised_frame(spark, sf_dir), "era", k=K_FOLDS, eras=list(ERA_DOMAIN))
     stats = fold_suffstats(df)
@@ -283,6 +403,20 @@ def forward_selection(
 )
 def x2_forward_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forward_selection(spark, sf_dir)
+
+
+@query(
+    "x2b_forward_selection_tree_shap",
+    oracle=None,
+    doc="X2/X5 shap-rank branch with the TREE explainer (the "
+        "reference ranks by TreeExplainer SHAP before its selection "
+        "CV, feature_selection_numerai.py:291-376): selection order = "
+        "x4b's exact stump-ensemble tree-SHAP, scoring = the shared "
+        "suffstats CV sweep (one stats pass for the whole n-grid).",
+    tags=("importance", "ml"),
+)
+def x2b_forward_selection_tree_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return forward_selection(spark, sf_dir, rank_fn=tree_shap_scores)
 
 
 # ------------------------------------------------------------ P2 / X3
