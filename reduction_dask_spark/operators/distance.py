@@ -484,38 +484,81 @@ def _pam(D, k: int, max_iter: int = 100):
     return labels, medoids
 
 
-def _silhouette(D, labels) -> float:
+def _dbscan(D, eps: float, min_pts: int = 3):
+    """Density clustering on the precomputed p×p distance matrix — the
+    reference's sweep includes HDBSCAN (feature_clustering.py:109-132);
+    this is the deterministic DBSCAN specialization of the density
+    family: core points have ≥ min_pts neighbors within eps (self
+    included, sklearn's convention), clusters are the components of
+    core points chained through eps-reachability, non-core points
+    inside a core's eps-ball join that cluster (first reaching cluster
+    in index order — deterministic), everything else is noise (-1).
+    Driver-local numpy on the feature-distance matrix, like _pam."""
     import numpy as np
 
     p = len(D)
-    uniq = np.unique(labels)
+    within = D <= eps
+    core = within.sum(axis=1) >= min_pts
+    labels = -np.ones(p, dtype=int)
+    cur = 0
+    for i in range(p):
+        if not core[i] or labels[i] >= 0:
+            continue
+        labels[i] = cur
+        stack = [i]
+        while stack:
+            u = stack.pop()
+            for v in np.nonzero(within[u])[0]:
+                if labels[v] < 0:
+                    labels[v] = cur
+                    if core[v]:
+                        stack.append(v)
+        cur += 1
+    return labels
+
+
+def _silhouette(D, labels) -> float:
+    """Mean silhouette over CLUSTERED points (noise label -1 excluded
+    from both the averaged set and the neighbor-cluster candidates;
+    all-noise or single-cluster labelings score -1)."""
+    import numpy as np
+
+    keep = labels >= 0
+    uniq = np.unique(labels[keep]) if keep.any() else np.array([])
     if len(uniq) < 2:
         return -1.0
-    s = np.zeros(p)
-    for i in range(p):
+    s = []
+    for i in np.nonzero(keep)[0]:
         own = labels == labels[i]
         own[i] = False
         a = D[i, own].mean() if own.any() else 0.0
         bs = [D[i, labels == c].mean() for c in uniq if c != labels[i]]
         b = min(bs)
-        s[i] = 0.0 if max(a, b) == 0 else (b - a) / max(a, b)
-    return float(s.mean())
+        s.append(0.0 if max(a, b) == 0 else (b - a) / max(a, b))
+    return float(np.mean(s))
 
 
 def _cluster_sweep(D):
     """(kernel, param, score, labels) for every swept config — single-
-    linkage thresholds AND K-Medoids k values (two kernel families)."""
+    linkage thresholds, K-Medoids k values AND DBSCAN density radii
+    (three kernel families, the reference's agglomerative / KMedoids /
+    HDBSCAN triple)."""
     import numpy as np
 
     p = len(D)
+    tri = D[np.triu_indices(p, 1)]
     out = []
     for q in (0.02, 0.05, 0.1, 0.2, 0.3, 0.4, 0.5):
-        t = float(np.quantile(D[np.triu_indices(p, 1)], q))
+        t = float(np.quantile(tri, q))
         labels = _single_linkage(D, t)
         out.append(("single_linkage", t, _silhouette(D, labels), labels))
     for k in (2, 3, 4, 5, 6):
         labels, _ = _pam(D, k)
         out.append(("kmedoids_pam", float(k), _silhouette(D, labels), labels))
+    for q in (0.05, 0.1, 0.2, 0.3):
+        eps = float(np.quantile(tri, q))
+        labels = _dbscan(D, eps, min_pts=3)
+        out.append(("dbscan_density", eps, _silhouette(D, labels), labels))
     return out
 
 
@@ -538,11 +581,12 @@ def feature_distance_matrix(spark: SparkSession, sf_dir: str):
     doc="D5 get_optimal_clusters (feature_clustering.py:39-132): sweep "
         "clustering KERNEL × hyperparameter on the collected feature-"
         "distance matrix (p×p, driver-resident — milliseconds), score "
-        "each by mean silhouette, keep the argmax (O3). Two kernel "
-        "families: single-linkage threshold components and K-Medoids "
-        "PAM (the reference sweeps agglomerative/KMedoids/HDBSCAN). "
-        "Membership returned as (fid, label) rows (A6) tagged with the "
-        "winning kernel/param.",
+        "each by mean silhouette, keep the argmax (O3). THREE kernel "
+        "families matching the reference's agglomerative / KMedoids / "
+        "HDBSCAN triple: single-linkage threshold components, "
+        "K-Medoids PAM, and DBSCAN density clustering (noise-aware "
+        "silhouette). Membership returned as (fid, label) rows (A6) "
+        "tagged with the winning kernel/param.",
     tags=("distance", "ml"),
 )
 def d5_optimal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -554,3 +598,33 @@ def d5_optimal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, l in enumerate(labels)
     ]
     return spark.createDataFrame(rows, "fid int, label int, kernel string, param double, silhouette double")
+
+
+@query(
+    "d5b_cluster_sweep_table",
+    oracle=None,  # driver-local sweep on the collected p×p matrix
+    doc="D5b the sweep table behind d5: one row per (kernel, param) "
+        "config with its silhouette and cluster count — the "
+        "get_optimal_clusters diagnostic the reference prints while "
+        "sweeping (feature_clustering.py:109-132). Three kernel "
+        "families (single-linkage / PAM / DBSCAN); n_noise counts "
+        "DBSCAN's unassigned features (0 for partitional kernels).",
+    tags=("distance", "ml"),
+)
+def d5b_cluster_sweep_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    D = feature_distance_matrix(spark, sf_dir)
+    rows = [
+        (
+            kernel,
+            round(float(param), 6),
+            round(float(score), 6),
+            int(len(np.unique(labels[labels >= 0]))),
+            int((labels < 0).sum()),
+        )
+        for kernel, param, score, labels in _cluster_sweep(D)
+    ]
+    return spark.createDataFrame(
+        rows, "kernel string, param double, silhouette double, n_clusters int, n_noise int"
+    )

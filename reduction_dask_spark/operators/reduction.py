@@ -151,11 +151,14 @@ def fit_lmds(
 
 
 def lmds_transform(
-    df: DataFrame, landmarks: np.ndarray, delta_mean: np.ndarray, pseudo: np.ndarray, metric: str = "l1"
+    df: DataFrame, landmarks: np.ndarray, delta_mean: np.ndarray, pseudo: np.ndarray,
+    metric: str = "l1", delta_fn=None,
 ) -> DataFrame:
     """Distributed Nyström out-of-sample embedding: per Arrow batch,
     squared distances to the L landmarks + one (n×L)·(L×k) matmul.
-    Only the KB-sized landmark matrix ships to executors."""
+    Only the KB-sized landmark matrix ships to executors. ``delta_fn``
+    overrides the squared-distance computation (t9b passes the
+    graph-geodesic version); default is _pairwise_sq(metric)."""
     import pandas as pd
 
     k = pseudo.shape[1]
@@ -168,7 +171,7 @@ def lmds_transform(
     def mapper(batches):
         for pdf in batches:
             X = np.stack(pdf["features"].to_numpy()).astype(np.float64)
-            delta = _pairwise_sq(metric, X, landmarks)
+            delta = delta_fn(X) if delta_fn is not None else _pairwise_sq(metric, X, landmarks)
             Y = 0.5 * (delta_mean[None, :] - delta) @ pseudo
             out = pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy()})
             for p in passthrough:
@@ -202,12 +205,111 @@ def t9_landmark_mds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lmds_transform(df, Lm, dmean, pseudo)
 
 
+# --------------------------------- geodesic kernel: landmark Isomap
+
+ISOMAP_KNN = 8
+
+
+def _geodesic_matrix(L: np.ndarray, knn: int = ISOMAP_KNN) -> np.ndarray:
+    """L×L graph-geodesic distances over the landmark set: symmetrized
+    Euclidean kNN graph + Floyd-Warshall min-plus closure (L=100 ⇒
+    driver milliseconds). Disconnected components — possible at small
+    knn — are bridged at 2× the max finite geodesic so the MDS stays
+    finite (sklearn errors instead; a bounded bridge keeps the sweep's
+    status column clean)."""
+    d = np.sqrt(_pairwise_sq("l2", L, L))
+    n = len(L)
+    W = np.full((n, n), np.inf)
+    np.fill_diagonal(W, 0.0)
+    nn = np.argsort(d, axis=1)[:, 1 : knn + 1]
+    for i in range(n):
+        W[i, nn[i]] = d[i, nn[i]]
+        W[nn[i], i] = d[i, nn[i]]
+    for m in range(n):
+        W = np.minimum(W, W[:, m : m + 1] + W[m : m + 1, :])
+    if np.isinf(W).any():
+        fin = W[np.isfinite(W)].max()
+        W[np.isinf(W)] = 2.0 * fin
+    return W
+
+
+def fit_lisomap(
+    spark: SparkSession,
+    sf_dir: str,
+    n_components: int,
+    n_landmarks: int = LMDS_LANDMARKS,
+    knn: int = ISOMAP_KNN,
+):
+    """Landmark-Isomap fit (the reference's headline distributed
+    transform is Isomap — nb cells 56-68, tuners.py:149-373): kNN
+    graph over the pinned landmark subsample, shortest-path geodesics,
+    then the SAME classical-MDS eigenproblem as fit_lmds on the
+    squared geodesic matrix. Returns (landmarks, geodesics G, δ̄,
+    VΛ^(-1/2))."""
+    df = supervised_frame(spark, sf_dir)
+    head = df.orderBy("vec_id").limit(n_landmarks).select("features").toPandas()
+    L = np.stack(head["features"].to_numpy()).astype(np.float64)
+    G = _geodesic_matrix(L, knn)
+    D = G * G
+    n = len(L)
+    J = np.eye(n) - np.full((n, n), 1.0 / n)
+    B = -0.5 * J @ D @ J
+    vals, vecs = np.linalg.eigh(B)
+    order = np.argsort(vals)[::-1][:n_components]
+    vals, vecs = vals[order], vecs[:, order]
+    vals = np.maximum(vals, 1e-12)
+    for i in range(vecs.shape[1]):
+        j = int(np.argmax(np.abs(vecs[:, i])))
+        if vecs[j, i] < 0:
+            vecs[:, i] = -vecs[:, i]
+    pseudo = vecs / np.sqrt(vals)
+    return L, G, D.mean(axis=0), pseudo
+
+
+def geodesic_delta_fn(landmarks: np.ndarray, G: np.ndarray):
+    """Out-of-sample squared geodesics for lmds_transform: the standard
+    landmark-Isomap extension d_geo(x, l) = min_j (‖x − L_j‖ + G[j, l])
+    — an (n×L) ⊗ (L×L) min-plus product, evaluated as L rank-1 minima
+    so batch memory stays n×L."""
+
+    def delta(X: np.ndarray) -> np.ndarray:
+        e = np.sqrt(_pairwise_sq("l2", X, landmarks))
+        geo = np.full_like(e, np.inf)
+        for j in range(len(landmarks)):
+            np.minimum(geo, e[:, j : j + 1] + G[j : j + 1, :], out=geo)
+        return geo * geo
+
+    return delta
+
+
+@query(
+    "t9b_landmark_isomap",
+    oracle=None,
+    doc="t9b geodesic DR — landmark Isomap on t9's subsample-fit / "
+        "broadcast / distributed-transform path, matching the "
+        "reference's actual Isomap workload (nb cells 56-68 → 201 s; "
+        "tuners.py:149-373): kNN graph over the landmarks, Floyd-"
+        "Warshall geodesics, classical-MDS eigenproblem (driver-side "
+        "L×L), then a mapInPandas out-of-sample transform where each "
+        "row's geodesic to every landmark is the min-plus extension "
+        "min_j(‖x−L_j‖ + G[j,l]) — only the KB-sized (landmarks, G) "
+        "pair ships to executors, nothing scales with rows but the "
+        "scan.",
+    tags=("reduction", "ml"),
+)
+def t9b_landmark_isomap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    L, G, dmean, pseudo = fit_lisomap(spark, sf_dir, N_COMPONENTS)
+    df = supervised_frame(spark, sf_dir)
+    return lmds_transform(df, L, dmean, pseudo, delta_fn=geodesic_delta_fn(L, G))
+
+
 def reduction_sweep(
     spark: SparkSession,
     sf_dir: str,
     configs=(
         ("pca", 2), ("pca", 4), ("pca", 8), ("pca", 16),
         ("lmds_l1", 2), ("lmds_l1", 4),
+        ("lisomap_l2", 2), ("lisomap_l2", 4),
     ),
     lam: float = 1.0,
     k: int = 5,
@@ -224,6 +326,12 @@ def reduction_sweep(
                 mu, comps = fit_pca(spark, sf_dir, nc)
                 cols = [f"pc{i + 1}" for i in range(nc)]
                 reduced_wide = pca_transform(base, mu, comps)
+            elif kernel == "lisomap_l2":
+                Lm, G, dmean, pseudo = fit_lisomap(spark, sf_dir, nc)
+                cols = [f"mc{i + 1}" for i in range(nc)]
+                reduced_wide = lmds_transform(
+                    base, Lm, dmean, pseudo, delta_fn=geodesic_delta_fn(Lm, G)
+                )
             else:
                 Lm, dmean, pseudo = fit_lmds(spark, sf_dir, nc)
                 cols = [f"mc{i + 1}" for i in range(nc)]

@@ -349,15 +349,71 @@ def test_lmds_is_not_linear_projection(spark):
     assert np.abs(resid).max() > 1e-3  # linear fit cannot reproduce it
 
 
-def test_reduction_sweep_has_both_kernels(spark):
+def test_reduction_sweep_has_all_kernels(spark):
     from reduction_dask_spark.operators.reduction import reduction_sweep
 
     out = reduction_sweep(
-        spark, SF_SMALL, configs=(("pca", 2), ("lmds_l1", 2))
+        spark, SF_SMALL, configs=(("pca", 2), ("lmds_l1", 2), ("lisomap_l2", 2))
     ).toPandas()
-    assert set(out["kernel"]) == {"pca", "lmds_l1"}
+    assert set(out["kernel"]) == {"pca", "lmds_l1", "lisomap_l2"}
     assert (out["status"] == "ok").all()
     assert out["spearman_mean"].notna().all()
+
+
+# ---------------------------------------------- landmark Isomap kernel
+
+def test_geodesic_matrix_properties():
+    from reduction_dask_spark.operators.reduction import _geodesic_matrix, _pairwise_sq
+
+    rng = np.random.default_rng(3)
+    L = rng.normal(size=(40, 5))
+    G = _geodesic_matrix(L, knn=6)
+    e = np.sqrt(_pairwise_sq("l2", L, L))
+    assert np.allclose(G, G.T)
+    assert np.allclose(np.diag(G), 0.0)
+    # graph geodesics dominate straight-line distance on connected pairs
+    assert (G >= e - 1e-9).all()
+    # kNN edges are geodesics of themselves
+    nn = np.argsort(e, axis=1)[:, 1:7]
+    for i in range(len(L)):
+        np.testing.assert_allclose(G[i, nn[i]], e[i, nn[i]], atol=1e-9)
+    # triangle inequality in the graph metric
+    for _ in range(200):
+        i, j, k = rng.integers(0, len(L), 3)
+        assert G[i, j] <= G[i, k] + G[k, j] + 1e-9
+
+
+def test_lisomap_transform_matches_numpy(spark):
+    """Distributed out-of-sample Isomap == the same min-plus formula on
+    collected rows; geodesics differ from Euclidean (genuine manifold
+    metric, not MDS in disguise)."""
+    from reduction_dask_spark.operators.reduction import (
+        _pairwise_sq,
+        fit_lisomap,
+        geodesic_delta_fn,
+        lmds_transform,
+    )
+
+    Lm, G, dmean, pseudo = fit_lisomap(spark, SF_SMALL, 2)
+    df = supervised_frame(spark, SF_SMALL)
+    got = (
+        lmds_transform(df, Lm, dmean, pseudo, delta_fn=geodesic_delta_fn(Lm, G))
+        .select("vec_id", "mc1", "mc2")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pdf = df.select("vec_id", "features").toPandas().sort_values("vec_id").reset_index(drop=True)
+    X = np.stack(pdf["features"].to_numpy()).astype(float)
+    e = np.sqrt(_pairwise_sq("l2", X, Lm))
+    geo = np.full_like(e, np.inf)
+    for j in range(len(Lm)):
+        geo = np.minimum(geo, e[:, j : j + 1] + G[j : j + 1, :])
+    Y = np.round(0.5 * (dmean[None, :] - geo * geo) @ pseudo, 6)
+    np.testing.assert_allclose(got[["mc1", "mc2"]].to_numpy(), Y, atol=2e-6)
+    # the geodesic matrix is not the Euclidean one (some pair routes
+    # through the graph): otherwise this kernel would be landmark MDS
+    assert (G > np.sqrt(_pairwise_sq("l2", Lm, Lm)) + 1e-9).any()
 
 
 # -------------------------------------------------- ACE / PAM kernels
@@ -422,7 +478,43 @@ def test_d5_sweep_argmax_invariant(spark):
     D = feature_distance_matrix(spark, SF_SMALL)
     sweep = _cluster_sweep(D)
     kernels = {k for k, _, _, _ in sweep}
-    assert kernels == {"single_linkage", "kmedoids_pam"}
+    assert kernels == {"single_linkage", "kmedoids_pam", "dbscan_density"}
     best_score = max(s for _, _, s, _ in sweep)
     assert abs(out["silhouette"].iloc[0] - round(best_score, 6)) < 1e-9
     assert out["kernel"].nunique() == 1  # one winning config labels all
+
+
+def test_dbscan_invariants():
+    from reduction_dask_spark.operators.distance import _dbscan, _silhouette
+
+    rng = np.random.default_rng(5)
+    # two dense blobs + two isolated far points (noise)
+    pts = np.concatenate(
+        [rng.normal(0, 0.05, 12), rng.normal(3, 0.05, 12), [10.0, 20.0]]
+    )
+    D = np.abs(pts[:, None] - pts[None, :])
+    labels = _dbscan(D, eps=0.5, min_pts=3)
+    # blobs recovered as two clusters, isolated points are noise
+    assert len(set(labels[:12].tolist())) == 1
+    assert len(set(labels[12:24].tolist())) == 1
+    assert labels[0] != labels[12]
+    assert labels[24] == -1 and labels[25] == -1
+    # every clustered point is a core point or within eps of one
+    within = D <= 0.5
+    core = within.sum(axis=1) >= 3
+    for i in np.nonzero(labels >= 0)[0]:
+        assert core[i] or any(core[j] and labels[j] == labels[i] for j in np.nonzero(within[i])[0])
+    # noise-aware silhouette scores the clean separation high
+    assert _silhouette(D, labels) > 0.9
+    # degenerate: eps below every pairwise distance → all noise → -1
+    assert _silhouette(D, _dbscan(D, eps=1e-9, min_pts=3)) == -1.0
+
+
+def test_d5b_sweep_table(spark):
+    from reduction_dask_spark.operators.distance import d5b_cluster_sweep_table
+
+    out = d5b_cluster_sweep_table(spark, SF_SMALL).toPandas()
+    assert set(out["kernel"]) == {"single_linkage", "kmedoids_pam", "dbscan_density"}
+    assert len(out) == 7 + 5 + 4
+    assert (out.loc[out["kernel"] != "dbscan_density", "n_noise"] == 0).all()
+    assert out["silhouette"].between(-1.0, 1.0).all()
