@@ -189,26 +189,11 @@ def auc1_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = ev.select(
         "value", F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y")
     )
+    from .relational import global_prefix_agg
+
     v = r.groupBy("value").agg(F.count("*").alias("c"), F.sum("y").alias("cp"))
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = v.repartitionByRange(n_part, "value").withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    wloc = (
-        Window.partitionBy("_pid")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = ranged.withColumn("_lpfx", F.coalesce(F.sum("c").over(wloc), F.lit(0)))
-    psums = ranged.groupBy("_pid").agg(F.sum("c").alias("_psum"))
-    prev = psums.select(F.col("_pid").alias("_p2"), F.col("_psum").alias("_s2"))
-    offs = (
-        psums.join(F.broadcast(prev), F.col("_p2") < F.col("_pid"), "left")
-        .groupBy("_pid")
-        .agg(F.coalesce(F.sum("_s2"), F.lit(0)).alias("_off"))
-    )
-    p = local.join(F.broadcast(offs), "_pid").select(
-        "value", "c", "cp", (F.col("_lpfx") + F.col("_off")).alias("pfx")
+    p = global_prefix_agg(v, ["value"], [("c", "sum", "pfx")]).select(
+        "value", "c", "cp", "pfx"
     )
     s = p.agg(
         F.sum(F.col("cp") * (F.col("pfx") + (F.col("c") + 1) / 2.0)).alias("sumr")
@@ -693,38 +678,13 @@ def ks1_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g1"),
         F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g2"),
     )
+    from .relational import global_prefix_agg
+
     v = s.groupBy("value").agg(F.sum("g1").alias("c1"), F.sum("g2").alias("c2"))
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = v.repartitionByRange(n_part, "value").withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    wloc = (
-        Window.partitionBy("_pid")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    local = ranged.withColumn("_l1", F.sum("c1").over(wloc)).withColumn(
-        "_l2", F.sum("c2").over(wloc)
-    )
-    psums = ranged.groupBy("_pid").agg(
-        F.sum("c1").alias("_s1"), F.sum("c2").alias("_s2")
-    )
-    prev = psums.select(
-        F.col("_pid").alias("_p2"), F.col("_s1").alias("_o1"), F.col("_s2").alias("_o2")
-    )
-    offs = (
-        psums.join(F.broadcast(prev), F.col("_p2") < F.col("_pid"), "left")
-        .groupBy("_pid")
-        .agg(
-            F.coalesce(F.sum("_o1"), F.lit(0)).alias("_off1"),
-            F.coalesce(F.sum("_o2"), F.lit(0)).alias("_off2"),
-        )
-    )
     t = s.agg(F.sum("g1").alias("n1"), F.sum("g2").alias("n2"))
-    p = local.join(F.broadcast(offs), "_pid").select(
-        (F.col("_l1") + F.col("_off1")).alias("f1"),
-        (F.col("_l2") + F.col("_off2")).alias("f2"),
-    )
+    p = global_prefix_agg(
+        v, ["value"], [("c1", "sum", "f1"), ("c2", "sum", "f2")], inclusive=True
+    ).select("f1", "f2")
     return (
         p.crossJoin(F.broadcast(t))
         .agg(
@@ -761,10 +721,11 @@ PSI_EPS = "0.0001"  # Laplace-style floor for empty bins, both engines
             SELECT e.event_type,
                    (epoch_us(e.ts) - epoch_us(s.lo)) * 2
                        >= (epoch_us(s.hi) - epoch_us(s.lo)) AS is_new,
-                   least({PSI_BINS} - 1,
-                         greatest(0, CAST(floor((e.value - s.vlo)
-                                    / ((s.vhi - s.vlo) / {PSI_BINS})) AS INTEGER)))
-                       AS bin
+                   CASE WHEN s.vhi > s.vlo THEN
+                       least({PSI_BINS} - 1,
+                             greatest(0, CAST(floor((e.value - s.vlo)
+                                        / ((s.vhi - s.vlo) / {PSI_BINS})) AS INTEGER)))
+                   ELSE 0 END AS bin
             FROM events e CROSS JOIN span s
         ),
         ct AS (
@@ -815,16 +776,22 @@ def psi1_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("ts") - F.unix_micros("lo")) * 2
             >= (F.unix_micros("hi") - F.unix_micros("lo"))
         ).alias("is_new"),
-        F.least(
-            F.lit(PSI_BINS - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor(
-                    (F.col("value") - F.col("vlo"))
-                    / ((F.col("vhi") - F.col("vlo")) / PSI_BINS)
-                ).cast("int"),
+        # degenerate-span guard: a batch where every value is equal
+        # would divide by zero (Spark NULL vs DuckDB inf/NaN divergence)
+        # — all mass lands in bin 0 on both engines instead
+        F.when(
+            F.col("vhi") > F.col("vlo"),
+            F.least(
+                F.lit(PSI_BINS - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("value") - F.col("vlo"))
+                        / ((F.col("vhi") - F.col("vlo")) / PSI_BINS)
+                    ).cast("int"),
+                ),
             ),
-        ).alias("bin"),
+        ).otherwise(0).alias("bin"),
     )
     ct = b.groupBy("event_type", "bin").agg(
         F.sum(F.when(F.col("is_new"), 0).otherwise(1)).alias("c_ref"),

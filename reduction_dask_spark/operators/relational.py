@@ -445,14 +445,26 @@ def global_rank(df: DataFrame, *order_cols, out: str = "rnk") -> DataFrame:
     """
     spark = df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = df.repartitionByRange(n_part, *order_cols)
-    pid = ranged.withColumn("_pid", F.spark_partition_id())
+    # PID-CONSISTENCY CONTRACT: the local window and the offset branch
+    # must observe IDENTICAL partition ids. Relying on plan-level
+    # exchange reuse is NOT safe — under AQE each branch compiles to
+    # its own ShuffleQueryStage, and range boundaries are SAMPLED per
+    # exchange instance (seeded by rdd.id), so two physical exchanges
+    # can legally split a key run across different partition ids and
+    # silently misalign the offsets at scale (small SFs mask it: the
+    # sample covers the whole relation). persist() pins one
+    # materialized exchange that every branch reads; a cache-miss
+    # recompute replays the SAME exchange instance (boundaries are
+    # fixed driver-side at partitioner creation), so pids stay
+    # consistent even under executor loss. tests/test_plans.py pins
+    # the single-range-exchange shape.
+    pid = (
+        df.repartitionByRange(n_part, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
     wp = Window.partitionBy("_pid").orderBy(*order_cols)
     local = pid.withColumn("_rn", F.row_number().over(wp))
-    # per-partition row counts → running-sum offsets. Both branches hang
-    # off the SAME range exchange, which Catalyst deduplicates
-    # (ReusedExchange), so the partition ids are consistent by
-    # construction — no second sampling of range boundaries, no collect.
     # The counts relation is one row per partition (bounded by the
     # partition count, not the data); its prefix sum is a triangular
     # broadcast self-join on that metadata-sized relation, NOT a
@@ -470,6 +482,82 @@ def global_rank(df: DataFrame, *order_cols, out: str = "rnk") -> DataFrame:
         .withColumn(out, (F.col("_rn") + F.col("_off")).cast("bigint"))
         .drop("_pid", "_rn", "_off")
     )
+
+
+def global_prefix_agg(
+    df: DataFrame,
+    order_cols,
+    aggs,
+    inclusive: bool = False,
+) -> DataFrame:
+    """Distributed running aggregate over a total order — the
+    generalization of :func:`global_rank`'s two-pass pattern shared by
+    auc1 (midrank prefix counts), ks1 (two ECDF prefix sums) and sky1
+    (strict-prefix min). ``aggs`` is a list of (src_col, fn, out_col)
+    with fn in {'sum', 'min', 'max'}; ``inclusive`` includes the
+    current row (ks1) vs the strict prefix (auc1/sky1). Sum outputs
+    coalesce an empty prefix to 0; min/max leave it NULL (callers
+    supply their identity).
+
+    THE PID-CONSISTENCY CONTRACT (documented once, here): the local
+    window and the per-partition totals must observe IDENTICAL
+    partition ids. Plan-level exchange reuse does NOT deliver that —
+    under AQE each branch compiles to its own ShuffleQueryStage, and
+    range boundaries are SAMPLED per exchange instance (seeded by
+    rdd.id), so two physical exchanges can split a key run across
+    different partition ids and silently misalign offsets at scale
+    (small SFs mask it because the sample covers the whole relation).
+    The pid-stamped relation is therefore persist()-materialized: every
+    branch reads the one exchange; cache-miss recompute replays the
+    SAME exchange instance (boundaries fixed driver-side at partitioner
+    creation), so pids stay consistent under executor loss too. Every
+    prefix-over-range-partitions consumer must go through this helper
+    (or global_rank) rather than inlining the pattern — the invariant
+    lives in one place and tests/test_plans.py pins the single-range-
+    exchange plan shape.
+    """
+    fns = {"sum": F.sum, "min": F.min, "max": F.max}
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        df.repartitionByRange(n_part, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
+    )
+    local = ranged
+    for src, fn, out in aggs:
+        local = local.withColumn(f"_l_{out}", fns[fn](src).over(wloc))
+    ptots = ranged.groupBy("_pid").agg(
+        *[fns[fn](src).alias(f"_t_{out}") for src, fn, out in aggs]
+    )
+    prev = ptots.select(
+        F.col("_pid").alias("_p2"),
+        *[F.col(f"_t_{out}").alias(f"_v_{out}") for _, _, out in aggs],
+    )
+    offs = (
+        ptots.join(F.broadcast(prev), F.col("_p2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(*[fns[fn](f"_v_{out}").alias(f"_o_{out}") for _, fn, out in aggs])
+    )
+    res = local.join(F.broadcast(offs), "_pid")
+    drop = ["_pid"]
+    for src, fn, out in aggs:
+        if fn == "sum":
+            expr = F.coalesce(F.col(f"_l_{out}"), F.lit(0)) + F.coalesce(
+                F.col(f"_o_{out}"), F.lit(0)
+            )
+        elif fn == "min":
+            expr = F.least(F.col(f"_l_{out}"), F.col(f"_o_{out}"))
+        else:
+            expr = F.greatest(F.col(f"_l_{out}"), F.col(f"_o_{out}"))
+        res = res.withColumn(out, expr)
+        drop += [f"_l_{out}", f"_o_{out}"]
+    return res.drop(*drop)
 
 
 @query(
@@ -2165,33 +2253,8 @@ def sky1_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     pl = part.groupBy(F.col("p_retailprice").alias("price")).agg(
         F.min("p_size").alias("msz")
     )
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = pl.repartitionByRange(n_part, "price").withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    wloc = (
-        Window.partitionBy("_pid")
-        .orderBy("price")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = ranged.withColumn("_lmin", F.min("msz").over(wloc))
-    pmins = ranged.groupBy("_pid").agg(F.min("msz").alias("_pmin"))
-    prev = pmins.select(F.col("_pid").alias("_p2"), F.col("_pmin").alias("_m2"))
-    offs = (
-        pmins.join(F.broadcast(prev), F.col("_p2") < F.col("_pid"), "left")
-        .groupBy("_pid")
-        .agg(F.min("_m2").alias("_off"))
-    )
-    pm = (
-        local.join(F.broadcast(offs), "_pid")
-        .select(
-            "price",
-            "msz",
-            F.least(
-                F.coalesce("_lmin", F.lit(float("inf"))),
-                F.coalesce("_off", F.lit(float("inf"))),
-            ).alias("m"),
-        )
+    pm = global_prefix_agg(pl, ["price"], [("msz", "min", "pm")]).select(
+        "price", "msz", F.coalesce("pm", F.lit(float("inf"))).alias("m")
     )
     return (
         part.join(pm, part.p_retailprice == pm.price)
@@ -2302,7 +2365,11 @@ def ret1_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = ev.select(day.alias("day"), "user_id").distinct()
     word = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 64) AS INT))")
     wm = du.select(
-        "day", (F.col("user_id") / 64).cast("bigint").alias("widx"), word.alias("w")
+        # arithmetic shift = exact floor division by 64 over the whole
+        # bigint range: double-divide truncated toward zero, which
+        # collided negative ids onto word 0 (e.g. -1 and 63 shared a
+        # bit) and lost precision above 2^53
+        "day", F.expr("shiftright(user_id, 6)").alias("widx"), word.alias("w")
     ).groupBy("day", "widx").agg(F.bit_or("w").alias("word"))
     act = wm.groupBy("day").agg(F.sum(F.bit_count("word")).alias("n_active"))
     nxt = wm.select((F.col("day") - 1).alias("day"), "widx", F.col("word").alias("word_next"))

@@ -734,13 +734,37 @@ def st11_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_engine_confs(spark)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    state_dir = os.path.join(tempfile.gettempdir(), f"rds_st11_state_{tag}")
-    for d in (state_dir, state_dir + "_next"):
-        if os.path.exists(d):
-            shutil.rmtree(d)
+    base = os.path.join(tempfile.gettempdir(), f"rds_st11_state_{tag}")
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    os.makedirs(base)
+
+    # Epoch-versioned state + pointer-file publish (foreachBatch is
+    # AT-LEAST-ONCE, and the previous rmtree+rename swap had two
+    # failure modes: a retried micro-batch re-merged its rows into
+    # already-updated state — double-counted weights — and a crash
+    # between rmtree and rename lost the state entirely). Each epoch
+    # writes to its own immutable dir; CURRENT names the live epoch
+    # and flips via os.replace (atomic on POSIX) only after the
+    # parquet commit (_SUCCESS). A retry of an applied epoch is a
+    # no-op; a retry of a half-written epoch deterministically
+    # rewrites it from the still-published predecessor.
+    current_ptr = os.path.join(base, "CURRENT")
+
+    def _current() -> str:
+        with open(current_ptr) as fh:
+            return fh.read().strip()
+
+    def _publish(name: str) -> None:
+        tmp = current_ptr + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(name)
+        os.replace(tmp, current_ptr)
+
     spark.createDataFrame([], "shard bigint, v double, w bigint").write.mode(
         "overwrite"
-    ).parquet(state_dir)
+    ).parquet(os.path.join(base, "epoch_init"))
+    _publish("epoch_init")
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["v"].to_numpy(dtype=np.float64)
@@ -761,18 +785,26 @@ def st11_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def update(batch: DataFrame, epoch_id: int) -> None:
         sp = batch.sparkSession
-        merged = (
-            sp.read.parquet(state_dir)
-            .unionByName(batch)
-            .groupBy("shard")
-            .applyInPandas(build, "shard bigint, v double, w bigint")
-        )
-        merged.write.mode("overwrite").parquet(state_dir + "_next")
-        shutil.rmtree(state_dir)
-        os.rename(state_dir + "_next", state_dir)
+        name = f"epoch_{epoch_id}"
+        if _current() == name:
+            return  # retried, already applied AND published: no-op
+        dst = os.path.join(base, name)
+        if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+            merged = (
+                sp.read.parquet(os.path.join(base, _current()))
+                .unionByName(batch)
+                .groupBy("shard")
+                .applyInPandas(build, "shard bigint, v double, w bigint")
+            )
+            merged.write.mode("overwrite").parquet(dst)
+        prev = _current()
+        _publish(name)
+        shutil.rmtree(os.path.join(base, prev), ignore_errors=True)
 
     q = stream.writeStream.foreachBatch(update).trigger(availableNow=True).start()
-    q.awaitTermination(timeout=300)
+    if not q.awaitTermination(timeout=300):
+        q.stop()
+        raise RuntimeError("st11 stream did not drain within 300s — state is partial")
 
     def answer(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["v"].to_numpy(dtype=np.float64)
@@ -788,7 +820,7 @@ def st11_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame(out, columns=["q_pct", "est"])
 
     return (
-        spark.read.parquet(state_dir)
+        spark.read.parquet(os.path.join(base, _current()))
         .withColumn("g", F.lit(1))
         .groupBy("g")
         .applyInPandas(answer, "q_pct int, est double")

@@ -127,3 +127,25 @@ def test_planted_noise_survives_corpus_scale_ids(spark):
         ).collect()
     ]
     assert a == b
+
+
+def test_ret1_bitmap_negative_and_huge_ids(spark, tmp_path):
+    """The word index must FLOOR-divide: truncation toward zero packs
+    user -1 and user 63 into the same (word 0, bit 63) slot, and a
+    double-divide loses ids above 2^53. Bitmap counts must equal the
+    set-based ground truth on a corpus exercising both regimes."""
+    import datetime
+
+    from reduction_dask_spark.operators.relational import ret1_bitmap_retention
+
+    d0 = datetime.datetime(2024, 1, 1)
+    d1 = datetime.datetime(2024, 1, 2)
+    ids = [-1, 63, -64, -65, 0, 1, (1 << 60) + 1, (1 << 60) + 2]
+    rows = [(d0, i, "x", 1.0) for i in ids] + [(d1, i, "x", 1.0) for i in ids[:5]]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long, event_type string, value double")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r["day"]: r for r in ret1_bitmap_retention(spark, str(tmp_path)).collect()}
+    day0 = (d0.date() - datetime.date(1970, 1, 1)).days
+    assert out[day0]["n_active"] == len(ids)
+    assert out[day0]["n_retained_next"] == 5
+    assert out[day0 + 1]["n_active"] == 5

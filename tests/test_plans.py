@@ -200,3 +200,39 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_prefix_agg_single_materialized_range_exchange(spark):
+    """global_prefix_agg / global_rank pid-consistency contract: range
+    boundaries are SAMPLED per exchange instance, so the local-window
+    branch and the offset branch must read ONE materialized exchange —
+    plan-level reuse does not happen under AQE (each branch compiles
+    its own ShuffleQueryStage, observed in round 5 as three independent
+    rangepartitioning exchanges in auc1's final plan). Pin that every
+    consumer's executed plan contains exactly one rangepartitioning
+    exchange (the persisted one) and reads it through InMemoryTableScan
+    in both branches."""
+    import contextlib
+    import io
+    import re
+
+    from reduction_dask_spark.operators.metrics import auc1_roc_auc, ks1_two_sample
+    from reduction_dask_spark.operators.relational import (
+        sky1_pareto_front,
+        w2_rank_importance,
+    )
+
+    for q in (auc1_roc_auc, ks1_two_sample, sky1_pareto_front, w2_rank_importance):
+        spark.catalog.clearCache()
+        df = q(spark, SF_SMALL)
+        df.collect()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(True)
+        plan = buf.getvalue()
+        final = plan[plan.index("== Physical Plan =="):]
+        range_ex = len(set(re.findall(r"Exchange rangepartitioning[^,]*, REPARTITION_BY_NUM, \[plan_id=(\d+)\]", final)))
+        scans = final.count("InMemoryTableScan")
+        assert range_ex <= 1, f"{q.__name__}: {range_ex} distinct range exchanges"
+        assert scans >= 2, f"{q.__name__}: branches do not share the cached exchange ({scans} scans)"
+    spark.catalog.clearCache()
