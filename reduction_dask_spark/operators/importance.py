@@ -51,7 +51,7 @@ SEED = 42
 
 
 def _mda_mapper(models: dict[int, np.ndarray], seed: int):
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fn(key, pdf):
         fold, era = int(key[0]), int(key[1])
         coef = np.asarray(models[fold])
         X = np.stack(pdf["features"].to_numpy()).astype(np.float64)
@@ -136,7 +136,7 @@ def _mda_gbt_mapper(models: dict[int, list], seed: int):
             out += np.where(col <= thr, vl, vr)
         return out
 
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fn(key, pdf):
         fold, era = int(key[0]), int(key[1])
         stumps = models[fold]
         by_f = defaultdict(list)
@@ -475,7 +475,7 @@ def _mda_suffstats_mapper(models: dict[int, np.ndarray], seed: int):
     reduction in shuffled bytes, and group memory stays O(rows_in_era)
     regardless of feature count (no per-feature frame concat)."""
 
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fn(key, pdf):
         fold, era = int(key[0]), int(key[1])
         coef = np.asarray(models[fold])
         X = np.stack(pdf["features"].to_numpy()).astype(np.float64)

@@ -15,6 +15,9 @@ sink a Delta/parquet table via foreachBatch.
 
 from __future__ import annotations
 
+import os
+import sys
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import query
@@ -343,19 +346,85 @@ def st5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def st6_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """st6 transformWithStateInPandas (the Spark 4 arbitrary-state API
-    that replaces applyInPandasWithState): per-user (count, sum, max)
-    held in a typed ValueState, updated per input batch, emitted in
-    update mode. Compared to st4's applyInPandasWithState, state here
-    is a named, schema'd, independently evolvable store (multiple
-    states, TTL, timers) — the engine's slot for custom stateful
-    patterns at production depth.
+def _shim_root() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "vendor",
+        "protoshim",
+    )
 
-    NOT registered as a driver query: the TWS Python state server
-    speaks protobuf and this container has no google.protobuf —
-    parity-tested (skipped when protobuf is absent) so the code path
-    lights up on any standard Spark 4 deployment."""
+
+def ensure_protobuf(spark: SparkSession) -> str:
+    """Make ``google.protobuf`` importable on the DRIVER. Prefers the
+    real runtime; in containers without it (like this one), activates
+    the vendored from-scratch mini runtime (vendor/protoshim — written
+    against the PUBLIC protobuf wire spec). Worker processes are healed
+    separately: the TWS driver/executor python workers receive neither
+    addPyFile includes nor the driver's PYTHONPATH (observed: the TWS
+    driver worker launches with only SPARK_HOME set), so the shim
+    travels INSIDE the pickled StatefulProcessor (see shim_payload /
+    the processor's __setstate__ in st6). Returns the active runtime
+    ('native' | 'shim')."""
+    try:
+        import google.protobuf as _gp
+
+        # the shim itself may already be on sys.path from an earlier
+        # call — report it as such, not as the native runtime
+        return "shim" if "protoshim" in (getattr(_gp, "__file__", "") or "") else "native"
+    except ImportError:
+        pass
+    import importlib
+
+    shim = _shim_root()
+    if shim not in sys.path:
+        sys.path.insert(0, shim)
+    importlib.invalidate_caches()
+    import google.protobuf  # noqa: F401
+
+    return "shim"
+
+
+def shim_payload() -> dict:
+    """{relative_path: source_bytes} of the protobuf shim — embedded in
+    pickled stateful processors so ANY worker process that unpickles
+    one can materialize the runtime locally, with no dependency on
+    PYTHONPATH, addPyFile propagation, or a shared filesystem."""
+    root = _shim_root()
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            if fn.endswith(".py"):
+                p = os.path.join(dirpath, fn)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, root)] = fh.read()
+    return out
+
+
+@query(
+    "st6_transform_with_state",
+    oracle="""
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(CAST(sum(value) AS DOUBLE), 2) AS sum_value,
+               round(CAST(max(value) AS DOUBLE), 2) AS max_value
+        FROM events GROUP BY user_id
+    """,
+    doc="st6 transformWithStateInPandas (the Spark 4 arbitrary-state "
+        "API that replaces applyInPandasWithState): per-user (count, "
+        "sum, max) held in a typed ValueState, updated per input "
+        "batch, emitted in update mode — named, schema'd, "
+        "independently evolvable state (multiple states, TTL, "
+        "timers), the engine's slot for custom stateful patterns at "
+        "production depth. The TWS python worker speaks protobuf to "
+        "the JVM state server; where google.protobuf is absent the "
+        "vendored mini protobuf runtime (public wire spec, "
+        "vendor/protoshim) is shipped to workers via addPyFile, so "
+        "the path EXECUTES here, not just on full deployments. "
+        "Oracle: the final per-user totals must equal the batch "
+        "aggregate over the same rows.",
+    tags=("streaming",),
+)
+def st6_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from pyspark.sql.streaming.stateful_processor import (
@@ -363,7 +432,67 @@ def st6_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         StatefulProcessorHandle,
     )
 
+    ensure_engine_confs(spark)
+    ensure_protobuf(spark)
+    # transformWithState keeps each named state in its own column
+    # family — only the RocksDB provider supports that (the default
+    # HDFS-backed store errors with multipleColumnFamiliesNotSupported)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
     class UserTotals(StatefulProcessor):
+        """cloudpickle serializes this class BY VALUE (it is function-
+        local); __setstate__ must therefore be self-contained (stdlib
+        only) — it materializes the embedded protobuf shim in whatever
+        worker process unpickles the processor, BEFORE the TWS state
+        client's lazy ``import google.protobuf`` fires."""
+
+        def __init__(self, shim=None):
+            self._shim = shim
+
+        def __setstate__(self, state):
+            self.__dict__.update(state)
+            shim = state.get("_shim")
+            if not shim:
+                return
+            import importlib
+            import os as _os
+            import sys as _sys
+            import tempfile as _tf
+
+            # A bare `import google.protobuf` is NOT a sufficient
+            # presence check in Spark python workers: the spark-core
+            # jar sits on their sys.path and its google/protobuf/*.proto
+            # RESOURCE entries form a PEP-420 namespace phantom — the
+            # import succeeds with __file__=None and every real symbol
+            # missing ("unknown location" ImportErrors later). Demand a
+            # real module file; otherwise install the embedded shim and
+            # purge the phantom so the next import re-resolves.
+            try:
+                import google.protobuf as _gp
+
+                if getattr(_gp, "__file__", None) is not None:
+                    return  # real runtime (full deployments)
+            except ImportError:
+                pass
+            root = _os.path.join(_tf.gettempdir(), "rds_protoshim_px")
+            for rel, src in shim.items():
+                p = _os.path.join(root, rel)
+                if _os.path.exists(p):
+                    continue
+                _os.makedirs(_os.path.dirname(p), exist_ok=True)
+                tmp = p + f".tmp{_os.getpid()}"
+                with open(tmp, "wb") as fh:
+                    fh.write(src)
+                _os.replace(tmp, p)  # atomic under concurrent workers
+            if root not in _sys.path:
+                _sys.path.insert(0, root)
+            for m in [m for m in _sys.modules if m == "google" or m.startswith("google.")]:
+                del _sys.modules[m]
+            importlib.invalidate_caches()
+
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._agg = handle.getValueState("agg", "n BIGINT, total DOUBLE, vmax DOUBLE")
 
@@ -388,7 +517,7 @@ def st6_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_event_stream(spark, sf_dir)
     agg = stream.groupBy("user_id").transformWithStateInPandas(
-        UserTotals(),
+        UserTotals(shim=None if ensure_protobuf(spark) == "native" else shim_payload()),
         outputStructType="user_id bigint, n_events bigint, sum_value double, max_value double",
         outputMode="Update",
         timeMode="None",

@@ -63,11 +63,11 @@ def test_st5_stream_join_matches_batch(spark):
 
 def test_st6_transform_with_state_matches_batch(spark):
     """transformWithStateInPandas totals == batch groupBy totals.
-    Skipped where google.protobuf (the TWS state-server wire format)
-    is not installed — as in this container."""
-    import pytest
-
-    pytest.importorskip("google.protobuf")
+    Executes HERE even without google.protobuf installed: the pickled
+    processor carries the vendored mini protobuf runtime
+    (vendor/protoshim) and self-installs it in the TWS python workers
+    (see UserTotals.__setstate__) — no skip, the full protobuf-over-
+    socket state-server path runs."""
     from reduction_dask_spark.sources import load_table
     from reduction_dask_spark.streaming import st6_transform_with_state
     from pyspark.sql import functions as F
@@ -209,3 +209,46 @@ def test_stream_checkpoint_recovery_exactly_once(spark, tmp_path):
     sunk = spark.read.parquet(out)
     assert sunk.count() == ev.count()  # no dups, no loss
     assert sunk.select("event_id").distinct().count() == ev.count()
+
+
+def test_protoshim_wire_roundtrip():
+    """The vendored mini protobuf runtime must round-trip the exact
+    message shapes the TWS client uses, including negative varints,
+    repeated bytes, enums and nested oneofs. (End-to-end JVM-side
+    compatibility is covered by test_st6_transform_with_state — the
+    Java protobuf parser on the state server is the other peer.)"""
+    import sys
+
+    from reduction_dask_spark.streaming import _shim_root, ensure_protobuf
+
+    try:
+        import google.protobuf as gp
+        native = getattr(gp, "__file__", None) is not None and "protoshim" not in gp.__file__
+    except ImportError:
+        native = False
+    if not native and _shim_root() not in sys.path:
+        sys.path.insert(0, _shim_root())
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    cmd = sm.StateCallCommand(stateName="agg", schema="n BIGINT")
+    call = sm.StatefulProcessorCall(getValueState=cmd)
+    msg = sm.StateRequest(statefulProcessorCall=call)
+    back = sm.StateRequest()
+    back.ParseFromString(msg.SerializeToString())
+    assert back.statefulProcessorCall.getValueState.stateName == "agg"
+    assert back.WhichOneof("method") == "statefulProcessorCall"
+
+    lv = sm.StateResponseWithLongTypeVal(statusCode=-3, value=1 << 45)
+    lv2 = sm.StateResponseWithLongTypeVal()
+    lv2.ParseFromString(lv.SerializeToString())
+    assert (lv2.statusCode, lv2.value) == (-3, 1 << 45)
+
+    put = sm.ListStatePut(value=[b"a", b"bb", b""], fetchWithArrow=False)
+    p2 = sm.ListStatePut()
+    p2.ParseFromString(put.SerializeToString())
+    assert p2.value == [b"a", b"bb", b""] and p2.fetchWithArrow is False
+
+    shs = sm.SetHandleState(state=sm.CLOSED)
+    s2 = sm.SetHandleState()
+    s2.ParseFromString(shs.SerializeToString())
+    assert s2.state == sm.CLOSED == 5
