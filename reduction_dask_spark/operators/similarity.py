@@ -20,6 +20,8 @@ engines; cosines are rounded(5) before ranking with vec_id tie-break.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
@@ -440,6 +442,107 @@ def ss4_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= TOP_K)
         .select("qid", F.col("vec_id").alias("neighbor_id"), "cos")
+    )
+
+
+_IDCG = sum((TOP_K - r + 1) / math.log2(r + 1) for r in range(1, TOP_K + 1))
+
+
+@query(
+    "ndcg1_ann_quality",
+    oracle=f"""
+        WITH {_BRUTE_SQL.rstrip()}, {_IVF_SQL},
+        icand AS (
+            SELECT q.qid, a.vec_id,
+                   round({_COS_SQL.format(a='qv.vv', b='cv.vv')}, 5) AS cos
+            FROM qprobe q
+            JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.qid
+            JOIN allv qv ON qv.vec_id = q.qid
+            JOIN allv cv ON cv.vec_id = a.vec_id
+        ),
+        ap AS (
+            SELECT qid, vec_id, rn AS ap_rn FROM (
+                SELECT qid, vec_id,
+                       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+                FROM icand
+            ) WHERE rn <= {TOP_K}
+        ),
+        exk AS (SELECT qid, vec_id, rn AS ex_rn FROM topk WHERE rn <= {TOP_K}),
+        jm AS (
+            SELECT ap.qid, ap.ap_rn, exk.ex_rn
+            FROM ap LEFT JOIN exk ON ap.qid = exk.qid AND ap.vec_id = exk.vec_id
+        ),
+        per AS (
+            SELECT qid,
+                   round(count(ex_rn) / {float(TOP_K)!r}, 6) AS recall_at_k,
+                   round(max(CASE WHEN ex_rn = 1 THEN 1.0 / ap_rn ELSE 0.0 END), 6) AS mrr,
+                   round(sum((CASE WHEN ex_rn IS NOT NULL
+                                   THEN {TOP_K} - ex_rn + 1 ELSE 0 END)
+                             / log2(ap_rn + 1) ORDER BY ap_rn) / {_IDCG!r}, 6) AS ndcg
+            FROM jm GROUP BY qid
+        )
+        SELECT q.qid,
+               coalesce(per.recall_at_k, 0.0) AS recall_at_k,
+               coalesce(per.mrr, 0.0) AS mrr,
+               coalesce(per.ndcg, 0.0) AS ndcg
+        FROM (SELECT DISTINCT qid FROM exk) q LEFT JOIN per USING (qid)
+    """,
+    doc=f"ndcg1 ANN retrieval-quality evaluation — the standard "
+        "recall/MRR/nDCG@k report every vector-search deployment runs "
+        "before trading exactness for speed: ss4's IVF approximate "
+        f"top-{TOP_K} is judged against ss1's exact brute-force "
+        "ranking (graded relevance = inverted exact rank, so a "
+        "near-miss at rank 2 scores higher than one at rank 5). "
+        "Scale shape: both sides are the already-bucketed/broadcast "
+        "pipelines; the eval itself joins two |queries|×k relations — "
+        "negligible. Cross-engine float determinism: the DCG sum "
+        "folds in ap_rn order on BOTH engines (sort_array+aggregate "
+        "in Spark, ordered aggregate in DuckDB), so the IEEE op "
+        "sequence is identical; MRR and recall are single divisions.",
+    tags=("similarity", "metric"),
+)
+def ndcg1_ann_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = TOP_K
+    wq = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    ex = (
+        brute_force_topk(spark, sf_dir)
+        .withColumn("ex_rn", F.row_number().over(wq))
+        .select("qid", "neighbor_id", "ex_rn")
+    )
+    ap = (
+        ss4_cosine_topk_ivf(spark, sf_dir)
+        .withColumn("ap_rn", F.row_number().over(wq))
+        .select("qid", "neighbor_id", "ap_rn")
+    )
+    j = ap.join(ex, ["qid", "neighbor_id"], "left")
+    rel = F.when(
+        F.col("ex_rn").isNotNull(), F.lit(k) - F.col("ex_rn") + 1
+    ).otherwise(F.lit(0))
+    term = rel.cast("double") / F.log2(F.col("ap_rn") + 1)
+    per = j.groupBy("qid").agg(
+        F.round(F.count("ex_rn") / F.lit(float(k)), 6).alias("recall_at_k"),
+        F.round(
+            F.max(
+                F.when(F.col("ex_rn") == 1, F.lit(1.0) / F.col("ap_rn")).otherwise(0.0)
+            ),
+            6,
+        ).alias("mrr"),
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct(F.col("ap_rn"), term.alias("t")))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["t"],
+            )
+            / F.lit(_IDCG),
+            6,
+        ).alias("ndcg"),
+    )
+    qids = ex.select("qid").distinct()
+    return qids.join(per, "qid", "left").select(
+        "qid",
+        F.coalesce("recall_at_k", F.lit(0.0)).alias("recall_at_k"),
+        F.coalesce("mrr", F.lit(0.0)).alias("mrr"),
+        F.coalesce("ndcg", F.lit(0.0)).alias("ndcg"),
     )
 
 

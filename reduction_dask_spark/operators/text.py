@@ -1261,3 +1261,102 @@ def mg1_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
     return exact.filter(F.col("cnt") * MG_K > F.lit(n_total))
+
+
+# ---------------------------------------------------------------- cur1
+
+CUR_PHASES = ("warmup", "main", "anneal")
+_POW32D = 4294967296.0
+
+
+def _cur_rate(phase: str, d: int) -> float:
+    if phase == "warmup":
+        return 1.0 if d >= 8 else (0.2 if d >= 4 else 0.02)
+    if phase == "main":
+        return 0.9 if d >= 8 else (0.7 if d >= 4 else 0.3)
+    return 1.0 if d == 10 else 0.5
+
+
+CUR_RATES = [(p, d, _cur_rate(p, d)) for p in CUR_PHASES for d in range(1, 11)]
+_CUR_VALUES_SQL = ", ".join(f"('{p}', {d}, {r!r})" for p, d, r in CUR_RATES)
+
+
+@query(
+    "cur1_curriculum_sample",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   round(least(1.0, len(toks) / 50.0)
+                         * (1.0 - len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE / len(toks))
+                         * (len(list_distinct(toks))::DOUBLE / len(toks)), 6) AS quality
+            FROM d
+        ), r AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY quality, doc_id) AS rnk,
+                   count(*) OVER () AS n
+            FROM s
+        ), dec AS (
+            SELECT doc_id, CAST((rnk - 1) * 10 // n AS INTEGER) + 1 AS decile FROM r
+        ), rates AS (
+            SELECT * FROM (VALUES {_CUR_VALUES_SQL}) AS t(phase, decile, rate)
+        ), coin AS (
+            SELECT ra.phase, dec.decile, ra.rate, dec.doc_id,
+                   ({md5i_sql("'cur:' || ra.phase || ':' || dec.doc_id")}) / {_POW32D!r} AS u
+            FROM dec JOIN rates ra USING (decile)
+        )
+        SELECT phase, CAST(decile AS INTEGER) AS decile, rate,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        FROM coin GROUP BY phase, decile, rate
+    """,
+    doc="cur1 curriculum sampling schedule — the quality-stratified "
+        "data schedule LLM training runs use (clean-first warmup, "
+        "broadened main phase, annealing mix): documents are ranked "
+        "into global quality DECILES (t2's composite score, ranked by "
+        "the two-pass distributed global_rank — never a single-"
+        "partition window), each curriculum phase assigns a keep-rate "
+        "per decile (30-row broadcast literal table), and membership "
+        "is a deterministic portable coin (md5 of phase×doc), so the "
+        "schedule is reproducible and every phase's sample is "
+        "decided in ONE pass over the corpus with no data movement "
+        "beyond the rank. Output: per (phase, decile) eligible and "
+        "sampled counts with the rate — the table a training-data "
+        "dashboard shows per curriculum stage.",
+    tags=("text", "pipeline"),
+)
+def cur1_curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import md5i
+    from .relational import global_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_t = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / n_t
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_t
+    quality = F.round(
+        F.least(F.lit(1.0), n_t / F.lit(50.0)) * (F.lit(1.0) - stop_ratio) * uniq_ratio,
+        6,
+    )
+    scored = d.select("doc_id", quality.alias("quality"))
+    ranked = global_rank(scored, "quality", "doc_id", out="rnk")
+    n = scored.agg(F.count("*").alias("n"))
+    dec = ranked.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        (((F.col("rnk") - 1) * 10 / F.col("n")).cast("int") + 1).alias("decile"),
+    )
+    rates = spark.createDataFrame(CUR_RATES, "phase string, decile int, rate double")
+    coin = dec.join(F.broadcast(rates), "decile").select(
+        "phase",
+        "decile",
+        "rate",
+        (
+            md5i(F.concat_ws("", F.lit("cur:"), F.col("phase"), F.lit(":"), F.col("doc_id")))
+            / F.lit(_POW32D)
+        ).alias("u"),
+    )
+    return coin.groupBy("phase", "decile", "rate").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("u") < F.col("rate"), 1).otherwise(0)).cast("bigint").alias("n_sampled"),
+    )
