@@ -863,3 +863,98 @@ def gini1_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+# ---------------------------------------------------------------- match1
+
+MATCH_CALIPER = 3
+
+
+@query(
+    "match1_caliper_matching",
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS treated,
+                   sum(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END) AS score,
+                   round(CAST(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+                              AS DOUBLE), 2) AS y
+            FROM events GROUP BY user_id
+        ),
+        t AS (SELECT user_id AS tid, score AS ts, y AS ty FROM u WHERE treated = 1),
+        c AS (SELECT user_id AS cid, score AS cs, y AS cy FROM u WHERE treated = 0),
+        cand AS (
+            SELECT t.tid, t.ty, c.cid, c.cy, abs(t.ts - c.cs) AS d
+            FROM t JOIN c ON c.cs BETWEEN t.ts - {MATCH_CALIPER} AND t.ts + {MATCH_CALIPER}
+        ),
+        best AS (
+            SELECT tid, ty, cy,
+                   row_number() OVER (PARTITION BY tid ORDER BY d, cid) AS rn
+            FROM cand
+        ),
+        m AS (SELECT tid, ty, cy FROM best WHERE rn = 1),
+        naive AS (
+            SELECT avg(CASE WHEN treated = 1 THEN y END)
+                   - avg(CASE WHEN treated = 0 THEN y END) AS nd,
+                   sum(treated) AS n_treated
+            FROM u
+        )
+        SELECT CAST(naive.n_treated AS BIGINT) AS n_treated,
+               CAST((SELECT count(*) FROM m) AS BIGINT) AS n_matched,
+               round((SELECT avg(ty - cy) FROM m), 6) AS att,
+               round(naive.nd, 6) AS naive_diff
+        FROM naive
+    """,
+    doc="match1 caliper nearest-neighbor matching — the observational "
+        "causal-inference estimator beside ab1 (randomized + CUPED), "
+        "ips1 (off-policy) and srv1 (censoring): treated units (users "
+        "with a signup) are matched WITH REPLACEMENT to the nearest "
+        "control by an integer activity score (clicks+views) within a "
+        f"caliper of {MATCH_CALIPER}, and ATT = mean matched outcome "
+        "difference on purchase revenue, reported against the "
+        "confounded naive difference. Scale shape: one per-user "
+        "aggregate (the only wide shuffle), then a caliper RANGE join "
+        "whose pair mass is bounded by band width × score density — "
+        "never the T×C cross join — and a per-treated argmin window "
+        "(groups are caliper-bounded). Deterministic: integer score, "
+        "integer distance, (distance, control-id) tie-break.",
+    tags=("metric", "agg", "pipeline"),
+)
+def match1_caliper_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("treated"),
+        F.sum(F.when(F.col("event_type").isin("click", "view"), 1).otherwise(0)).alias("score"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)), 2
+        ).alias("y"),
+    )
+    t = u.filter(F.col("treated") == 1).select(
+        F.col("user_id").alias("tid"), F.col("score").alias("ts"), F.col("y").alias("ty")
+    )
+    c = u.filter(F.col("treated") == 0).select(
+        F.col("user_id").alias("cid"), F.col("score").alias("cs"), F.col("y").alias("cy")
+    )
+    cand = t.join(
+        c,
+        (F.col("cs") >= F.col("ts") - MATCH_CALIPER)
+        & (F.col("cs") <= F.col("ts") + MATCH_CALIPER),
+    ).select("tid", "ty", "cid", "cy", F.abs(F.col("ts") - F.col("cs")).alias("d"))
+    w = Window.partitionBy("tid").orderBy("d", "cid")
+    m = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    naive = u.agg(
+        (
+            F.avg(F.when(F.col("treated") == 1, F.col("y")))
+            - F.avg(F.when(F.col("treated") == 0, F.col("y")))
+        ).alias("nd"),
+        F.sum("treated").alias("n_treated"),
+    )
+    att = m.agg(
+        F.count("*").alias("n_matched"), F.avg(F.col("ty") - F.col("cy")).alias("att")
+    )
+    return naive.crossJoin(F.broadcast(att)).select(
+        F.col("n_treated").cast("bigint").alias("n_treated"),
+        F.col("n_matched").cast("bigint").alias("n_matched"),
+        F.round("att", 6).alias("att"),
+        F.round("nd", 6).alias("naive_diff"),
+    )

@@ -98,3 +98,40 @@ def test_join_strategy_hints_are_honored(spark):
         assert shj.count() == smj.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_bucketed_shingle_index_pair_join_no_input_shuffle(spark):
+    """The dedup family's hottest join — the shingle inverted-index
+    self-join that generates candidate pairs (dd2/dd6's Σ_shingle df²
+    stage) — co-located: with the index stored bucketed+sorted by
+    shingle, BOTH sides of the pair join read in place and the join
+    itself needs no exchange; the only shuffle left in the full
+    pipeline is the per-pair aggregation, which is output-mass, not
+    index-mass. At 100 TB this is the difference between re-shuffling
+    the whole exploded index per dedup run and shuffling it once at
+    index-build time."""
+    from reduction_dask_spark.operators.dedup import shingle_table
+
+    sh = shingle_table(spark, SF_SMALL)
+    sh.write.mode("overwrite").bucketBy(8, "shingle").sortBy("shingle").saveAsTable("sh_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shb = spark.table("sh_b")
+        a, b = shb.alias("a"), shb.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        assert count_exchanges(pairs) == 0, simple_plan(pairs)
+        # same pair count as the unbucketed plan
+        ua, ub = sh.alias("a"), sh.alias("b")
+        upairs = ua.join(
+            ub,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        assert pairs.count() == upairs.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS sh_b")
