@@ -1348,3 +1348,97 @@ def t13_dedup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.filter(phash("doc_id", SOFT_MOD) * F.col("n_dups") < SOFT_MOD)
         .select("doc_id", F.col("n_dups").cast("bigint").alias("n_dups"))
     )
+
+
+# --------------------------------------------------------------- deval1
+
+@query(
+    "deval1_dedup_quality",
+    oracle=f"""
+        WITH {SHINGLE_SQL}, {_MINHASH_SQL}, {_SIMHASH_SQL}, {_JACCARD_SQL},
+        truth AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_TAU}),
+        mhp AS (
+            SELECT c.doc_a, c.doc_b FROM cand c
+            JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+            WHERE j.jaccard >= {JACCARD_TAU}
+        ),
+        shp AS (
+            SELECT doc_a, doc_b FROM scand
+            WHERE bit_count(xor(fa, fb)) <= {SIM_TAU}
+        ),
+        stats AS (
+            SELECT 'minhash_lsh' AS method,
+                   (SELECT count(*) FROM mhp) AS n_pred,
+                   (SELECT count(*) FROM truth) AS n_true,
+                   (SELECT count(*) FROM mhp JOIN truth USING (doc_a, doc_b)) AS tp
+            UNION ALL
+            SELECT 'simhash',
+                   (SELECT count(*) FROM shp),
+                   (SELECT count(*) FROM truth),
+                   (SELECT count(*) FROM shp JOIN truth USING (doc_a, doc_b))
+            UNION ALL
+            SELECT 'prefix_filter',
+                   (SELECT count(*) FROM truth),
+                   (SELECT count(*) FROM truth),
+                   (SELECT count(*) FROM truth)
+        )
+        SELECT method,
+               CAST(n_pred AS BIGINT) AS n_pred,
+               CAST(n_true AS BIGINT) AS n_true,
+               CAST(tp AS BIGINT) AS tp,
+               round(CASE WHEN n_pred > 0 THEN tp / CAST(n_pred AS DOUBLE) ELSE 0.0 END, 6) AS precision,
+               round(CASE WHEN n_true > 0 THEN tp / CAST(n_true AS DOUBLE) ELSE 0.0 END, 6) AS recall,
+               round(CASE WHEN tp > 0 THEN
+                         2.0 * (tp / CAST(n_pred AS DOUBLE)) * (tp / CAST(n_true AS DOUBLE))
+                         / (tp / CAST(n_pred AS DOUBLE) + tp / CAST(n_true AS DOUBLE))
+                     ELSE 0.0 END, 6) AS f1
+        FROM stats
+    """,
+    doc="deval1 dedup-method quality report — ndcg1's eval story for "
+        "the dedup family: each approximate near-dup method (dd3 "
+        "MinHash-LSH, dd4 SimHash, dd10 prefix-filter) is scored "
+        f"against the exact shingle-Jaccard ≥ {JACCARD_TAU} pair set "
+        "with precision / recall / F1 — the measured quality numbers "
+        "a pipeline owner needs before trusting an approximation at "
+        "100 TB (prefix-filter is exact by construction, so its row "
+        "doubles as a P=R=1 invariant; SimHash trades a different "
+        "similarity notion, which this table quantifies instead of "
+        "hand-waving). All counts are semi-join cardinalities over "
+        "the methods' own bucketed pipelines; metrics are integer "
+        "ratios — exact cross-engine.",
+    tags=("dedup", "metric"),
+)
+def deval1_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = (
+        jaccard_pairs(shingle_table(spark, sf_dir).persist(), tau=JACCARD_TAU)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    methods = {
+        "minhash_lsh": dd3_minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b"),
+        "simhash": dd4_simhash_dedup(spark, sf_dir).select("doc_a", "doc_b"),
+        "prefix_filter": dd10_prefix_filter_pairs(spark, sf_dir).select("doc_a", "doc_b"),
+    }
+    parts = []
+    for name, pred in methods.items():
+        tp = pred.join(truth, ["doc_a", "doc_b"], "left_semi")
+        parts.append(
+            pred.agg(F.count("*").alias("n_pred"))
+            .crossJoin(F.broadcast(truth.agg(F.count("*").alias("n_true"))))
+            .crossJoin(F.broadcast(tp.agg(F.count("*").alias("tp"))))
+            .select(F.lit(name).alias("method"), "n_pred", "n_true", "tp")
+        )
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    p = F.col("tp") / F.col("n_pred").cast("double")
+    r = F.col("tp") / F.col("n_true").cast("double")
+    return out.select(
+        "method",
+        F.col("n_pred").cast("bigint").alias("n_pred"),
+        F.col("n_true").cast("bigint").alias("n_true"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.round(F.when(F.col("n_pred") > 0, p).otherwise(0.0), 6).alias("precision"),
+        F.round(F.when(F.col("n_true") > 0, r).otherwise(0.0), 6).alias("recall"),
+        F.round(
+            F.when(F.col("tp") > 0, 2.0 * p * r / (p + r)).otherwise(0.0), 6
+        ).alias("f1"),
+    )

@@ -1360,3 +1360,70 @@ def cur1_curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(F.when(F.col("u") < F.col("rate"), 1).otherwise(0)).cast("bigint").alias("n_sampled"),
     )
+
+
+# ---------------------------------------------------------------- zipf1
+
+@query(
+    "zipf1_token_zipf",
+    oracle="""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        freq AS (SELECT tok, count(*) AS f FROM tok GROUP BY tok),
+        r AS (
+            SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS rnk FROM freq
+        ),
+        l AS (SELECT ln(CAST(rnk AS DOUBLE)) AS lx, ln(CAST(f AS DOUBLE)) AS ly FROM r),
+        s AS (
+            SELECT count(*) AS n, avg(lx) AS mx, avg(ly) AS my,
+                   covar_samp(lx, ly) AS sxy, var_samp(lx) AS sxx, var_samp(ly) AS syy
+            FROM l
+        )
+        SELECT CAST(n AS BIGINT) AS n_types,
+               round(sxy / sxx, 6) AS zipf_slope,
+               round(my - (sxy / sxx) * mx, 6) AS intercept,
+               round((sxy * sxy) / (sxx * syy), 6) AS r2
+        FROM s
+    """,
+    doc="zipf1 corpus Zipf diagnostic — the log-log rank/frequency "
+        "slope every corpus-health dashboard tracks (natural text "
+        "fits slope ≈ −1; templated/boilerplate-heavy or synthetic "
+        "corpora bend it, so drift in the slope flags contamination "
+        "upstream of training): token frequencies in one "
+        "map-side-combined aggregate, GLOBAL frequency ranks from "
+        "the two-pass distributed global_rank (never a single-"
+        "partition window over the vocabulary), then ols1's "
+        "closed-form one-pass regression over (ln rank, ln freq). "
+        "Output is one row at any corpus size.",
+    tags=("text", "metric"),
+)
+def zipf1_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import global_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("f"))
+    )
+    ranked = global_rank(freq, F.desc("f"), F.asc("tok"), out="rnk")
+    l = ranked.select(
+        F.log(F.col("rnk").cast("double")).alias("lx"),
+        F.log(F.col("f").cast("double")).alias("ly"),
+    )
+    s = l.agg(
+        F.count("*").alias("n"),
+        F.avg("lx").alias("mx"),
+        F.avg("ly").alias("my"),
+        F.covar_samp("lx", "ly").alias("sxy"),
+        F.var_samp("lx").alias("sxx"),
+        F.var_samp("ly").alias("syy"),
+    )
+    slope = F.col("sxy") / F.col("sxx")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_types"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(F.col("my") - slope * F.col("mx"), 6).alias("intercept"),
+        F.round((F.col("sxy") * F.col("sxy")) / (F.col("sxx") * F.col("syy")), 6).alias("r2"),
+    )

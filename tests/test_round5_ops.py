@@ -492,3 +492,40 @@ def test_cur1_schedule_invariants(spark):
     assert by_phase["warmup"][1]["rate"] == 0.02
     n1, s1 = by_phase["warmup"][1]["n_docs"], by_phase["warmup"][1]["n_sampled"]
     assert s1 < n1  # low decile actually thinned
+
+
+def test_deval1_invariants(spark):
+    from reduction_dask_spark.operators.dedup import deval1_dedup_quality
+
+    rows = {r["method"]: r for r in deval1_dedup_quality(spark, SF_SMALL).collect()}
+    assert set(rows) == {"minhash_lsh", "simhash", "prefix_filter"}
+    n_true = {r["n_true"] for r in rows.values()}
+    assert len(n_true) == 1 and n_true.pop() > 0
+    pf = rows["prefix_filter"]
+    assert (pf["precision"], pf["recall"], pf["f1"]) == (1.0, 1.0, 1.0)
+    for r in rows.values():
+        assert r["tp"] <= min(r["n_pred"], r["n_true"])
+        assert 0.0 <= r["precision"] <= 1.0 and 0.0 <= r["recall"] <= 1.0
+        assert r["f1"] <= max(r["precision"], r["recall"]) + 1e-9
+    # dd3's banded LSH + exact verify: precision is 1 by construction
+    assert rows["minhash_lsh"]["precision"] == 1.0
+
+
+def test_zipf1_matches_numpy(spark):
+    import numpy as np
+
+    from reduction_dask_spark.operators.text import zipf1_token_zipf
+    from reduction_dask_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    got = zipf1_token_zipf(spark, SF_SMALL).collect()[0]
+    toks = (
+        load_table(spark, SF_SMALL, "documents")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t").count().toPandas()
+    )
+    f = np.sort(toks["count"].to_numpy())[::-1].astype(float)
+    lx, ly = np.log(np.arange(1, len(f) + 1)), np.log(f)
+    slope = np.cov(lx, ly, ddof=1)[0, 1] / np.var(lx, ddof=1)
+    assert got["n_types"] == len(f)
+    assert abs(got["zipf_slope"] - slope) < 1e-5
