@@ -1442,3 +1442,96 @@ def deval1_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("tp") > 0, 2.0 * p * r / (p + r)).otherwise(0.0), 6
         ).alias("f1"),
     )
+
+
+# ---------------------------------------------------------------- wnw1
+
+WNW_K = 3   # k-gram width (tokens)
+WNW_W = 4   # winnowing window (k-gram hashes per window)
+
+
+@query(
+    "wnw1_winnow_fingerprints",
+    oracle=f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        g0 AS (
+            SELECT doc_id, toks,
+                   unnest(range(1, len(toks) - {WNW_K} + 2)) AS i
+            FROM d WHERE len(toks) >= {WNW_K}
+        ),
+        g AS (
+            SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                   {md5h60_sql("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")} AS h
+            FROM g0
+        ),
+        n AS (SELECT doc_id, max(pos) AS ng FROM g GROUP BY doc_id),
+        win AS (
+            SELECT g.doc_id, g.pos AS wstart
+            FROM g JOIN n USING (doc_id)
+            WHERE g.pos <= n.ng - {WNW_W} + 1 OR g.pos = 1
+        ),
+        cand AS (
+            SELECT w.doc_id, w.wstart, g.pos, g.h,
+                   row_number() OVER (
+                       PARTITION BY w.doc_id, w.wstart
+                       ORDER BY g.h, g.pos DESC
+                   ) AS rn
+            FROM win w
+            JOIN g ON g.doc_id = w.doc_id
+                  AND g.pos BETWEEN w.wstart AND w.wstart + {WNW_W} - 1
+        )
+        SELECT DISTINCT doc_id, pos, h AS fp
+        FROM cand WHERE rn = 1
+    """,
+    doc="wnw1 winnowing document fingerprints (Schleimer/Wilkerson/"
+        f"Aiken, SIGMOD'03 — the MOSS scheme): {WNW_K}-gram hashes in "
+        f"position order, sliding windows of {WNW_W} hashes, keep each "
+        "window's minimum (rightmost on ties) — guarantees any shared "
+        f"run of ≥ {WNW_W + WNW_K - 1} tokens between two documents "
+        "shares a selected fingerprint, at ~2/(w+1) the density of "
+        "the full k-gram set. This is the partial-copy detection "
+        "layer between exact dedup (t4) and set-similarity (dd2): "
+        "selected prints feed the same inverted-index join. Plan: "
+        "positional grams are one explode, window minima are a "
+        "per-doc position-range self-join (pair mass n·w per doc, "
+        "docs bounded) with a deterministic (hash, rightmost) "
+        "argmin window; short docs (< w grams) contribute their "
+        "single prefix window. Integer 60-bit hashes — exact oracle.",
+    tags=("dedup", "text"),
+)
+def wnw1_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= WNW_K
+    )
+    gram = F.concat_ws(
+        " ",
+        F.element_at("toks", F.col("pos")),
+        F.element_at("toks", F.col("pos") + 1),
+        F.element_at("toks", F.col("pos") + 2),
+    )
+    g = toked.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - WNW_K + 1)).alias("pos"),
+        "toks",
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), md5h60(gram).alias("h"))
+    n = g.groupBy("doc_id").agg(F.max("pos").alias("ng"))
+    win = (
+        g.join(n, "doc_id")
+        .filter((F.col("pos") <= F.col("ng") - WNW_W + 1) | (F.col("pos") == 1))
+        .select("doc_id", F.col("pos").alias("wstart"))
+    )
+    ga = g.select(F.col("doc_id").alias("gd"), F.col("pos"), F.col("h"))
+    cand = win.join(
+        ga,
+        (F.col("gd") == F.col("doc_id"))
+        & (F.col("pos") >= F.col("wstart"))
+        & (F.col("pos") <= F.col("wstart") + WNW_W - 1),
+    )
+    w = Window.partitionBy("doc_id", "wstart").orderBy(F.asc("h"), F.desc("pos"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "pos", F.col("h").alias("fp"))
+        .distinct()
+    )

@@ -958,3 +958,80 @@ def match1_caliper_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("att", 6).alias("att"),
         F.round("nd", 6).alias("naive_diff"),
     )
+
+
+# ---------------------------------------------------------------- calib1
+
+CALIB_BINS = 10
+
+
+@query(
+    "calib1_reliability_table",
+    oracle=f"""
+        WITH s AS (
+            SELECT least(1.0, value / 200.0) AS score,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events
+        ),
+        b AS (
+            SELECT least({CALIB_BINS} - 1,
+                         CAST(floor(score * {CALIB_BINS}) AS INTEGER)) AS bin,
+                   score, y
+            FROM s
+        ),
+        per AS (
+            SELECT bin, count(*) AS n, avg(score) AS mean_score,
+                   sum(y) AS n_pos, avg(CAST(y AS DOUBLE)) AS frac_pos
+            FROM b GROUP BY bin
+        ),
+        tot AS (SELECT sum(n) AS nn FROM per)
+        SELECT bin, CAST(n AS BIGINT) AS n,
+               round(mean_score, 6) AS mean_score,
+               CAST(n_pos AS BIGINT) AS n_pos,
+               round(frac_pos, 6) AS frac_pos,
+               round(abs(mean_score - frac_pos) * n / tot.nn, 6) AS ece_contrib
+        FROM per, tot
+    """,
+    doc="calib1 reliability (calibration) table — the diagnostic "
+        "behind iso1's fix: scores bucketed into fixed-width bins, "
+        "per-bin mean score vs realized positive rate, plus each "
+        "bin's weighted |gap| contribution (their sum is the "
+        "Expected Calibration Error). Score = clipped value/200 "
+        "against the purchase outcome — the shape, not the model, "
+        "is the point: this composes with ANY scored relation "
+        "(log1's logistic outputs, cls1's quality classifier). One "
+        "map-side-combined aggregate over |bins| groups; a 1-row "
+        "total broadcast. iso1 then MAKES the curve monotone; "
+        "calib1 is how you decide you need it.",
+    tags=("metric", "agg", "ml"),
+)
+def calib1_reliability_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.least(F.lit(1.0), F.col("value") / 200.0).alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    b = s.select(
+        F.least(
+            F.lit(CALIB_BINS - 1), F.floor(F.col("score") * CALIB_BINS).cast("int")
+        ).alias("bin"),
+        "score",
+        "y",
+    )
+    per = b.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.avg("score").alias("mean_score"),
+        F.sum("y").alias("n_pos"),
+        F.avg(F.col("y").cast("double")).alias("frac_pos"),
+    )
+    tot = per.agg(F.sum("n").alias("nn"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("mean_score", 6).alias("mean_score"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.round("frac_pos", 6).alias("frac_pos"),
+        F.round(
+            F.abs(F.col("mean_score") - F.col("frac_pos")) * F.col("n") / F.col("nn"), 6
+        ).alias("ece_contrib"),
+    )
