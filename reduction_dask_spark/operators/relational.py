@@ -2604,3 +2604,70 @@ def pr1_global_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round((F.col("rnk") - 1).cast("double") / (F.col("n") - 1), 6).alias("pct"),
     )
+
+
+# --------------------------------------------------------------- ldiv1
+
+LDIV_LS = (2, 3, 5)
+
+
+@query(
+    "ldiv1_l_diversity",
+    oracle=f"""
+        WITH g AS (
+            SELECT c_nationkey, c_mktsegment,
+                   count(*) AS sz,
+                   count(DISTINCT c_acctbal >= 0) AS n_sens
+            FROM customer GROUP BY 1, 2
+        ),
+        ls AS (SELECT unnest([{", ".join(str(l) for l in LDIV_LS)}]) AS l)
+        SELECT CAST(ls.l AS INTEGER) AS l,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(CASE WHEN g.n_sens < ls.l THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_homogeneous_groups,
+               CAST(sum(CASE WHEN g.n_sens < ls.l THEN g.sz ELSE 0 END) AS BIGINT)
+                   AS n_exposed_rows,
+               round(sum(CASE WHEN g.n_sens < ls.l THEN g.sz ELSE 0 END)
+                     / CAST(sum(g.sz) AS DOUBLE), 6) AS exposure_rate
+        FROM g CROSS JOIN ls
+        GROUP BY ls.l
+    """,
+    doc="ldiv1 l-diversity audit (Machanavajjhala et al., ICDE'06) — "
+        "k-anonymity's blind spot: a QI-group can be large yet leak "
+        "its sensitive attribute when every member SHARES it (the "
+        "homogeneity attack). Same QI set as kano1 (nation × market "
+        "segment) with a binary sensitive attribute (account in "
+        "arrears, c_acctbal < 0): per candidate l, the groups holding "
+        "fewer than l distinct sensitive values, the rows they "
+        "expose, and the exposure rate — the companion table a "
+        "privacy review reads NEXT TO the k-anonymity report. One "
+        "groupBy with a count-distinct over the bounded sensitive "
+        "domain, a bounded l-values fan-out; O(|ls|) output at any "
+        "scale.",
+    tags=("agg", "pipeline"),
+)
+def ldiv1_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("sz"),
+        F.countDistinct((F.col("c_acctbal") >= 0)).alias("n_sens"),
+    )
+    ls = spark.createDataFrame([(l,) for l in LDIV_LS], "l int")
+    return (
+        g.crossJoin(F.broadcast(ls))
+        .groupBy("l")
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("n_sens") < F.col("l"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_homogeneous_groups"),
+            F.sum(F.when(F.col("n_sens") < F.col("l"), F.col("sz")).otherwise(0))
+            .cast("bigint")
+            .alias("n_exposed_rows"),
+            F.round(
+                F.sum(F.when(F.col("n_sens") < F.col("l"), F.col("sz")).otherwise(0))
+                / F.sum("sz").cast("double"),
+                6,
+            ).alias("exposure_rate"),
+        )
+    )
