@@ -1015,3 +1015,183 @@ def st12_custom_source_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"SELECT lang, CAST(n_docs AS BIGINT) AS n_docs FROM {qname}"
     )
+
+
+# ---------------------------------------------------------------- st13
+
+@query(
+    "st13_stream_drift_psi",
+    oracle="""
+        WITH span AS (
+            SELECT min(ts) AS lo, max(ts) AS hi FROM events
+        ),
+        ref0 AS (
+            SELECT e.event_type, e.value
+            FROM events e CROSS JOIN span s
+            WHERE (epoch_us(e.ts) - epoch_us(s.lo)) * 2
+                  < (epoch_us(s.hi) - epoch_us(s.lo))
+        ),
+        vspan AS (SELECT min(value) AS vlo, max(value) AS vhi FROM ref0),
+        binr AS (
+            SELECT r.event_type,
+                   CASE WHEN v.vhi > v.vlo THEN
+                       least(9, greatest(0, CAST(floor((r.value - v.vlo)
+                                  / ((v.vhi - v.vlo) / 10)) AS INTEGER)))
+                   ELSE 0 END AS bin
+            FROM ref0 r CROSS JOIN vspan v
+        ),
+        binc AS (
+            SELECT e.event_type,
+                   CASE WHEN v.vhi > v.vlo THEN
+                       least(9, greatest(0, CAST(floor((e.value - v.vlo)
+                                  / ((v.vhi - v.vlo) / 10)) AS INTEGER)))
+                   ELSE 0 END AS bin
+            FROM events e CROSS JOIN vspan v
+        ),
+        cr AS (SELECT event_type, bin, count(*) AS c_ref FROM binr GROUP BY 1, 2),
+        cc AS (SELECT event_type, bin, count(*) AS c_new FROM binc GROUP BY 1, 2),
+        ct AS (
+            SELECT coalesce(cr.event_type, cc.event_type) AS event_type,
+                   coalesce(cr.bin, cc.bin) AS bin,
+                   coalesce(c_ref, 0) AS c_ref, coalesce(c_new, 0) AS c_new
+            FROM cr FULL JOIN cc ON cr.event_type = cc.event_type AND cr.bin = cc.bin
+        ),
+        tot AS (
+            SELECT event_type, sum(c_ref) AS n_ref, sum(c_new) AS n_new
+            FROM ct GROUP BY 1
+        ),
+        frac AS (
+            SELECT ct.event_type,
+                   greatest(c_ref / CAST(n_ref AS DOUBLE), 0.0001) AS p,
+                   greatest(c_new / CAST(n_new AS DOUBLE), 0.0001) AS q
+            FROM ct JOIN tot USING (event_type)
+        )
+        SELECT event_type, round(sum((q - p) * ln(q / p)), 6) AS psi
+        FROM frac GROUP BY event_type
+    """,
+    doc="st13 streaming drift monitor — psi1's production metric "
+        "maintained BY the stream (the pairing every model-monitoring "
+        "deployment runs: st11 watches latency quantiles, st13 "
+        "watches input distribution drift): the REFERENCE histogram "
+        "is frozen batch-side from the first half of the span (the "
+        "'training window'), with bin edges fixed from the reference "
+        "value extent; the stream then maintains per-(type, bin) "
+        "CURRENT counts across micro-batches in st11's epoch-"
+        "versioned atomic state (idempotent under foreachBatch "
+        "retries, bounded at |types|×|bins| rows forever), and the "
+        "final PSI(current ‖ reference) per type is computed from "
+        "the persisted state — so the oracle checks the maintained-"
+        "state path end-to-end, exactly.",
+    tags=("streaming", "metric", "pipeline"),
+)
+def st13_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import load_table
+
+    ensure_engine_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    ref0 = ev.crossJoin(F.broadcast(span)).filter(
+        (F.unix_micros("ts") - F.unix_micros("lo")) * 2
+        < (F.unix_micros("hi") - F.unix_micros("lo"))
+    )
+    vspan = ref0.agg(F.min("value").alias("vlo"), F.max("value").alias("vhi"))
+    vrow = vspan.collect()[0]
+    vlo, vhi = float(vrow["vlo"]), float(vrow["vhi"])
+
+    def bin_of(col):
+        if vhi > vlo:
+            return F.least(
+                F.lit(9),
+                F.greatest(F.lit(0), F.floor((col - vlo) / ((vhi - vlo) / 10)).cast("int")),
+            )
+        return F.lit(0)
+
+    ref = (
+        ref0.select("event_type", bin_of(F.col("value")).alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("c_ref"))
+    )
+
+    tag = hashlib.md5(f"st13:{sf_dir}".encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"rds_st13_state_{tag}")
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    os.makedirs(base)
+    current_ptr = os.path.join(base, "CURRENT")
+
+    def _current() -> str:
+        with open(current_ptr) as fh:
+            return fh.read().strip()
+
+    def _publish(name: str) -> None:
+        tmp = current_ptr + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(name)
+        os.replace(tmp, current_ptr)
+
+    spark.createDataFrame([], "event_type string, bin int, c_new bigint").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "epoch_init"))
+    _publish("epoch_init")
+
+    schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(_stage_dir(sf_dir))
+        .select("event_type", F.col("value").cast("double").alias("value"))
+    )
+
+    def update(batch: DataFrame, epoch_id: int) -> None:
+        sp = batch.sparkSession
+        name = f"epoch_{epoch_id}"
+        if _current() == name:
+            return  # retried and already published — idempotent no-op
+        dst = os.path.join(base, name)
+        if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+            delta = (
+                batch.select("event_type", bin_of(F.col("value")).alias("bin"))
+                .groupBy("event_type", "bin")
+                .agg(F.count("*").alias("c_new"))
+            )
+            merged = (
+                sp.read.parquet(os.path.join(base, _current()))
+                .unionByName(delta)
+                .groupBy("event_type", "bin")
+                .agg(F.sum("c_new").alias("c_new"))
+            )
+            merged.write.mode("overwrite").parquet(dst)
+        prev = _current()
+        _publish(name)
+        shutil.rmtree(os.path.join(base, prev), ignore_errors=True)
+
+    q = stream.writeStream.foreachBatch(update).trigger(availableNow=True).start()
+    if not q.awaitTermination(timeout=300):
+        q.stop()
+        raise RuntimeError("st13 stream did not drain within 300s — state is partial")
+
+    cur = spark.read.parquet(os.path.join(base, _current()))
+    ct = (
+        ref.join(cur, ["event_type", "bin"], "full")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+            F.coalesce("c_new", F.lit(0)).alias("c_new"),
+        )
+    )
+    tot = ct.groupBy("event_type").agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_new").alias("n_new")
+    )
+    frac = ct.join(tot, "event_type").select(
+        "event_type",
+        F.greatest(F.col("c_ref") / F.col("n_ref").cast("double"), F.lit(0.0001)).alias("p"),
+        F.greatest(F.col("c_new") / F.col("n_new").cast("double"), F.lit(0.0001)).alias("q"),
+    )
+    return frac.groupBy("event_type").agg(
+        F.round(F.sum((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))), 6).alias("psi")
+    )
