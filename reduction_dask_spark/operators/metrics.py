@@ -873,13 +873,21 @@ MATCH_CALIPER = 3
 @query(
     "match1_caliper_matching",
     oracle=f"""
-        WITH u AS (
-            SELECT user_id,
-                   max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS treated,
-                   sum(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END) AS score,
-                   round(CAST(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+        WITH first_ev AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        u AS (
+            SELECT e.user_id,
+                   max(CASE WHEN f.event_type = 'signup' THEN 1 ELSE 0 END) AS treated,
+                   sum(CASE WHEN e.event_type IN ('click', 'view') THEN 1 ELSE 0 END) AS score,
+                   round(CAST(sum(CASE WHEN e.event_type = 'purchase' THEN e.value ELSE 0 END)
                               AS DOUBLE), 2) AS y
-            FROM events GROUP BY user_id
+            FROM events e
+            JOIN (SELECT user_id, event_type FROM first_ev WHERE rn = 1) f
+              ON f.user_id = e.user_id
+            GROUP BY e.user_id
         ),
         t AS (SELECT user_id AS tid, score AS ts, y AS ty FROM u WHERE treated = 1),
         c AS (SELECT user_id AS cid, score AS cs, y AS cy FROM u WHERE treated = 0),
@@ -908,7 +916,9 @@ MATCH_CALIPER = 3
     doc="match1 caliper nearest-neighbor matching — the observational "
         "causal-inference estimator beside ab1 (randomized + CUPED), "
         "ips1 (off-policy) and srv1 (censoring): treated units (users "
-        "with a signup) are matched WITH REPLACEMENT to the nearest "
+        "whose FIRST event is a signup — the organically-acquired "
+        "cohort; a per-user argmin with (ts, event_id) tie-break) are "
+        "matched WITH REPLACEMENT to the nearest "
         "control by an integer activity score (clicks+views) within a "
         f"caliper of {MATCH_CALIPER}, and ATT = mean matched outcome "
         "difference on purchase revenue, reported against the "
@@ -922,18 +932,41 @@ MATCH_CALIPER = 3
 )
 def match1_caliper_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    u = ev.groupBy("user_id").agg(
-        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("treated"),
-        F.sum(F.when(F.col("event_type").isin("click", "view"), 1).otherwise(0)).alias("score"),
-        F.round(
-            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)), 2
-        ).alias("y"),
+    wf = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = (
+        ev.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            (F.col("event_type") == "signup").cast("int").alias("treated"),
+        )
+    )
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type").isin("click", "view"), 1).otherwise(0)).alias("score"),
+            F.round(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)), 2
+            ).alias("y"),
+        )
+        .join(first, "user_id")
     )
     t = u.filter(F.col("treated") == 1).select(
         F.col("user_id").alias("tid"), F.col("score").alias("ts"), F.col("y").alias("ty")
     )
-    c = u.filter(F.col("treated") == 0).select(
-        F.col("user_id").alias("cid"), F.col("score").alias("cs"), F.col("y").alias("cy")
+    # controls collapse to ONE representative per distinct score (the
+    # min-id control there, carrying its outcome): the (distance, id)
+    # tie-break only ever selects a per-score min-id control, so the
+    # quotient is exact — and the caliper join's pair mass drops from
+    # |treated| × |controls-in-band| (quadratic under duplication; the
+    # ×10 probe measured 6.5× before this) to |treated| × (2·caliper+1)
+    wc = Window.partitionBy("cs").orderBy("cid")
+    c = (
+        u.filter(F.col("treated") == 0)
+        .select(F.col("user_id").alias("cid"), F.col("score").alias("cs"), F.col("y").alias("cy"))
+        .withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") == 1)
+        .drop("crn")
     )
     cand = t.join(
         c,

@@ -568,3 +568,74 @@ def test_wnw1_winnowing_guarantees(spark):
         ds = sorted(ds)
         for other in ds[1:]:
             assert fps[ds[0]] & fps[other], (ds[0], other)
+
+
+def test_match1_matches_pandas_reimplementation(spark):
+    """ATT/matching equal an independent pandas implementation over
+    the same per-user aggregates (oracle independence mitigation:
+    this ground truth shares no SQL with either engine)."""
+    from reduction_dask_spark.operators.metrics import (
+        MATCH_CALIPER,
+        match1_caliper_matching,
+    )
+    from reduction_dask_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    got = match1_caliper_matching(spark, SF_SMALL).collect()[0]
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    ).toPandas().sort_values(["user_id", "ts", "event_id"])
+    first = ev.groupby("user_id").first()
+    agg = ev.groupby("user_id").apply(
+        lambda g: __import__("pandas").Series({
+            "s": int(g["event_type"].isin(["click", "view"]).sum()),
+            "y": round(float(g.loc[g["event_type"] == "purchase", "value"].sum()), 2),
+        }),
+        include_groups=False,
+    )
+    agg["t"] = (first["event_type"] == "signup").astype(int)
+    u = agg.reset_index()
+    treated = u[u["t"] == 1]
+    controls = u[u["t"] == 0].sort_values(["s", "user_id"]).reset_index(drop=True)
+    diffs = []
+    for _, row in treated.iterrows():
+        cand = controls[(controls["s"] - row["s"]).abs() <= MATCH_CALIPER].copy()
+        if cand.empty:
+            continue
+        cand["d"] = (cand["s"] - row["s"]).abs()
+        best = cand.sort_values(["d", "user_id"]).iloc[0]
+        diffs.append(row["y"] - best["y"])
+    assert got["n_treated"] == len(treated)
+    assert got["n_matched"] == len(diffs)
+    import numpy as np
+
+    if diffs:
+        assert abs(got["att"] - round(float(np.mean(diffs)), 6)) <= 1e-6
+    else:
+        assert got["att"] is None  # avg over empty matched set, both engines
+    naive = treated["y"].mean() - u[u["t"] == 0]["y"].mean()
+    assert abs(got["naive_diff"] - round(float(naive), 6)) <= 1e-6
+
+
+def test_calib1_matches_numpy(spark):
+    import numpy as np
+
+    from reduction_dask_spark.operators.metrics import CALIB_BINS, calib1_reliability_table
+    from reduction_dask_spark.sources import load_table
+
+    got = {r["bin"]: r for r in calib1_reliability_table(spark, SF_SMALL).collect()}
+    ev = load_table(spark, SF_SMALL, "events").select("value", "event_type").toPandas()
+    score = np.minimum(1.0, ev["value"].to_numpy() / 200.0)
+    y = (ev["event_type"] == "purchase").to_numpy().astype(float)
+    bins = np.minimum(CALIB_BINS - 1, np.floor(score * CALIB_BINS).astype(int))
+    n = len(score)
+    ece = 0.0
+    for b in np.unique(bins):
+        m = bins == b
+        r = got[int(b)]
+        assert r["n"] == int(m.sum())
+        assert abs(r["mean_score"] - float(score[m].mean())) <= 1.1e-6
+        assert abs(r["frac_pos"] - float(y[m].mean())) <= 1.1e-6
+        ece += abs(score[m].mean() - y[m].mean()) * m.sum() / n
+    total = sum(r["ece_contrib"] for r in got.values())
+    assert abs(total - ece) <= 1e-5
