@@ -2671,3 +2671,71 @@ def ldiv1_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exposure_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------- f17
+
+TE_FOLDS = 5
+
+
+@query(
+    "f17_target_encode_oof",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_id, event_type, value,
+                   CAST({phash_sql("event_id", TE_FOLDS)} AS INTEGER) AS fold
+            FROM events
+        ),
+        pf AS (
+            SELECT event_type, fold, sum(value) AS s, count(*) AS c
+            FROM e GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT event_type, sum(s) AS st, sum(c) AS ct FROM pf GROUP BY 1
+        )
+        SELECT e.event_id, e.event_type, e.fold,
+               round(CASE WHEN tot.ct - pf.c > 0
+                          THEN (tot.st - pf.s) / CAST(tot.ct - pf.c AS DOUBLE)
+                          ELSE 0.0 END, 6) AS te
+        FROM e
+        JOIN pf ON pf.event_type = e.event_type AND pf.fold = e.fold
+        JOIN tot ON tot.event_type = e.event_type
+    """,
+    doc="f17 out-of-fold target (mean) encoding — the categorical-"
+        "feature staple with the leakage subtlety done right: each "
+        "row's category is encoded by the target mean computed WITHOUT "
+        "its own fold (train-time leakage of the row's own label "
+        "through its encoding is the classic target-encoding bug). "
+        "Suffstats shape, not k passes: ONE (category × fold) "
+        "aggregate, per-fold encodings by subtraction from the "
+        "category total (x1b/t2's leave-one-out-by-subtraction "
+        "trick), broadcast back onto the rows. Deterministic portable "
+        "fold assignment (Knuth hash). At 100 TB: one map-side-"
+        "combined aggregate over |categories|×k groups + one "
+        "broadcast join — nothing scales with rows but the scans.",
+    tags=("scalar", "ml", "agg"),
+)
+def f17_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id", "event_type", "value",
+        phash("event_id", TE_FOLDS).cast("int").alias("fold"),
+    )
+    pf = e.groupBy("event_type", "fold").agg(
+        F.sum("value").alias("s"), F.count("*").alias("c")
+    )
+    tot = pf.groupBy("event_type").agg(F.sum("s").alias("st"), F.sum("c").alias("ct"))
+    enc = pf.join(tot, "event_type").select(
+        "event_type",
+        "fold",
+        F.round(
+            F.when(
+                F.col("ct") - F.col("c") > 0,
+                (F.col("st") - F.col("s")) / (F.col("ct") - F.col("c")).cast("double"),
+            ).otherwise(0.0),
+            6,
+        ).alias("te"),
+    )
+    return e.join(F.broadcast(enc), ["event_type", "fold"]).select(
+        "event_id", "event_type", "fold", "te"
+    )

@@ -639,3 +639,24 @@ def test_calib1_matches_numpy(spark):
         ece += abs(score[m].mean() - y[m].mean()) * m.sum() / n
     total = sum(r["ece_contrib"] for r in got.values())
     assert abs(total - ece) <= 1e-5
+
+
+def test_f17_oof_encoding_excludes_own_fold(spark):
+    """Leakage check: a row's encoding equals the target mean over the
+    OTHER folds of its category — never including its own fold."""
+    from reduction_dask_spark.operators.relational import TE_FOLDS, f17_target_encode_oof
+    from reduction_dask_spark.functions import KNUTH
+    from reduction_dask_spark.sources import load_table
+
+    got = f17_target_encode_oof(spark, SF_SMALL).toPandas()
+    ev = load_table(spark, SF_SMALL, "events").select("event_id", "event_type", "value").toPandas()
+    ev["fold"] = (ev["event_id"] % TE_FOLDS) * KNUTH % TE_FOLDS
+    for (etype, fold), g in got.groupby(["event_type", "fold"]):
+        other = ev[(ev["event_type"] == etype) & (ev["fold"] != fold)]
+        assert len(other) > 0
+        expect = round(float(other["value"].mean()), 6)
+        assert (g["te"] - expect).abs().max() <= 2e-6, (etype, fold)
+        # and it differs from the WITH-leak (full-category) mean
+    full = ev.groupby("event_type")["value"].mean()
+    merged = got.merge(full.rename("full_mean"), left_on="event_type", right_index=True)
+    assert (merged["te"] != merged["full_mean"].round(6)).any()
