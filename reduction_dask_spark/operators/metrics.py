@@ -1068,3 +1068,83 @@ def calib1_reliability_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("mean_score") - F.col("frac_pos")) * F.col("n") / F.col("nn"), 6
         ).alias("ece_contrib"),
     )
+
+
+# ---------------------------------------------------------------- dr1
+
+@query(
+    "dr1_doubly_robust_eval",
+    oracle="""
+        WITH log AS (
+            SELECT user_id, event_type AS a, value AS reward FROM events
+        ),
+        marg AS (
+            SELECT a, count(*) / CAST((SELECT count(*) FROM log) AS DOUBLE) AS p
+            FROM log GROUP BY a
+        ),
+        q AS (SELECT a, avg(reward) AS qa FROM log GROUP BY a),
+        pref AS (
+            SELECT user_id, a AS a_star,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY count(*) DESC, a) AS rn
+            FROM log GROUP BY user_id, a QUALIFY rn = 1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               round(avg(qs.qa), 6) AS dm_estimate,
+               round(sum(CASE WHEN l.a = pref.a_star THEN l.reward / m.p ELSE 0 END)
+                     / count(*), 6) AS ips_estimate,
+               round(avg(qs.qa
+                         + CASE WHEN l.a = pref.a_star
+                                THEN (l.reward - qa_l.qa) / m.p ELSE 0 END), 6)
+                   AS dr_estimate
+        FROM log l
+        JOIN marg m ON l.a = m.a
+        JOIN q qa_l ON qa_l.a = l.a
+        JOIN pref ON l.user_id = pref.user_id
+        JOIN q qs ON qs.a = pref.a_star
+    """,
+    doc="dr1 doubly-robust off-policy evaluation (Dudík/Langford/Li, "
+        "ICML'11) — the estimator that supersedes ips1 in practice: "
+        "DR = E[q̂(a*) + 1{a=a*}·(r − q̂(a))/p(a)] combines the direct "
+        "model (per-action mean reward, reported as dm_estimate) with "
+        "the IPS correction, staying unbiased if EITHER the reward "
+        "model or the propensities are right and cutting IPS's "
+        "variance when both are decent. Same scale shape as ips1: "
+        "two bounded broadcast tables (action marginals, per-action "
+        "reward model), one per-user modal-argmax window, one final "
+        "1-row reduce.",
+    tags=("metric", "agg", "pipeline"),
+)
+def dr1_doubly_robust_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select("user_id", F.col("event_type").alias("a"), F.col("value").alias("reward"))
+    n_total = log.count()
+    marg = log.groupBy("a").agg((F.count("*") / F.lit(float(n_total))).alias("p"))
+    q = log.groupBy("a").agg(F.avg("reward").alias("qa"))
+    cnt = log.groupBy("user_id", "a").agg(F.count("*").alias("c"))
+    wpref = Window.partitionBy("user_id").orderBy(F.desc("c"), F.asc("a"))
+    pref = (
+        cnt.withColumn("rn", F.row_number().over(wpref))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("a").alias("a_star"))
+    )
+    joined = (
+        log.join(F.broadcast(marg), "a")
+        .join(F.broadcast(q.select("a", F.col("qa").alias("qa_logged"))), "a")
+        .join(pref, "user_id")
+        .join(
+            F.broadcast(q.select(F.col("a").alias("a_star"), F.col("qa").alias("qa_star"))),
+            "a_star",
+        )
+    )
+    match = F.col("a") == F.col("a_star")
+    corr = F.when(match, (F.col("reward") - F.col("qa_logged")) / F.col("p")).otherwise(0.0)
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("qa_star"), 6).alias("dm_estimate"),
+        F.round(
+            F.sum(F.when(match, F.col("reward") / F.col("p")).otherwise(0.0)) / F.count("*"),
+            6,
+        ).alias("ips_estimate"),
+        F.round(F.avg(F.col("qa_star") + corr), 6).alias("dr_estimate"),
+    )
