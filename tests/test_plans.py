@@ -236,3 +236,49 @@ def test_prefix_agg_single_materialized_range_exchange(spark):
         assert range_ex <= 1, f"{q.__name__}: {range_ex} distinct range exchanges"
         assert scans >= 2, f"{q.__name__}: branches do not share the cached exchange ({scans} scans)"
     spark.catalog.clearCache()
+
+
+def test_global_prefix_agg_matches_pandas_on_random_data(spark):
+    """Randomized ground truth for the two-pass prefix machinery: for
+    seeded random relations (duplicate keys, negative values, skewed
+    distributions) and several partition counts, global_prefix_agg's
+    sums/mins equal pandas cumulative ops on the sorted frame — the
+    property that breaks if the branches ever observe different
+    partition ids."""
+    import numpy as np
+    import pandas as pd
+
+    from reduction_dask_spark.operators.relational import global_prefix_agg
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for seed, n_part in ((0, 7), (1, 32), (2, 3)):
+            rng = np.random.default_rng(seed)
+            n = 500
+            pdf = pd.DataFrame(
+                {
+                    "k": rng.integers(-50, 50, n),  # heavy duplicate keys
+                    "uid": np.arange(n),
+                    "v": rng.integers(-1000, 1000, n),
+                }
+            )
+            spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+            df = spark.createDataFrame(pdf)
+            out = (
+                global_prefix_agg(
+                    df, ["k", "uid"], [("v", "sum", "ps"), ("v", "min", "pm")]
+                )
+                .toPandas()
+                .sort_values(["k", "uid"])
+                .reset_index(drop=True)
+            )
+            ref = pdf.sort_values(["k", "uid"]).reset_index(drop=True)
+            exp_sum = ref["v"].cumsum().shift(1).fillna(0).astype(int)
+            exp_min = ref["v"].cummin().shift(1)
+            assert (out["ps"].to_numpy() == exp_sum.to_numpy()).all(), (seed, n_part)
+            got_min = out["pm"].to_numpy(dtype=float)
+            exp_min_np = exp_min.to_numpy(dtype=float)
+            both_nan = np.isnan(got_min) & np.isnan(exp_min_np)
+            assert (both_nan | (got_min == exp_min_np)).all(), (seed, n_part)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

@@ -79,6 +79,19 @@ PLAN_QUERIES = {
     "ts1_gap_fill_locf": "gap fill — expect every Window keyed by user_id "
     "(no empty partition spec), the spine explode map-side, and one join "
     "back to the hourly grain",
+    "ts2_linear_interpolate": "bracket-join interpolation (round-5 "
+    "rewrite) — expect ONE user-keyed Window (the lead() over the SPARSE "
+    "hourly relation), the interval explode map-side above it, and NO "
+    "window or join over the densified output",
+    "dd6_dup_clusters": "collapsed connected components (round-5 rewrite) "
+    "— expect the md5 fingerprint aggregate, a left_semi restriction of "
+    "the persisted full-corpus shingle index to representatives "
+    "(InMemoryTableScan), label-propagation join rounds over rep pairs "
+    "only, and the final fingerprint-expansion join",
+    "auc1_roc_auc": "distributed midrank AUC — expect ONE range exchange "
+    "on the distinct-score relation read through InMemoryTableScan by "
+    "BOTH the local-window branch and the offset branch (the persisted "
+    "pid-consistency contract), then two 1-row broadcasts",
 }
 
 
