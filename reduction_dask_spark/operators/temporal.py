@@ -1662,3 +1662,119 @@ def ts4_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("seasonal", 6).alias("seasonal"),
         F.round(F.col("di") / 1_000_000_000.0 - F.col("seasonal"), 6).alias("residual"),
     )
+
+
+# ---------------------------------------------------------------- an6
+
+@query(
+    "an6_markov_attribution",
+    oracle=None,  # absorbing-chain solve (matrix inverse) — rows + tests
+    doc="an6 Markov removal-effect attribution — the data-driven "
+        "multi-touch model that replaces an5's positional heuristics "
+        "(first/last-touch): user journeys are ordered touchpoint "
+        "sequences truncated at the first purchase; an absorbing "
+        "Markov chain (start → channels → conversion/null) is fit "
+        "from ONE distributed transition count, and each channel's "
+        "credit is its REMOVAL EFFECT — how much the conversion "
+        "probability drops when the channel is deleted and its "
+        "traffic falls to null — normalized to shares. Scale shape: "
+        "the journey pass is one user-keyed window + lead() (an3's "
+        "plan); everything after is a |channels|² matrix solve on "
+        "the driver (numpy, microseconds) — the canonical "
+        "aggregate-then-tiny-solve split. No SQL oracle (matrix "
+        "inversion); pinned by a hand-solvable chain in tests plus "
+        "share invariants.",
+    tags=("temporal", "agg", "pipeline"),
+)
+def an6_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    fp = (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("fp_rn"))
+    )
+    j = seq.join(fp, "user_id", "left").filter(
+        F.col("fp_rn").isNull() | (F.col("rn") <= F.col("fp_rn"))
+    )
+    # src → dst pairs inside the truncated journey; 'start' precedes
+    # rn 1, 'purchase' row becomes the CONV absorber, journeys without
+    # a purchase absorb into NULL after their last event
+    step = j.withColumn(
+        "src",
+        F.when(F.col("rn") == 1, F.lit("start")).otherwise(
+            F.lag("event_type").over(w)
+        ),
+    ).withColumn(
+        "dst",
+        F.when(F.col("event_type") == "purchase", F.lit("__conv__")).otherwise(
+            F.col("event_type")
+        ),
+    )
+    inner = step.select("src", "dst")
+    ends = (
+        j.groupBy("user_id")
+        .agg(F.max("rn").alias("lr"), F.max("fp_rn").alias("fp"))
+        .filter(F.col("fp").isNull())
+    )
+    last = (
+        j.join(ends, "user_id")
+        .filter(F.col("rn") == F.col("lr"))
+        .select(F.col("event_type").alias("src"), F.lit("__null__").alias("dst"))
+    )
+    counts = (
+        inner.unionByName(last)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    states = sorted(
+        {r["src"] for r in counts} | {r["dst"] for r in counts}
+        - {"__conv__", "__null__"}
+    )
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    Q = np.zeros((k, k))
+    R = np.zeros((k, 2))  # [conv, null]
+    for r in counts:
+        i = idx[r["src"]]
+        if r["dst"] == "__conv__":
+            R[i, 0] += r["n"]
+        elif r["dst"] == "__null__":
+            R[i, 1] += r["n"]
+        else:
+            Q[i, idx[r["dst"]]] += r["n"]
+    tot = Q.sum(axis=1) + R.sum(axis=1)
+    tot[tot == 0] = 1.0
+    Qn, Rn = Q / tot[:, None], R / tot[:, None]
+
+    def p_conv(q, rc, start_i):
+        return float(np.linalg.solve(np.eye(len(q)) - q, rc)[start_i])
+
+    s_i = idx["start"]
+    base = p_conv(Qn, Rn[:, 0], s_i)
+    rows = []
+    for ch in states:
+        if ch == "start":
+            continue
+        c = idx[ch]
+        keep = [i for i in range(k) if i != c]
+        # traffic into the removed channel is lost (falls to null):
+        # drop its row AND column without renormalizing
+        q2 = Qn[np.ix_(keep, keep)]
+        r2 = Rn[keep, 0]
+        pc = p_conv(q2, r2, keep.index(s_i))
+        rows.append((ch, base, max(0.0, 1.0 - pc / base) if base > 0 else 0.0))
+    tot_re = sum(re for _, _, re in rows) or 1.0
+    return spark.createDataFrame(
+        [
+            (ch, round(b, 6), round(re, 6), round(re / tot_re, 6))
+            for ch, b, re in rows
+        ],
+        "channel string, p_conv_base double, removal_effect double, attribution_share double",
+    )

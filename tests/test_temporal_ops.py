@@ -43,3 +43,46 @@ def test_an3_rows_are_probabilities(spark):
         by_from[r["from_type"]] += r["p"]
     for tot in by_from.values():
         assert abs(tot - 1.0) < 1e-4  # rounding to 6dp per row
+
+
+def test_an6_markov_attribution_hand_solved(spark, tmp_path):
+    """Hand-solvable absorbing chain: u1 view→click→purchase,
+    u2 view→(no purchase), u3 click→purchase.
+    P(conv)=2/3; removing view → 1/3 (RE 1/2); removing click → 0
+    (RE 1); shares 1/3 and 2/3."""
+    import datetime
+
+    from reduction_dask_spark.operators.temporal import an6_markov_attribution
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, uid, minute, etype):
+        return (eid, t0 + datetime.timedelta(minutes=minute), uid, etype, 1.0)
+
+    rows = [
+        ev(1, 1, 0, "view"), ev(2, 1, 1, "click"), ev(3, 1, 2, "purchase"),
+        ev(4, 2, 0, "view"),
+        ev(5, 3, 0, "click"), ev(6, 3, 1, "purchase"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r["channel"]: r for r in an6_markov_attribution(spark, str(tmp_path)).collect()}
+    assert set(got) == {"view", "click"}
+    assert abs(got["view"]["p_conv_base"] - 2 / 3) < 1e-6
+    assert abs(got["view"]["removal_effect"] - 0.5) < 1e-6
+    assert abs(got["click"]["removal_effect"] - 1.0) < 1e-6
+    assert abs(got["view"]["attribution_share"] - 1 / 3) < 1e-6
+    assert abs(got["click"]["attribution_share"] - 2 / 3) < 1e-6
+
+
+def test_an6_share_invariants(spark):
+    from reduction_dask_spark.operators.temporal import an6_markov_attribution
+
+    rows = an6_markov_attribution(spark, SF_SMALL).collect()
+    assert rows
+    s = sum(r["attribution_share"] for r in rows)
+    assert abs(s - 1.0) < 1e-4
+    for r in rows:
+        assert 0.0 <= r["removal_effect"] <= 1.0
+        assert 0.0 <= r["attribution_share"] <= 1.0
