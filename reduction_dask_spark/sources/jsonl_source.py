@@ -42,6 +42,7 @@ from typing import Iterable, Iterator, List, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -200,6 +201,62 @@ class JsonlWriter(DataSourceWriter):
                 os.remove(m.path)
 
 
+class JsonlStreamWriter(DataSourceStreamWriter):
+    """Micro-batch jsonl sink with MANIFEST-COMMITTED exactly-once
+    semantics: tasks write epoch-tagged uuid files (a retried task
+    never clobbers a committed one), and the per-epoch commit writes
+    a `_manifest_<batchId>.json` naming exactly the files that belong
+    to that epoch. foreachBatch/DSv2 streaming sinks are at-least-once
+    at the FILE level — a replayed epoch re-writes new uuids — so
+    readers must take the union of manifest contents, never a
+    directory listing (`read_jsonl_manifests`); replayed epochs then
+    dedupe for free because a rewritten manifest replaces the old
+    file list atomically (os.replace)."""
+
+    def __init__(self, schema: StructType, options) -> None:
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl stream sink requires a path")
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator: Iterator[Row]) -> _WroteFile:
+        names = [f.name for f in self.schema.fields]
+        out = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(out, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(dict(zip(names, row)), default=str) + "\n")
+                n += 1
+        return _WroteFile(path=out, rows=n)
+
+    def commit(self, messages: List[_WroteFile], batchId: int) -> None:
+        manifest = os.path.join(self.path, f"_manifest_{batchId}.json")
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps({
+                "batchId": batchId,
+                "files": [m.path for m in messages if m is not None],
+                "rows": sum(m.rows for m in messages if m is not None),
+            }))
+        os.replace(tmp, manifest)
+
+    def abort(self, messages: List[_WroteFile], batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+def read_jsonl_manifests(path: str) -> list:
+    """The reader half of the streaming sink's exactly-once contract:
+    only files named by a committed epoch manifest exist logically."""
+    files: list = []
+    for mf in sorted(_glob.glob(os.path.join(path, "_manifest_*.json"))):
+        with open(mf) as fh:
+            files.extend(json.load(fh)["files"])
+    return files
+
+
 class JsonlStreamReader(SimpleDataSourceStreamReader):
     """File-tailing micro-batch source: each batch consumes the files
     that appeared (lexicographically-ordered, append-only directory —
@@ -274,6 +331,9 @@ class JsonlDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> JsonlStreamReader:
         return JsonlStreamReader(schema, self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> JsonlStreamWriter:
+        return JsonlStreamWriter(schema, self.options)
 
 
 def register_jsonl_source(spark) -> None:

@@ -122,3 +122,52 @@ def test_jsonl_stream_tails_new_files(spark, tmp_path):
         assert spark.sql("SELECT * FROM jsonl_stream_t").collect()[0][0] == 13
     finally:
         q.stop()
+
+
+def test_jsonl_stream_writer_exactly_once_via_manifests(spark, tmp_path):
+    """Streaming write through the custom DSv2 python sink: every input
+    row lands exactly once ACCORDING TO THE MANIFESTS (the sink's
+    commit protocol), and orphan files outside any manifest — the
+    at-least-once residue a replay would leave — are logically
+    invisible to the manifest reader."""
+    import json
+
+    from reduction_dask_spark.sources import load_table
+    from reduction_dask_spark.sources.jsonl_source import (
+        read_jsonl_manifests,
+        register_jsonl_source,
+    )
+    from reduction_dask_spark.streaming import _stage_dir
+
+    register_jsonl_source(spark)
+    sf = SF_SMALL
+    out = str(tmp_path / "sink")
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(_stage_dir(sf))
+        .select("event_id", "user_id", "event_type")
+    )
+    q = (
+        stream.writeStream.format("jsonl")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(timeout=300)
+
+    # plant an orphan file simulating a replayed epoch's residue
+    orphan = tmp_path / "sink" / "part-orphan.jsonl"
+    orphan.write_text(json.dumps({"event_id": -1, "user_id": -1, "event_type": "x"}) + "\n")
+
+    files = read_jsonl_manifests(out)
+    assert files and str(orphan) not in files
+    got = set()
+    for f in files:
+        with open(f) as fh:
+            for line in fh:
+                if line.strip():
+                    got.add(json.loads(line)["event_id"])
+    want = {r["event_id"] for r in load_table(spark, sf, "events").select("event_id").collect()}
+    assert got == want
