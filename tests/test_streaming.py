@@ -252,3 +252,58 @@ def test_protoshim_wire_roundtrip():
     s2 = sm.SetHandleState()
     s2.ParseFromString(shs.SerializeToString())
     assert s2.state == sm.CLOSED == 5
+
+
+def test_protoshim_unknown_fields_and_packed_varints():
+    """Forward-compatibility guards for the mini runtime: unknown
+    fields of every wire type are skipped (a newer JVM emitting extra
+    fields must not break parsing), and packed repeated varints decode
+    (the proto3 default encoding for repeated scalars, should the
+    state server ever emit one)."""
+    import struct
+    import sys
+
+    from reduction_dask_spark.streaming import _shim_root
+
+    if _shim_root() not in sys.path:
+        sys.path.insert(0, _shim_root())
+    from google.protobuf._mini_runtime import (
+        EnumDesc,
+        FieldDesc,
+        MessageDesc,
+        Message,
+        _enc_varint,
+        build_message_class,
+    )
+
+    desc = MessageDesc()
+    desc.name = "T"
+    f1 = FieldDesc(); f1.name = "a"; f1.number = 1; f1.type = 5  # int32
+    f2 = FieldDesc(); f2.name = "xs"; f2.number = 2; f2.type = 3; f2.label = 3  # repeated int64
+    desc.fields = [f1, f2]
+    cls = build_message_class(desc, {}, "pkg")
+
+    # unknown varint (field 7), unknown 64-bit (field 8), unknown
+    # length-delimited (field 9), unknown 32-bit (field 10) around a
+    # known field
+    buf = b"".join([
+        _enc_varint((7 << 3) | 0), _enc_varint(12345),
+        _enc_varint((8 << 3) | 1), struct.pack("<d", 1.5),
+        _enc_varint((1 << 3) | 0), _enc_varint(42),
+        _enc_varint((9 << 3) | 2), _enc_varint(3), b"abc",
+        _enc_varint((10 << 3) | 5), struct.pack("<f", 2.5),
+    ])
+    m = cls()
+    m.ParseFromString(buf)
+    assert m.a == 42
+
+    # packed repeated varints: one LEN field holding three ints
+    payload = _enc_varint(1) + _enc_varint(300) + _enc_varint(2**40)
+    buf2 = _enc_varint((2 << 3) | 2) + _enc_varint(len(payload)) + payload
+    m2 = cls()
+    m2.ParseFromString(buf2)
+    assert m2.xs == [1, 300, 2**40]
+
+    # unset fields read as proto3 defaults; unset repeated is []
+    m3 = cls()
+    assert m3.a == 0 and m3.xs == []
