@@ -1427,3 +1427,91 @@ def zipf1_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("my") - slope * F.col("mx"), 6).alias("intercept"),
         F.round((F.col("sxy") * F.col("sxy")) / (F.col("sxx") * F.col("syy")), 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------- emb4
+
+EMB4_WINDOW = 2   # skip-gram context width (tokens to the right)
+EMB4_VOCAB = 300  # top-V vocabulary by frequency
+EMB4_DIM = 16     # embedding dimensionality
+
+
+@query(
+    "emb4_pmi_svd_embeddings",
+    oracle=None,  # driver-side eigendecomposition — rows + numpy parity
+    doc="emb4 corpus-trained word embeddings via PPMI + truncated SVD "
+        "(Levy & Goldberg, NeurIPS'14: SGNS implicitly factorizes the "
+        "shifted PMI matrix — this computes the explicit counterpart, "
+        "the strong classical baseline): skip-gram co-occurrence "
+        f"pairs within {EMB4_WINDOW} tokens are generated MAP-SIDE "
+        "(array transform + explode per document — no positional "
+        "self-join), restricted to the broadcast top-"
+        f"{EMB4_VOCAB} vocabulary (orderBy+limit, per-partition "
+        "heaps), counted in one map-side-combined aggregate, and the "
+        "bounded V×V PPMI matrix is factorized on the DRIVER "
+        f"(numpy eigh, U·√Σ, d={EMB4_DIM}) — the aggregate-then-tiny-"
+        "solve split: nothing scales with the corpus except the two "
+        "token scans, and the model that ships is V×d floats. "
+        "Deterministic sign convention per component. Output "
+        "(token, vector) rows; pinned by a numpy end-to-end parity "
+        "test and a PMI symmetry invariant.",
+    tags=("text", "ml", "similarity"),
+)
+def emb4_pmi_svd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    freq = (
+        d.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("f"))
+    )
+    vocab = freq.orderBy(F.desc("f"), F.asc("tok")).limit(EMB4_VOCAB)
+    # skip-gram pairs map-side: for offset k in 1..W emit (t_i, t_{i+k})
+    # both directions via symmetrization at count time
+    toked = d.select(toks.alias("t")).filter(F.size("t") >= 2)
+    pair_arrays = [
+        F.zip_with(
+            F.slice("t", 1, F.size("t") - k),
+            F.slice("t", 1 + k, F.size("t") - k),
+            lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+        )
+        for k in range(1, EMB4_WINDOW + 1)
+    ]
+    pairs = toked.select(
+        F.explode(F.concat(*pair_arrays)).alias("p")
+    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    v1 = vocab.select(F.col("tok").alias("x"))
+    v2 = vocab.select(F.col("tok").alias("y"))
+    co = (
+        pairs.join(F.broadcast(v1), "x")
+        .join(F.broadcast(v2), "y")
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    words = sorted({r["x"] for r in co} | {r["y"] for r in co})
+    idx = {w: i for i, w in enumerate(words)}
+    V = len(words)
+    C = np.zeros((V, V))
+    for r in co:
+        C[idx[r["x"]], idx[r["y"]]] += r["n"]
+    C = C + C.T  # symmetrize (left+right contexts)
+    total = C.sum()
+    pa = C.sum(axis=1) / total
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pmi = np.log((C / total) / np.outer(pa, pa))
+    ppmi = np.where(np.isfinite(pmi), np.maximum(pmi, 0.0), 0.0)
+    vals, vecs = np.linalg.eigh(ppmi)
+    order = np.argsort(vals)[::-1][:EMB4_DIM]
+    vals, vecs = np.maximum(vals[order], 0.0), vecs[:, order]
+    for i in range(vecs.shape[1]):
+        j = int(np.argmax(np.abs(vecs[:, i])))
+        if vecs[j, i] < 0:
+            vecs[:, i] = -vecs[:, i]
+    emb = vecs * np.sqrt(vals)[None, :]
+    rows = [
+        (w, [round(float(v), 6) for v in emb[idx[w]]]) for w in words
+    ]
+    return spark.createDataFrame(rows, "token string, vector array<double>")

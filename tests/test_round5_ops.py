@@ -660,3 +660,57 @@ def test_f17_oof_encoding_excludes_own_fold(spark):
     full = ev.groupby("event_type")["value"].mean()
     merged = got.merge(full.rename("full_mean"), left_on="event_type", right_index=True)
     assert (merged["te"] != merged["full_mean"].round(6)).any()
+
+
+def test_emb4_matches_numpy_end_to_end(spark):
+    """The distributed co-occurrence + driver PPMI-SVD equals a pure
+    pandas/numpy implementation over the raw text, end to end."""
+    import numpy as np
+
+    from reduction_dask_spark.operators.text import (
+        EMB4_DIM,
+        EMB4_VOCAB,
+        EMB4_WINDOW,
+        emb4_pmi_svd_embeddings,
+    )
+    from reduction_dask_spark.sources import load_table
+
+    got = {r["token"]: np.array(r["vector"]) for r in emb4_pmi_svd_embeddings(spark, SF_SMALL).collect()}
+    docs = load_table(spark, SF_SMALL, "documents").select("text").toPandas()["text"]
+    from collections import Counter
+
+    freq = Counter()
+    for t in docs:
+        freq.update(t.split(" "))
+    vocab = set([w for w, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:EMB4_VOCAB]])
+    co = Counter()
+    for t in docs:
+        toks = t.split(" ")
+        for i, x in enumerate(toks):
+            for k in range(1, EMB4_WINDOW + 1):
+                if i + k < len(toks):
+                    y = toks[i + k]
+                    if x in vocab and y in vocab:
+                        co[(x, y)] += 1
+    words = sorted({x for x, _ in co} | {y for _, y in co})
+    idx = {w: i for i, w in enumerate(words)}
+    C = np.zeros((len(words), len(words)))
+    for (x, y), n in co.items():
+        C[idx[x], idx[y]] += n
+    C = C + C.T
+    pa = C.sum(axis=1) / C.sum()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pmi = np.log((C / C.sum()) / np.outer(pa, pa))
+    ppmi = np.where(np.isfinite(pmi), np.maximum(pmi, 0.0), 0.0)
+    np.testing.assert_allclose(ppmi, ppmi.T, atol=1e-12)  # symmetry invariant
+    vals, vecs = np.linalg.eigh(ppmi)
+    order = np.argsort(vals)[::-1][:EMB4_DIM]
+    vals, vecs = np.maximum(vals[order], 0.0), vecs[:, order]
+    for i in range(vecs.shape[1]):
+        j = int(np.argmax(np.abs(vecs[:, i])))
+        if vecs[j, i] < 0:
+            vecs[:, i] = -vecs[:, i]
+    emb = vecs * np.sqrt(vals)[None, :]
+    assert set(got) == set(words)
+    for w in words:
+        np.testing.assert_allclose(got[w], np.round(emb[idx[w]], 6), atol=2e-6)
