@@ -292,3 +292,117 @@ def gr3_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..registry import REGISTRY as _REG  # noqa: E402
 
 _REG["gr2_triangle_count"].oracle = _gr2_oracle()
+
+
+# ---------------------------------------------------------------- gr4
+
+def star_components(pairs: DataFrame) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., SoCC'14 "Connected Components in MapReduce and
+    Beyond") — the O(log n)-ROUND algorithm that replaces min-label
+    propagation's O(diameter) rounds on high-diameter graphs (chains,
+    meshes; near-dup graphs are usually shallow, which is why dd6's
+    kernel is fine there — gr4 exists for the adversarial shapes).
+
+    large-star(u): connect every strictly-larger neighbor of u to
+    m_u = min(Γ(u) ∪ {u}); small-star(u): connect the ≤-neighbors and
+    u itself to m_u. Each half-round is one symmetric groupBy + one
+    join over the edge relation; rounds end in localCheckpoint (the
+    relation feeds the next round's two branches). Converges to star
+    graphs centered at each component's minimum; returns
+    (doc_id, cluster_id) for every node of the input pair graph —
+    exactly min_label_components' contract."""
+    E = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("u"),
+            F.greatest("doc_a", "doc_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = E.select(F.col("u").alias("n")).unionByName(
+        E.select(F.col("v").alias("n"))
+    ).distinct().localCheckpoint(eager=True)
+
+    def half_round(edges: DataFrame, large: bool) -> DataFrame:
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        j = sym.join(m, "u")
+        if large:
+            out = j.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("a"), F.col("m").alias("b")
+            )
+        else:
+            out = j.filter(F.col("v") <= F.col("u")).select(
+                F.col("v").alias("a"), F.col("m").alias("b")
+            ).unionByName(j.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        return (
+            out.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    while True:
+        E1 = half_round(E, large=True)
+        E2 = half_round(E1, large=False)
+        changed = (
+            E2.exceptAll(E).count() + E.exceptAll(E2).count()
+        )
+        E = E2
+        if changed == 0:
+            break
+    # star edges: (center=u, member=v); centers label themselves
+    labels = E.select(F.col("v").alias("doc_id"), F.col("u").alias("cluster_id"))
+    centers = nodes.join(
+        E.select(F.col("v").alias("n")), "n", "left_anti"
+    ).select(F.col("n").alias("doc_id"), F.col("n").alias("cluster_id"))
+    return labels.unionByName(centers).select(
+        "doc_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
+    )
+
+
+@query(
+    "gr4_star_components",
+    oracle=None,  # set at import time to dd6's registered closure SQL
+    doc="gr4 duplicate clusters via LARGE-STAR/SMALL-STAR connected "
+        "components — the INDEPENDENT second distributed CC algorithm "
+        "next to dd6's min-label propagation: same exact-dup collapse, "
+        "same pair graph, same recursive-SQL oracle, different "
+        "fixpoint (O(log n) rounds vs O(diameter) — the MapReduce CC "
+        "algorithm of Kiveris et al. for adversarially deep graphs). "
+        "Two algorithms against one oracle is the strongest "
+        "author-writes-both-sides mitigation the dedup family has: a "
+        "shared semantic mistake would now have to survive three "
+        "independent computations.",
+    tags=("graph", "dedup"),
+)
+def gr4_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import (
+        JACCARD_TAU,
+        exact_groups,
+        expand_collapsed_labels,
+        jaccard_pairs,
+        shingle_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sh_full = shingle_table(spark, sf_dir).persist()
+    fp, grp = exact_groups(d)
+    rep_sh = sh_full.join(
+        grp.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
+    ).persist()
+    pairs = jaccard_pairs(rep_sh, tau=JACCARD_TAU)
+    labels = star_components(pairs).select(
+        F.col("doc_id").alias("rep_id"), F.col("cluster_id").alias("comp")
+    )
+    shingled = rep_sh.select(F.col("doc_id").alias("rep_id")).distinct()
+    return expand_collapsed_labels(fp, grp, labels, shingled)
+
+
+from ..registry import REGISTRY as _REG4  # noqa: E402
+
+_REG4["gr4_star_components"].oracle = _REG4["dd6_dup_clusters"].oracle

@@ -714,3 +714,51 @@ def test_emb4_matches_numpy_end_to_end(spark):
     assert set(got) == set(words)
     for w in words:
         np.testing.assert_allclose(got[w], np.round(emb[idx[w]], 6), atol=2e-6)
+
+
+def test_star_components_matches_minlabel_and_unionfind(spark):
+    """The two distributed CC algorithms (min-label propagation and
+    large-star/small-star) and a python union-find must agree on
+    random graphs, including adversarial CHAINS (large diameter) where
+    min-label needs O(diameter) rounds."""
+    import numpy as np
+
+    from reduction_dask_spark.operators.dedup import min_label_components
+    from reduction_dask_spark.operators.graph import star_components
+
+    rng = np.random.default_rng(13)
+
+    def union_find(pairs, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min-label convention: component id = min member
+        comp = {}
+        for n in nodes:
+            comp.setdefault(find(n), []).append(n)
+        return {n: min(m) for r, m in comp.items() for n in m}
+
+    cases = []
+    # random sparse graph
+    e1 = {(int(a), int(b)) for a, b in rng.integers(0, 60, (80, 2)) if a != b}
+    cases.append(e1)
+    # adversarial chain 0-1-2-...-99 (diameter 99)
+    cases.append({(i, i + 1) for i in range(99)})
+    for pairs in cases:
+        pairs = sorted((min(a, b), max(a, b)) for a, b in pairs)
+        nodes = sorted({x for p in pairs for x in p})
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        want = union_find(pairs, nodes)
+        got_star = {r["doc_id"]: r["cluster_id"] for r in star_components(df).collect()}
+        got_ml = {r["doc_id"]: r["cluster_id"] for r in min_label_components(df).collect()}
+        assert got_star == want
+        assert got_ml == want
