@@ -120,3 +120,78 @@ def corr_safe(x: Column | str, y: Column | str) -> Column:
     cx = F.col(x) if isinstance(x, str) else x
     cy = F.col(y) if isinstance(y, str) else y
     return F.try_divide(F.covar_samp(cx, cy), F.stddev_samp(cx) * F.stddev_samp(cy))
+
+
+# ---------- portable inverse normal CDF (probit) ----------
+#
+# Acklam's rational approximation (public; |relative error| < 1.15e-9)
+# expressed as PURE ARITHMETIC over the same literal coefficients in
+# both engines — log/sqrt aside, the op sequence is identical, so the
+# rank-gauss transform (p14) stays exact under round(6).
+
+_ACK_A = (-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+          1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00)
+_ACK_B = (-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+          6.680131188771972e+01, -1.328068155288572e+01)
+_ACK_C = (-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+          -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00)
+_ACK_D = (7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+          3.754408661907416e+00)
+ACK_P_LOW = 0.02425
+
+
+def _lit17(x: float) -> str:
+    # scientific notation parses as DOUBLE in DuckDB; a plain decimal
+    # literal would parse as DECIMAL and overflow its scale in the
+    # Horner chains
+    return f"{x:.17e}"
+
+
+def _horner(coefs, var_fmt, wrap):
+    expr = _lit17(coefs[0])
+    for c in coefs[1:]:
+        expr = f"({expr} * {var_fmt} + {_lit17(c)})"
+    return wrap(expr)
+
+
+def probit_sql(p: str) -> str:
+    """Acklam probit as a DuckDB SQL expression over probability `p`
+    (0 < p < 1)."""
+    qc = f"(({p}) - 5.0e-1)"
+    rc = f"({qc} * {qc})"
+    num_c = _horner(_ACK_A, rc, lambda e: e)
+    den_c = _horner(_ACK_B, rc, lambda e: f"({e} * {rc} + 1.0e0)")
+    central = f"(({num_c}) * {qc} / {den_c})"
+    ql = f"sqrt(-2.0e0 * ln({p}))"
+    num_l = _horner(_ACK_C, "__q__", lambda e: e)
+    den_l = _horner(_ACK_D, "__q__", lambda e: f"({e} * __q__ + 1.0e0)")
+    low = f"(({num_l}) / {den_l})".replace("__q__", ql)
+    qh = f"sqrt(-2.0e0 * ln(1.0e0 - ({p})))"
+    high = f"(-(({num_l}) / {den_l}))".replace("__q__", qh)
+    return (f"CASE WHEN ({p}) < {_lit17(ACK_P_LOW)} THEN {low} "
+            f"WHEN ({p}) > {_lit17(1.0 - ACK_P_LOW)} THEN {high} "
+            f"ELSE {central} END")
+
+
+def probit(p: Column) -> Column:
+    """Acklam probit as a Spark Column — the same literal coefficients
+    and op order as probit_sql."""
+    q = p - F.lit(0.5)
+    r = q * q
+
+    def horner(coefs, v):
+        e = F.lit(coefs[0])
+        for c in coefs[1:]:
+            e = e * v + F.lit(c)
+        return e
+
+    central = horner(_ACK_A, r) * q / (horner(_ACK_B, r) * r + F.lit(1.0))
+    ql = F.sqrt(F.lit(-2.0) * F.log(p))
+    low = horner(_ACK_C, ql) / (horner(_ACK_D, ql) * ql + F.lit(1.0))
+    qh = F.sqrt(F.lit(-2.0) * F.log(F.lit(1.0) - p))
+    high = -(horner(_ACK_C, qh) / (horner(_ACK_D, qh) * qh + F.lit(1.0)))
+    return (
+        F.when(p < ACK_P_LOW, low)
+        .when(p > 1.0 - ACK_P_LOW, high)
+        .otherwise(central)
+    )

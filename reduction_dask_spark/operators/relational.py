@@ -26,6 +26,7 @@ from ..functions import (
     phash,
     phash_sql,
     pred_events,
+    probit_sql,
 )
 from ..registry import query
 from ..sources import load_table
@@ -2738,4 +2739,46 @@ def f17_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.join(F.broadcast(enc), ["event_type", "fold"]).select(
         "event_id", "event_type", "fold", "te"
+    )
+
+
+# ---------------------------------------------------------------- p14
+
+@query(
+    "p14_rank_gauss",
+    oracle=f"""
+        WITH r AS (
+            SELECT event_id,
+                   row_number() OVER (ORDER BY value, event_id) AS rnk,
+                   count(*) OVER () AS n
+            FROM events
+        )
+        SELECT event_id,
+               round({probit_sql("(rnk - 5.0e-1) / n")}, 6) AS z
+        FROM r
+    """,
+    doc="p14 rank-gauss transform — the distribution-free "
+        "gaussianization NN feature pipelines use (rank to (0,1), "
+        "then the inverse normal CDF): ranks come from the two-pass "
+        "distributed global_rank (never a single-partition window), "
+        "p = (rank − ½)/n avoids the ±∞ endpoints, and the probit is "
+        "Acklam's rational approximation (|rel err| < 1.15e-9) "
+        "emitted as IDENTICAL literal arithmetic in both engines "
+        "(functions.probit / probit_sql — the portable-expression "
+        "methodology at its sharpest: a special function made "
+        "oracle-exact by construction). One range exchange + codegen "
+        "arithmetic; no Python anywhere.",
+    tags=("scalar", "ml", "order"),
+)
+def p14_rank_gauss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import probit
+
+    ev = load_table(spark, sf_dir, "events")
+    ranked = global_rank(ev.select("event_id", "value"), "value", "event_id", out="rnk")
+    n = ev.agg(F.count("*").alias("n"))
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "event_id",
+        F.round(
+            probit((F.col("rnk") - F.lit(0.5)) / F.col("n")), 6
+        ).alias("z"),
     )

@@ -762,3 +762,38 @@ def test_star_components_matches_minlabel_and_unionfind(spark):
         got_ml = {r["doc_id"]: r["cluster_id"] for r in min_label_components(df).collect()}
         assert got_star == want
         assert got_ml == want
+
+
+def test_probit_accuracy_and_rank_gauss(spark):
+    """Acklam probit within 1e-7 of the erf-inverted normal CDF across
+    all three branches; p14's output is standard-normal shaped
+    (mean ~0, std ~1, symmetric)."""
+    import math
+
+    import numpy as np
+
+    from reduction_dask_spark.functions import probit
+    from reduction_dask_spark.operators.relational import p14_rank_gauss
+    from pyspark.sql import functions as F
+
+    ps = [1e-4, 0.001, 0.0242, 0.0243, 0.3, 0.5, 0.7, 0.9757, 0.9758, 0.999, 1 - 1e-4]
+    df = spark.createDataFrame([(p,) for p in ps], "p double")
+    got = [r["z"] for r in df.select(probit(F.col("p")).alias("z")).collect()]
+
+    def ncdf(x):
+        return 0.5 * (1 + math.erf(x / math.sqrt(2)))
+
+    for p, g in zip(ps, got):
+        lo, hi = -10.0, 10.0
+        for _ in range(80):
+            mid = (lo + hi) / 2
+            if ncdf(mid) < p:
+                lo = mid
+            else:
+                hi = mid
+        assert abs(g - lo) < 1e-7, (p, g, lo)
+
+    z = np.array([r["z"] for r in p14_rank_gauss(spark, SF_SMALL).collect()])
+    assert abs(z.mean()) < 0.01
+    assert abs(z.std() - 1.0) < 0.05
+    assert abs(z.max() + z.min()) < 1e-6  # rank symmetry
