@@ -295,3 +295,74 @@ def mm5_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("doc_a", "doc_b", hd.cast("int").alias("hd")).filter(
         F.col("hd") <= PHASH_TAU
     )
+
+
+# ---------------------------------------------------------------- mm6
+
+MM6_TAU = 0.0  # alignment threshold on the standardized score
+
+
+@query(
+    "mm6_crossmodal_alignment",
+    oracle=None,  # media features come from the pandas-UDF decode path
+    doc="mm6 cross-modal alignment filtering — the CLIP-score shape "
+        "that curates paired image/text corpora (LAION's central "
+        "filter: drop pairs whose image and caption embeddings don't "
+        "agree): mm2's media feature vectors (decode stand-in) are "
+        "projected into the text-embedding space by a DETERMINISTIC "
+        "md5-derived projection matrix (the stand-in for a trained "
+        "alignment head — KBs, broadcast), scored by cosine against "
+        "the paired text embedding (doc_id = vec_id), standardized "
+        "corpus-wide (one 1-row moment broadcast), and thresholded. "
+        "Plan: one mapInPandas decode pass, one broadcast matmul "
+        "expression per row, one equi-join on the pair key, one "
+        "moment aggregate — no shuffle beyond the pair join at any "
+        "scale. Output: (doc_id, align_z, keep); rows-only (the "
+        "decode is python) + numpy end-to-end parity test.",
+    tags=("multimodal", "similarity", "pipeline"),
+)
+def mm6_crossmodal_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+
+    feats = mm2_feature_extract(spark, sf_dir).select("doc_id", "features")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("tv"),
+    )
+    dim_out = 64
+    # deterministic projection P[i][j] = (md5i('mm6:i:j') % 2001 - 1000)/1000
+    proj = [
+        [
+            (int.from_bytes(__import__("hashlib").md5(f"mm6:{i}:{j}".encode()).digest()[:4], "big") % 2001 - 1000)
+            / 1000.0
+            for j in range(dim_out)
+        ]
+        for i in range(N_FEAT)
+    ]
+    pcols = F.array(*[
+        F.aggregate(
+            F.zip_with(
+                "features",
+                F.array(*[F.lit(proj[i][j]) for i in range(N_FEAT)]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for j in range(dim_out)
+    ])
+    projected = feats.select("doc_id", pcols.alias("mv"))
+    dot = lambda a, b: F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    joined = projected.join(emb, "doc_id").select(
+        "doc_id",
+        (
+            dot(F.col("mv"), F.col("tv"))
+            / (F.sqrt(dot(F.col("mv"), F.col("mv"))) * F.sqrt(dot(F.col("tv"), F.col("tv"))))
+        ).alias("cos"),
+    )
+    mo = joined.agg(F.avg("cos").alias("mu"), F.stddev_samp("cos").alias("sd"))
+    return joined.crossJoin(F.broadcast(mo)).select(
+        "doc_id",
+        F.round(((F.col("cos") - F.col("mu")) / F.col("sd")), 6).alias("align_z"),
+        (((F.col("cos") - F.col("mu")) / F.col("sd")) > MM6_TAU).alias("keep"),
+    )

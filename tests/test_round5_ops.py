@@ -797,3 +797,45 @@ def test_probit_accuracy_and_rank_gauss(spark):
     assert abs(z.mean()) < 0.01
     assert abs(z.std() - 1.0) < 0.05
     assert abs(z.max() + z.min()) < 1e-6  # rank symmetry
+
+
+def test_mm6_matches_numpy_end_to_end(spark):
+    """Cross-modal alignment equals a pure numpy recomputation from
+    the raw text payloads and embeddings."""
+    import hashlib
+
+    import numpy as np
+
+    from reduction_dask_spark.operators.multimodal import (
+        N_FEAT,
+        _fake_decode,
+        mm6_crossmodal_alignment,
+    )
+    from reduction_dask_spark.sources import load_table
+
+    got = {r["doc_id"]: r for r in mm6_crossmodal_alignment(spark, SF_SMALL).collect()}
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text").toPandas()
+    emb = load_table(spark, SF_SMALL, "embeddings").toPandas()
+    tv = {r["vec_id"]: np.array(r["embedding"], dtype=float) for _, r in emb.iterrows()}
+    dim_out = 64
+    P = np.array([
+        [
+            (int.from_bytes(hashlib.md5(f"mm6:{i}:{j}".encode()).digest()[:4], "big") % 2001 - 1000) / 1000.0
+            for j in range(dim_out)
+        ]
+        for i in range(N_FEAT)
+    ])
+    cos = {}
+    for _, row in docs.iterrows():
+        if row["doc_id"] not in tv:
+            continue
+        mv = _fake_decode(row["text"].encode("utf-8")) @ P
+        t = tv[row["doc_id"]]
+        cos[row["doc_id"]] = float(mv @ t / (np.linalg.norm(mv) * np.linalg.norm(t)))
+    mu = np.mean(list(cos.values()))
+    sd = np.std(list(cos.values()), ddof=1)
+    assert set(got) == set(cos)
+    for d, c in cos.items():
+        z = (c - mu) / sd
+        assert abs(got[d]["align_z"] - round(z, 6)) <= 2e-6
+        assert got[d]["keep"] == (z > 0.0)
