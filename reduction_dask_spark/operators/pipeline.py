@@ -566,3 +566,67 @@ def cdc2_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("op") == "U"))
         .select("key", F.round("val", 2).alias("val"))
     )
+
+
+# --------------------------------------------------------------- pack2
+
+@query(
+    "pack2_ffd_packing",
+    oracle=None,  # sequential FFD inside applyInPandas — rows + tests
+    doc="pack2 first-fit-decreasing sequence packing — pack1's "
+        "streaming prefix-sum packer is one-pass but order-bound; FFD "
+        "(sort docs by token count descending, place each into the "
+        "first bin with room) is the classic near-optimal bin-packing "
+        "heuristic (≤ 11/9·OPT + 1) that trades a sort for materially "
+        "higher fill. Documents longer than the budget are truncated "
+        "to one full bin (the training convention). Scale shape: FFD "
+        "is inherently sequential, so it runs INSIDE applyInPandas "
+        "per language partition (the packing domain — bins never span "
+        "languages; groups are corpus/|langs| and the per-group state "
+        "is the open-bin headroom array); the output is the per-pack "
+        "fill report. The two packers bracket the atomicity trade: "
+        "pack1 SPLITS documents (stream-chunking — exactly "
+        "ceil(total/budget) packs, zero waste, but sequences cross "
+        "document boundaries), pack2 keeps documents ATOMIC and pays "
+        "the bin-packing waste FFD minimizes. Invariant-tested: no "
+        "pack over budget, every doc placed once, per-language pack "
+        "count within the FFD guarantee of the ceil(total/budget) "
+        "lower bound.",
+    tags=("pipeline", "text"),
+)
+def pack2_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        "doc_id",
+        F.least(F.lit(PACK_BUDGET), F.size(F.split("text", " "))).alias("n_tok"),
+    )
+
+    def ffd(key, pdf):
+        lang = key[0]
+        order = np.lexsort((pdf["doc_id"].to_numpy(), -pdf["n_tok"].to_numpy()))
+        sizes = pdf["n_tok"].to_numpy()[order]
+        bins: list[int] = []  # remaining headroom per open bin
+        assign = np.empty(len(sizes), dtype=np.int64)
+        for i, s in enumerate(sizes):
+            for b, room in enumerate(bins):
+                if room >= s:
+                    assign[i] = b
+                    bins[b] = room - s
+                    break
+            else:
+                assign[i] = len(bins)
+                bins.append(PACK_BUDGET - s)
+        out = pd.DataFrame({"pack_id": assign, "n_tok": sizes})
+        agg = out.groupby("pack_id").agg(
+            n_docs=("n_tok", "size"), fill=("n_tok", "sum")
+        ).reset_index()
+        agg.insert(0, "lang", lang)
+        return agg
+
+    return toks.groupBy("lang").applyInPandas(
+        ffd, schema="lang string, pack_id bigint, n_docs bigint, fill bigint"
+    )

@@ -839,3 +839,44 @@ def test_mm6_matches_numpy_end_to_end(spark):
         z = (c - mu) / sd
         assert abs(got[d]["align_z"] - round(z, 6)) <= 2e-6
         assert got[d]["keep"] == (z > 0.0)
+
+
+def test_pack2_ffd_invariants_and_beats_streaming(spark):
+    from reduction_dask_spark.operators.pipeline import (
+        PACK_BUDGET,
+        pack1_sequence_pack,
+        pack2_ffd_packing,
+    )
+    from reduction_dask_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    ffd = pack2_ffd_packing(spark, SF_SMALL).collect()
+    assert all(r["fill"] <= PACK_BUDGET for r in ffd)
+    # every doc placed exactly once: total tokens match the source
+    total = sum(r["fill"] for r in ffd)
+    n_docs = sum(r["n_docs"] for r in ffd)
+    src = (
+        load_table(spark, SF_SMALL, "documents")
+        .select(F.least(F.lit(PACK_BUDGET), F.size(F.split("text", " "))).alias("n"))
+        .agg(F.sum("n").alias("s"), F.count("*").alias("c"))
+        .collect()[0]
+    )
+    assert (total, n_docs) == (src["s"], src["c"])
+    # FFD guarantee per language: OPT <= packs <= 11/9*OPT + 1 where
+    # OPT >= ceil(total/budget) (pack1's stream-chunking, which SPLITS
+    # documents, achieves exactly that lower bound and is the other
+    # side of the atomicity trade)
+    import math
+    from collections import defaultdict
+
+    per = defaultdict(lambda: [0, 0])
+    for r in ffd:
+        per[r["lang"]][0] += 1
+        per[r["lang"]][1] += r["fill"]
+    for lang, (packs, tokens) in per.items():
+        lower = math.ceil(tokens / PACK_BUDGET)
+        assert lower <= packs <= math.ceil(11 / 9 * lower) + 1, (lang, packs, lower)
+    # mean fill is high (the point of FFD over naive first-fit)
+    assert total / len(ffd) > 0.9 * PACK_BUDGET
+    # and the streaming chunker exists as the split-documents baseline
+    assert pack1_sequence_pack(spark, SF_SMALL).count() >= 1
