@@ -1535,3 +1535,90 @@ def wnw1_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "pos", F.col("h").alias("fp"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------- dc2
+
+DECON_FUZZY_TAU = 0.5
+
+
+@query(
+    "dc2_fuzzy_decontam",
+    oracle=f"""
+        WITH {SHINGLE_SQL}, {_MINHASH_SQL}, {_JACCARD_SQL},
+        cross_cand AS (
+            SELECT CASE WHEN doc_a % {BENCH_MOD} = 0 THEN doc_b ELSE doc_a END AS doc_id,
+                   CASE WHEN doc_a % {BENCH_MOD} = 0 THEN doc_a ELSE doc_b END AS bench_id
+            FROM cand
+            WHERE (doc_a % {BENCH_MOD} = 0) <> (doc_b % {BENCH_MOD} = 0)
+        ),
+        ver AS (
+            SELECT cc.doc_id, cc.bench_id, j.jaccard
+            FROM cross_cand cc
+            JOIN jac j ON j.doc_a = least(cc.doc_id, cc.bench_id)
+                      AND j.doc_b = greatest(cc.doc_id, cc.bench_id)
+            WHERE j.jaccard >= {DECON_FUZZY_TAU}
+        ),
+        best AS (
+            SELECT doc_id, bench_id, jaccard,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY jaccard DESC, bench_id) AS rn
+            FROM ver
+        )
+        SELECT doc_id, bench_id AS matched_bench_id, jaccard FROM best WHERE rn = 1
+    """,
+    doc="dc2 FUZZY benchmark decontamination — dc1's exact n-gram "
+        "overlap misses paraphrased or lightly-edited eval leakage "
+        "(the contamination mode actually observed in the wild); dc2 "
+        "catches it with dd3's MinHash-LSH machinery pointed ACROSS "
+        "the corpus/benchmark split: banded signatures for both "
+        "sides, candidates restricted to cross-split band collisions "
+        f"(corpus×benchmark, never corpus×corpus), exact-Jaccard "
+        f"verify ≥ {DECON_FUZZY_TAU} on candidates only, and one "
+        "per-document argmax window naming the best-matching "
+        "benchmark item — the row an auditor needs to adjudicate the "
+        "leak. Same O(corpus + candidates) cost envelope as dd3; the "
+        "benchmark side is tiny so its bands behave like a broadcast "
+        "probe set.",
+    tags=("dedup", "text", "pipeline"),
+)
+def dc2_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc_sets = doc_shingle_sets(shingle_table(spark, sf_dir)).persist()
+    bands = minhash_bands(doc_sets).persist()
+    is_bench = lambda c: c % BENCH_MOD == 0
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(is_bench(F.col("a.doc_id")) != is_bench(F.col("b.doc_id")))
+        .select(
+            F.when(is_bench(F.col("a.doc_id")), F.col("b.doc_id"))
+            .otherwise(F.col("a.doc_id")).alias("doc_id"),
+            F.when(is_bench(F.col("a.doc_id")), F.col("a.doc_id"))
+            .otherwise(F.col("b.doc_id")).alias("bench_id"),
+        )
+        .distinct()
+    )
+    verified = (
+        doc_sets.select(F.col("doc_id"), F.col("ss").alias("sa"))
+        .join(cand, "doc_id")
+        .join(
+            doc_sets.select(F.col("doc_id").alias("bench_id"), F.col("ss").alias("sb")),
+            "bench_id",
+        )
+    )
+    ninter = F.size(F.array_intersect("sa", "sb"))
+    jac = F.round(ninter.cast("double") / (F.size("sa") + F.size("sb") - ninter), 6)
+    ver = verified.select("doc_id", "bench_id", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= DECON_FUZZY_TAU
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), F.asc("bench_id"))
+    return (
+        ver.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("bench_id").alias("matched_bench_id"), "jaccard")
+    )
