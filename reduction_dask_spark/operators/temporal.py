@@ -1778,3 +1778,93 @@ def an6_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "channel string, p_conv_base double, removal_effect double, attribution_share double",
     )
+
+
+# ---------------------------------------------------------------- ts5
+
+CUSUM_BASE_DAYS = 7   # baseline window (training distribution)
+CUSUM_K = 0.5         # slack, in sigmas
+CUSUM_H = 4.0         # decision threshold, in sigmas
+
+
+@query(
+    "ts5_cusum_changepoint",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, avg(value) AS x
+            FROM events GROUP BY 1
+        ),
+        nday AS (
+            SELECT day, x, row_number() OVER (ORDER BY day) AS i FROM daily
+        ),
+        base AS (
+            SELECT avg(x) AS mu, stddev_samp(x) AS sd
+            FROM nday WHERE i <= {CUSUM_BASE_DAYS}
+        ),
+        rec AS (
+            WITH RECURSIVE c AS (
+                SELECT n.i, n.day, n.x,
+                       greatest(0.0, (n.x - b.mu) / b.sd - {CUSUM_K!r}) AS sp,
+                       greatest(0.0, -((n.x - b.mu) / b.sd) - {CUSUM_K!r}) AS sn
+                FROM nday n, base b WHERE n.i = 1
+                UNION ALL
+                SELECT n.i, n.day, n.x,
+                       greatest(0.0, c.sp + (n.x - b.mu) / b.sd - {CUSUM_K!r}),
+                       greatest(0.0, c.sn - (n.x - b.mu) / b.sd - {CUSUM_K!r})
+                FROM c JOIN nday n ON n.i = c.i + 1, base b
+            )
+            SELECT * FROM c
+        )
+        SELECT CAST(day - DATE '1970-01-01' AS INTEGER) AS day,
+               round(x, 6) AS daily_mean,
+               round(sp, 6) AS cusum_pos,
+               round(sn, 6) AS cusum_neg,
+               (sp > {CUSUM_H!r} OR sn > {CUSUM_H!r}) AS changepoint
+        FROM rec
+    """,
+    doc="ts5 CUSUM changepoint detection (Page 1954) — the sequential "
+        "drift detector monitoring stacks run NEXT TO the "
+        "distributional tests (psi1/ks1 ask 'has the distribution "
+        "moved'; CUSUM asks 'WHEN did the mean shift', accumulating "
+        "standardized deviations from a frozen baseline window with "
+        f"slack k={CUSUM_K} and flagging |S| > {CUSUM_H}σ). The "
+        "recurrence S⁺_d = max(0, S⁺_(d-1) + z_d − k) is clamped — "
+        "NOT prefix-sum decomposable — so it runs as the aggregate-"
+        "then-tiny-recurrence split: ONE distributed daily aggregate "
+        "(the only pass over fact rows), then the |days|-length "
+        "recurrence driver-side in a loop over the bounded calendar "
+        "relation. Oracle: the same recurrence as a recursive CTE — "
+        "identical float op order, exact equality.",
+    tags=("temporal", "metric", "pipeline"),
+)
+def ts5_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.avg("value").alias("x"))
+        .orderBy("day")
+        .collect()
+    )
+    xs = [r["x"] for r in daily]
+    base = xs[:CUSUM_BASE_DAYS]
+    mu = sum(base) / len(base)
+    sd = (sum((v - mu) ** 2 for v in base) / (len(base) - 1)) ** 0.5
+    rows = []
+    sp = sn = 0.0
+    for r, x in zip(daily, xs):
+        z = (x - mu) / sd
+        sp = max(0.0, sp + z - CUSUM_K)
+        sn = max(0.0, sn - z - CUSUM_K)
+        rows.append(
+            (
+                (r["day"] - __import__("datetime").date(1970, 1, 1)).days,
+                round(x, 6),
+                round(sp, 6),
+                round(sn, 6),
+                bool(sp > CUSUM_H or sn > CUSUM_H),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "day int, daily_mean double, cusum_pos double, cusum_neg double, changepoint boolean",
+    )
