@@ -630,3 +630,71 @@ def pack2_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("lang").applyInPandas(
         ffd, schema="lang string, pack_id bigint, n_docs bigint, fill bigint"
     )
+
+
+# ---------------------------------------------------------------- rpt1
+
+@query(
+    "rpt1_corpus_report",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, lang,
+                   string_split(text, ' ') AS toks,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents
+        ),
+        base AS (
+            SELECT count(*) AS n_docs,
+                   count(DISTINCT fp) AS n_distinct,
+                   avg(len(toks)) AS mean_tokens
+            FROM d
+        ),
+        lf AS (SELECT lang, count(*) AS c FROM d GROUP BY lang),
+        ent AS (
+            SELECT -sum((c::DOUBLE / t.n) * ln(c::DOUBLE / t.n)) AS h
+            FROM lf, (SELECT sum(c) AS n FROM lf) t
+        )
+        SELECT CAST(base.n_docs AS BIGINT) AS n_docs,
+               CAST(base.n_distinct AS BIGINT) AS n_distinct_contents,
+               round(1.0 - base.n_distinct / CAST(base.n_docs AS DOUBLE), 6)
+                   AS dup_rate,
+               round(base.mean_tokens, 6) AS mean_tokens,
+               round(ent.h, 6) AS lang_entropy
+        FROM base, ent
+    """,
+    doc="rpt1 corpus report card — the one-row dashboard a data team "
+        "reads before anything else: size, distinct-content count and "
+        "the implied exact-dup rate (dd1's fingerprint), mean "
+        "document length, and language-distribution entropy (mixture "
+        "balance; 0 = monolingual). One scan + one tiny language "
+        "rollup; every number is the headline of a deeper registered "
+        "query (dd1, t1, mw1, zipf1) — this is the index page. "
+        "O(1) output at any corpus size.",
+    tags=("pipeline", "agg", "text"),
+)
+def rpt1_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import normalized_fingerprint
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        normalized_fingerprint(F.col("text")).alias("fp"),
+    )
+    base = d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_distinct"),
+        F.avg("n_tok").alias("mean_tokens"),
+    )
+    lf = d.groupBy("lang").agg(F.count("*").alias("c"))
+    tot = lf.agg(F.sum("c").alias("n"))
+    ent = (
+        lf.crossJoin(F.broadcast(tot))
+        .agg((-F.sum((F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n")))).alias("h"))
+    )
+    return base.crossJoin(F.broadcast(ent)).select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct_contents"),
+        F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_docs").cast("double"), 6).alias("dup_rate"),
+        F.round("mean_tokens", 6).alias("mean_tokens"),
+        F.round("h", 6).alias("lang_entropy"),
+    )
