@@ -19,6 +19,7 @@ import os
 import sys
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from ..registry import query
 from ..session import ensure_engine_confs
@@ -1195,3 +1196,118 @@ def st13_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frac.groupBy("event_type").agg(
         F.round(F.sum((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))), 6).alias("psi")
     )
+
+
+# ---------------------------------------------------------------- st6b
+
+@query(
+    "st6b_tws_list_state",
+    oracle="""
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(CAST(min(value) AS DOUBLE), 2) AS min_value,
+               round(CAST(max(value) AS DOUBLE), 2) AS max_value
+        FROM events GROUP BY user_id
+    """,
+    doc="st6b transformWithStateInPandas with LIST state — st6 covers "
+        "the ValueState path; this exercises the ListState message "
+        "surface (getListState / appendList / listStateGet) through "
+        "the same vendored protobuf runtime: per user, every batch "
+        "APPENDS its values to the list state, and the emission "
+        "recomputes count/min/max from the full persisted list — so "
+        "the oracle checks that the list state accumulated every "
+        "element exactly once across micro-batches. RocksDB state "
+        "store; same self-installing shim delivery as st6.",
+    tags=("streaming",),
+)
+def st6b_tws_list_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ensure_engine_confs(spark)
+    ensure_protobuf(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class UserValues(StatefulProcessor):
+        def __init__(self, shim=None):
+            self._shim = shim
+
+        def __setstate__(self, state):
+            self.__dict__.update(state)
+            shim = state.get("_shim")
+            if not shim:
+                return
+            import importlib
+            import os as _os
+            import sys as _sys
+            import tempfile as _tf
+
+            try:
+                import google.protobuf as _gp
+
+                if getattr(_gp, "__file__", None) is not None:
+                    return
+            except ImportError:
+                pass
+            root = _os.path.join(_tf.gettempdir(), "rds_protoshim_px")
+            for rel, src in shim.items():
+                p = _os.path.join(root, rel)
+                if _os.path.exists(p):
+                    continue
+                _os.makedirs(_os.path.dirname(p), exist_ok=True)
+                tmp = p + f".tmp{_os.getpid()}"
+                with open(tmp, "wb") as fh:
+                    fh.write(src)
+                _os.replace(tmp, p)
+            if root not in _sys.path:
+                _sys.path.insert(0, root)
+            for m in [m for m in _sys.modules if m == "google" or m.startswith("google.")]:
+                del _sys.modules[m]
+            importlib.invalidate_caches()
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._vals = handle.getListState("vals", "v DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                self._vals.appendList([(float(v),) for v in pdf["value"]])
+            acc = [float(t[0]) for t in self._vals.get()]
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [len(acc)],
+                    "min_value": [round(min(acc), 2)],
+                    "max_value": [round(max(acc), 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = read_event_stream(spark, sf_dir)
+    agg = stream.groupBy("user_id").transformWithStateInPandas(
+        UserValues(shim=None if ensure_protobuf(spark) == "native" else shim_payload()),
+        outputStructType="user_id bigint, n_events bigint, min_value double, max_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("st6b_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout=300):
+        q.stop()
+        raise RuntimeError("st6b stream did not drain within 300s")
+    result = spark.table("st6b_out")
+    w = F.row_number().over(Window.partitionBy("user_id").orderBy(F.desc("n_events")))
+    return result.withColumn("rn", w).filter(F.col("rn") == 1).drop("rn")
