@@ -570,31 +570,68 @@ def cdc2_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------- pack2
 
+PACK_SHARD_CAP = 100_000  # max docs per sequential packing task
+
+
+def _bfd_pack(sizes):
+    """Best-fit-decreasing over a descending size array: place each item
+    in the open bin with the SMALLEST headroom that still fits (bisect
+    on a sorted headroom list — O(n log bins) comparisons vs the naive
+    first-fit linear scan's O(n·bins)). Returns (n_docs, fill) arrays
+    per bin. BFD shares FFD's 11/9·OPT + O(1) guarantee and the
+    first-fit property that at most ONE bin ends at most half full
+    (two such bins would have been merged)."""
+    import bisect
+
+    import numpy as np
+
+    rooms: list[tuple[int, int]] = []  # sorted (headroom, bin_id)
+    n_docs: list[int] = []
+    fill: list[int] = []
+    for s in sizes:
+        i = bisect.bisect_left(rooms, (s, -1))
+        if i < len(rooms):
+            room, b = rooms.pop(i)
+            bisect.insort(rooms, (room - s, b))
+            n_docs[b] += 1
+            fill[b] += s
+        else:
+            bisect.insort(rooms, (PACK_BUDGET - s, len(n_docs)))
+            n_docs.append(1)
+            fill.append(s)
+    return np.asarray(n_docs, dtype=np.int64), np.asarray(fill, dtype=np.int64)
+
+
 @query(
     "pack2_ffd_packing",
-    oracle=None,  # sequential FFD inside applyInPandas — rows + tests
-    doc="pack2 first-fit-decreasing sequence packing — pack1's "
-        "streaming prefix-sum packer is one-pass but order-bound; FFD "
-        "(sort docs by token count descending, place each into the "
-        "first bin with room) is the classic near-optimal bin-packing "
-        "heuristic (≤ 11/9·OPT + 1) that trades a sort for materially "
-        "higher fill. Documents longer than the budget are truncated "
-        "to one full bin (the training convention). Scale shape: FFD "
-        "is inherently sequential, so it runs INSIDE applyInPandas "
-        "per language partition (the packing domain — bins never span "
-        "languages; groups are corpus/|langs| and the per-group state "
-        "is the open-bin headroom array); the output is the per-pack "
-        "fill report. The two packers bracket the atomicity trade: "
-        "pack1 SPLITS documents (stream-chunking — exactly "
-        "ceil(total/budget) packs, zero waste, but sequences cross "
-        "document boundaries), pack2 keeps documents ATOMIC and pays "
-        "the bin-packing waste FFD minimizes. Invariant-tested: no "
-        "pack over budget, every doc placed once, per-language pack "
-        "count within the FFD guarantee of the ceil(total/budget) "
-        "lower bound.",
+    oracle=None,  # sequential bin packing inside applyInPandas — rows + tests
+    doc="pack2 best-fit-decreasing sequence packing, SHARDED — pack1's "
+        "streaming prefix-sum packer is one-pass but SPLITS documents; "
+        "pack2 keeps documents ATOMIC and minimizes the bin-packing "
+        "waste with the classic decreasing heuristic (≤ 11/9·OPT + "
+        "O(1)). Scale shape (the r5-verdict fix): packing is "
+        "inherently sequential, but the DOMAIN is sharded — docs hash "
+        "into bounded (lang, shard) groups of ≤ PACK_SHARD_CAP docs "
+        "(shard count per language derived from a tiny broadcast count "
+        "relation), so no task ever sees a whole language (~half the "
+        "corpus at 100 TB). Within a shard, best-fit via bisect on a "
+        "sorted headroom list replaces the O(n·bins) first-fit scan. "
+        "For docs ≪ budget, per-shard BFD loses almost no fill vs "
+        "global FFD; the residual cost is at most ONE ≤-half-full bin "
+        "per shard (first-fit property), and a second per-language "
+        "pass — whose group is bounded by the shard count, not the "
+        "corpus — re-packs exactly those tail bins as atomic items. "
+        "Documents longer than the budget are truncated to one full "
+        "bin (the training convention). Invariant-tested: no pack "
+        "over budget, every doc placed once, per-language pack count "
+        "within the FFD guarantee of the ceil(total/budget) lower "
+        "bound, and the sharded form agrees with single-shard fill "
+        "quality.",
     tags=("pipeline", "text"),
 )
-def pack2_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack2_ffd_packing(
+    spark: SparkSession, sf_dir: str, shard_cap: int = PACK_SHARD_CAP
+) -> DataFrame:
     import numpy as np
     import pandas as pd
 
@@ -604,31 +641,61 @@ def pack2_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.least(F.lit(PACK_BUDGET), F.size(F.split("text", " "))).alias("n_tok"),
     )
+    # tiny per-language shard-count relation (|langs| rows), broadcast
+    shards = toks.groupBy("lang").agg(
+        F.ceil(F.count("*") / F.lit(shard_cap)).cast("int").alias("n_shards")
+    )
+    sharded = toks.join(F.broadcast(shards), "lang").withColumn(
+        "shard", F.pmod(F.xxhash64("doc_id"), F.col("n_shards")).cast("int")
+    )
 
-    def ffd(key, pdf):
-        lang = key[0]
+    def pack_shard(key, pdf):
         order = np.lexsort((pdf["doc_id"].to_numpy(), -pdf["n_tok"].to_numpy()))
-        sizes = pdf["n_tok"].to_numpy()[order]
-        bins: list[int] = []  # remaining headroom per open bin
-        assign = np.empty(len(sizes), dtype=np.int64)
-        for i, s in enumerate(sizes):
-            for b, room in enumerate(bins):
-                if room >= s:
-                    assign[i] = b
-                    bins[b] = room - s
-                    break
-            else:
-                assign[i] = len(bins)
-                bins.append(PACK_BUDGET - s)
-        out = pd.DataFrame({"pack_id": assign, "n_tok": sizes})
-        agg = out.groupby("pack_id").agg(
-            n_docs=("n_tok", "size"), fill=("n_tok", "sum")
-        ).reset_index()
-        agg.insert(0, "lang", lang)
-        return agg
+        n_docs, fill = _bfd_pack(pdf["n_tok"].to_numpy()[order])
+        return pd.DataFrame({"lang": key[0], "n_docs": n_docs, "fill": fill})
 
-    return toks.groupBy("lang").applyInPandas(
-        ffd, schema="lang string, pack_id bigint, n_docs bigint, fill bigint"
+    packed = sharded.groupBy("lang", "shard").applyInPandas(
+        pack_shard, schema="lang string, n_docs bigint, fill bigint"
+    )
+
+    # tail-merge pass: each shard leaves at most one bin ≤ half full
+    # (first-fit property), so the per-language group here is bounded
+    # by the shard count — re-pack those bins as atomic items.
+    under = packed.filter(F.col("fill") * 2 <= PACK_BUDGET)
+    kept = packed.filter(F.col("fill") * 2 > PACK_BUDGET)
+
+    def merge_tail(key, pdf):
+        order = np.lexsort((pdf["n_docs"].to_numpy(), -pdf["fill"].to_numpy()))
+        fills = pdf["fill"].to_numpy()[order]
+        docs = pdf["n_docs"].to_numpy()[order]
+        import bisect
+
+        rooms: list[tuple[int, int]] = []
+        m_docs: list[int] = []
+        m_fill: list[int] = []
+        for f_i, d_i in zip(fills, docs):
+            i = bisect.bisect_left(rooms, (int(f_i), -1))
+            if i < len(rooms):
+                room, b = rooms.pop(i)
+                bisect.insort(rooms, (room - int(f_i), b))
+                m_docs[b] += int(d_i)
+                m_fill[b] += int(f_i)
+            else:
+                bisect.insort(rooms, (PACK_BUDGET - int(f_i), len(m_docs)))
+                m_docs.append(int(d_i))
+                m_fill.append(int(f_i))
+        return pd.DataFrame({"lang": key[0], "n_docs": m_docs, "fill": m_fill})
+
+    merged = under.groupBy("lang").applyInPandas(
+        merge_tail, schema="lang string, n_docs bigint, fill bigint"
+    )
+    out = kept.unionByName(merged)
+    w = Window.partitionBy("lang").orderBy(F.desc("fill"), F.desc("n_docs"))
+    return out.select(
+        "lang",
+        (F.row_number().over(w) - 1).cast("bigint").alias("pack_id"),
+        "n_docs",
+        "fill",
     )
 
 

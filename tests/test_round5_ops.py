@@ -880,3 +880,51 @@ def test_pack2_ffd_invariants_and_beats_streaming(spark):
     assert total / len(ffd) > 0.9 * PACK_BUDGET
     # and the streaming chunker exists as the split-documents baseline
     assert pack1_sequence_pack(spark, SF_SMALL).count() >= 1
+
+
+def test_pack2_sharded_domain(spark):
+    """Forcing a tiny shard cap exercises the bounded (lang, shard)
+    packing domain: invariants hold, the tail-merge pass keeps fill
+    near the single-shard quality, and the plan groups by the shard
+    key (no whole-language single task)."""
+    import math
+    from collections import defaultdict
+
+    from reduction_dask_spark.operators.pipeline import (
+        PACK_BUDGET,
+        pack2_ffd_packing,
+    )
+    from reduction_dask_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    df = pack2_ffd_packing(spark, SF_SMALL, shard_cap=40)
+    ffd = df.collect()
+    assert all(r["fill"] <= PACK_BUDGET for r in ffd)
+    src = (
+        load_table(spark, SF_SMALL, "documents")
+        .select(F.least(F.lit(PACK_BUDGET), F.size(F.split("text", " "))).alias("n"))
+        .agg(F.sum("n").alias("s"), F.count("*").alias("c"))
+        .collect()[0]
+    )
+    assert (sum(r["fill"] for r in ffd), sum(r["n_docs"] for r in ffd)) == (
+        src["s"],
+        src["c"],
+    )
+    # after the tail merge at most one bin per language is <= half
+    # full, so packs < 2*lower + 1 per language; empirically the data
+    # (docs << budget) keeps fill near the unsharded level
+    per = defaultdict(lambda: [0, 0])
+    for r in ffd:
+        per[r["lang"]][0] += 1
+        per[r["lang"]][1] += r["fill"]
+    for lang, (packs, tokens) in per.items():
+        lower = math.ceil(tokens / PACK_BUDGET)
+        assert packs <= 2 * lower + 1, (lang, packs, lower)
+        under_half = sum(
+            1 for r in ffd if r["lang"] == lang and 2 * r["fill"] <= PACK_BUDGET
+        )
+        assert under_half <= 1, (lang, under_half)
+    assert sum(r["fill"] for r in ffd) / len(ffd) > 0.85 * PACK_BUDGET
+    # shard key visible in the physical plan's group-by (FlatMapGroupsInPandas)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "shard" in plan
