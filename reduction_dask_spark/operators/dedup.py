@@ -1091,35 +1091,13 @@ def er1_blocked_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAIN_TAU = 0.9
 
 
-@query(
-    "dd2b_containment_pairs",
-    oracle=f"""
-        WITH {SHINGLE_SQL},
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
-            GROUP BY a.doc_id, b.doc_id
-        )
-        SELECT i.doc_a, i.doc_b,
-               round(i.ninter::DOUBLE / sa.n, 6) AS containment
-        FROM inter i
-        JOIN sizes sa ON sa.doc_id = i.doc_a
-        WHERE i.ninter::DOUBLE / sa.n >= {CONTAIN_TAU}
-    """,
-    doc="dd2b shingle containment C(A,B) = |A∩B| / |A| — the "
-        "ASYMMETRIC overlap dd2's Jaccard misses: a short document "
-        "wholly quoted inside a long one scores near-zero Jaccard "
-        "(union is huge) but containment ~1, which is exactly the "
-        "partial-copy / quotation pattern corpus curation wants to "
-        "catch. Same inverted-index plan as dd2 (pairs only "
-        "materialize when a shingle is shared; df-capped), but "
-        "directed: (a in b) and (b in a) are separate rows. Broder's "
-        "containment measure, the resemblance/containment pair from "
-        "the original shingling paper.",
-    tags=("dedup",),
-)
-def dd2b_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def containment_pairs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UN-collapsed directed containment pair set — dd2b's original
+    contract, kept as the small-scale agreement baseline only (tests
+    expand the weighted quotient against it). Not registered: under a
+    k-way duplicate load the answer itself is O(k²) per group (the ×10
+    probe measured 155 s / 28.5× — the r5 registry's slowest), so the
+    full form is a scale-killer BY CONTRACT, not by plan."""
     sh = shingle_table(spark, sf_dir).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -1139,6 +1117,109 @@ def dd2b_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= CONTAIN_TAU)
         .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
     )
+
+
+@query(
+    "dd2b_containment_pairs",
+    oracle=f"""
+        WITH {SHINGLE_SQL},
+        d0 AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        grp AS (SELECT fp, min(doc_id) AS rep_id, count(*) AS m
+                FROM d0 GROUP BY fp),
+        rsh AS (SELECT doc_id, shingle FROM sh
+                WHERE doc_id IN (SELECT rep_id FROM grp)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM rsh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
+            FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        crossp AS (
+            SELECT i.doc_a, i.doc_b,
+                   round(i.ninter::DOUBLE / sa.n, 6) AS containment,
+                   CAST(ga.m * gb.m AS BIGINT) AS n_pairs
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN grp ga ON ga.rep_id = i.doc_a
+            JOIN grp gb ON gb.rep_id = i.doc_b
+            WHERE i.ninter::DOUBLE / sa.n >= {CONTAIN_TAU}
+        ),
+        selfp AS (
+            SELECT rep_id AS doc_a, rep_id AS doc_b,
+                   CAST(1 AS DOUBLE) AS containment,
+                   CAST(m * (m - 1) AS BIGINT) AS n_pairs
+            FROM grp
+            WHERE m >= 2 AND rep_id IN (SELECT doc_id FROM sizes)
+        )
+        SELECT * FROM crossp UNION ALL SELECT * FROM selfp
+    """,
+    doc="dd2b shingle containment C(A,B) = |A∩B| / |A| — the "
+        "ASYMMETRIC overlap dd2's Jaccard misses: a short document "
+        "wholly quoted inside a long one scores near-zero Jaccard "
+        "(union is huge) but containment ~1, which is exactly the "
+        "partial-copy / quotation pattern corpus curation wants to "
+        "catch. Broder's containment measure from the original "
+        "shingling paper. Scale shape (the r5-verdict contract fix): "
+        "identical text ⇒ identical shingle set ⇒ identical "
+        "containment, so the pair join runs over EXACT-DUPLICATE "
+        "REPRESENTATIVES only (dd6's quotient; df-cap still computed "
+        "over the FULL corpus) and the output is the WEIGHTED "
+        "directed pair relation — one row per ordered pair of "
+        "distinct contents with the implied uncollapsed pair count "
+        "n_pairs = m_a·m_b, plus a doc_a = doc_b row per duplicated "
+        "shingled content carrying its m·(m−1) within-group "
+        "containment-1.0 ordered pairs. Full information of the "
+        "blown-up pair set at linear size (the uncollapsed form, "
+        "containment_pairs_full, measured 28.5× under a 10-way "
+        "duplicate load BY CONTRACT — its answer is quadratic in "
+        "group size; tests pin the exact expansion equivalence).",
+    tags=("dedup",),
+)
+def dd2b_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # df-cap over the FULL corpus, then restrict the index to reps
+    sh_full = shingle_table_of(d).persist()
+    _, grp = exact_groups(d)
+    rsh = sh_full.join(
+        grp.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
+    ).persist()
+    sizes = rsh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = rsh.alias("a"), rsh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("ninter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    ma = grp.select(F.col("rep_id").alias("doc_a"), F.col("m").alias("m_a"))
+    mb = grp.select(F.col("rep_id").alias("doc_b"), F.col("m").alias("m_b"))
+    cont = F.col("ninter").cast("double") / F.col("na")
+    crossp = (
+        inter.join(sa, "doc_a")
+        .filter(cont >= CONTAIN_TAU)
+        .join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            "doc_a", "doc_b", F.round(cont, 6).alias("containment"),
+            (F.col("m_a") * F.col("m_b")).cast("bigint").alias("n_pairs"),
+        )
+    )
+    selfp = (
+        grp.filter(F.col("m") >= 2)
+        .join(
+            sizes.select(F.col("doc_id").alias("rep_id")), "rep_id", "left_semi"
+        )
+        .select(
+            F.col("rep_id").alias("doc_a"), F.col("rep_id").alias("doc_b"),
+            F.lit(1.0).alias("containment"),
+            (F.col("m") * (F.col("m") - 1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    return crossp.unionByName(selfp)
 
 
 # --------------------------------------------------------------- dd10

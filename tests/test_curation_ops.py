@@ -145,3 +145,56 @@ def test_prof1_single_scan_agg(spark):
     q = rows["l_quantity"]
     assert q["min_val"] >= 1.0 and q["max_val"] <= 50.0
     assert q["n_distinct"] == 50
+
+
+def test_dd2b_weighted_quotient_expands_to_full_pairs(spark):
+    """The weighted representative-pair contract (r6) carries full
+    information of the uncollapsed directed containment pair set:
+    expanding each rep pair by its duplicate groups — and each
+    doc_a = doc_b row into the m*(m-1) within-group ordered pairs —
+    reproduces containment_pairs_full exactly."""
+    from collections import defaultdict
+
+    from reduction_dask_spark.operators.dedup import (
+        containment_pairs_full,
+        dd2b_containment_pairs,
+    )
+    from reduction_dask_spark.sources import load_table
+
+    weighted = dd2b_containment_pairs(spark, SF_SMALL).collect()
+    full = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs_full(spark, SF_SMALL).collect()
+    }
+    groups = defaultdict(list)
+    fp_rows = (
+        load_table(spark, SF_SMALL, "documents")
+        .select("doc_id", F.md5("text").alias("fp"))
+        .collect()
+    )
+    rep_of = {}
+    for r in fp_rows:
+        groups[r["fp"]].append(r["doc_id"])
+    members = {}
+    for fp, ids in groups.items():
+        members[min(ids)] = sorted(ids)
+
+    expanded = {}
+    n_claimed = 0
+    for r in weighted:
+        a, b, c, n = r["doc_a"], r["doc_b"], r["containment"], r["n_pairs"]
+        n_claimed += n
+        if a == b:
+            ids = members[a]
+            assert n == len(ids) * (len(ids) - 1)
+            for x in ids:
+                for y in ids:
+                    if x != y:
+                        expanded[(x, y)] = c
+        else:
+            assert n == len(members[a]) * len(members[b])
+            for x in members[a]:
+                for y in members[b]:
+                    expanded[(x, y)] = c
+    assert expanded == full
+    assert n_claimed == len(full)
