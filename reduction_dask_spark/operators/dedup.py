@@ -141,11 +141,14 @@ SHINGLE_SQL = shingle_sql_from("documents")
 
 # Exact pairwise Jaccard over the inverted index (used by dd2 and as
 # the verify stage of dd3): only pairs sharing ≥1 shingle materialize.
-_JACCARD_SQL = f"""
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+# Parameterized on the (doc_id, shingle) source relation so quotient
+# consumers (deval1) can point it at the rep-restricted index.
+def jaccard_sql_from(src: str) -> str:
+    return f"""
+    sizes AS (SELECT doc_id, count(*) AS n FROM {src} GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM {src} a JOIN {src} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     ),
     jac AS (
@@ -156,6 +159,9 @@ _JACCARD_SQL = f"""
         JOIN sizes sb ON sb.doc_id = i.doc_b
     )
 """
+
+
+_JACCARD_SQL = jaccard_sql_from("sh")
 
 
 def jaccard_pairs(sh: DataFrame, tau: float) -> DataFrame:
@@ -227,14 +233,15 @@ def dd2_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- dd3
 
-_MINHASH_SQL = f"""
-    h0 AS (SELECT DISTINCT shingle, shingle % {MERSENNE} AS h FROM sh),
+def minhash_sql_from(src: str) -> str:
+    return f"""
+    h0 AS (SELECT DISTINCT shingle, shingle % {MERSENNE} AS h FROM {src}),
     seeds AS (SELECT CAST(range AS INTEGER) AS s FROM range({N_HASHES})),
     mh AS (
-        SELECT sh.doc_id, seeds.s,
+        SELECT {src}.doc_id, seeds.s,
                min(((2 * seeds.s + 3) * h0.h + seeds.s * 40503 + 1) % {MERSENNE}) AS mhv
-        FROM sh JOIN h0 USING (shingle) CROSS JOIN seeds
-        GROUP BY sh.doc_id, seeds.s
+        FROM {src} JOIN h0 USING (shingle) CROSS JOIN seeds
+        GROUP BY {src}.doc_id, seeds.s
     ),
     bands AS (
         SELECT doc_id, CAST(s // {N_HASHES // N_BANDS} AS INTEGER) AS band,
@@ -247,6 +254,9 @@ _MINHASH_SQL = f"""
           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
     )
 """
+
+
+_MINHASH_SQL = minhash_sql_from("sh")
 
 
 def doc_shingle_sets(sh: DataFrame) -> DataFrame:
@@ -320,11 +330,20 @@ def minhash_bands(doc_sets: DataFrame) -> DataFrame:
     tags=("dedup", "bench"),
 )
 def dd3_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs_of(shingle_table(spark, sf_dir))
+
+
+def minhash_lsh_pairs_of(sh: DataFrame) -> DataFrame:
+    """dd3's full signature → band-bucket → exact-verify pipeline over
+    an arbitrary (doc_id, shingle) relation — deval1 points it at the
+    exact-dup-representative slice of the full-corpus-capped index
+    (band keys are content functions, so the rep run is an exact
+    quotient of the full run)."""
     # ONE collect of the inverted index into per-doc shingle arrays
     # feeds the signature build AND the verify stage — the persisted
     # relation is |docs| rows of arrays, and the band build + verify
     # reuse it without a second groupBy over the exploded index
-    doc_sets = doc_shingle_sets(shingle_table(spark, sf_dir)).persist()
+    doc_sets = doc_shingle_sets(sh).persist()
     bands = minhash_bands(doc_sets).persist()  # both sides of the bucket join
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -430,10 +449,11 @@ def dd3b_minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- dd4
 
-_SIMHASH_SQL = f"""
+def simhash_sql_from(src: str) -> str:
+    return f"""
     tokw AS (
         SELECT doc_id, tok, count(*) AS w
-        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM {src})
         GROUP BY doc_id, tok
     ),
     tokh AS (
@@ -469,6 +489,9 @@ _SIMHASH_SQL = f"""
 """
 
 
+_SIMHASH_SQL = simhash_sql_from("documents")
+
+
 @query(
     "dd4_simhash_dedup",
     oracle=f"""
@@ -485,7 +508,14 @@ _SIMHASH_SQL = f"""
     tags=("dedup",),
 )
 def dd4_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs_of(load_table(spark, sf_dir, "documents"))
+
+
+def simhash_pairs_of(d: DataFrame) -> DataFrame:
+    """dd4's fingerprint → banded-candidate → hamming-verify pipeline
+    over an arbitrary (doc_id, text) relation — the fingerprint is a
+    pure content function (token hashes, no corpus statistics), so
+    running it over exact-dup representatives is an exact quotient."""
     tokw = (
         d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -1248,9 +1278,17 @@ def dd2b_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dd10_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prefix_filter_pairs_of(shingle_table(spark, sf_dir).persist())
+
+
+def prefix_filter_pairs_of(sh: DataFrame) -> DataFrame:
+    """dd10's prefix-filter → verify pipeline over an arbitrary
+    (doc_id, shingle) relation. Output is the EXACT Jaccard ≥ tau pair
+    set regardless of the df order used for the prefix (the prefix
+    theorem only needs a consistent global order), so running it over
+    exact-dup representatives is an exact quotient by construction."""
     # integer tau arithmetic: JACCARD_TAU = 0.7 = 7/10 exactly
     TN, TD = 7, 10
-    sh = shingle_table(spark, sf_dir).persist()
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfq"))
     wrank = Window.partitionBy("doc_id").orderBy("dfq", "shingle")
     wcnt = Window.partitionBy("doc_id")
@@ -1436,7 +1474,16 @@ def t13_dedup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "deval1_dedup_quality",
     oracle=f"""
-        WITH {SHINGLE_SQL}, {_MINHASH_SQL}, {_SIMHASH_SQL}, {_JACCARD_SQL},
+        WITH {SHINGLE_SQL},
+        d0 AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        grp AS (SELECT fp, min(doc_id) AS rep_id, count(*) AS m
+                FROM d0 GROUP BY fp),
+        rsh AS (SELECT doc_id, shingle FROM sh
+                WHERE doc_id IN (SELECT rep_id FROM grp)),
+        repdocs AS (SELECT * FROM documents
+                    WHERE doc_id IN (SELECT rep_id FROM grp)),
+        {minhash_sql_from("rsh")}, {simhash_sql_from("repdocs")},
+        {jaccard_sql_from("rsh")},
         truth AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_TAU}),
         mhp AS (
             SELECT c.doc_a, c.doc_b FROM cand c
@@ -1447,21 +1494,52 @@ def t13_dedup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_a, doc_b FROM scand
             WHERE bit_count(xor(fa, fb)) <= {SIM_TAU}
         ),
+        self_sh AS (
+            SELECT CAST(coalesce(sum(m * (m - 1) // 2), 0) AS BIGINT) AS w
+            FROM grp WHERE m >= 2
+              AND rep_id IN (SELECT DISTINCT doc_id FROM rsh)
+        ),
+        self_all AS (
+            SELECT CAST(coalesce(sum(m * (m - 1) // 2), 0) AS BIGINT) AS w
+            FROM grp WHERE m >= 2
+        ),
+        wtruth AS (
+            SELECT CAST(coalesce(sum(ga.m * gb.m), 0) AS BIGINT) AS w
+            FROM truth t JOIN grp ga ON ga.rep_id = t.doc_a
+                         JOIN grp gb ON gb.rep_id = t.doc_b
+        ),
+        wmhp AS (
+            SELECT CAST(coalesce(sum(ga.m * gb.m), 0) AS BIGINT) AS w
+            FROM mhp p JOIN grp ga ON ga.rep_id = p.doc_a
+                       JOIN grp gb ON gb.rep_id = p.doc_b
+        ),
+        wshp AS (
+            SELECT CAST(coalesce(sum(ga.m * gb.m), 0) AS BIGINT) AS w
+            FROM shp p JOIN grp ga ON ga.rep_id = p.doc_a
+                       JOIN grp gb ON gb.rep_id = p.doc_b
+        ),
+        wshp_tp AS (
+            SELECT CAST(coalesce(sum(ga.m * gb.m), 0) AS BIGINT) AS w
+            FROM (SELECT doc_a, doc_b FROM shp
+                  INTERSECT SELECT doc_a, doc_b FROM truth) p
+            JOIN grp ga ON ga.rep_id = p.doc_a
+            JOIN grp gb ON gb.rep_id = p.doc_b
+        ),
         stats AS (
             SELECT 'minhash_lsh' AS method,
-                   (SELECT count(*) FROM mhp) AS n_pred,
-                   (SELECT count(*) FROM truth) AS n_true,
-                   (SELECT count(*) FROM mhp JOIN truth USING (doc_a, doc_b)) AS tp
+                   (SELECT w FROM wmhp) + (SELECT w FROM self_sh) AS n_pred,
+                   (SELECT w FROM wtruth) + (SELECT w FROM self_sh) AS n_true,
+                   (SELECT w FROM wmhp) + (SELECT w FROM self_sh) AS tp
             UNION ALL
             SELECT 'simhash',
-                   (SELECT count(*) FROM shp),
-                   (SELECT count(*) FROM truth),
-                   (SELECT count(*) FROM shp JOIN truth USING (doc_a, doc_b))
+                   (SELECT w FROM wshp) + (SELECT w FROM self_all),
+                   (SELECT w FROM wtruth) + (SELECT w FROM self_sh),
+                   (SELECT w FROM wshp_tp) + (SELECT w FROM self_sh)
             UNION ALL
             SELECT 'prefix_filter',
-                   (SELECT count(*) FROM truth),
-                   (SELECT count(*) FROM truth),
-                   (SELECT count(*) FROM truth)
+                   (SELECT w FROM wtruth) + (SELECT w FROM self_sh),
+                   (SELECT w FROM wtruth) + (SELECT w FROM self_sh),
+                   (SELECT w FROM wtruth) + (SELECT w FROM self_sh)
         )
         SELECT method,
                CAST(n_pred AS BIGINT) AS n_pred,
@@ -1484,30 +1562,85 @@ def t13_dedup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "100 TB (prefix-filter is exact by construction, so its row "
         "doubles as a P=R=1 invariant; SimHash trades a different "
         "similarity notion, which this table quantifies instead of "
-        "hand-waving). All counts are semi-join cardinalities over "
-        "the methods' own bucketed pipelines; metrics are integer "
-        "ratios — exact cross-engine.",
+        "hand-waving). Scale shape (the r5-verdict fix): the ground "
+        "truth and every method run over EXACT-DUPLICATE "
+        "REPRESENTATIVES (signatures and Jaccard are content "
+        "functions; df-cap still computed on the full corpus), and "
+        "all pair counts are WEIGHTED by duplicate multiplicities — "
+        "m_a·m_b per cross-content pair, m·(m−1)/2 per duplicated "
+        "group for the within-group pairs each method's eligibility "
+        "admits (shingled contents for Jaccard-family methods, every "
+        "tokenized content for SimHash). By the quotient argument the "
+        "reported P/R/F1 EQUAL the uncollapsed computation's (pinned "
+        "by a pytest against the full-corpus eval), at O(distinct "
+        "contents) cost instead of full pair mass.",
     tags=("dedup", "metric"),
 )
 def deval1_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh_full = shingle_table_of(d).persist()
+    _, grp = exact_groups(d)
+    grp = grp.persist()
+    reps = grp.select(F.col("rep_id").alias("doc_id"))
+    rep_sh = sh_full.join(reps, "doc_id", "left_semi").persist()
+    rep_d = d.join(reps, "doc_id", "left_semi")
     truth = (
-        jaccard_pairs(shingle_table(spark, sf_dir).persist(), tau=JACCARD_TAU)
-        .select("doc_a", "doc_b")
-        .persist()
+        jaccard_pairs(rep_sh, tau=JACCARD_TAU).select("doc_a", "doc_b").persist()
     )
     methods = {
-        "minhash_lsh": dd3_minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b"),
-        "simhash": dd4_simhash_dedup(spark, sf_dir).select("doc_a", "doc_b"),
-        "prefix_filter": dd10_prefix_filter_pairs(spark, sf_dir).select("doc_a", "doc_b"),
+        "minhash_lsh": minhash_lsh_pairs_of(rep_sh).select("doc_a", "doc_b"),
+        "simhash": simhash_pairs_of(rep_d).select("doc_a", "doc_b"),
+        "prefix_filter": prefix_filter_pairs_of(rep_sh).select("doc_a", "doc_b"),
+    }
+    wa = grp.select(F.col("rep_id").alias("doc_a"), F.col("m").alias("m_a"))
+    wb = grp.select(F.col("rep_id").alias("doc_b"), F.col("m").alias("m_b"))
+
+    def wsum(pairs: DataFrame, alias: str) -> DataFrame:
+        return (
+            pairs.join(wa, "doc_a")
+            .join(wb, "doc_b")
+            .agg(
+                F.coalesce(F.sum(F.col("m_a") * F.col("m_b")), F.lit(0))
+                .cast("bigint")
+                .alias(alias)
+            )
+        )
+
+    half = (F.col("m") * (F.col("m") - 1) / 2).cast("bigint")
+    shingled = rep_sh.select(F.col("doc_id").alias("rep_id")).distinct()
+    self_sh = (
+        grp.filter(F.col("m") >= 2)
+        .join(shingled, "rep_id", "left_semi")
+        .agg(F.coalesce(F.sum(half), F.lit(0)).cast("bigint").alias("selfw"))
+    )
+    self_all = grp.filter(F.col("m") >= 2).agg(
+        F.coalesce(F.sum(half), F.lit(0)).cast("bigint").alias("selfw")
+    )
+    # within-group eligibility: Jaccard-family methods self-pair iff
+    # the content has a non-empty capped shingle set; SimHash
+    # fingerprints every tokenized doc, so every m >= 2 group self-pairs
+    self_pred = {
+        "minhash_lsh": self_sh,
+        "simhash": self_all,
+        "prefix_filter": self_sh,
     }
     parts = []
     for name, pred in methods.items():
-        tp = pred.join(truth, ["doc_a", "doc_b"], "left_semi")
+        tp_pairs = pred.join(truth, ["doc_a", "doc_b"], "left_semi")
         parts.append(
-            pred.agg(F.count("*").alias("n_pred"))
-            .crossJoin(F.broadcast(truth.agg(F.count("*").alias("n_true"))))
-            .crossJoin(F.broadcast(tp.agg(F.count("*").alias("tp"))))
-            .select(F.lit(name).alias("method"), "n_pred", "n_true", "tp")
+            wsum(pred, "wp")
+            .crossJoin(F.broadcast(wsum(truth, "wt")))
+            .crossJoin(F.broadcast(wsum(tp_pairs, "wtp")))
+            .crossJoin(F.broadcast(self_pred[name]))
+            .crossJoin(
+                F.broadcast(self_sh.select(F.col("selfw").alias("selfw_tp")))
+            )
+            .select(
+                F.lit(name).alias("method"),
+                (F.col("wp") + F.col("selfw")).alias("n_pred"),
+                (F.col("wt") + F.col("selfw_tp")).alias("n_true"),
+                (F.col("wtp") + F.col("selfw_tp")).alias("tp"),
+            )
         )
     out = parts[0].unionByName(parts[1]).unionByName(parts[2])
     p = F.col("tp") / F.col("n_pred").cast("double")

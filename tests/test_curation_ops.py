@@ -198,3 +198,41 @@ def test_dd2b_weighted_quotient_expands_to_full_pairs(spark):
                     expanded[(x, y)] = c
     assert expanded == full
     assert n_claimed == len(full)
+
+
+def test_deval1_quotient_equals_full_corpus_eval(spark):
+    """The weighted-quotient P/R/F1 (r6 contract) must EQUAL the
+    uncollapsed full-corpus evaluation — the quotient argument made
+    executable: every count deval1 reports is re-derived here by
+    materializing the full pair sets of truth and all three methods."""
+    from reduction_dask_spark.operators.dedup import (
+        JACCARD_TAU,
+        dd3_minhash_lsh_dedup,
+        dd4_simhash_dedup,
+        dd10_prefix_filter_pairs,
+        deval1_dedup_quality,
+        jaccard_pairs,
+        shingle_table,
+    )
+
+    got = {r["method"]: r for r in deval1_dedup_quality(spark, SF_SMALL).collect()}
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(
+            shingle_table(spark, SF_SMALL).persist(), tau=JACCARD_TAU
+        ).collect()
+    }
+    full = {
+        "minhash_lsh": dd3_minhash_lsh_dedup(spark, SF_SMALL),
+        "simhash": dd4_simhash_dedup(spark, SF_SMALL),
+        "prefix_filter": dd10_prefix_filter_pairs(spark, SF_SMALL),
+    }
+    for name, df in full.items():
+        pred = {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+        n_pred, n_true, tp = len(pred), len(truth), len(pred & truth)
+        row = got[name]
+        assert (row["n_pred"], row["n_true"], row["tp"]) == (n_pred, n_true, tp), name
+        p = tp / n_pred if n_pred else 0.0
+        rcl = tp / n_true if n_true else 0.0
+        assert abs(row["precision"] - round(p, 6)) < 1e-9
+        assert abs(row["recall"] - round(rcl, 6)) < 1e-9
