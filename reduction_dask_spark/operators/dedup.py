@@ -1797,7 +1797,17 @@ DECON_FUZZY_TAU = 0.5
     tags=("dedup", "text", "pipeline"),
 )
 def dc2_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    doc_sets = doc_shingle_sets(shingle_table(spark, sf_dir)).persist()
+    return fuzzy_decontam_of(load_table(spark, sf_dir, "documents"))
+
+
+def fuzzy_decontam_of(d: DataFrame) -> DataFrame:
+    """dc2's cross-split MinHash pipeline over an arbitrary (doc_id,
+    text) relation — the parameterization exists so the planted-
+    contamination pytest can assert a known lightly-edited benchmark
+    document (and only it) is reported (the sf0.01 corpus contains no
+    cross-split near-dups, so the registry oracle row alone matches on
+    empty sets — non-vacuous evidence lives in the fixture test)."""
+    doc_sets = doc_shingle_sets(shingle_table_of(d)).persist()
     bands = minhash_bands(doc_sets).persist()
     is_bench = lambda c: c % BENCH_MOD == 0
     a, b = bands.alias("a"), bands.alias("b")

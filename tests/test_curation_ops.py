@@ -236,3 +236,56 @@ def test_deval1_quotient_equals_full_corpus_eval(spark):
         rcl = tp / n_true if n_true else 0.0
         assert abs(row["precision"] - round(p, 6)) < 1e-9
         assert abs(row["recall"] - round(rcl, 6)) < 1e-9
+
+
+def test_dc2_planted_contamination_detected(spark):
+    """Non-vacuous dc2 evidence (r5 verdict item 4): plant a lightly
+    edited benchmark document in the corpus split and assert the fuzzy
+    decontamination pass reports exactly that pair, with the exact
+    shingle-Jaccard, and nothing else."""
+    from reduction_dask_spark.operators.dedup import (
+        BENCH_MOD,
+        DECON_FUZZY_TAU,
+        K_SHINGLE,
+        fuzzy_decontam_of,
+    )
+
+    bench_tokens = [f"tok{i}" for i in range(40)]
+    # light edit: replace one interior token -> 3 of 38 shingles differ
+    leaked_tokens = list(bench_tokens)
+    leaked_tokens[20] = "EDITED"
+    rows = [
+        (BENCH_MOD, " ".join(bench_tokens)),          # benchmark item
+        (2 * BENCH_MOD, "totally different benchmark text about nothing "
+                        "in particular with many unrelated words here"),
+        (5, " ".join(leaked_tokens)),                 # planted leak
+        (6, "an unrelated corpus document discussing completely other "
+            "topics with no overlap whatsoever to the benchmark set"),
+        (7, "yet another clean corpus document full of its own words "
+            "and phrases that share nothing with the held out items"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = fuzzy_decontam_of(d).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc_id"], r["matched_bench_id"]) == (5, BENCH_MOD)
+
+    # exact shingle-Jaccard of the planted pair, recomputed in python
+    def shingles(toks):
+        return {
+            " ".join(toks[i : i + K_SHINGLE])
+            for i in range(len(toks) - K_SHINGLE + 1)
+        }
+
+    sa, sb = shingles(leaked_tokens), shingles(bench_tokens)
+    expected = len(sa & sb) / len(sa | sb)
+    assert expected >= DECON_FUZZY_TAU  # the plant is above threshold
+    assert abs(r["jaccard"] - round(expected, 6)) < 1e-9
+
+    # and an edit heavy enough to fall below tau is NOT reported
+    heavy = [t if i % 2 else "X%d" % i for i, t in enumerate(bench_tokens)]
+    d2 = spark.createDataFrame(
+        rows + [(9, " ".join(heavy))], "doc_id bigint, text string"
+    )
+    got2 = {(r["doc_id"], r["matched_bench_id"]) for r in fuzzy_decontam_of(d2).collect()}
+    assert got2 == {(5, BENCH_MOD)}
