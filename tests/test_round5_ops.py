@@ -928,3 +928,69 @@ def test_pack2_sharded_domain(spark):
     # shard key visible in the physical plan's group-by (FlatMapGroupsInPandas)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "shard" in plan
+
+
+def test_tw1_coranking_numpy_parity_and_pca_judgment(spark):
+    """tw1's coranking relation, pointed at the REAL t7 PCA embedding,
+    must match a pure-numpy trustworthiness/continuity computation
+    exactly (same rounding, same vec_id tie-break) — and PCA, which
+    optimizes reconstruction, should preserve neighborhoods far better
+    than chance."""
+    import numpy as np
+    from reduction_dask_spark.ml import supervised_frame
+    from reduction_dask_spark.operators.reduction import (
+        TW_K,
+        coranking_metrics,
+        t7_fit_transform_pca,
+    )
+    from reduction_dask_spark.operators.similarity import QUERY_CAP, QUERY_MOD
+    from pyspark.sql import functions as F
+
+    sf = SF_SMALL
+    base = supervised_frame(spark, sf).select("vec_id", "features")
+    pca = t7_fit_transform_pca(spark, sf)
+    feat = base.join(pca, "vec_id").select(
+        "vec_id",
+        F.col("features").alias("vv"),
+        F.aggregate(
+            F.zip_with("features", "features", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("n2"),
+        F.col("pc1").alias("p1"),
+        F.col("pc2").alias("p2"),
+        ((F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)).alias(
+            "is_anchor"
+        ),
+    )
+    got = {r["qid"]: r for r in coranking_metrics(feat, k=TW_K).collect()}
+
+    rows = sorted(feat.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["vv"] for r in rows])
+    P = np.array([[r["p1"], r["p2"]] for r in rows])
+    n = len(ids)
+    k = TW_K
+    denom = k * (2.0 * n - 3.0 * k - 1.0)
+    anchors = [i for i, r in enumerate(rows) if r["is_anchor"]]
+    assert anchors and len(got) == len(anchors)
+    for i in anchors:
+        others = [j for j in range(n) if j != i]
+        n2 = (X * X).sum(1)
+        do2 = np.round(n2[i] + n2[others] - 2.0 * (X[others] @ X[i]), 5)
+        de2 = np.round(((P[others] - P[i]) ** 2).sum(1), 5)
+        ro_order = np.lexsort((ids[others], do2))
+        re_order = np.lexsort((ids[others], de2))
+        ro = np.empty(len(others), dtype=int)
+        re = np.empty(len(others), dtype=int)
+        ro[ro_order] = np.arange(1, n)
+        re[re_order] = np.arange(1, n)
+        tpen = int(((ro - k) * ((re <= k) & (ro > k))).sum())
+        cpen = int(((re - k) * ((ro <= k) & (re > k))).sum())
+        trust = round(1.0 - 2.0 * tpen / denom, 6)
+        cont = round(1.0 - 2.0 * cpen / denom, 6)
+        r = got[int(ids[i])]
+        assert abs(r["trust"] - trust) < 1e-9, (ids[i], r["trust"], trust)
+        assert abs(r["continuity"] - cont) < 1e-9
+    # PCA on this data should be a decent neighborhood preserver
+    assert np.mean([got[q]["trust"] for q in got]) > 0.6
