@@ -303,6 +303,125 @@ def t9b_landmark_isomap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lmds_transform(df, L, dmean, pseudo, delta_fn=geodesic_delta_fn(L, G))
 
 
+# --------------------------- local-linear kernel: landmark LLE
+
+LLE_KNN = 8
+LLE_REG = 1e-3  # Gram ridge, scaled by trace — the standard LLE conditioner
+
+
+def _lle_local_weights(Z: np.ndarray) -> np.ndarray:
+    """Solve one LLE neighborhood: Z = (neighbors − x) k×d, returns the
+    sum-to-one reconstruction weights from the regularized local Gram
+    system Gw = 1 (Roweis & Saul; ridge = REG·tr(G) keeps the solve
+    well-posed when k > d or neighbors are collinear)."""
+    G = Z @ Z.T
+    tr = np.trace(G)
+    G = G + np.eye(len(Z)) * (LLE_REG * tr if tr > 0 else LLE_REG)
+    w = np.linalg.solve(G, np.ones(len(Z)))
+    return w / w.sum()
+
+
+def fit_llle(
+    spark: SparkSession,
+    sf_dir: str,
+    n_components: int,
+    n_landmarks: int = LMDS_LANDMARKS,
+    knn: int = LLE_KNN,
+):
+    """Landmark LLE fit — the last buildable reference DR family
+    (LocallyLinearEmbedding sweeps, /root/reference nb cells 69-79;
+    tuners.py:149-373 takes any reducer): on the pinned landmark
+    subsample, solve each point's local reconstruction weights over
+    its kNN, then take the bottom non-constant eigenvectors of
+    M = (I−W)ᵀ(I−W) as the landmark embedding. All O(L²)–O(L³) work is
+    driver-side on the bounded subsample, exactly like fit_lmds /
+    fit_lisomap. Returns (landmarks L×d, landmark embedding Y L×k)."""
+    df = supervised_frame(spark, sf_dir)
+    head = df.orderBy("vec_id").limit(n_landmarks).select("features").toPandas()
+    L = np.stack(head["features"].to_numpy()).astype(np.float64)
+    n = len(L)
+    d = np.sqrt(_pairwise_sq("l2", L, L))
+    nn = np.argsort(d, axis=1)[:, 1 : knn + 1]
+    W = np.zeros((n, n))
+    for i in range(n):
+        W[i, nn[i]] = _lle_local_weights(L[nn[i]] - L[i])
+    IW = np.eye(n) - W
+    M = IW.T @ IW
+    vals, vecs = np.linalg.eigh(M)
+    # ascending eigh order: index 0 is the constant mode (val ≈ 0);
+    # the embedding is the next n_components eigenvectors, scaled by
+    # sqrt(n) (unit-covariance convention)
+    Y = vecs[:, 1 : n_components + 1] * np.sqrt(n)
+    for i in range(Y.shape[1]):
+        j = int(np.argmax(np.abs(Y[:, i])))
+        if Y[j, i] < 0:
+            Y[:, i] = -Y[:, i]
+    return L, Y
+
+
+def lle_transform(
+    df: DataFrame, landmarks: np.ndarray, Y: np.ndarray, knn: int = LLE_KNN
+) -> DataFrame:
+    """Distributed LLE out-of-sample extension (Saul & Roweis 2003):
+    per Arrow batch, each row finds its kNN among the LANDMARKS,
+    solves the same regularized local Gram system for reconstruction
+    weights, and embeds as the weight-combination of the landmark
+    embedding y(x) = Σ_j w_j·Y[j]. Only (landmarks, Y) — KBs — ship
+    to executors; per-row cost is one k×k solve, nothing scales with
+    corpus size but the scan."""
+    import pandas as pd
+
+    k = Y.shape[1]
+    cols = [f"mc{i + 1}" for i in range(k)]
+    passthrough = [c for c in ("era", "y") if c in df.columns]
+    pass_types = {"era": "int", "y": "double"}
+
+    def mapper(batches):
+        for pdf in batches:
+            X = np.stack(pdf["features"].to_numpy()).astype(np.float64)
+            d2 = _pairwise_sq("l2", X, landmarks)
+            idx = np.argsort(d2, axis=1)[:, :knn]
+            out_y = np.empty((len(X), k))
+            for r in range(len(X)):
+                w = _lle_local_weights(landmarks[idx[r]] - X[r])
+                out_y[r] = w @ Y[idx[r]]
+            out = pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy()})
+            for p in passthrough:
+                out[p] = pdf[p].to_numpy()
+            for i, c in enumerate(cols):
+                out[c] = np.round(out_y[:, i], 6)
+            yield out
+
+    schema = ", ".join(
+        ["vec_id long"]
+        + [f"{p} {pass_types[p]}" for p in passthrough]
+        + [f"{c} double" for c in cols]
+    )
+    return df.mapInPandas(mapper, schema=schema)
+
+
+@query(
+    "t9c_landmark_lle",
+    oracle=None,
+    doc="t9c locally-linear embedding — landmark LLE on t9's "
+        "subsample-fit / broadcast / distributed-transform path, "
+        "closing the reference's LocallyLinearEmbedding sweep slot "
+        "(nb cells 69-79; tuners.py:149-373): local kNN Gram solves "
+        "for reconstruction weights on the landmark set, bottom "
+        "non-constant eigenvectors of (I−W)ᵀ(I−W) driver-side, then "
+        "a mapInPandas out-of-sample transform where each row solves "
+        "ITS OWN k×k local Gram against the broadcast landmarks and "
+        "embeds as the weighted landmark-embedding combination — the "
+        "standard LLE extension, per-row O(knn³) with knn=8, nothing "
+        "scaling with corpus size but the scan.",
+    tags=("reduction", "ml"),
+)
+def t9c_landmark_lle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    L, Y = fit_llle(spark, sf_dir, N_COMPONENTS)
+    df = supervised_frame(spark, sf_dir)
+    return lle_transform(df, L, Y)
+
+
 def reduction_sweep(
     spark: SparkSession,
     sf_dir: str,
@@ -310,6 +429,7 @@ def reduction_sweep(
         ("pca", 2), ("pca", 4), ("pca", 8), ("pca", 16),
         ("lmds_l1", 2), ("lmds_l1", 4),
         ("lisomap_l2", 2), ("lisomap_l2", 4),
+        ("llle_l2", 2), ("llle_l2", 4),
     ),
     lam: float = 1.0,
     k: int = 5,
@@ -332,6 +452,10 @@ def reduction_sweep(
                 reduced_wide = lmds_transform(
                     base, Lm, dmean, pseudo, delta_fn=geodesic_delta_fn(Lm, G)
                 )
+            elif kernel == "llle_l2":
+                Lm, Yl = fit_llle(spark, sf_dir, nc)
+                cols = [f"mc{i + 1}" for i in range(nc)]
+                reduced_wide = lle_transform(base, Lm, Yl)
             else:
                 Lm, dmean, pseudo = fit_lmds(spark, sf_dir, nc)
                 cols = [f"mc{i + 1}" for i in range(nc)]

@@ -518,3 +518,78 @@ def test_d5b_sweep_table(spark):
     assert len(out) == 7 + 5 + 4
     assert (out.loc[out["kernel"] != "dbscan_density", "n_noise"] == 0).all()
     assert out["silhouette"].between(-1.0, 1.0).all()
+
+
+# ---------------------------------------------- landmark LLE kernel
+
+def test_llle_fit_invariants():
+    """LLE weight rows reconstruct their point from neighbors (affine
+    invariance: sum-to-one, small residual on locally-linear data) and
+    the landmark embedding kills the constant mode."""
+    from reduction_dask_spark.operators.reduction import (
+        _lle_local_weights,
+        _pairwise_sq,
+    )
+
+    rng = np.random.default_rng(11)
+    # points on a noisy 2-D plane in 5-D: locally linear by design
+    U = rng.normal(size=(60, 2))
+    B = rng.normal(size=(2, 5))
+    L = U @ B + 0.001 * rng.normal(size=(60, 5))
+    d = np.sqrt(_pairwise_sq("l2", L, L))
+    nn = np.argsort(d, axis=1)[:, 1:9]
+    for i in range(10):
+        w = _lle_local_weights(L[nn[i]] - L[i])
+        assert abs(w.sum() - 1.0) < 1e-9
+        rec = w @ L[nn[i]]
+        assert np.linalg.norm(rec - L[i]) < 0.05
+
+
+def test_llle_transform_matches_numpy(spark):
+    """Distributed out-of-sample LLE == the same per-row local Gram
+    solve on collected rows; landmark rows embed (near) their own
+    fitted coordinates."""
+    from reduction_dask_spark.operators.reduction import (
+        LLE_KNN,
+        _lle_local_weights,
+        _pairwise_sq,
+        fit_llle,
+        lle_transform,
+    )
+
+    Lm, Y = fit_llle(spark, SF_SMALL, 2)
+    df = supervised_frame(spark, SF_SMALL)
+    got = (
+        lle_transform(df, Lm, Y)
+        .select("vec_id", "mc1", "mc2")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pdf = (
+        df.select("vec_id", "features")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    X = np.stack(pdf["features"].to_numpy()).astype(float)
+    d2 = _pairwise_sq("l2", X, Lm)
+    idx = np.argsort(d2, axis=1)[:, :LLE_KNN]
+    want = np.empty((len(X), 2))
+    for r in range(len(X)):
+        w = _lle_local_weights(Lm[idx[r]] - X[r])
+        want[r] = w @ Y[idx[r]]
+    np.testing.assert_allclose(
+        got[["mc1", "mc2"]].to_numpy(), np.round(want, 6), atol=2e-6
+    )
+    # non-degenerate embedding: both components carry variance
+    assert got["mc1"].std() > 1e-3 and got["mc2"].std() > 1e-3
+
+
+def test_t9c_registered_runs(spark):
+    from reduction_dask_spark.operators.reduction import t9c_landmark_lle
+
+    out = t9c_landmark_lle(spark, SF_SMALL)
+    rows = out.collect()
+    assert len(rows) == supervised_frame(spark, SF_SMALL).count()
+    assert set(out.columns) >= {"vec_id", "mc1", "mc2"}
