@@ -614,14 +614,16 @@ def simhash_pairs_of(d: DataFrame) -> DataFrame:
     tags=("dedup", "graph"),
 )
 def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import pin
+
     d = load_table(spark, sf_dir, "documents")
     # df-cap over the FULL corpus (collapsing first would shift document
     # frequencies and change which shingles survive the cap — gr3's rule)
-    sh_full = shingle_table(spark, sf_dir).persist()
+    sh_full = pin(shingle_table(spark, sf_dir))
     fp, grp = exact_groups(d)
-    rep_sh = sh_full.join(
+    rep_sh = pin(sh_full.join(
         grp.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
-    ).persist()
+    ))
     pairs = jaccard_pairs(rep_sh, tau=JACCARD_TAU)
     labels = min_label_components(pairs).select(
         F.col("doc_id").alias("rep_id"), F.col("cluster_id").alias("comp")
@@ -685,7 +687,7 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
     fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     edges = fwd.unionByName(
         pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-    ).persist()
+    ).persist()  # fully materialized by the loop; unpersisted at exit
     # each round ends in localCheckpoint: `labels` feeds the next round
     # TWICE (neighbor-min join + convergence diff), so an un-truncated
     # logical plan doubles per round and Catalyst analysis goes
@@ -716,6 +718,10 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    # labels is an eager localCheckpoint — the edge relation is no
+    # longer needed once the fixpoint converges (bounds cache growth
+    # across many registry queries in one session)
+    edges.unpersist()
     return labels.select(F.col("n").alias("doc_id"), F.col("label").cast("bigint").alias("cluster_id"))
 
 
@@ -1206,13 +1212,15 @@ def containment_pairs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dd2b_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import pin
+
     d = load_table(spark, sf_dir, "documents")
     # df-cap over the FULL corpus, then restrict the index to reps
-    sh_full = shingle_table_of(d).persist()
+    sh_full = pin(shingle_table_of(d))
     _, grp = exact_groups(d)
-    rsh = sh_full.join(
+    rsh = pin(sh_full.join(
         grp.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
-    ).persist()
+    ))
     sizes = rsh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = rsh.alias("a"), rsh.alias("b")
     inter = (
@@ -1577,12 +1585,14 @@ def t13_dedup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "metric"),
 )
 def deval1_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import pin
+
     d = load_table(spark, sf_dir, "documents")
-    sh_full = shingle_table_of(d).persist()
+    sh_full = pin(shingle_table_of(d))
     _, grp = exact_groups(d)
-    grp = grp.persist()
+    grp = pin(grp)
     reps = grp.select(F.col("rep_id").alias("doc_id"))
-    rep_sh = sh_full.join(reps, "doc_id", "left_semi").persist()
+    rep_sh = pin(sh_full.join(reps, "doc_id", "left_semi"))
     rep_d = d.join(reps, "doc_id", "left_semi")
     truth = (
         jaccard_pairs(rep_sh, tau=JACCARD_TAU).select("doc_a", "doc_b").persist()

@@ -262,14 +262,16 @@ def gr3_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full-corpus capped shingle index: the df-cap hot set must be
     # computed over ALL docs (collapsing first would shift document
     # frequencies and change which shingles survive the cap)
-    sh_full = shingle_table(spark, sf_dir).persist()
+    from ..caching import pin
+
+    sh_full = pin(shingle_table(spark, sf_dir))
     fp = d.select("doc_id", F.md5("text").alias("fp"))
     grp = fp.groupBy("fp").agg(
         F.min("doc_id").alias("rep_id"), F.count("*").cast("bigint").alias("m")
     )
-    rep_sh = sh_full.join(
+    rep_sh = pin(sh_full.join(
         grp.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
-    ).persist()
+    ))
     pairs = jaccard_pairs(rep_sh, tau=JACCARD_TAU)
     und = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
@@ -389,12 +391,14 @@ def gr4_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_table,
     )
 
+    from ..caching import pin
+
     d = load_table(spark, sf_dir, "documents")
-    sh_full = shingle_table(spark, sf_dir).persist()
+    sh_full = pin(shingle_table(spark, sf_dir))
     fp, grp = exact_groups(d)
-    rep_sh = sh_full.join(
+    rep_sh = pin(sh_full.join(
         grp.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
-    ).persist()
+    ))
     pairs = jaccard_pairs(rep_sh, tau=JACCARD_TAU)
     labels = star_components(pairs).select(
         F.col("doc_id").alias("rep_id"), F.col("cluster_id").alias("comp")

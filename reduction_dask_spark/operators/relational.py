@@ -458,11 +458,15 @@ def global_rank(df: DataFrame, *order_cols, out: str = "rnk") -> DataFrame:
     # recompute replays the SAME exchange instance (boundaries are
     # fixed driver-side at partitioner creation), so pids stay
     # consistent even under executor loss. tests/test_plans.py pins
-    # the single-range-exchange shape.
-    pid = (
+    # the single-range-exchange shape. Cache lifecycle is CALLER-owned
+    # (the pinned relation feeds the lazy result): caching.pin
+    # registers it so release_pinned() bounds storage across many
+    # in-session queries.
+    from ..caching import pin
+
+    pid = pin(
         df.repartitionByRange(n_part, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
     wp = Window.partitionBy("_pid").orderBy(*order_cols)
     local = pid.withColumn("_rn", F.row_number().over(wp))
@@ -520,10 +524,11 @@ def global_prefix_agg(
     fns = {"sum": F.sum, "min": F.min, "max": F.max}
     spark = df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = (
+    from ..caching import pin
+
+    ranged = pin(
         df.repartitionByRange(n_part, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
     wloc = (
         Window.partitionBy("_pid")

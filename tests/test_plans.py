@@ -282,3 +282,56 @@ def test_global_prefix_agg_matches_pandas_on_random_data(spark):
             assert (both_nan | (got_min == exp_min_np)).all(), (seed, n_part)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+class TestCacheHygiene:
+    def test_release_pinned_returns_storage_to_baseline(self, spark):
+        """global_rank/global_prefix_agg (and the dedup rep tables) pin
+        their persisted relations through caching.pin; release_pinned()
+        returns executor storage to baseline after the result is
+        materialized — the in-session analog of the batch runners'
+        clearCache between queries."""
+        from reduction_dask_spark.caching import pinned_count, release_pinned
+        from reduction_dask_spark.operators.relational import (
+            pr1_global_pct_rank,
+        )
+
+        release_pinned()
+        spark.catalog.clearCache()
+        baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
+        rows = pr1_global_pct_rank(spark, SF_SMALL).collect()
+        assert rows
+        assert pinned_count() >= 1
+        assert spark.sparkContext._jsc.getPersistentRDDs().size() > baseline
+        released = release_pinned()
+        assert released >= 1
+        assert pinned_count() == 0
+        assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline
+
+    def test_min_label_components_unpersists_edges(self, spark):
+        """The iterative CC loop fully materializes its edge relation
+        before returning (the result is an eager localCheckpoint), so
+        it unpersists at exit: any storage it leaves behind is
+        checkpoint storage only."""
+        from reduction_dask_spark.operators.dedup import min_label_components
+
+        spark.catalog.clearCache()
+        before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)],
+            "doc_a bigint, doc_b bigint",
+        )
+        labels = {
+            (r["doc_id"], r["cluster_id"])
+            for r in min_label_components(pairs).collect()
+        }
+        assert labels == {
+            (1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+            (20, 20), (21, 20), (22, 20),
+        }
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        for rdd_id in set(m.keySet().toArray()) - before:
+            jrdd = m.get(rdd_id)
+            assert jrdd.rdd().isLocallyCheckpointed(), (
+                f"non-checkpoint RDD {rdd_id} leaked from min_label_components"
+            )
