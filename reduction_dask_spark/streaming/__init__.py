@@ -437,7 +437,13 @@ def st6_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_protobuf(spark)
     # transformWithState keeps each named state in its own column
     # family — only the RocksDB provider supports that (the default
-    # HDFS-backed store errors with multipleColumnFamiliesNotSupported)
+    # HDFS-backed store errors with multipleColumnFamiliesNotSupported).
+    # The conf is session-wide, so it is saved and RESTORED after the
+    # query drains — other streaming queries' checkpoints (st4/st10)
+    # must not silently switch provider mid-session.
+    _prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
@@ -478,7 +484,18 @@ def st6_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                     return  # real runtime (full deployments)
             except ImportError:
                 pass
-            root = _os.path.join(_tf.gettempdir(), "rds_protoshim_px")
+            # digest-versioned install root: a shim bugfix ships under a
+            # NEW directory, so a stale install from an older payload on a
+            # long-lived worker host can never shadow the current code
+            import hashlib as _hl
+
+            _dg = _hl.sha256()
+            for _rel in sorted(shim):
+                _dg.update(_rel.encode())
+                _dg.update(shim[_rel])
+            root = _os.path.join(
+                _tf.gettempdir(), f"rds_protoshim_{_dg.hexdigest()[:16]}"
+            )
             for rel, src in shim.items():
                 p = _os.path.join(root, rel)
                 if _os.path.exists(p):
@@ -530,7 +547,15 @@ def st6_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout=300)
+    try:
+        q.awaitTermination(timeout=300)
+    finally:
+        if _prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", _prev_provider
+            )
     from pyspark.sql.window import Window
 
     result = spark.table("st6_out")
@@ -1230,6 +1255,9 @@ def st6b_tws_list_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_engine_confs(spark)
     ensure_protobuf(spark)
+    _prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
@@ -1256,7 +1284,18 @@ def st6b_tws_list_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                     return
             except ImportError:
                 pass
-            root = _os.path.join(_tf.gettempdir(), "rds_protoshim_px")
+            # digest-versioned install root: a shim bugfix ships under a
+            # NEW directory, so a stale install from an older payload on a
+            # long-lived worker host can never shadow the current code
+            import hashlib as _hl
+
+            _dg = _hl.sha256()
+            for _rel in sorted(shim):
+                _dg.update(_rel.encode())
+                _dg.update(shim[_rel])
+            root = _os.path.join(
+                _tf.gettempdir(), f"rds_protoshim_{_dg.hexdigest()[:16]}"
+            )
             for rel, src in shim.items():
                 p = _os.path.join(root, rel)
                 if _os.path.exists(p):
@@ -1305,9 +1344,17 @@ def st6b_tws_list_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(timeout=300):
-        q.stop()
-        raise RuntimeError("st6b stream did not drain within 300s")
+    try:
+        if not q.awaitTermination(timeout=300):
+            q.stop()
+            raise RuntimeError("st6b stream did not drain within 300s")
+    finally:
+        if _prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", _prev_provider
+            )
     result = spark.table("st6b_out")
     w = F.row_number().over(Window.partitionBy("user_id").orderBy(F.desc("n_events")))
     return result.withColumn("rn", w).filter(F.col("rn") == 1).drop("rn")

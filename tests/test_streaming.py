@@ -307,3 +307,67 @@ def test_protoshim_unknown_fields_and_packed_varints():
     # unset fields read as proto3 defaults; unset repeated is []
     m3 = cls()
     assert m3.a == 0 and m3.xs == []
+
+
+def test_protoshim_nested_write_through_and_singular_len_guard():
+    """r5 advisor items: (1) writing THROUGH a singular nested message
+    (cmd.ttl.durationMs = ...) must attach the child and survive
+    serialization — the TWS client sets TTL exactly this way — while a
+    mere READ must not mark the field present; (2) a LEN payload on a
+    SINGULAR varint field is malformed and must be skipped, not
+    decoded as a packed list."""
+    import sys
+
+    from reduction_dask_spark.streaming import _shim_root
+
+    if _shim_root() not in sys.path:
+        sys.path.insert(0, _shim_root())
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    # write-through: the exact pattern of stateful_processor_api_client
+    cmd = sm.StateCallCommand()
+    cmd.stateName = "agg"
+    cmd.ttl.durationMs = 60000
+    assert cmd.HasField("ttl")
+    back = sm.StateCallCommand()
+    back.ParseFromString(cmd.SerializeToString())
+    assert back.ttl.durationMs == 60000
+    assert back.stateName == "agg"
+
+    # read-only access does NOT create presence (empty submessage on
+    # the wire != absent submessage)
+    c2 = sm.StateCallCommand()
+    c2.stateName = "x"
+    _ = c2.ttl.durationMs  # read only
+    assert not c2.HasField("ttl")
+    b2 = sm.StateCallCommand()
+    b2.ParseFromString(c2.SerializeToString())
+    assert not b2.HasField("ttl")
+
+    # deep chain: grandchild write attaches the whole spine
+    call = sm.StatefulProcessorCall()
+    call.getValueState.stateName = "deep"
+    assert call.HasField("getValueState")
+    rt = sm.StatefulProcessorCall()
+    rt.ParseFromString(call.SerializeToString())
+    assert rt.getValueState.stateName == "deep"
+
+    # malformed: LEN wire type on a SINGULAR varint field is skipped
+    from google.protobuf._mini_runtime import (
+        FieldDesc,
+        MessageDesc,
+        _enc_varint,
+        build_message_class,
+    )
+
+    desc = MessageDesc()
+    desc.name = "S"
+    f1 = FieldDesc(); f1.name = "a"; f1.number = 1; f1.type = 5  # singular int32
+    desc.fields = [f1]
+    cls = build_message_class(desc, {}, "pkg2")
+    buf = b"".join([
+        _enc_varint((1 << 3) | 2), _enc_varint(2), _enc_varint(7), _enc_varint(8),
+    ])
+    m = cls()
+    m.ParseFromString(buf)
+    assert m.a == 0 and not m.HasField("a")
