@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..functions import md5h60, md5h60_sql, md5i, md5i_sql, phash, phash_sql
+from ..caching import pin
 from ..registry import query
 from ..sources import load_table
 from .text import normalized_fingerprint
@@ -103,7 +104,7 @@ def shingle_table_of(d: DataFrame) -> DataFrame:
     # the standard "build the inverted index once per pipeline run"
     # materialization) instead of re-running the shingle+md5 explode
     # per consumer branch
-    sh = sh.persist()
+    sh = pin(sh)
     # df-cap: broadcast the HOT-shingle list (df > DF_CAP) into a LEFT
     # ANTI join. The hot set is tiny BY CONSTRUCTION — at most
     # |shingle rows| / DF_CAP distinct values, regardless of corpus
@@ -228,7 +229,7 @@ def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd2_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sizes + both sides of the pair join reuse the index → persist
-    return jaccard_pairs(shingle_table(spark, sf_dir).persist(), tau=0.5)
+    return jaccard_pairs(pin(shingle_table(spark, sf_dir)), tau=0.5)
 
 
 # ---------------------------------------------------------------- dd3
@@ -343,8 +344,8 @@ def minhash_lsh_pairs_of(sh: DataFrame) -> DataFrame:
     # feeds the signature build AND the verify stage — the persisted
     # relation is |docs| rows of arrays, and the band build + verify
     # reuse it without a second groupBy over the exploded index
-    doc_sets = doc_shingle_sets(sh).persist()
-    bands = minhash_bands(doc_sets).persist()  # both sides of the bucket join
+    doc_sets = pin(doc_shingle_sets(sh))
+    bands = pin(minhash_bands(doc_sets))  # both sides of the bucket join
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -614,8 +615,6 @@ def simhash_pairs_of(d: DataFrame) -> DataFrame:
     tags=("dedup", "graph"),
 )
 def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..caching import pin
-
     d = load_table(spark, sf_dir, "documents")
     # df-cap over the FULL corpus (collapsing first would shift document
     # frequencies and change which shingles survive the cap — gr3's rule)
@@ -758,7 +757,7 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
     tags=("dedup",),
 )
 def dd7_domain_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = jaccard_pairs(shingle_table(spark, sf_dir).persist(), tau=0.5)
+    pairs = jaccard_pairs(pin(shingle_table(spark, sf_dir)), tau=0.5)
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
     sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
@@ -876,7 +875,7 @@ DECON_MIN_SHARED = 3  # shared-shingle threshold for the contaminated flag
     tags=("dedup", "text"),
 )
 def dc1_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingle_table(spark, sf_dir).persist()
+    sh = pin(shingle_table(spark, sf_dir))
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     bset = sh.filter(is_bench).select("shingle").distinct()
     corpus = sh.filter(~is_bench)
@@ -1027,7 +1026,7 @@ def canon1_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_docs = d.join(
         rep.select(F.col("rep_id").alias("doc_id")), "doc_id"
     ).select("doc_id", "text")
-    pairs = jaccard_pairs(shingle_table_of(rep_docs).persist(), tau=JACCARD_TAU)
+    pairs = jaccard_pairs(pin(shingle_table_of(rep_docs)), tau=JACCARD_TAU)
     rep_labels = min_label_components(pairs)
     rep_cluster = rep.join(
         rep_labels, rep.rep_id == rep_labels.doc_id, "left"
@@ -1134,7 +1133,7 @@ def containment_pairs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-way duplicate load the answer itself is O(k²) per group (the ×10
     probe measured 155 s / 28.5× — the r5 registry's slowest), so the
     full form is a scale-killer BY CONTRACT, not by plan."""
-    sh = shingle_table(spark, sf_dir).persist()
+    sh = pin(shingle_table(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -1212,8 +1211,6 @@ def containment_pairs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dd2b_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..caching import pin
-
     d = load_table(spark, sf_dir, "documents")
     # df-cap over the FULL corpus, then restrict the index to reps
     sh_full = pin(shingle_table_of(d))
@@ -1286,7 +1283,7 @@ def dd2b_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dd10_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return prefix_filter_pairs_of(shingle_table(spark, sf_dir).persist())
+    return prefix_filter_pairs_of(pin(shingle_table(spark, sf_dir)))
 
 
 def prefix_filter_pairs_of(sh: DataFrame) -> DataFrame:
@@ -1408,7 +1405,7 @@ def er2_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp, grp = exact_groups(d)
     reps = p.join(grp.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi")
-    kept = reps.join(F.broadcast(hot), "blk", "left_anti").persist()
+    kept = pin(reps.join(F.broadcast(hot), "blk", "left_anti"))
     a, b = kept.alias("a"), kept.alias("b")
     pairs = (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -1585,8 +1582,6 @@ def t13_dedup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "metric"),
 )
 def deval1_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..caching import pin
-
     d = load_table(spark, sf_dir, "documents")
     sh_full = pin(shingle_table_of(d))
     _, grp = exact_groups(d)
@@ -1595,7 +1590,7 @@ def deval1_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_sh = pin(sh_full.join(reps, "doc_id", "left_semi"))
     rep_d = d.join(reps, "doc_id", "left_semi")
     truth = (
-        jaccard_pairs(rep_sh, tau=JACCARD_TAU).select("doc_a", "doc_b").persist()
+        pin(jaccard_pairs(rep_sh, tau=JACCARD_TAU).select("doc_a", "doc_b"))
     )
     methods = {
         "minhash_lsh": minhash_lsh_pairs_of(rep_sh).select("doc_a", "doc_b"),
@@ -1817,8 +1812,8 @@ def fuzzy_decontam_of(d: DataFrame) -> DataFrame:
     document (and only it) is reported (the sf0.01 corpus contains no
     cross-split near-dups, so the registry oracle row alone matches on
     empty sets — non-vacuous evidence lives in the fixture test)."""
-    doc_sets = doc_shingle_sets(shingle_table_of(d)).persist()
-    bands = minhash_bands(doc_sets).persist()
+    doc_sets = pin(doc_shingle_sets(shingle_table_of(d)))
+    bands = pin(minhash_bands(doc_sets))
     is_bench = lambda c: c % BENCH_MOD == 0
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

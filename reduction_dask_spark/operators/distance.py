@@ -517,6 +517,168 @@ def _dbscan(D, eps: float, min_pts: int = 3):
     return labels
 
 
+def _hdbscan(D, min_cluster_size: int = 2, min_samples: int = 2):
+    """HDBSCAN proper (Campello/Moulavi/Sander) on the precomputed
+    distance matrix — the reference's exact density kernel
+    (feature_clustering.py:109-132); _dbscan remains the fixed-eps
+    specialization. Pipeline: core distances (min_samples-th NN, self
+    included) → mutual-reachability graph → Prim MST → single-linkage
+    dendrogram → condensed tree at min_cluster_size → stability-
+    maximizing flat cut (excess of mass), noise = -1. Fully
+    deterministic: ties in the MST resolve by (weight, u, v) and the
+    dendrogram walk is index-ordered. Driver-local numpy on the p×p
+    feature matrix, like _pam."""
+    import numpy as np
+
+    p = len(D)
+    if p <= min_cluster_size:
+        return -np.ones(p, dtype=int)
+    core = np.sort(D, axis=1)[:, min_samples - 1]
+    mr = np.maximum(np.maximum(core[:, None], core[None, :]), D)
+    np.fill_diagonal(mr, 0.0)
+
+    # Prim MST over mutual reachability
+    in_tree = np.zeros(p, dtype=bool)
+    in_tree[0] = True
+    best = mr[0].copy()
+    best_from = np.zeros(p, dtype=int)
+    edges = []
+    for _ in range(p - 1):
+        cand = np.nonzero(~in_tree)[0]
+        j = int(cand[np.argmin(best[cand])])
+        edges.append((float(best[j]), int(best_from[j]), j))
+        in_tree[j] = True
+        upd = (mr[j] < best) & ~in_tree
+        best[upd] = mr[j][upd]
+        best_from[upd] = j
+    edges.sort()
+
+    # single-linkage dendrogram via union-find (leaves 0..p-1)
+    uf = list(range(p))
+
+    def find(x):
+        while uf[x] != x:
+            uf[x] = uf[uf[x]]
+            x = uf[x]
+        return x
+
+    comp_of = list(range(p))
+    children: list = [None] * (2 * p - 1)
+    mdist = [0.0] * (2 * p - 1)
+    leafcnt = [1] * p + [0] * (p - 1)
+    nxt = p
+    for w, u, v in edges:
+        ru, rv = find(u), find(v)
+        cu, cv = comp_of[ru], comp_of[rv]
+        children[nxt] = (cu, cv)
+        mdist[nxt] = w
+        leafcnt[nxt] = leafcnt[cu] + leafcnt[cv]
+        uf[rv] = ru
+        comp_of[ru] = nxt
+        nxt += 1
+    root = 2 * p - 2
+
+    def lam(d):
+        return 1.0 / max(d, 1e-12)
+
+    # condensed tree: cluster id → (birth λ, [(point, λ_fall)...],
+    # [(child cluster, λ_split)...])
+    clusters: dict = {}
+    cid = [0]
+
+    def leaves_of(node):
+        out, stack = [], [node]
+        while stack:
+            n = stack.pop()
+            if n < p:
+                out.append(n)
+            else:
+                stack.extend(children[n])
+        return out
+
+    def condense(node, cluster, lam_birth):
+        """Walk the dendrogram inside one condensed cluster."""
+        clusters.setdefault(cluster, {"birth": lam_birth, "pts": [], "kids": []})
+        while node >= p:
+            a, b = children[node]
+            lsplit = lam(mdist[node])
+            big_a = leafcnt[a] >= min_cluster_size
+            big_b = leafcnt[b] >= min_cluster_size
+            if big_a and big_b:
+                for ch in (a, b):
+                    cid[0] += 1
+                    clusters[cluster]["kids"].append((cid[0], lsplit))
+                    condense(ch, cid[0], lsplit)
+                return
+            if not big_a and not big_b:
+                for x in leaves_of(node):
+                    clusters[cluster]["pts"].append((x, lsplit))
+                return
+            small, node = (a, b) if big_b else (b, a)
+            for x in leaves_of(small):
+                clusters[cluster]["pts"].append((x, lsplit))
+        clusters[cluster]["pts"].append((node, np.inf))
+
+    condense(root, 0, lam(mdist[root]))
+
+    # stability (finite λ caps at the largest finite fall-out level)
+    finite = [lf for c in clusters.values() for _, lf in c["pts"] if np.isfinite(lf)]
+    lam_cap = max(finite) if finite else 1.0
+    stability = {}
+    for c, info in clusters.items():
+        s = sum(min(lf, lam_cap) - info["birth"] for _, lf in info["pts"])
+        # children leave mass at their split: each child subtree's
+        # points contribute (λ_split − λ_birth)
+        for kid, ls in info["kids"]:
+            s += (ls - info["birth"]) * _condensed_size(clusters, kid)
+        stability[c] = s
+
+    # excess-of-mass selection, root excluded
+    selected: set = set()
+
+    def select(c):
+        """Returns total selected stability of c's subtree; marks
+        selection."""
+        info = clusters[c]
+        kid_sum = sum(select(k) for k, _ in info["kids"])
+        if c == 0:
+            # the root is never a cluster (allow_single_cluster=False,
+            # sklearn/hdbscan default): a rootless tree is all noise
+            return kid_sum
+        if not info["kids"] or stability[c] >= kid_sum:
+            # deselect descendants
+            stack = [k for k, _ in info["kids"]]
+            while stack:
+                k = stack.pop()
+                selected.discard(k)
+                stack.extend(kk for kk, _ in clusters[k]["kids"])
+            selected.add(c)
+            return stability[c]
+        return kid_sum
+
+    select(0)
+
+    labels = -np.ones(p, dtype=int)
+    order = {c: i for i, c in enumerate(sorted(selected))}
+    for c in selected:
+        for x in _condensed_members(clusters, c):
+            labels[x] = order[c]
+    return labels
+
+
+def _condensed_size(clusters, c) -> int:
+    return len(_condensed_members(clusters, c))
+
+
+def _condensed_members(clusters, c):
+    out, stack = [], [c]
+    while stack:
+        k = stack.pop()
+        out.extend(x for x, _ in clusters[k]["pts"])
+        stack.extend(kk for kk, _ in clusters[k]["kids"])
+    return out
+
+
 def _silhouette(D, labels) -> float:
     """Mean silhouette over CLUSTERED points (noise label -1 excluded
     from both the averaged set and the neighbor-cluster candidates;
@@ -540,9 +702,10 @@ def _silhouette(D, labels) -> float:
 
 def _cluster_sweep(D):
     """(kernel, param, score, labels) for every swept config — single-
-    linkage thresholds, K-Medoids k values AND DBSCAN density radii
-    (three kernel families, the reference's agglomerative / KMedoids /
-    HDBSCAN triple)."""
+    linkage thresholds, K-Medoids k values, DBSCAN density radii AND
+    HDBSCAN min-cluster-sizes (the reference's agglomerative /
+    KMedoids / HDBSCAN triple, with HDBSCAN now literal rather than
+    represented by its fixed-eps specialization)."""
     import numpy as np
 
     p = len(D)
@@ -559,6 +722,9 @@ def _cluster_sweep(D):
         eps = float(np.quantile(tri, q))
         labels = _dbscan(D, eps, min_pts=3)
         out.append(("dbscan_density", eps, _silhouette(D, labels), labels))
+    for mcs in (2, 3):
+        labels = _hdbscan(D, min_cluster_size=mcs, min_samples=2)
+        out.append(("hdbscan", float(mcs), _silhouette(D, labels), labels))
     return out
 
 
@@ -581,10 +747,12 @@ def feature_distance_matrix(spark: SparkSession, sf_dir: str):
     doc="D5 get_optimal_clusters (feature_clustering.py:39-132): sweep "
         "clustering KERNEL × hyperparameter on the collected feature-"
         "distance matrix (p×p, driver-resident — milliseconds), score "
-        "each by mean silhouette, keep the argmax (O3). THREE kernel "
-        "families matching the reference's agglomerative / KMedoids / "
-        "HDBSCAN triple: single-linkage threshold components, "
-        "K-Medoids PAM, and DBSCAN density clustering (noise-aware "
+        "each by mean silhouette, keep the argmax (O3). FOUR kernel "
+        "families covering the reference's agglomerative / KMedoids / "
+        "HDBSCAN triple literally: single-linkage threshold "
+        "components, K-Medoids PAM, DBSCAN density clustering, and "
+        "HDBSCAN proper (_hdbscan: mutual-reachability MST → "
+        "condensed tree → stability-maximizing cut — noise-aware "
         "silhouette). Membership returned as (fid, label) rows (A6) "
         "tagged with the winning kernel/param.",
     tags=("distance", "ml"),
@@ -606,9 +774,10 @@ def d5_optimal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="D5b the sweep table behind d5: one row per (kernel, param) "
         "config with its silhouette and cluster count — the "
         "get_optimal_clusters diagnostic the reference prints while "
-        "sweeping (feature_clustering.py:109-132). Three kernel "
-        "families (single-linkage / PAM / DBSCAN); n_noise counts "
-        "DBSCAN's unassigned features (0 for partitional kernels).",
+        "sweeping (feature_clustering.py:109-132). Four kernel "
+        "families (single-linkage / PAM / DBSCAN / HDBSCAN); n_noise "
+        "counts the density kernels' unassigned features (0 for "
+        "partitional kernels).",
     tags=("distance", "ml"),
 )
 def d5b_cluster_sweep_table(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..caching import pin
 from ..registry import query
 from ..sources import load_table
 from .similarity import NEARDUP_TAU, as_double, dot, lsh_buckets
@@ -143,8 +144,8 @@ def gr1_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import JACCARD_TAU, jaccard_pairs, shingle_table
 
-    pairs = jaccard_pairs(shingle_table(spark, sf_dir).persist(), tau=JACCARD_TAU)
-    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).persist()
+    pairs = jaccard_pairs(pin(shingle_table(spark, sf_dir)), tau=JACCARD_TAU)
+    e = pin(pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")))
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(
         F.col("e1.a").alias("wa"), F.col("e1.b").alias("wb"), F.col("e2.b").alias("wc")
@@ -262,8 +263,6 @@ def gr3_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full-corpus capped shingle index: the df-cap hot set must be
     # computed over ALL docs (collapsing first would shift document
     # frequencies and change which shingles survive the cap)
-    from ..caching import pin
-
     sh_full = pin(shingle_table(spark, sf_dir))
     fp = d.select("doc_id", F.md5("text").alias("fp"))
     grp = fp.groupBy("fp").agg(
@@ -390,8 +389,6 @@ def gr4_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_pairs,
         shingle_table,
     )
-
-    from ..caching import pin
 
     d = load_table(spark, sf_dir, "documents")
     sh_full = pin(shingle_table(spark, sf_dir))

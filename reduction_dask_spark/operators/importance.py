@@ -42,6 +42,7 @@ from ..ml import (
     supervised_frame,
     with_prediction,
 )
+from ..caching import pin
 from ..registry import query
 from .cv import kfold_era
 
@@ -167,7 +168,7 @@ def mda_importance_gbt(
 ) -> DataFrame:
     from ..ml import fit_gbt_fold_models
 
-    df = kfold_era(supervised_frame(spark, sf_dir), "era", k=k, eras=list(ERA_DOMAIN)).persist()
+    df = pin(kfold_era(supervised_frame(spark, sf_dir), "era", k=k, eras=list(ERA_DOMAIN)))
     models = fit_gbt_fold_models(df, k=k)
     preds = df.groupBy("fold", "era").applyInPandas(
         _mda_gbt_mapper(models, seed),
@@ -278,9 +279,9 @@ def tree_shap_scores(
     domain."""
     from ..ml import fit_gbt_fold_models
 
-    df = kfold_era(
+    df = pin(kfold_era(
         supervised_frame(spark, sf_dir), "era", k=k, eras=list(ERA_DOMAIN)
-    ).persist()
+    ))
     models = fit_gbt_fold_models(df, k=k)
     sample = df.orderBy("vec_id").limit(n_rows)
     melted = sample.select(

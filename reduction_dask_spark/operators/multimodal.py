@@ -22,6 +22,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..caching import pin
 from ..registry import query
 from ..sources import load_table
 
@@ -256,7 +257,7 @@ def mm5_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    hashed = blobs.mapInPandas(hash_batch, schema="doc_id bigint, ph bigint").persist()
+    hashed = pin(blobs.mapInPandas(hash_batch, schema="doc_id bigint, ph bigint"))
     band_w = PHASH_BITS // PHASH_BANDS
     bands = hashed.select(
         "doc_id",

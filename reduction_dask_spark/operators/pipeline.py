@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from ..caching import pin
 from ..registry import query
 from ..sources import load_table
 from .dedup import (
@@ -72,7 +73,7 @@ def doc_survival_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = d.join(flagged.filter("exact_ok").select("doc_id"), "doc_id").select(
         "doc_id", "text"
     )
-    pairs = jaccard_pairs(shingle_table_of(surv).persist(), tau=JACCARD_TAU)
+    pairs = jaccard_pairs(pin(shingle_table_of(surv)), tau=JACCARD_TAU)
     drop = pairs.select(F.col("doc_b").alias("doc_id"), F.lit(True).alias("is_dup")).distinct()
     flagged = flagged.join(drop, "doc_id", "left").withColumn(
         "near_ok", F.col("exact_ok") & ~F.coalesce("is_dup", F.lit(False))

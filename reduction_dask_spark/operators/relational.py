@@ -28,6 +28,7 @@ from ..functions import (
     pred_events,
     probit_sql,
 )
+from ..caching import pin
 from ..registry import query
 from ..sources import load_table
 
@@ -462,8 +463,6 @@ def global_rank(df: DataFrame, *order_cols, out: str = "rnk") -> DataFrame:
     # (the pinned relation feeds the lazy result): caching.pin
     # registers it so release_pinned() bounds storage across many
     # in-session queries.
-    from ..caching import pin
-
     pid = pin(
         df.repartitionByRange(n_part, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
@@ -524,8 +523,6 @@ def global_prefix_agg(
     fns = {"sum": F.sum, "min": F.min, "max": F.max}
     spark = df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    from ..caching import pin
-
     ranged = pin(
         df.repartitionByRange(n_part, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
@@ -2059,12 +2056,11 @@ def rs2_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     hk = (md5i("user_id") * F.lit(268435456) + F.col("user_id") % 268435456).alias("hk")
     du = ev.select("event_type", "user_id").distinct()
     wk = Window.partitionBy("event_type").orderBy("hk", "user_id")
-    sk = (
+    sk = pin(
         du.select("event_type", "user_id", hk)
         .withColumn("rn", F.row_number().over(wk))
         .filter(F.col("rn") <= KMV_K)
         .drop("rn")
-        .persist()
     )
     types = sk.select("event_type").distinct()
     pr = (

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..functions import md5i_sql
+from ..caching import pin
 from ..registry import query
 from ..sources import load_table
 
@@ -600,7 +601,7 @@ def ivf_scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.concat(out, ignore_index=True)
 
-    marked = allv.mapInPandas(assign_probe, "vec_id long, cid long, probe int").persist()
+    marked = pin(allv.mapInPandas(assign_probe, "vec_id long, cid long, probe int"))
     assign = marked.filter(F.col("probe") == 0).select("vec_id", "cid")
     qprobe = marked.filter(F.col("probe") == 1).select(F.col("vec_id").alias("qid"), "cid")
     cand = (
@@ -1287,11 +1288,11 @@ def emb2_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("label", "dim", F.col("vf").cast("double").alias("v"))
     cent = melted.groupBy("label", "dim").agg(F.avg("v").alias("c"))
     a, b = cent.alias("a"), cent.alias("b")
-    dots = (
+    dots = pin(
         a.join(b, F.col("a.dim") == F.col("b.dim"))
         .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
         .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("d"))
-    ).persist()
+    )
     na = dots.filter(F.col("label_a") == F.col("label_b")).select(
         F.col("label_a").alias("la"), F.col("d").alias("dna")
     )

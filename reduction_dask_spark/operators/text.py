@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..functions import md5i_sql, phash_sql
+from ..caching import pin
 from ..registry import query
 from ..sources import load_table
 
@@ -154,11 +155,10 @@ def t3_lang_id_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast lang constant. Identical argmax to the textbook form;
     # the oracle mirrors the same factoring so the 6dp-rounded scores
     # match bit-for-bit.
-    tf = (
+    tf = pin(
         d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
-        .persist()
     )
     counts = (
         tf.join(d.select("doc_id", "lang"), "doc_id")
@@ -917,11 +917,10 @@ def spl1_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lp1_nb_loglik_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    tf = (
+    tf = pin(
         d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
-        .persist()
     )
     counts = (
         tf.join(d.select("doc_id", "lang"), "doc_id")

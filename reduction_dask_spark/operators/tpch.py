@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..caching import pin
 from ..registry import query
 from ..sources import load_table
 
@@ -599,8 +600,8 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("l_partkey")
         .agg(F.sum(_cents("l_extendedprice")).alias("val_cents"))
-        .persist()
     )
+    av = pin(av)
     tot = av.agg(F.sum("val_cents").alias("t"))
     return (
         av.crossJoin(F.broadcast(tot))
@@ -699,8 +700,8 @@ def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.round(F.sum("l_quantity"), 0).cast("bigint").alias("qty"))
-        .persist()
     )
+    shipped = pin(shipped)
     tot = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("t"))
     qual = (
         shipped.join(tot, "l_partkey")
@@ -757,8 +758,8 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.datediff("l_shipdate", "o_orderdate") > 60)
         .select("l_orderkey", "l_suppkey")
         .distinct()
-        .persist()
     )
+    late = pin(late)
     other = l2.select(
         F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
     )

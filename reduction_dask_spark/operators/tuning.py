@@ -24,6 +24,7 @@ from ..ml import (
     supervised_frame,
     with_prediction,
 )
+from ..caching import pin
 from ..registry import query
 from .cv import kfold_era
 
@@ -69,7 +70,7 @@ def kfold_cv_gbt(spark: SparkSession, sf_dir: str, k: int = K_FOLDS) -> DataFram
     Python in the inference path."""
     from ..ml import fit_gbt_fold_models, stump_frame, with_gbt_prediction
 
-    df = kfold_era(supervised_frame(spark, sf_dir), "era", k=k, eras=list(ERA_DOMAIN)).persist()
+    df = pin(kfold_era(supervised_frame(spark, sf_dir), "era", k=k, eras=list(ERA_DOMAIN)))
     models = fit_gbt_fold_models(df, k=k)
     stumps = stump_frame(spark, models)
     scored = with_gbt_prediction(df, stumps)  # fold col = held-out fold

@@ -478,7 +478,7 @@ def test_d5_sweep_argmax_invariant(spark):
     D = feature_distance_matrix(spark, SF_SMALL)
     sweep = _cluster_sweep(D)
     kernels = {k for k, _, _, _ in sweep}
-    assert kernels == {"single_linkage", "kmedoids_pam", "dbscan_density"}
+    assert kernels == {"single_linkage", "kmedoids_pam", "dbscan_density", "hdbscan"}
     best_score = max(s for _, _, s, _ in sweep)
     assert abs(out["silhouette"].iloc[0] - round(best_score, 6)) < 1e-9
     assert out["kernel"].nunique() == 1  # one winning config labels all
@@ -514,9 +514,12 @@ def test_d5b_sweep_table(spark):
     from reduction_dask_spark.operators.distance import d5b_cluster_sweep_table
 
     out = d5b_cluster_sweep_table(spark, SF_SMALL).toPandas()
-    assert set(out["kernel"]) == {"single_linkage", "kmedoids_pam", "dbscan_density"}
-    assert len(out) == 7 + 5 + 4
-    assert (out.loc[out["kernel"] != "dbscan_density", "n_noise"] == 0).all()
+    assert set(out["kernel"]) == {
+        "single_linkage", "kmedoids_pam", "dbscan_density", "hdbscan"
+    }
+    assert len(out) == 7 + 5 + 4 + 2
+    density = out["kernel"].isin(["dbscan_density", "hdbscan"])
+    assert (out.loc[~density, "n_noise"] == 0).all()
     assert out["silhouette"].between(-1.0, 1.0).all()
 
 
@@ -593,3 +596,59 @@ def test_t9c_registered_runs(spark):
     rows = out.collect()
     assert len(rows) == supervised_frame(spark, SF_SMALL).count()
     assert set(out.columns) >= {"vec_id", "mc1", "mc2"}
+
+
+def test_hdbscan_blobs_and_invariants():
+    """HDBSCAN proper: recovers well-separated blobs with noise
+    flagged, is deterministic, and degrades to all-noise when no
+    cluster reaches min_cluster_size."""
+    from reduction_dask_spark.operators.distance import _hdbscan, _silhouette
+
+    rng = np.random.default_rng(0)
+    blobs = [rng.normal(c, 0.3, size=(15, 2)) for c in ((0, 0), (8, 0), (0, 8))]
+    noise = np.array([[20.0, 20.0], [-15.0, 5.0], [4.0, -18.0]])
+    X = np.vstack(blobs + [noise])
+    D = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+    labels = _hdbscan(D, min_cluster_size=5, min_samples=3)
+    for b in range(3):
+        seg = set(labels[b * 15:(b + 1) * 15].tolist())
+        assert len(seg) == 1 and -1 not in seg
+    assert len({labels[0], labels[15], labels[30]}) == 3
+    assert (labels[45:] == -1).all()
+    assert _silhouette(D, labels) > 0.8
+    # deterministic
+    assert (labels == _hdbscan(D, min_cluster_size=5, min_samples=3)).all()
+    # min_cluster_size above every blob -> root-only tree -> all noise
+    assert (_hdbscan(D, min_cluster_size=20, min_samples=3) == -1).all()
+
+
+def test_hdbscan_stability_selection_resolves_nested_structure():
+    """The condensed tree + excess-of-mass cut: two tight subclusters
+    that merge early into a supercluster must be returned as TWO
+    clusters (their summed stability beats the short-lived merged
+    node), alongside the far third cluster; and a varying-density pair
+    (tight + diffuse) is recovered at each blob's own density level —
+    the property HDBSCAN adds over fixed-eps DBSCAN."""
+    from reduction_dask_spark.operators.distance import _hdbscan
+
+    rng = np.random.default_rng(3)
+    a = rng.normal((0, 0), 0.1, size=(12, 2))
+    b = rng.normal((1.5, 0), 0.1, size=(12, 2))
+    c = rng.normal((10, 0), 0.1, size=(12, 2))
+    X = np.vstack([a, b, c])
+    D = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+    labels = _hdbscan(D, min_cluster_size=5, min_samples=3)
+    segs = [set(labels[i * 12:(i + 1) * 12].tolist()) for i in range(3)]
+    assert all(len(s) == 1 and -1 not in s for s in segs)
+    assert len({labels[0], labels[12], labels[24]}) == 3
+
+    # varying density: one tight, one diffuse — both recovered whole
+    rng = np.random.default_rng(7)
+    tight = rng.normal((0, 0), 0.05, size=(20, 2))
+    diffuse = rng.normal((5, 0), 0.8, size=(20, 2))
+    X = np.vstack([tight, diffuse])
+    D = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+    labels = _hdbscan(D, min_cluster_size=8, min_samples=3)
+    t, d = set(labels[:20].tolist()), set(labels[20:].tolist())
+    assert t == {labels[0]} and -1 not in t
+    assert len(d - {-1}) == 1 and labels[0] not in d

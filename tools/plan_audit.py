@@ -31,6 +31,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # queries whose BroadcastNestedLoopJoin / cross join is a bounded
 # broadcast side by construction (documented in each op's docstring)
 CROSS_OK = {
+    "st13_stream_drift_psi": "1-row baseline-span aggregate broadcast",
+    "ldiv1_l_diversity": "1-row sensitive-domain aggregate broadcast",
+    "p14_rank_gauss": "1-row corpus-count broadcast over the rank relation",
+    "match1_caliper_matching": "two 1-row aggregates (naive diff, ATT) broadcast",
+    "calib1_reliability_table": "1-row total-count aggregate broadcast",
+    "cur1_curriculum_sample": "1-row count + decile×phase rate table broadcast",
+    "zipf1_token_zipf": "1-row corpus-total broadcast",
+    "deval1_dedup_quality": "1-row weighted pair-count aggregates broadcast (quotient eval)",
+    "ndcg1_ann_quality": "fixed 40-query anchor batch (ss1/ss4's bounded probe shape)",
+    "tw1_dr_trustworthiness": "fixed 40-anchor non-equi pair batch (O(anchors·n)) + 1-row corpus count",
+    "mm6_crossmodal_alignment": "1-row mean/std aggregate broadcast",
+    "rpt1_corpus_report": "two 1-row aggregate broadcasts (base stats, lang entropy)",
     "j5_range_join": "5-row band dim broadcast (range predicate)",
     "j6_zip_join_task_table": "4×3 param×fold metadata table",
     "sk2_salted_join": "3-row dim × 8 salts explosion (24 rows)",
