@@ -678,7 +678,10 @@ def _tw_proj_coefs(dim: int = DIM) -> list[list[float]]:
 
 
 def coranking_metrics(feat: DataFrame, k: int = TW_K) -> DataFrame:
-    """Per-anchor trustworthiness/continuity (Venna & Kaski) of a 2-D
+    """Per-anchor trustworthiness/continuity (Venna & Kaski) + LCMC
+    (local continuity meta-criterion, Chen & Buja: k-neighborhood
+    overlap rate minus its k/(n−1) chance level — the third coranking
+    metric the reference imports) of a 2-D
     embedding vs the original feature space, from a (vec_id, vv, p1,
     p2, is_anchor) relation: vv = original vector, (p1, p2) = embedded
     coordinates.
@@ -732,6 +735,9 @@ def coranking_metrics(feat: DataFrame, k: int = TW_K) -> DataFrame:
                 0
             )
         ).alias("cpen"),
+        F.sum(
+            F.when((F.col("ro") <= k) & (F.col("re") <= k), 1).otherwise(0)
+        ).alias("novl"),
     )
     n = feat.agg(F.count("*").alias("n"))
     denom = F.lit(float(k)) * (2.0 * F.col("n") - 3.0 * k - 1.0)
@@ -741,6 +747,10 @@ def coranking_metrics(feat: DataFrame, k: int = TW_K) -> DataFrame:
             "qid",
             F.round(1.0 - 2.0 * F.col("tpen") / denom, 6).alias("trust"),
             F.round(1.0 - 2.0 * F.col("cpen") / denom, 6).alias("continuity"),
+            F.round(
+                F.col("novl") / F.lit(float(k)) - F.lit(float(k)) / (F.col("n") - 1.0),
+                6,
+            ).alias("lcmc"),
         )
     )
 
@@ -779,12 +789,14 @@ def _tw_oracle_sql() -> str:
         pen AS (
             SELECT qid,
                    sum(CASE WHEN re <= {k} AND ro > {k} THEN ro - {k} ELSE 0 END) AS tpen,
-                   sum(CASE WHEN ro <= {k} AND re > {k} THEN re - {k} ELSE 0 END) AS cpen
+                   sum(CASE WHEN ro <= {k} AND re > {k} THEN re - {k} ELSE 0 END) AS cpen,
+                   sum(CASE WHEN ro <= {k} AND re <= {k} THEN 1 ELSE 0 END) AS novl
             FROM ranked GROUP BY qid
         )
         SELECT p.qid,
                round(1.0 - 2.0 * p.tpen / ({float(k)!r} * (2.0 * nn.n - 3.0 * {k} - 1.0)), 6) AS trust,
-               round(1.0 - 2.0 * p.cpen / ({float(k)!r} * (2.0 * nn.n - 3.0 * {k} - 1.0)), 6) AS continuity
+               round(1.0 - 2.0 * p.cpen / ({float(k)!r} * (2.0 * nn.n - 3.0 * {k} - 1.0)), 6) AS continuity,
+               round(p.novl / {float(k)!r} - {float(k)!r} / (nn.n - 1.0), 6) AS lcmc
         FROM pen p, nn
     """
 

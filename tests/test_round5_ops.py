@@ -987,10 +987,13 @@ def test_tw1_coranking_numpy_parity_and_pca_judgment(spark):
         re[re_order] = np.arange(1, n)
         tpen = int(((ro - k) * ((re <= k) & (ro > k))).sum())
         cpen = int(((re - k) * ((ro <= k) & (re > k))).sum())
+        novl = int(((ro <= k) & (re <= k)).sum())
         trust = round(1.0 - 2.0 * tpen / denom, 6)
         cont = round(1.0 - 2.0 * cpen / denom, 6)
+        lcmc = round(novl / k - k / (n - 1.0), 6)
         r = got[int(ids[i])]
         assert abs(r["trust"] - trust) < 1e-9, (ids[i], r["trust"], trust)
         assert abs(r["continuity"] - cont) < 1e-9
+        assert abs(r["lcmc"] - lcmc) < 1e-9
     # PCA on this data should be a decent neighborhood preserver
     assert np.mean([got[q]["trust"] for q in got]) > 0.6
