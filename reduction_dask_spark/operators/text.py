@@ -1514,3 +1514,176 @@ def emb4_pmi_svd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         (w, [round(float(v), 6) for v in emb[idx[w]]]) for w in words
     ]
     return spark.createDataFrame(rows, "token string, vector array<double>")
+
+
+# ---------------------------------------------------------------- rep1
+
+REP_TOP2_PCT = 20  # fail if top 2-gram covers > 20% of tokens
+REP_TOP3_PCT = 18  # fail if top 3-gram covers > 18% of tokens
+REP_DUP5_PCT = 15  # fail if duplicated 5-grams cover > 15% of positions
+
+
+def _gram_col(toks: Column, k: int) -> Column:
+    """All k-grams of a token array WITH multiplicity (dedup's
+    shingles_of_tokens minus the array_distinct — repetition rules
+    need the counts the dedup index deliberately drops)."""
+    n = F.size(toks)
+    out = F.slice(toks, 1, n - (k - 1))
+    for j in range(1, k):
+        out = F.zip_with(
+            out, F.slice(toks, 1 + j, n - (k - 1)),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return out
+
+
+def repetition_flags_of(d: DataFrame) -> DataFrame:
+    """Per-document Gopher repetition-rule fail flags (f_top2, f_top3,
+    f_dup5) from a (doc_id, text) relation — rep1's aggregation runs
+    on top; the fixture test plants repetitious documents here."""
+    toks = tokens(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+
+    def top_frac(k: int, alias: str) -> DataFrame:
+        g = base.select(
+            "doc_id", F.explode(_gram_col(F.col("toks"), k)).alias("g")
+        )
+        return (
+            g.groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+            .groupBy("doc_id")
+            .agg(F.max("c").alias(alias))
+        )
+
+    g5 = base.select(
+        "doc_id", F.posexplode(_gram_col(F.col("toks"), 5)).alias("p", "g")
+    )
+    c5 = g5.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    cov5 = (
+        g5.join(c5.filter(F.col("c") >= 2), ["doc_id", "g"])
+        .select("doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + 4)).alias("pos"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("cov5"))
+    )
+    j = (
+        base.select("doc_id", "n")
+        .join(top_frac(2, "maxc2"), "doc_id", "left")
+        .join(top_frac(3, "maxc3"), "doc_id", "left")
+        .join(cov5, "doc_id", "left")
+        .na.fill({"maxc2": 0, "maxc3": 0, "cov5": 0})
+    )
+    # integer cross-multiplication — no float threshold flake
+    return j.select(
+        "doc_id",
+        F.when(200 * F.col("maxc2") > REP_TOP2_PCT * F.col("n"), 1).otherwise(0).alias("f_top2"),
+        F.when(300 * F.col("maxc3") > REP_TOP3_PCT * F.col("n"), 1).otherwise(0).alias("f_top3"),
+        F.when(100 * F.col("cov5") > REP_DUP5_PCT * F.col("n"), 1).otherwise(0).alias("f_dup5"),
+    )
+
+
+@query(
+    "rep1_repetition_rules",
+    oracle=f"""
+        WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        base AS (SELECT doc_id, toks, len(toks) AS n FROM d0),
+        g2 AS (
+            SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+                                   for i in range(1, len(toks))]) AS g
+            FROM base WHERE n >= 2
+        ),
+        m2 AS (SELECT doc_id, max(c) AS maxc2 FROM
+               (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g)
+               GROUP BY doc_id),
+        g3 AS (
+            SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                   for i in range(1, len(toks) - 1)]) AS g
+            FROM base WHERE n >= 3
+        ),
+        m3 AS (SELECT doc_id, max(c) AS maxc3 FROM
+               (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g)
+               GROUP BY doc_id),
+        g5 AS (
+            SELECT doc_id,
+                   unnest([struct_pack(p := i,
+                           g := toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                || ' ' || toks[i+3] || ' ' || toks[i+4])
+                           for i in range(1, len(toks) - 3)]) AS u
+            FROM base WHERE n >= 5
+        ),
+        g5f AS (SELECT doc_id, u.p AS p, u.g AS g FROM g5),
+        c5 AS (SELECT doc_id, g FROM g5f GROUP BY doc_id, g HAVING count(*) >= 2),
+        cov AS (
+            SELECT doc_id, count(*) AS cov5 FROM (
+                SELECT DISTINCT g5f.doc_id, unnest(range(g5f.p, g5f.p + 5)) AS pos
+                FROM g5f JOIN c5 USING (doc_id, g)
+            ) GROUP BY doc_id
+        ),
+        f AS (
+            SELECT b.doc_id,
+                   CASE WHEN 200 * coalesce(m2.maxc2, 0) > {REP_TOP2_PCT} * b.n THEN 1 ELSE 0 END AS f_top2,
+                   CASE WHEN 300 * coalesce(m3.maxc3, 0) > {REP_TOP3_PCT} * b.n THEN 1 ELSE 0 END AS f_top3,
+                   CASE WHEN 100 * coalesce(cov.cov5, 0) > {REP_DUP5_PCT} * b.n THEN 1 ELSE 0 END AS f_dup5
+            FROM base b
+            LEFT JOIN m2 ON m2.doc_id = b.doc_id
+            LEFT JOIN m3 ON m3.doc_id = b.doc_id
+            LEFT JOIN cov ON cov.doc_id = b.doc_id
+        ),
+        t AS (SELECT *, f_top2 + f_top3 + f_dup5 AS nf FROM f)
+        SELECT rule,
+               CAST(sum(fail) AS BIGINT) AS n_fail,
+               CAST(sum(CASE WHEN fail = 1 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sole_fail,
+               CAST((SELECT count(*) FROM t WHERE nf = 0) AS BIGINT) AS n_survivors
+        FROM (
+            SELECT 'top_2gram' AS rule, f_top2 AS fail, nf FROM t
+            UNION ALL SELECT 'top_3gram', f_top3, nf FROM t
+            UNION ALL SELECT 'dup_5gram', f_dup5, nf FROM t
+        ) GROUP BY rule
+    """,
+    doc="rep1 Gopher REPETITION rules with per-rule attribution (Rae "
+        "et al. 2021 A1.2 — the companion family to gq1's A1.1 "
+        "heuristics): fraction of tokens covered by the single most "
+        f"frequent 2-gram (> {REP_TOP2_PCT}% fails) and 3-gram "
+        f"(> {REP_TOP3_PCT}%), and the fraction of token POSITIONS "
+        "covered by 5-grams occurring more than once in the document "
+        f"(positional union — > {REP_DUP5_PCT}% fails): the looping/"
+        "boilerplate signal every pretraining curation pipeline "
+        "screens before the cross-document dedup passes (the original "
+        "rules also cover duplicate lines/paragraphs — vacuous on "
+        "this single-line corpus, noted not stubbed). Scale shape: "
+        "per-doc n-gram counting is a (doc_id, gram) groupBy over the "
+        "exploded stream (the shingle index's cost class, linear in "
+        "corpus); coverage is one distinct over exploded 5-position "
+        "spans; thresholds are integer cross-multiplications; output "
+        "O(rules). Same (rule, n_fail, n_sole_fail, n_survivors) "
+        "attribution shape as gq1.",
+    tags=("text", "pipeline"),
+)
+def rep1_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = repetition_flags_of(load_table(spark, sf_dir, "documents"))
+    t = f.withColumn("nf", F.col("f_top2") + F.col("f_top3") + F.col("f_dup5"))
+    # ONE pass over the flags (the gram joins run once), then the
+    # 1-row aggregate is exploded to the per-rule attribution shape
+    rules = (("top_2gram", "f_top2"), ("top_3gram", "f_top3"), ("dup_5gram", "f_dup5"))
+    aggs = [F.sum(F.when(F.col("nf") == 0, 1).otherwise(0)).cast("bigint").alias("surv")]
+    for rule, col in rules:
+        aggs.append(F.sum(F.col(col)).cast("bigint").alias(f"nf_{col}"))
+        aggs.append(
+            F.sum(F.when((F.col(col) == 1) & (F.col("nf") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"ns_{col}")
+        )
+    one = t.agg(*aggs)
+    return one.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(rule).alias("rule"),
+                    F.col(f"nf_{col}").alias("n_fail"),
+                    F.col(f"ns_{col}").alias("n_sole_fail"),
+                    F.col("surv").alias("n_survivors"),
+                )
+                for rule, col in rules
+            ])
+        ).alias("r")
+    ).select("r.rule", "r.n_fail", "r.n_sole_fail", "r.n_survivors")

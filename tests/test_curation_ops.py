@@ -289,3 +289,45 @@ def test_dc2_planted_contamination_detected(spark):
     )
     got2 = {(r["doc_id"], r["matched_bench_id"]) for r in fuzzy_decontam_of(d2).collect()}
     assert got2 == {(5, BENCH_MOD)}
+
+
+def test_rep1_planted_repetition_flags(spark):
+    """Gopher repetition rules on planted documents: a 2-gram loop, a
+    3-gram loop, a duplicated-5-gram passage, and a clean document
+    each trip exactly the expected flags."""
+    from reduction_dask_spark.operators.dedup import K_SHINGLE  # noqa: F401
+    from reduction_dask_spark.operators.text import (
+        rep1_repetition_rules,
+        repetition_flags_of,
+    )
+
+    clean = " ".join(f"w{i}" for i in range(40))
+    # "ha ha ha ..." : top 2-gram ("ha ha") covers ~everything
+    loop2 = " ".join(["ha"] * 30)
+    # abc abc abc...: the top 3-gram repeats heavily
+    loop3 = " ".join(["a", "b", "c"] * 10)
+    # a 10-token passage repeated twice inside otherwise-unique text:
+    # its 5-grams occur twice -> 20+ of 60 positions covered
+    passage = " ".join(f"p{i}" for i in range(10))
+    dup5 = " ".join(
+        [passage] + [f"u{i}" for i in range(20)] + [passage] + [f"v{i}" for i in range(20)]
+    )
+    d = spark.createDataFrame(
+        [(1, clean), (2, loop2), (3, loop3), (4, dup5)],
+        "doc_id bigint, text string",
+    )
+    flags = {r["doc_id"]: r for r in repetition_flags_of(d).collect()}
+    assert (flags[1]["f_top2"], flags[1]["f_top3"], flags[1]["f_dup5"]) == (0, 0, 0)
+    assert flags[2]["f_top2"] == 1 and flags[2]["f_dup5"] == 1
+    assert flags[3]["f_top3"] == 1
+    assert flags[4]["f_dup5"] == 1
+    # dup5's most frequent 2-gram appears twice in 60 tokens: passes
+    assert flags[4]["f_top2"] == 0
+
+    # registry query returns the 3-rule attribution shape
+    rows = {r["rule"]: r for r in rep1_repetition_rules(spark, SF_SMALL).collect()}
+    assert set(rows) == {"top_2gram", "top_3gram", "dup_5gram"}
+    n_surv = next(iter(rows.values()))["n_survivors"]
+    for r in rows.values():
+        assert 0 <= r["n_sole_fail"] <= r["n_fail"]
+        assert r["n_survivors"] == n_surv
