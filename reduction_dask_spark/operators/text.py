@@ -1545,7 +1545,9 @@ def repetition_flags_of(d: DataFrame) -> DataFrame:
     base = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
 
     def top_frac(k: int, alias: str) -> DataFrame:
-        g = base.select(
+        # docs shorter than k have no k-grams (ANSI slice errors on a
+        # negative length; the base left-join fills their count with 0)
+        g = base.filter(F.col("n") >= k).select(
             "doc_id", F.explode(_gram_col(F.col("toks"), k)).alias("g")
         )
         return (
@@ -1555,7 +1557,7 @@ def repetition_flags_of(d: DataFrame) -> DataFrame:
             .agg(F.max("c").alias(alias))
         )
 
-    g5 = base.select(
+    g5 = base.filter(F.col("n") >= 5).select(
         "doc_id", F.posexplode(_gram_col(F.col("toks"), 5)).alias("p", "g")
     )
     c5 = g5.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
@@ -1650,7 +1652,10 @@ def repetition_flags_of(d: DataFrame) -> DataFrame:
         "boilerplate signal every pretraining curation pipeline "
         "screens before the cross-document dedup passes (the original "
         "rules also cover duplicate lines/paragraphs — vacuous on "
-        "this single-line corpus, noted not stubbed). Scale shape: "
+        "this single-line corpus, noted not stubbed). Token-fraction "
+        "thresholds mean docs under 10 tokens always trip top_2gram "
+        "(2/n > 20%) — by design these rules run after gq1's "
+        "min-word-count filter, as in the paper. Scale shape: "
         "per-doc n-gram counting is a (doc_id, gram) groupBy over the "
         "exploded stream (the shingle index's cost class, linear in "
         "corpus); coverage is one distinct over exploded 5-position "
