@@ -91,3 +91,47 @@ def test_dcor_bounds_and_invariance(seed):
     assert 0.0 <= d <= 1.0
     # affine invariance
     assert abs(_dcor(2 * x + 3, y) - d) < 1e-8
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=256), min_size=1, max_size=400),
+)
+@settings(max_examples=60, deadline=None)
+def test_bfd_pack_invariants(sizes):
+    """Best-fit-decreasing packing (pack2's kernel): every item placed
+    once, no bin over budget, and the first-fit property — at most one
+    bin at most half full."""
+    from reduction_dask_spark.operators.pipeline import PACK_BUDGET, _bfd_pack
+
+    arr = np.sort(np.asarray(sizes, dtype=np.int64))[::-1]
+    n_docs, fill = _bfd_pack(arr)
+    assert n_docs.sum() == len(sizes)
+    assert fill.sum() == arr.sum()
+    assert (fill <= PACK_BUDGET).all()
+    assert (2 * fill <= PACK_BUDGET).sum() <= 1
+    # decreasing-order guarantee: bins <= ceil(11/9 * lower) + 1
+    import math
+
+    lower = math.ceil(arr.sum() / PACK_BUDGET)
+    assert len(fill) <= math.ceil(11 / 9 * lower) + 1
+
+
+@given(st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=25, deadline=None)
+def test_hdbscan_noise_and_determinism_property(seed):
+    """HDBSCAN on random point sets: labels are a valid clustering
+    (every cluster >= min_cluster_size, ids dense from 0), and the
+    algorithm is deterministic."""
+    from reduction_dask_spark.operators.distance import _hdbscan
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(6, 40))
+    X = rng.normal(size=(n, 3))
+    D = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+    mcs = int(rng.integers(2, 5))
+    labels = _hdbscan(D, min_cluster_size=mcs, min_samples=2)
+    assert (labels == _hdbscan(D, min_cluster_size=mcs, min_samples=2)).all()
+    uniq = sorted(set(labels.tolist()) - {-1})
+    assert uniq == list(range(len(uniq)))
+    for c in uniq:
+        assert (labels == c).sum() >= mcs
