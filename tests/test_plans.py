@@ -335,3 +335,50 @@ class TestCacheHygiene:
             assert jrdd.rdd().isLocallyCheckpointed(), (
                 f"non-checkpoint RDD {rdd_id} leaked from min_label_components"
             )
+
+
+def test_dynamic_partition_pruning_on_star_join(spark, tmp_path):
+    """Dynamic Partition Pruning — the Spark 3 star-join scale feature
+    this engine leans on at 100 TB: a fact table partitioned on the
+    join key is pruned at RUNTIME by the filtered dimension's key set
+    (a broadcast-reused subquery in the scan's PartitionFilters), so a
+    month-of-dates dim filter touches only that month's fact
+    partitions without any static predicate on the fact side."""
+    from pyspark.sql import functions as F
+
+    from reduction_dask_spark.sources import load_table
+
+    from .conftest import SF_SMALL
+
+    fact_path = str(tmp_path / "fact")
+    orders = load_table(spark, SF_SMALL, "orders")
+    fact = orders.select(
+        "o_orderkey", "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+    )
+    fact.write.partitionBy("order_month").mode("overwrite").parquet(fact_path)
+    n_months = fact.select("order_month").distinct().count()
+    assert n_months > 3  # pruning must have something to prune
+
+    # the dim filter is on a NON-join column (month-of-year), so the
+    # fact-side restriction cannot be inferred statically — only the
+    # runtime subquery over the filtered dim can prune fact partitions
+    dim_path = str(tmp_path / "dim")
+    (
+        fact.select("order_month").distinct()
+        .withColumn("moy", F.substring("order_month", 6, 2).cast("int"))
+        .write.mode("overwrite").parquet(dim_path)
+    )
+    dim = spark.read.parquet(dim_path)
+    f = spark.read.parquet(fact_path)
+    joined = f.join(dim.filter(F.col("moy") == 3), "order_month").agg(
+        F.sum("o_totalprice").alias("s")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the answer matches the statically-filtered computation
+    want = fact.filter(F.substring("order_month", 6, 2).cast("int") == 3).agg(
+        F.sum("o_totalprice")
+    ).collect()[0][0]
+    got = joined.collect()[0]["s"]
+    assert abs(got - want) < 1e-6
