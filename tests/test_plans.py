@@ -382,3 +382,34 @@ def test_dynamic_partition_pruning_on_star_join(spark, tmp_path):
     ).collect()[0][0]
     got = joined.collect()[0]["s"]
     assert abs(got - want) < 1e-6
+
+
+def test_global_rank_survives_cache_eviction(spark):
+    """The pid-consistency contract's cache-loss leg: range boundaries
+    are fixed driver-side when the partitioner is created, so
+    RE-materializing the pinned relation after its cache is dropped
+    (executor eviction / release_pinned) must reproduce identical
+    ranks — not just a valid ranking."""
+    from pyspark.sql import functions as F
+
+    from reduction_dask_spark.caching import release_pinned
+    from reduction_dask_spark.operators.relational import global_rank
+
+    release_pinned()
+    base = spark.range(0, 5000).select(
+        F.col("id"),
+        ((F.col("id") * 2654435761) % 1000).alias("k"),
+    )
+    ranked = global_rank(base, F.desc("k"), F.asc("id"), out="rnk")
+    r1 = sorted((r["id"], r["rnk"]) for r in ranked.collect())
+    # drop the pinned exchange; the SAME DataFrame must recompute to
+    # the SAME ranks (total order => unique answer, but the local
+    # window + offset branches must also agree on pids during the
+    # recompute for the answer to come out right)
+    released = release_pinned()
+    assert released >= 1
+    r2 = sorted((r["id"], r["rnk"]) for r in ranked.collect())
+    assert r1 == r2
+    # ranks are a permutation of 1..n
+    assert sorted(rk for _, rk in r1) == list(range(1, 5001))
+    release_pinned()
