@@ -1851,3 +1851,212 @@ def fuzzy_decontam_of(d: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("bench_id").alias("matched_bench_id"), "jaccard")
     )
+
+
+# ---------------------------------------------------------------- dd11
+
+ES_ANCHOR = 5                       # aligned anchor width == stride
+ES_MIN_LEN = 2 * ES_ANCHOR - 1      # guaranteed-detection span length
+ES_ANCHOR_CAP = 50                  # drop anchors in more docs (boilerplate)
+
+
+def exact_substring_spans_of(d: DataFrame) -> DataFrame:
+    """dd11's pipeline over an arbitrary (doc_id, text) relation —
+    parameterized so the fixture test can plant passages at arbitrary
+    alignments (the case dd8's fixed 64-token grid misses)."""
+    from ..functions import md5h60
+
+    _, grp = exact_groups(d)
+    reps = d.join(grp.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi")
+    toked = pin(
+        reps.select("doc_id", F.split(F.col("text"), " ").alias("toks")).filter(
+            F.size("toks") >= ES_ANCHOR
+        )
+    )
+    A = ES_ANCHOR
+    # aligned anchors at stride A: any cross-doc exact token match of
+    # length >= 2A-1 must contain one fully-aligned anchor on each
+    # side's own grid... NOT true in general for both grids at once —
+    # the guarantee that matters is one-sided: the match's copy in
+    # doc_a contains an a-aligned anchor whose counterpart in doc_b
+    # sits at arbitrary offset. So doc_a indexes ALIGNED anchors and
+    # doc_b indexes EVERY position's A-gram (the classic asymmetric
+    # seed-and-extend index: O(n/A) seeds probe an O(n) index, the
+    # shuffle moves n/A + n rows instead of n^2 comparisons).
+    idx_aligned = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.floor((F.size("toks") - A) / A).cast("int")),
+                lambda i: F.struct(
+                    (i * A).alias("pos"),
+                    md5h60(F.concat_ws(" ", F.slice("toks", i * A + 1, A))).alias("h"),
+                ),
+            )
+        ).alias("a"),
+    ).select("doc_id", F.col("a.pos").alias("pos"), F.col("a.h").alias("h"))
+    idx_all = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), (F.size("toks") - A).cast("int")),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    md5h60(F.concat_ws(" ", F.slice("toks", i + 1, A))).alias("h"),
+                ),
+            )
+        ).alias("a"),
+    ).select("doc_id", F.col("a.pos").alias("pos"), F.col("a.h").alias("h"))
+    # boilerplate cap on the probe side's key (hot anchors appear in
+    # many docs; the hot list is tiny by construction, like DF_CAP)
+    hot = (
+        idx_all.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > ES_ANCHOR_CAP)
+        .select("h")
+    )
+    seeds = idx_aligned.join(F.broadcast(hot), "h", "left_anti")
+    probes = idx_all.join(F.broadcast(hot), "h", "left_anti")
+    cand = (
+        seeds.alias("a")
+        .join(
+            probes.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("a.pos").alias("pa"),
+            F.col("b.doc_id").alias("doc_b"), F.col("b.pos").alias("pb"),
+        )
+        .distinct()
+    )
+    ta = toked.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    tb = toked.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    j = cand.join(ta, "doc_a").join(tb, "doc_b")
+
+    def first_false(eq: Column) -> Column:
+        # tokens-equal prefix length of a boolean array
+        p = F.array_position(eq, F.lit(False))
+        return F.when(p == 0, F.size(eq)).otherwise(p - 1)
+
+    maxr = F.least(F.size("ta") - F.col("pa"), F.size("tb") - F.col("pb"))
+    right = first_false(
+        F.zip_with(
+            F.slice("ta", F.col("pa") + 1, maxr),
+            F.slice("tb", F.col("pb") + 1, maxr),
+            lambda x, y: x == y,
+        )
+    )
+    minl = F.least(F.col("pa"), F.col("pb"))
+    left = first_false(
+        F.zip_with(
+            F.reverse(F.slice("ta", F.col("pa") - minl + 1, minl)),
+            F.reverse(F.slice("tb", F.col("pb") - minl + 1, minl)),
+            lambda x, y: x == y,
+        )
+    )
+    spans = j.select(
+        "doc_a", "doc_b",
+        (F.col("pa") - left).cast("bigint").alias("start_a"),
+        (F.col("pb") - left).cast("bigint").alias("start_b"),
+        (left + right).cast("bigint").alias("match_len"),
+    )
+    # every anchor inside one maximal span extends to the SAME span
+    return spans.filter(F.col("match_len") >= ES_MIN_LEN).distinct()
+
+
+@query(
+    "dd11_exact_substring_spans",
+    oracle=f"""
+        WITH d0 AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        grp AS (SELECT fp, min(doc_id) AS rep_id FROM d0 GROUP BY fp),
+        toked AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents
+            WHERE doc_id IN (SELECT rep_id FROM grp)
+              AND len(string_split(text, ' ')) >= {ES_ANCHOR}
+        ),
+        idx_aligned AS (
+            SELECT doc_id, i * {ES_ANCHOR} AS pos,
+                   {md5h60_sql(f"array_to_string(toks[i * {ES_ANCHOR} + 1 : i * {ES_ANCHOR} + {ES_ANCHOR}], ' ')")} AS h
+            FROM toked,
+                 unnest(range(0, CAST(floor((len(toks) - {ES_ANCHOR}) / {ES_ANCHOR}) AS BIGINT) + 1)) AS t(i)
+        ),
+        idx_all AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   {md5h60_sql(f"array_to_string(toks[i + 1 : i + {ES_ANCHOR}], ' ')")} AS h
+            FROM toked,
+                 unnest(range(0, len(toks) - {ES_ANCHOR} + 1)) AS t(i)
+        ),
+        hot AS (
+            SELECT h FROM idx_all GROUP BY h
+            HAVING count(DISTINCT doc_id) > {ES_ANCHOR_CAP}
+        ),
+        seeds AS (SELECT * FROM idx_aligned ANTI JOIN hot USING (h)),
+        probes AS (SELECT * FROM idx_all ANTI JOIN hot USING (h)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, a.pos AS pa,
+                            b.doc_id AS doc_b, b.pos AS pb
+            FROM seeds a JOIN probes b
+              ON a.h = b.h AND a.doc_id < b.doc_id
+        ),
+        ext AS (
+            SELECT c.doc_a, c.doc_b, c.pa, c.pb,
+                   least(len(ta.toks) - c.pa, len(tb.toks) - c.pb) AS maxr,
+                   least(c.pa, c.pb) AS minl,
+                   ta.toks AS ta, tb.toks AS tb
+            FROM cand c
+            JOIN toked ta ON ta.doc_id = c.doc_a
+            JOIN toked tb ON tb.doc_id = c.doc_b
+        ),
+        pos0 AS (
+            SELECT doc_a, doc_b, pa, pb, maxr, minl,
+                   list_position(
+                       [ta[pa + k] = tb[pb + k] for k in range(1, CAST(maxr AS BIGINT) + 1)],
+                       false) AS rp,
+                   list_position(
+                       [ta[pa - k + 1] = tb[pb - k + 1] for k in range(1, CAST(minl AS BIGINT) + 1)],
+                       false) AS lp
+            FROM ext
+        ),
+        lce AS (
+            -- list_position returns 0 for "no mismatch found" (full run)
+            SELECT doc_a, doc_b, pa, pb,
+                   CASE WHEN rp IS NULL OR rp = 0 THEN maxr ELSE rp - 1 END AS r,
+                   CASE WHEN lp IS NULL OR lp = 0 THEN minl ELSE lp - 1 END AS l
+            FROM pos0
+        )
+        SELECT DISTINCT doc_a, doc_b,
+               CAST(pa - l AS BIGINT) AS start_a,
+               CAST(pb - l AS BIGINT) AS start_b,
+               CAST(l + r AS BIGINT) AS match_len
+        FROM lce
+        WHERE l + r >= {ES_MIN_LEN}
+    """,
+    doc="dd11 exact-substring duplicate spans at ARBITRARY alignment — "
+        "the Lee et al. 2022 ('Deduplicating Training Data Makes "
+        "Language Models Better') pass that dd8's fixed 64-token grid "
+        "cannot see: a quoted passage shifted by one token defeats "
+        "aligned chunk hashing but is caught here. Spark-first "
+        "replacement for their suffix array: asymmetric seed-and-"
+        "extend — one side indexes only GRID-ALIGNED "
+        f"{ES_ANCHOR}-token anchors (n/{ES_ANCHOR} rows), the other "
+        "indexes every position's anchor (n rows); any cross-doc "
+        f"match of length ≥ {ES_MIN_LEN} necessarily contains an "
+        "aligned anchor of its doc_a copy, so detection at that "
+        "length is EXACT (a pigeonhole over the stride, not a "
+        "probabilistic sketch). Colliding anchors become candidate "
+        "(pair, diagonal) seeds; the maximal span is recovered by "
+        "longest-common-extension in both directions as pure array "
+        "folds (first-mismatch over zip_with equality — no UDF), and "
+        "all anchors inside one maximal span extend to the same "
+        "(start_a, start_b, len) row, so DISTINCT collapses them. "
+        "Exact duplicates are collapsed to representatives first "
+        "(identical docs match everywhere — dd1's domain, not this "
+        "pass's), and boilerplate anchors occurring in > "
+        f"{ES_ANCHOR_CAP} docs are dropped via a tiny-by-construction "
+        "hot list (DF_CAP's argument). Cost: O(n) index + O(seed "
+        "collisions × span length), never O(n²) comparisons.",
+    tags=("dedup", "text"),
+)
+def dd11_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_substring_spans_of(load_table(spark, sf_dir, "documents"))

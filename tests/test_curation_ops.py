@@ -331,3 +331,60 @@ def test_rep1_planted_repetition_flags(spark):
     for r in rows.values():
         assert 0 <= r["n_sole_fail"] <= r["n_fail"]
         assert r["n_survivors"] == n_surv
+
+
+def test_dd11_exact_substring_spans_brute_force_parity(spark):
+    """Seed-and-extend must recover EXACTLY the maximal cross-doc
+    token matches >= ES_MIN_LEN that a brute-force diagonal scan
+    finds — including a passage planted at a deliberately misaligned
+    offset (the case dd8's fixed-grid chunk hashing cannot see)."""
+    from reduction_dask_spark.operators.dedup import (
+        ES_MIN_LEN,
+        exact_substring_spans_of,
+    )
+
+    passage = [f"p{i}" for i in range(12)]  # 12-token shared passage
+    docs = {
+        1: [f"a{i}" for i in range(7)] + passage + [f"a{i}" for i in range(7, 20)],
+        # planted at offset 3 (not a multiple of the anchor stride 5)
+        2: [f"b{i}" for i in range(3)] + passage + [f"b{i}" for i in range(3, 25)],
+        3: [f"c{i}" for i in range(30)],                      # clean
+        4: passage[:8] + [f"d{i}" for i in range(20)],        # 8 < 9: below threshold
+        5: [f"e{i}" for i in range(5)] + passage + [f"e{i}" for i in range(5, 10)],
+    }
+    d = spark.createDataFrame(
+        [(k, " ".join(v)) for k, v in docs.items()], "doc_id bigint, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["start_a"], r["start_b"], r["match_len"])
+        for r in exact_substring_spans_of(d).collect()
+    }
+
+    def brute(a, b):
+        out = set()
+        for diag in range(-len(b) + 1, len(a)):
+            i = max(0, diag)
+            j = i - diag
+            run = 0
+            while i <= len(a) and j <= len(b):
+                if i < len(a) and j < len(b) and a[i] == b[j]:
+                    run += 1
+                else:
+                    if run >= ES_MIN_LEN:
+                        out.add((i - run, j - run, run))
+                    run = 0
+                i += 1
+                j += 1
+        return out
+
+    want = set()
+    ids = sorted(docs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            for sa, sb, ln in brute(docs[ids[x]], docs[ids[y]]):
+                want.add((ids[x], ids[y], sa, sb, ln))
+    assert got == want
+    # the misaligned plant was found with its exact extent
+    assert (1, 2, 7, 3, 12) in got
+    # and the sub-threshold 8-token overlap was not reported
+    assert not any(a == 1 and b == 4 for a, b, *_ in got)
