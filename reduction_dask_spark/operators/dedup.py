@@ -1964,10 +1964,7 @@ def exact_substring_spans_of(d: DataFrame) -> DataFrame:
     return spans.filter(F.col("match_len") >= ES_MIN_LEN).distinct()
 
 
-@query(
-    "dd11_exact_substring_spans",
-    oracle=f"""
-        WITH d0 AS (SELECT doc_id, md5(text) AS fp FROM documents),
+_DD11_CTE = f"""d0 AS (SELECT doc_id, md5(text) AS fp FROM documents),
         grp AS (SELECT fp, min(doc_id) AS rep_id FROM d0 GROUP BY fp),
         toked AS (
             SELECT doc_id, string_split(text, ' ') AS toks
@@ -2024,13 +2021,23 @@ def exact_substring_spans_of(d: DataFrame) -> DataFrame:
                    CASE WHEN rp IS NULL OR rp = 0 THEN maxr ELSE rp - 1 END AS r,
                    CASE WHEN lp IS NULL OR lp = 0 THEN minl ELSE lp - 1 END AS l
             FROM pos0
-        )
-        SELECT DISTINCT doc_a, doc_b,
+        ),
+        spans AS (
+            SELECT DISTINCT doc_a, doc_b,
                CAST(pa - l AS BIGINT) AS start_a,
                CAST(pb - l AS BIGINT) AS start_b,
                CAST(l + r AS BIGINT) AS match_len
         FROM lce
         WHERE l + r >= {ES_MIN_LEN}
+        )
+"""
+
+
+@query(
+    "dd11_exact_substring_spans",
+    oracle=f"""
+        WITH {_DD11_CTE.strip()}
+        SELECT * FROM spans
     """,
     doc="dd11 exact-substring duplicate spans at ARBITRARY alignment — "
         "the Lee et al. 2022 ('Deduplicating Training Data Makes "
@@ -2060,3 +2067,117 @@ def exact_substring_spans_of(d: DataFrame) -> DataFrame:
 )
 def dd11_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_spans_of(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------- dd11b
+
+@query(
+    "dd11b_substring_removal",
+    oracle=f"""
+        WITH {_DD11_CTE.strip()},
+        iv AS (
+            SELECT doc_b AS doc_id, start_b AS s, start_b + match_len AS e
+            FROM spans
+        ),
+        marked AS (
+            SELECT doc_id, s, e,
+                   max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prevmax
+            FROM iv
+        ),
+        isl AS (
+            SELECT doc_id, s, e,
+                   sum(CASE WHEN prevmax IS NULL OR s > prevmax THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY s, e
+                             ROWS UNBOUNDED PRECEDING) AS isl
+            FROM marked
+        ),
+        merged AS (
+            SELECT doc_id, isl, min(s) AS s, max(e) AS e
+            FROM isl GROUP BY doc_id, isl
+        ),
+        ivs AS (
+            SELECT doc_id,
+                   list(struct_pack(s := s, e := e) ORDER BY s, e) AS ivs,
+                   sum(e - s) AS n_removed
+            FROM merged GROUP BY doc_id
+        ),
+        toked2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        SELECT t.doc_id,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               CAST(v.n_removed AS BIGINT) AS n_removed,
+               -- array_to_string of an EMPTY list is NULL in DuckDB
+               -- (Spark's concat_ws gives ''): coalesce for the
+               -- fully-removed-document case
+               md5(coalesce(array_to_string(
+                   [t.toks[i] for i in range(1, len(t.toks) + 1)
+                    if len(list_filter(v.ivs,
+                          iv -> (i - 1) >= iv.s AND (i - 1) < iv.e)) = 0],
+                   ' '), '')) AS clean_fp
+        FROM toked2 t JOIN ivs v USING (doc_id)
+    """,
+    doc="dd11b exact-substring REMOVAL — the action Lee et al. 2022 "
+        "take on dd11's spans: every duplicated span is cut from the "
+        "HIGHER-id document of each pair (the earlier copy survives "
+        "intact), overlapping spans first merged per document with "
+        "the gaps-and-islands window (running max(end) over the "
+        "start-sorted intervals — one per-doc window, no recursion). "
+        "Tokens are dropped by positional interval test as a pure "
+        "filter-with-index lambda over the token array (the interval "
+        "list per doc is tiny); output per affected document: token "
+        "count, tokens removed, and the md5 of the cleaned text (the "
+        "compact cross-engine witness of the exact surviving token "
+        "sequence). Spans — and hence removals — are computed over "
+        "exact-dup representatives (dd1 handles identical copies; "
+        "this pass edits distinct contents).",
+    tags=("dedup", "text", "pipeline"),
+)
+def dd11b_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_removal_of(load_table(spark, sf_dir, "documents"))
+
+
+def substring_removal_of(d: DataFrame) -> DataFrame:
+    spans = exact_substring_spans_of(d)
+    iv = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("match_len")).alias("e"),
+    )
+    wprev = (
+        Window.partitionBy("doc_id").orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("doc_id").orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = iv.withColumn("prevmax", F.max("e").over(wprev))
+    isl = marked.withColumn(
+        "isl",
+        F.sum(
+            F.when(
+                F.col("prevmax").isNull() | (F.col("s") > F.col("prevmax")), 1
+            ).otherwise(0)
+        ).over(wrun),
+    )
+    merged = isl.groupBy("doc_id", "isl").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    ivs = merged.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("ivs"),
+        F.sum(F.col("e") - F.col("s")).alias("n_removed"),
+    )
+    toked = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.exists(
+            F.col("ivs"), lambda v: (i >= v["s"]) & (i < v["e"])
+        ),
+    )
+    return toked.join(ivs, "doc_id").select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.col("n_removed").cast("bigint").alias("n_removed"),
+        F.md5(F.concat_ws(" ", kept)).alias("clean_fp"),
+    )

@@ -388,3 +388,67 @@ def test_dd11_exact_substring_spans_brute_force_parity(spark):
     assert (1, 2, 7, 3, 12) in got
     # and the sub-threshold 8-token overlap was not reported
     assert not any(a == 1 and b == 4 for a, b, *_ in got)
+
+
+def test_dd11b_removal_matches_python_recompute(spark):
+    """Span removal on the dd11 fixture: the cleaned-text fingerprint
+    equals a python recompute that merges the brute-force spans and
+    cuts them from the higher-id document."""
+    import hashlib
+
+    from reduction_dask_spark.operators.dedup import (
+        ES_MIN_LEN,
+        exact_substring_spans_of,
+        substring_removal_of,
+    )
+
+    passage = [f"p{i}" for i in range(12)]
+    docs = {
+        1: [f"a{i}" for i in range(7)] + passage + [f"a{i}" for i in range(7, 20)],
+        2: [f"b{i}" for i in range(3)] + passage + [f"b{i}" for i in range(3, 25)],
+        # doc 3 repeats the passage twice -> two removal intervals
+        3: passage + [f"c{i}" for i in range(5)] + passage,
+        4: [f"d{i}" for i in range(30)],
+    }
+    d = spark.createDataFrame(
+        [(k, " ".join(v)) for k, v in docs.items()], "doc_id bigint, text string"
+    )
+    spans = [
+        (r["doc_a"], r["doc_b"], r["start_a"], r["start_b"], r["match_len"])
+        for r in exact_substring_spans_of(d).collect()
+    ]
+    got = {r["doc_id"]: r for r in substring_removal_of(d).collect()}
+
+    # python recompute: merge intervals on the doc_b side
+    from collections import defaultdict
+
+    iv = defaultdict(list)
+    for _, b, _, sb, ln in spans:
+        iv[b].append((sb, sb + ln))
+    want = {}
+    for doc, ints in iv.items():
+        ints.sort()
+        merged = []
+        for s0, e0 in ints:
+            if merged and s0 <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e0))
+            else:
+                merged.append((s0, e0))
+        toks = docs[doc]
+        keep = [
+            t for i, t in enumerate(toks)
+            if not any(s0 <= i < e0 for s0, e0 in merged)
+        ]
+        want[doc] = (
+            len(toks),
+            sum(e0 - s0 for s0, e0 in merged),
+            hashlib.md5(" ".join(keep).encode()).hexdigest(),
+        )
+    assert set(got) == set(want)
+    for doc, (n, rem, fp) in want.items():
+        r = got[doc]
+        assert (r["n_tokens"], r["n_removed"], r["clean_fp"]) == (n, rem, fp), doc
+    # doc 1 (lowest id of every pair) is never edited; doc 4 untouched
+    assert 1 not in got and 4 not in got
+    # doc 3 lost both copies of the passage
+    assert got[3]["n_removed"] >= 2 * len(passage)
