@@ -476,12 +476,21 @@ def reduction_sweep(
                 .agg(F.round(F.avg("spearman"), 6).alias("s"), F.round(F.avg("quartic"), 6).alias("q"))
                 .collect()[0]
             )
-            results.append((kernel, int(nc), row["s"], row["q"], "ok"))
+            # coranking quality: does the embedding preserve original
+            # k-neighborhoods? (the trustworthiness judgment the
+            # reference imports for its sweeps, nb cell 2)
+            trust = coranking_trust_nd(
+                base.select("vec_id", "features"),
+                reduced_wide.select("vec_id", *cols),
+                cols,
+            )
+            results.append((kernel, int(nc), row["s"], row["q"], trust, "ok"))
         except Exception as e:  # status column instead of dropped index
-            results.append((kernel, int(nc), None, None, f"error: {type(e).__name__}"))
+            results.append((kernel, int(nc), None, None, None, f"error: {type(e).__name__}"))
     return spark.createDataFrame(
         results,
-        "kernel string, n_components int, spearman_mean double, quartic_mean double, status string",
+        "kernel string, n_components int, spearman_mean double, quartic_mean double, "
+        "trust_mean double, status string",
     )
 
 
@@ -490,8 +499,12 @@ def reduction_sweep(
     oracle=None,
     doc="T3 tune_reduction_dask sweep (tuners.py:149-252): "
         "(kernel × n_components → CV score) result table with status "
-        "column for failed configs; kernels = subsample-fit PCA and "
-        "landmark-MDS (nonlinear).",
+        "column for failed configs; kernels = subsample-fit PCA, "
+        "landmark MDS / Isomap / LLE (nonlinear), each row ALSO "
+        "carrying trust_mean — the mean coranking trustworthiness of "
+        "the produced embedding vs the original feature space (the "
+        "quality judgment the reference imports for its sweeps, nb "
+        "cell 2; tw1's n-D sibling on a fixed anchor batch).",
     tags=("reduction", "ml"),
 )
 def t3_reduction_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -675,6 +688,60 @@ def _tw_proj_coefs(dim: int = DIM) -> list[list[float]]:
         ]
         for j in range(2)
     ]
+
+
+def coranking_trust_nd(
+    orig: DataFrame, emb: DataFrame, emb_cols, k: int = 5
+) -> float:
+    """Mean per-anchor trustworthiness of an n-D embedding vs the
+    original feature space — coranking_metrics' n-dimensional sibling
+    for the sweep's quality column (no oracle constraint here, so the
+    embedded distance uses the norm²+dot expansion for any width).
+    orig = (vec_id, features); emb = (vec_id, <emb_cols...>)."""
+    from .similarity import QUERY_CAP, QUERY_MOD
+    from .similarity import dot as vdot
+
+    pv = F.array(*[F.col(c) for c in emb_cols])
+    feat = (
+        orig.join(emb, "vec_id")
+        .select(
+            "vec_id",
+            F.col("features").alias("vv"),
+            vdot(F.col("features"), F.col("features")).alias("n2"),
+            pv.alias("pv"),
+        )
+        .withColumn("pn2", vdot(F.col("pv"), F.col("pv")))
+        .withColumn(
+            "is_anchor",
+            (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP),
+        )
+    )
+    q = feat.filter("is_anchor").select(
+        F.col("vec_id").alias("qid"),
+        F.col("vv").alias("qv"), F.col("n2").alias("qn2"),
+        F.col("pv").alias("qp"), F.col("pn2").alias("qpn2"),
+    )
+    pairs = q.join(feat, F.col("qid") != F.col("vec_id")).select(
+        "qid", "vec_id",
+        F.round(F.col("qn2") + F.col("n2") - 2 * vdot("qv", "vv"), 5).alias("do2"),
+        F.round(F.col("qpn2") + F.col("pn2") - 2 * vdot("qp", "pv"), 5).alias("de2"),
+    )
+    wo = Window.partitionBy("qid").orderBy("do2", "vec_id")
+    we = Window.partitionBy("qid").orderBy("de2", "vec_id")
+    ranked = pairs.select(
+        "qid",
+        F.row_number().over(wo).alias("ro"),
+        F.row_number().over(we).alias("re"),
+    )
+    pen = ranked.groupBy("qid").agg(
+        F.sum(
+            F.when((F.col("re") <= k) & (F.col("ro") > k), F.col("ro") - k).otherwise(0)
+        ).alias("tpen")
+    )
+    n = feat.count()
+    denom = float(k) * (2.0 * n - 3.0 * k - 1.0)
+    row = pen.agg(F.avg(1.0 - 2.0 * F.col("tpen") / denom).alias("t")).collect()[0]
+    return round(float(row["t"]), 6)
 
 
 def coranking_metrics(feat: DataFrame, k: int = TW_K) -> DataFrame:

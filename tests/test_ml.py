@@ -652,3 +652,17 @@ def test_hdbscan_stability_selection_resolves_nested_structure():
     t, d = set(labels[:20].tolist()), set(labels[20:].tolist())
     assert t == {labels[0]} and -1 not in t
     assert len(d - {-1}) == 1 and labels[0] not in d
+
+
+def test_t3_sweep_trust_column(spark):
+    """Every ok config carries a coranking trust score in [-1, 1], and
+    keeping more PCA components cannot hurt neighborhood preservation
+    on this data (16-d trust >= 2-d trust)."""
+    from reduction_dask_spark.operators.reduction import t3_reduction_sweep
+
+    out = t3_reduction_sweep(spark, SF_SMALL).toPandas().set_index(
+        ["kernel", "n_components"]
+    )
+    ok = out[out["status"] == "ok"]
+    assert ok["trust_mean"].between(-1.0, 1.0).all()
+    assert ok.loc[("pca", 16), "trust_mean"] >= ok.loc[("pca", 2), "trust_mean"]
