@@ -2076,7 +2076,13 @@ def dd11_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH {_DD11_CTE.strip()},
         iv AS (
-            SELECT doc_b AS doc_id, start_b AS s, start_b + match_len AS e
+            -- DISTINCT makes (doc_id, s, e) unique, so ORDER BY (s, e)
+            -- is a TOTAL order within each doc: without it, the same
+            -- interval arriving from two doc_a partners can tie-break
+            -- differently in the prevmax and island-sum windows and
+            -- split one island in two (double-counting n_removed)
+            SELECT DISTINCT doc_b AS doc_id, start_b AS s,
+                            start_b + match_len AS e
             FROM spans
         ),
         marked AS (
@@ -2139,11 +2145,15 @@ def dd11b_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def substring_removal_of(d: DataFrame) -> DataFrame:
     spans = exact_substring_spans_of(d)
+    # DISTINCT makes (doc_id, s, e) unique so the window ORDER BY is a
+    # total order — duplicate intervals (same span found via different
+    # doc_a partners) would otherwise tie-break differently across the
+    # prevmax and island-sum window passes and double-count n_removed
     iv = spans.select(
         F.col("doc_b").alias("doc_id"),
         F.col("start_b").alias("s"),
         (F.col("start_b") + F.col("match_len")).alias("e"),
-    )
+    ).distinct()
     wprev = (
         Window.partitionBy("doc_id").orderBy("s", "e")
         .rowsBetween(Window.unboundedPreceding, -1)
