@@ -766,3 +766,117 @@ def rpt1_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_tokens", 6).alias("mean_tokens"),
         F.round("h", 6).alias("lang_entropy"),
     )
+
+
+# ---------------------------------------------------------------- shuf1
+
+SHUF_EPOCHS = 2  # training epochs in the shuffled schedule
+
+
+@query(
+    "shuf1_epoch_shuffle",
+    oracle=f"""
+        WITH e AS (SELECT unnest(range({SHUF_EPOCHS})) AS epoch),
+        keyed AS (
+            SELECT e.epoch, d.doc_id,
+                   (('0x' || substring(md5(CAST(e.epoch AS VARCHAR) || ':' ||
+                        CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT) AS skey
+            FROM documents d CROSS JOIN e
+        )
+        SELECT CAST(epoch AS BIGINT) AS epoch,
+               CAST(doc_id AS BIGINT) AS doc_id,
+               row_number() OVER (ORDER BY epoch, skey, doc_id) AS global_pos
+        FROM keyed
+    """,
+    doc="shuf1 seeded epoch shuffle: the reproducible training-order "
+        "shuffle every pretraining run needs — each epoch permutes the "
+        "corpus by a portable content hash of (epoch, doc_id), and the "
+        "concatenated epoch streams get a single global position (the "
+        "sample index a dataloader resumes from after preemption). "
+        "Determinism is the whole point: re-running the query, on any "
+        "cluster size or partitioning, reproduces the identical order "
+        "bit-for-bit (engine rand()/shuffle are partitioning-dependent; "
+        "md5 is not). Scale: the position comes from global_rank's "
+        "two-pass range-partition + offset pattern — never a "
+        "single-partition window — and hash keys are uniform by "
+        "construction, so the range partitions are balanced with no "
+        "skew handling needed. At 100 TB this is one balanced sort "
+        "shuffle, the floor for any global permutation.",
+    tags=("text", "pipeline"),
+)
+def shuf1_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import md5h60
+    from .relational import global_rank
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(SHUF_EPOCHS).select(F.col("id").cast("bigint").alias("epoch"))
+    keyed = d.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        md5h60(
+            F.concat(F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string"))
+        ).alias("skey"),
+    )
+    return global_rank(keyed, "epoch", "skey", "doc_id", out="global_pos").select(
+        F.col("epoch").cast("bigint").alias("epoch"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "global_pos",
+    )
+
+
+# ---------------------------------------------------------------- bkt1
+
+BKT_WIDTH = 32  # pad-to boundary granularity (tokens)
+
+
+@query(
+    "bkt1_length_buckets",
+    oracle=f"""
+        WITH t AS (
+            SELECT lang, len(string_split(text, ' ')) AS n_tok FROM documents
+        ),
+        b AS (
+            SELECT lang,
+                   CAST(ceil(greatest(n_tok, 1) / {BKT_WIDTH}.0) * {BKT_WIDTH} AS BIGINT) AS pad_to,
+                   n_tok
+            FROM t
+        )
+        SELECT lang, pad_to,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(count(*) * pad_to - sum(n_tok) AS BIGINT) AS pad_waste,
+               round(1.0 - sum(n_tok) / CAST(count(*) * pad_to AS DOUBLE), 6) AS waste_frac
+        FROM b
+        GROUP BY lang, pad_to
+    """,
+    doc="bkt1 sequence-length bucketing: group documents into "
+        f"padded-length buckets (pad each sequence up to the next "
+        f"multiple of {BKT_WIDTH} tokens) and report per-(lang, bucket) "
+        "doc counts, real token mass, and padding waste — the batching "
+        "diagnostic behind bucketed dataloaders (pad-to-bucket beats "
+        "pad-to-global-max by exactly the waste this table shows, and "
+        "the bucket histogram sizes the buckets). Complements pack1/"
+        "pack2: packing concatenates, bucketing pads; real pipelines "
+        "pick per corpus. Pure map + one groupBy on a low-cardinality "
+        "key — scan-speed at 100 TB, no skew (bucket count is tiny and "
+        "the agg is partial-aggregated map-side).",
+    tags=("text", "pipeline"),
+)
+def bkt1_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    b = d.select(
+        "lang",
+        (F.ceil(F.greatest(n_tok, F.lit(1)) / F.lit(float(BKT_WIDTH))) * BKT_WIDTH)
+        .cast("bigint")
+        .alias("pad_to"),
+        n_tok.alias("n_tok"),
+    )
+    return b.groupBy("lang", "pad_to").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        (F.count("*") * F.col("pad_to") - F.sum("n_tok")).cast("bigint").alias("pad_waste"),
+        F.round(
+            F.lit(1.0) - F.sum("n_tok") / (F.count("*") * F.col("pad_to")).cast("double"), 6
+        ).alias("waste_frac"),
+    )

@@ -452,3 +452,54 @@ def test_dd11b_removal_matches_python_recompute(spark):
     assert 1 not in got and 4 not in got
     # doc 3 lost both copies of the passage
     assert got[3]["n_removed"] >= 2 * len(passage)
+
+
+def test_shuf1_partitioning_invariance_and_epoch_permutation(spark):
+    """The shuffle order is a pure function of (epoch, doc_id) — the
+    SAME sequence must come back under a different shuffle-partition
+    count (global_rank's two-pass rank may not depend on where range
+    boundaries land), and the two epochs must be different permutations
+    of the same doc set."""
+    from reduction_dask_spark.operators.pipeline import SHUF_EPOCHS, shuf1_epoch_shuffle
+
+    base = sorted(
+        (r["global_pos"], r["epoch"], r["doc_id"])
+        for r in shuf1_epoch_shuffle(spark, SF_SMALL).collect()
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        alt = sorted(
+            (r["global_pos"], r["epoch"], r["doc_id"])
+            for r in shuf1_epoch_shuffle(spark, SF_SMALL).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert base == alt
+
+    n = len(base) // SHUF_EPOCHS
+    assert [p for p, _, _ in base] == list(range(1, len(base) + 1))
+    orders = {}
+    for e in range(SHUF_EPOCHS):
+        seg = [d for _, ep, d in base if ep == e]
+        assert sorted(seg) == sorted({d for _, _, d in base})  # full corpus each epoch
+        assert len(seg) == n
+        orders[e] = seg
+    assert orders[0] != orders[1]  # the seed actually re-permutes
+
+
+def test_bkt1_waste_arithmetic_and_coverage(spark):
+    from reduction_dask_spark.operators.pipeline import BKT_WIDTH, bkt1_length_buckets
+    from reduction_dask_spark.sources import load_table
+
+    rows = bkt1_length_buckets(spark, SF_SMALL).collect()
+    assert rows
+    total_docs = 0
+    for r in rows:
+        assert r["pad_to"] % BKT_WIDTH == 0 and r["pad_to"] >= BKT_WIDTH
+        assert r["pad_waste"] == r["n_docs"] * r["pad_to"] - r["n_tokens"]
+        # every doc in the bucket is within (pad_to - BKT_WIDTH, pad_to]
+        assert 0 <= r["pad_waste"] < r["n_docs"] * BKT_WIDTH
+        assert 0.0 <= r["waste_frac"] < 1.0
+        total_docs += r["n_docs"]
+    assert total_docs == load_table(spark, SF_SMALL, "documents").count()
