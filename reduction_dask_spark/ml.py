@@ -384,6 +384,8 @@ def logistic_irls(
     label_col: str,
     iters: int = 6,
     lam: float = 1e-6,
+    ridge: float = 0.0,
+    clip_logit: float | None = None,
 ) -> np.ndarray:
     """Distributed logistic regression by IRLS/Newton.
 
@@ -394,7 +396,15 @@ def logistic_irls(
     solves the (d+1)×(d+1) Newton step. Driver state: β only. The
     classification twin of the suffstats ridge — same shuffle shape
     (a handful of array rows per pass), iterated because the logistic
-    MLE has no closed form."""
+    MLE has no closed form.
+
+    ``ridge`` adds an L2 penalty to BOTH gradient and Hessian (a real
+    regularizer — keeps β bounded when classes are linearly separable,
+    where the unpenalized MLE diverges); ``lam`` stays the tiny
+    solve-jitter it always was. ``clip_logit`` clamps Xβ before the
+    sigmoid so exp() cannot overflow once separation drives logits
+    large — callers recomputing scores (cls2's numpy parity) must clamp
+    identically."""
     d1 = len(feature_cols) + 1
     width = d1 * d1 + d1 + 1
     sc = df.sparkSession.sparkContext
@@ -415,7 +425,10 @@ def logistic_irls(
                     + [pdf[c].to_numpy(dtype=float) for c in feature_cols]
                 )
                 y = pdf[label_col].to_numpy(dtype=float)
-                p = 1.0 / (1.0 + np.exp(-(X @ b)))
+                z = X @ b
+                if clip_logit is not None:
+                    z = np.clip(z, -clip_logit, clip_logit)
+                p = 1.0 / (1.0 + np.exp(-z))
                 w = p * (1.0 - p)
                 H += X.T @ (X * w[:, None])
                 g += X.T @ (y - p)
@@ -434,5 +447,8 @@ def logistic_irls(
         flat = np.asarray(merged)
         H = flat[: d1 * d1].reshape(d1, d1)
         g = flat[d1 * d1 : -1]
+        if ridge:
+            H = H + ridge * np.eye(d1)
+            g = g - ridge * beta
         beta = beta + np.linalg.solve(H + lam * np.eye(d1), g)
     return beta

@@ -1692,3 +1692,110 @@ def rep1_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("r")
     ).select("r.rule", "r.n_fail", "r.n_sole_fail", "r.n_survivors")
+
+
+# ---------------------------------------------------------------- cls2
+
+CLS2_B = 128          # hashed feature buckets (bag-of-words, fastText-style)
+CLS2_ITERS = 8        # IRLS/Newton steps
+CLS2_RIDGE = 1e-2     # L2 penalty — the planted concept is separable,
+                      # unpenalized MLE would diverge
+CLS2_CLIP = 35.0      # logit clamp before sigmoid (exp-overflow guard)
+CLS2_POS_TOK = "hash"  # proxy label: more 'hash' than 'scan' tokens
+CLS2_NEG_TOK = "scan"
+
+
+def cls2_features(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[str]]:
+    """Per-document hashed bag-of-words features for cls2.
+
+    bucket = md5i(token) % CLS2_B, value = bucket count / n_tokens —
+    the vocabulary-unbounded feature map (hashing trick, f16's idea)
+    that works at 100 TB where a materialized vocabulary wouldn't.
+    One explode + one (doc, bucket) count + a bounded 128-way pivot;
+    label is the planted linearly-expressible concept
+    count('hash') > count('scan') standing in for a human/LLM quality
+    annotation (docstring of cls2_trained_classifier)."""
+    from ..functions import md5i
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        (
+            F.size(F.filter(toks, lambda t: t == F.lit(CLS2_POS_TOK)))
+            > F.size(F.filter(toks, lambda t: t == F.lit(CLS2_NEG_TOK)))
+        )
+        .cast("double")
+        .alias("y"),
+    )
+    ex = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    cnt = ex.groupBy(
+        "doc_id", (md5i(F.col("tok")) % CLS2_B).cast("int").alias("b")
+    ).count()
+    piv = cnt.groupBy("doc_id").pivot("b", list(range(CLS2_B))).sum("count").na.fill(0)
+    feat_cols = [f"f{i}" for i in range(CLS2_B)]
+    feats = piv.join(base, "doc_id").select(
+        "doc_id",
+        "y",
+        (F.col("doc_id") % 2 == 0).alias("is_train"),
+        *[
+            (F.col(str(i)).cast("double") / F.col("n_tok")).alias(f"f{i}")
+            for i in range(CLS2_B)
+        ],
+    )
+    return feats, feat_cols
+
+
+@query(
+    "cls2_trained_classifier",
+    oracle=None,  # iterative Newton fit — not SQL-expressible; numpy
+    # end-to-end parity + held-out-accuracy pytest instead
+    doc="cls2 TRAINED quality classifier, end to end in-engine: hashed "
+        f"bag-of-words features ({CLS2_B} md5 buckets / n_tokens — the "
+        "hashing trick, so the feature map needs no vocabulary and "
+        "survives 100 TB), ridge-regularized logistic regression fit "
+        f"by distributed IRLS ({CLS2_ITERS} Newton steps; driver state "
+        "= one 129-vector β, per-step shuffle = one suffstats array "
+        "per partition), then a map-only scoring pass over the full "
+        "corpus. Train split doc_id%2=0, scored docs carry their "
+        "split. The label is a planted deterministic proxy (docs with "
+        f"more '{CLS2_POS_TOK}' than '{CLS2_NEG_TOK}' tokens) standing "
+        "in for the human/LLM quality annotations a real CCNet/GPT-3-"
+        "style quality filter trains on — linearly expressible in the "
+        "bucket features, so held-out accuracy measures the trainer, "
+        "not label noise. This is the curation composition the corpus "
+        "pipeline runs at scale: featurize → fit (bounded driver "
+        "state) → broadcast β → score at scan speed; cls1 is the "
+        "inference-only half, log1 the fit-only half.",
+    tags=("text", "pipeline", "ml"),
+)
+def cls2_trained_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..ml import logistic_irls
+
+    feats, feat_cols = cls2_features(spark, sf_dir)
+    feats = pin(feats)
+    beta = logistic_irls(
+        feats.filter(F.col("is_train")),
+        feat_cols,
+        "y",
+        iters=CLS2_ITERS,
+        ridge=CLS2_RIDGE,
+        clip_logit=CLS2_CLIP,
+    )
+    z = F.lit(float(beta[0]))
+    for i, c in enumerate(feat_cols):
+        z = z + F.col(c) * F.lit(float(beta[i + 1]))
+    z = F.greatest(F.lit(-CLS2_CLIP), F.least(F.lit(CLS2_CLIP), z))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select(
+        "doc_id",
+        F.col("y").cast("bigint").alias("label"),
+        F.when(F.col("is_train"), "train").otherwise("test").alias("split"),
+        F.round(p, 6).alias("score"),
+        (p >= 0.5).cast("bigint").alias("pred"),
+    )

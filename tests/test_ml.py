@@ -666,3 +666,61 @@ def test_t3_sweep_trust_column(spark):
     ok = out[out["status"] == "ok"]
     assert ok["trust_mean"].between(-1.0, 1.0).all()
     assert ok.loc[("pca", 16), "trust_mean"] >= ok.loc[("pca", 2), "trust_mean"]
+
+
+# ------------------------------------------------------------- cls2
+
+def test_cls2_trained_classifier_numpy_parity_and_heldout_accuracy(spark):
+    """End-to-end parity: refit the SAME ridge-IRLS on the SAME
+    features in pure numpy and require near-identical predictions,
+    plus a real held-out accuracy bar (the planted concept is linearly
+    expressible in the bucket features, so a correct trainer must
+    separate it)."""
+    from reduction_dask_spark.operators.text import (
+        CLS2_CLIP,
+        CLS2_ITERS,
+        CLS2_RIDGE,
+        cls2_features,
+        cls2_trained_classifier,
+    )
+
+    out = {r["doc_id"]: r for r in cls2_trained_classifier(spark, SF_SMALL).collect()}
+    feats, feat_cols = cls2_features(spark, SF_SMALL)
+    pdf = feats.toPandas().sort_values("doc_id").reset_index(drop=True)
+    X = np.column_stack(
+        [np.ones(len(pdf))] + [pdf[c].to_numpy(dtype=float) for c in feat_cols]
+    )
+    y = pdf["y"].to_numpy(dtype=float)
+    tr = pdf["is_train"].to_numpy(dtype=bool)
+
+    # feature-map invariant: relative frequencies sum to 1 per doc
+    fsum = X[:, 1:].sum(axis=1)
+    assert np.allclose(fsum, 1.0, atol=1e-9)
+
+    d1 = X.shape[1]
+    beta = np.zeros(d1)
+    for _ in range(CLS2_ITERS):
+        z = np.clip(X[tr] @ beta, -CLS2_CLIP, CLS2_CLIP)
+        p = 1.0 / (1.0 + np.exp(-z))
+        H = X[tr].T @ (X[tr] * (p * (1 - p))[:, None]) + CLS2_RIDGE * np.eye(d1)
+        g = X[tr].T @ (y[tr] - p) - CLS2_RIDGE * beta
+        beta = beta + np.linalg.solve(H + 1e-6 * np.eye(d1), g)
+
+    z = np.clip(X @ beta, -CLS2_CLIP, CLS2_CLIP)
+    p = 1.0 / (1.0 + np.exp(-z))
+    np_pred = (p >= 0.5).astype(int)
+
+    ids = pdf["doc_id"].to_numpy()
+    agree = np.mean([np_pred[i] == out[ids[i]]["pred"] for i in range(len(ids))])
+    assert agree >= 0.998  # float-order drift across partitions only
+
+    # labels round-trip and held-out accuracy beats the base rate by a margin
+    assert all(out[ids[i]]["label"] == int(y[i]) for i in range(len(ids)))
+    te = ~tr
+    te_acc = np.mean([out[ids[i]]["pred"] == int(y[i]) for i in range(len(ids)) if te[i]])
+    base = max(y[te].mean(), 1 - y[te].mean())
+    assert te_acc >= 0.85 and te_acc > base + 0.1
+
+    # score column is the rounded sigmoid of the fitted logit
+    sc = np.array([out[ids[i]]["score"] for i in range(len(ids))])
+    assert np.abs(sc - np.round(p, 6)).max() < 5e-4
