@@ -44,9 +44,40 @@ HEADLINE = [
 ]
 
 
+LOAD_CEILING = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+
+
+def _wait_for_idle_box() -> float:
+    """Noise guard: BENCH_r06 shipped a phantom +20% because the
+    reading was taken while probe/suite jobs shared the box. Sample
+    the 1-min load average before warm-up; if the box is loaded, wait
+    (up to ~5 min) for it to drain rather than certify a loaded
+    number. The sampled load is recorded in the output JSON either
+    way, so a reading taken under load is visibly annotated."""
+    deadline = time.time() + float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
+    load = os.getloadavg()[0]
+    while load > LOAD_CEILING and time.time() < deadline:
+        print(
+            f"bench: box loaded (1-min load {load:.2f} > {LOAD_CEILING}), waiting...",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(15)
+        load = os.getloadavg()[0]
+    if load > LOAD_CEILING:
+        print(
+            f"bench: WARNING — proceeding under load {load:.2f}; "
+            "treat this reading as noisy",
+            file=sys.stderr,
+            flush=True,
+        )
+    return load
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    load_at_start = _wait_for_idle_box()
 
     import __spark_entry__ as e
     from reduction_dask_spark.session import get_spark
@@ -87,6 +118,9 @@ def main() -> None:
         # cache (same steady-state the r01 medians measured), but caches
         # must not leak into the NEXT query — that cross-query leak is
         # what produced r01's "Asked to cache already cached data" noise
+        from reduction_dask_spark.caching import release_pinned
+        release_pinned()  # drop operator-pinned persists with the SQL caches
+
         spark.catalog.clearCache()
         # nudge a full GC between queries: persist-heavy predecessors
         # otherwise leak heap/code-cache pressure into the next query's
@@ -104,6 +138,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "load_1min_at_start": round(load_at_start, 2),
+                "loaded_run": load_at_start > LOAD_CEILING,
             }
         )
     )

@@ -31,15 +31,19 @@ exit instead and never appear here.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _PINNED: list[DataFrame] = []
+_LOCK = threading.Lock()
 
 
 def pin(df: DataFrame) -> DataFrame:
     """persist() a DataFrame and register it for release_pinned()."""
     df.persist()
-    _PINNED.append(df)
+    with _LOCK:
+        _PINNED.append(df)
     return df
 
 
@@ -47,13 +51,18 @@ def release_pinned() -> int:
     """Unpersist every pinned relation; returns how many were
     released. Safe to call at any query boundary: results already
     materialized stay valid, and re-running an operator simply
-    re-pins (and re-materializes) its relations."""
-    n = len(_PINNED)
-    for df in _PINNED:
+    re-pins (and re-materializes) its relations. Batch runners call
+    this alongside spark.catalog.clearCache() between queries so the
+    registry (and the JVM logical plans it references) stays bounded
+    across a multi-hundred-query sweep."""
+    with _LOCK:
+        drained = list(_PINNED)
+        _PINNED.clear()
+    for df in drained:
         df.unpersist()
-    _PINNED.clear()
-    return n
+    return len(drained)
 
 
 def pinned_count() -> int:
-    return len(_PINNED)
+    with _LOCK:
+        return len(_PINNED)

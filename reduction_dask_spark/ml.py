@@ -400,8 +400,9 @@ def logistic_irls(
 
     ``ridge`` adds an L2 penalty to BOTH gradient and Hessian (a real
     regularizer — keeps β bounded when classes are linearly separable,
-    where the unpenalized MLE diverges); ``lam`` stays the tiny
-    solve-jitter it always was. ``clip_logit`` clamps Xβ before the
+    where the unpenalized MLE diverges); the intercept is exempt from
+    the penalty, per standard L2-logistic convention. ``lam`` stays
+    the tiny solve-jitter it always was. ``clip_logit`` clamps Xβ before the
     sigmoid so exp() cannot overflow once separation drives logits
     large — callers recomputing scores (cls2's numpy parity) must clamp
     identically."""
@@ -448,7 +449,13 @@ def logistic_irls(
         H = flat[: d1 * d1].reshape(d1, d1)
         g = flat[d1 * d1 : -1]
         if ridge:
-            H = H + ridge * np.eye(d1)
-            g = g - ridge * beta
+            # Standard L2-logistic: penalize the weights, NOT the
+            # intercept (column 0 of the bias-augmented design) — a
+            # penalized intercept biases the fitted base rate toward
+            # p=0.5 on imbalanced data.
+            R = ridge * np.eye(d1)
+            R[0, 0] = 0.0
+            H = H + R
+            g = g - R @ beta
         beta = beta + np.linalg.solve(H + lam * np.eye(d1), g)
     return beta

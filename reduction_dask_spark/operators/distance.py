@@ -621,16 +621,24 @@ def _hdbscan(D, min_cluster_size: int = 2, min_samples: int = 2):
 
     condense(root, 0, lam(mdist[root]))
 
-    # stability (finite λ caps at the largest finite fall-out level)
+    # stability (finite λ caps at the largest finite fall-out level).
+    # EVERY λ entering the sum is clamped by the same cap — births and
+    # child-split levels included: exact-duplicate points give zero
+    # mutual-reachability merges whose raw λ is ~1e12, and an
+    # unclamped split (or birth) at that level would dominate the
+    # excess-of-mass comparison and distort cluster selection. A
+    # zero-distance merge clamps to (cap − cap) = 0 extra mass, i.e.
+    # it persists "to infinity" uniformly with the point fall-outs.
     finite = [lf for c in clusters.values() for _, lf in c["pts"] if np.isfinite(lf)]
     lam_cap = max(finite) if finite else 1.0
     stability = {}
     for c, info in clusters.items():
-        s = sum(min(lf, lam_cap) - info["birth"] for _, lf in info["pts"])
+        birth = min(info["birth"], lam_cap)
+        s = sum(min(lf, lam_cap) - birth for _, lf in info["pts"])
         # children leave mass at their split: each child subtree's
         # points contribute (λ_split − λ_birth)
         for kid, ls in info["kids"]:
-            s += (ls - info["birth"]) * _condensed_size(clusters, kid)
+            s += (min(ls, lam_cap) - birth) * _condensed_size(clusters, kid)
         stability[c] = s
 
     # excess-of-mass selection, root excluded

@@ -654,6 +654,30 @@ def test_hdbscan_stability_selection_resolves_nested_structure():
     assert len(d - {-1}) == 1 and labels[0] not in d
 
 
+def test_hdbscan_exact_duplicates_do_not_distort_selection():
+    """r6 advisor item: exact-duplicate points create zero-distance
+    mutual-reachability merges whose raw λ (~1e12) previously entered
+    the stability sum unclamped via child-split levels. With the
+    uniform clamp, duplicated blobs are still recovered whole and the
+    labeling matches the duplicate-free geometry."""
+    from reduction_dask_spark.operators.distance import _hdbscan
+
+    rng = np.random.default_rng(11)
+    a = rng.normal((0, 0), 0.2, size=(12, 2))
+    b = rng.normal((6, 0), 0.2, size=(12, 2))
+    # plant exact duplicates inside each blob
+    a[5] = a[0]; a[7] = a[0]; b[3] = b[1]
+    X = np.vstack([a, b])
+    D = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+    labels = _hdbscan(D, min_cluster_size=5, min_samples=3)
+    sa, sb = set(labels[:12].tolist()), set(labels[12:].tolist())
+    assert len(sa) == 1 and len(sb) == 1 and -1 not in sa | sb
+    assert sa != sb
+    # duplicates share their original's label by construction
+    assert labels[5] == labels[0] == labels[7]
+    assert labels[12 + 3] == labels[12 + 1]
+
+
 def test_t3_sweep_trust_column(spark):
     """Every ok config carries a coranking trust score in [-1, 1], and
     keeping more PCA components cannot hurt neighborhood preservation
@@ -699,11 +723,13 @@ def test_cls2_trained_classifier_numpy_parity_and_heldout_accuracy(spark):
 
     d1 = X.shape[1]
     beta = np.zeros(d1)
+    R = CLS2_RIDGE * np.eye(d1)
+    R[0, 0] = 0.0  # intercept exempt from the L2 penalty (matches ml.logistic_irls)
     for _ in range(CLS2_ITERS):
         z = np.clip(X[tr] @ beta, -CLS2_CLIP, CLS2_CLIP)
         p = 1.0 / (1.0 + np.exp(-z))
-        H = X[tr].T @ (X[tr] * (p * (1 - p))[:, None]) + CLS2_RIDGE * np.eye(d1)
-        g = X[tr].T @ (y[tr] - p) - CLS2_RIDGE * beta
+        H = X[tr].T @ (X[tr] * (p * (1 - p))[:, None]) + R
+        g = X[tr].T @ (y[tr] - p) - R @ beta
         beta = beta + np.linalg.solve(H + 1e-6 * np.eye(d1), g)
 
     z = np.clip(X @ beta, -CLS2_CLIP, CLS2_CLIP)

@@ -127,6 +127,12 @@ def test_hdbscan_noise_and_determinism_property(seed):
     rng = np.random.default_rng(seed)
     n = int(rng.integers(6, 40))
     X = rng.normal(size=(n, 3))
+    if seed % 2:
+        # exact-duplicate points: zero mutual-reachability merges must
+        # not distort the excess-of-mass selection (split λs clamp to
+        # the same cap as point fall-outs)
+        k = int(rng.integers(1, max(2, n // 3)))
+        X[rng.choice(n, size=k, replace=False)] = X[int(rng.integers(n))]
     D = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
     mcs = int(rng.integers(2, 5))
     labels = _hdbscan(D, min_cluster_size=mcs, min_samples=2)

@@ -371,3 +371,68 @@ def test_protoshim_nested_write_through_and_singular_len_guard():
     m = cls()
     m.ParseFromString(buf)
     assert m.a == 0 and not m.HasField("a")
+
+
+def test_protoshim_repeated_read_defers_attach_until_mutation():
+    """r6 advisor item: reading a repeated field THROUGH a hooked
+    nested child (`_ = parent.child.xs`) must not attach the child —
+    the read-must-not-mark-present contract the scalar path already
+    honors — while the first MUTATION of the handed-out container
+    must attach the whole spine and survive serialization."""
+    import sys
+
+    from reduction_dask_spark.streaming import _shim_root
+
+    if _shim_root() not in sys.path:
+        sys.path.insert(0, _shim_root())
+    from google.protobuf._mini_runtime import (
+        FieldDesc,
+        MessageDesc,
+        build_message_class,
+    )
+
+    reg: dict = {}
+    child = MessageDesc()
+    child.name = "C"
+    fx = FieldDesc(); fx.name = "xs"; fx.number = 1; fx.type = 3; fx.label = 3
+    child.fields = [fx]
+    C = build_message_class(child, reg, "pkg3")
+
+    parent = MessageDesc()
+    parent.name = "P"
+    fc = FieldDesc(); fc.name = "child"; fc.number = 1; fc.type = 11
+    fc.type_name = ".pkg3.C"
+    parent.fields = [fc]
+    P = build_message_class(parent, reg, "pkg3")
+
+    # read through the hook: neither the child nor the list appears
+    p = P()
+    _ = p.child.xs
+    assert not p.HasField("child")
+    rt = P()
+    rt.ParseFromString(p.SerializeToString())
+    assert not rt.HasField("child")
+
+    # a bare repeated read on a TOP-LEVEL message also stays absent
+    c = C()
+    got = c.xs
+    assert got == [] and "xs" not in c._values
+
+    # first mutation materializes: append / extend / += all attach
+    for mutate in (
+        lambda lst: lst.append(7),
+        lambda lst: lst.extend([7]),
+        lambda lst: lst.__iadd__([7]),
+    ):
+        p2 = P()
+        mutate(p2.child.xs)
+        assert p2.HasField("child")
+        back = P()
+        back.ParseFromString(p2.SerializeToString())
+        assert back.child.xs == [7]
+
+    # the materialized container is live: later reads see mutations
+    c2 = C()
+    c2.xs.append(1)
+    c2.xs.append(2)
+    assert c2.xs == [1, 2]

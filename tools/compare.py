@@ -89,6 +89,9 @@ def main() -> int:
         finally:
             # queries persist() intermediates for intra-plan reuse;
             # drop them so caches don't accumulate across 139 queries
+            from reduction_dask_spark.caching import release_pinned
+            release_pinned()  # drop operator-pinned persists with the SQL caches
+
             spark.catalog.clearCache()
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows-only: {len(sdf)} rows, {time.time()-t0:.1f}s)")

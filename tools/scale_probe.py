@@ -118,6 +118,9 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             ts.append(time.perf_counter() - t0)
+            from reduction_dask_spark.caching import release_pinned
+            release_pinned()  # drop operator-pinned persists with the SQL caches
+
             spark.catalog.clearCache()
         lines.append(f"| {name} | {ts[0]:.2f} | {ts[1]:.2f} | {ts[1]/ts[0]:.2f}× |")
         print(lines[-1], flush=True)

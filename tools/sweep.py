@@ -55,6 +55,9 @@ def main() -> None:
             print(line, flush=True)
             fh.write(line + "\n")
             fh.flush()
+            from reduction_dask_spark.caching import release_pinned
+            release_pinned()  # drop operator-pinned persists with the SQL caches
+
             spark.catalog.clearCache()
     print(f"DONE {len(qs)} queries, {len(fails)} failed this pass: {fails}", flush=True)
 
