@@ -422,6 +422,223 @@ def t9c_landmark_lle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lle_transform(df, L, Y)
 
 
+# ------------------------------- shared out-of-sample mapper shell
+
+
+def _oos_transform(df: DataFrame, embed_fn, k: int) -> DataFrame:
+    """Shared distributed out-of-sample shell for landmark kernels:
+    one mapInPandas pass where ``embed_fn`` maps an Arrow batch's
+    feature matrix (n×d) to embedding coordinates (n×k). The closure
+    captures only the KB-sized fitted landmark state; nothing scales
+    with corpus size but the scan. Supervision columns pass through
+    to avoid a join back onto the source frame in the sweep path."""
+    import pandas as pd
+
+    cols = [f"mc{i + 1}" for i in range(k)]
+    passthrough = [c for c in ("era", "y") if c in df.columns]
+    pass_types = {"era": "int", "y": "double"}
+
+    def mapper(batches):
+        for pdf in batches:
+            X = np.stack(pdf["features"].to_numpy()).astype(np.float64)
+            Y = embed_fn(X)
+            out = pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy()})
+            for p in passthrough:
+                out[p] = pdf[p].to_numpy()
+            for i, c in enumerate(cols):
+                out[c] = np.round(Y[:, i], 6)
+            yield out
+
+    schema = ", ".join(
+        ["vec_id long"]
+        + [f"{p} {pass_types[p]}" for p in passthrough]
+        + [f"{c} double" for c in cols]
+    )
+    return df.mapInPandas(mapper, schema=schema)
+
+
+# ----------------------- RBF kernel-PCA kernel: Nyström landmark KPCA
+
+
+def _rbf_gamma(L: np.ndarray) -> float:
+    """The 'scale' bandwidth heuristic: γ = 1/(d · Var(L)) — the
+    common default that keeps exp(−γ‖·‖²) responsive at the data's
+    own length scale regardless of feature count or units."""
+    v = float(L.var())
+    return 1.0 / (L.shape[1] * v) if v > 0 else 1.0
+
+
+def fit_lkpca(
+    spark: SparkSession,
+    sf_dir: str,
+    n_components: int,
+    n_landmarks: int = LMDS_LANDMARKS,
+):
+    """Nyström landmark KernelPCA fit — the reference's KernelPCA
+    sweep slot (/root/reference nb cells 80-90; tuners.py:149-373
+    accepts any reducer) on the same subsample-fit / broadcast /
+    distributed-transform path as fit_lmds: RBF kernel matrix over
+    the pinned landmark set, double-centering (Schölkopf's K̃ = JKJ),
+    driver eigensolve, α = VΛ^(−1/2) as the out-of-sample projection
+    of centered kernel vectors. Returns (landmarks, γ, column means
+    of K, grand mean of K, α)."""
+    df = supervised_frame(spark, sf_dir)
+    head = df.orderBy("vec_id").limit(n_landmarks).select("features").toPandas()
+    L = np.stack(head["features"].to_numpy()).astype(np.float64)
+    gamma = _rbf_gamma(L)
+    K = np.exp(-gamma * _pairwise_sq("l2", L, L))
+    n = len(L)
+    J = np.eye(n) - np.full((n, n), 1.0 / n)
+    Kc = J @ K @ J
+    vals, vecs = np.linalg.eigh(Kc)
+    order = np.argsort(vals)[::-1][:n_components]
+    vals, vecs = vals[order], vecs[:, order]
+    vals = np.maximum(vals, 1e-12)
+    for i in range(vecs.shape[1]):
+        j = int(np.argmax(np.abs(vecs[:, i])))
+        if vecs[j, i] < 0:
+            vecs[:, i] = -vecs[:, i]
+    alpha = vecs / np.sqrt(vals)
+    return L, gamma, K.mean(axis=0), float(K.mean()), alpha
+
+
+def kpca_embed_fn(
+    landmarks: np.ndarray,
+    gamma: float,
+    k_colmean: np.ndarray,
+    k_grandmean: float,
+    alpha: np.ndarray,
+):
+    """Out-of-sample KPCA projection for _oos_transform: kernel vector
+    k(x) to every landmark, the standard test-point centering
+    k̃(x)_l = k(x)_l − mean_j k(x)_j − colmean_K[l] + grandmean_K,
+    then one (n×L)·(L×k) matmul against α. A landmark projects to its
+    own training embedding √λ·v (the invariant the parity test pins)."""
+
+    def embed(X: np.ndarray) -> np.ndarray:
+        kx = np.exp(-gamma * _pairwise_sq("l2", X, landmarks))
+        kc = kx - kx.mean(axis=1, keepdims=True) - k_colmean[None, :] + k_grandmean
+        return kc @ alpha
+
+    return embed
+
+
+@query(
+    "t9d_landmark_kpca",
+    oracle=None,
+    doc="t9d RBF kernel-PCA — Nyström landmark KPCA on t9's "
+        "subsample-fit / broadcast / distributed-transform path, "
+        "closing the reference's KernelPCA sweep slot (nb cells "
+        "80-90; tuners.py:149-373): RBF landmark kernel matrix with "
+        "the 1/(d·var) scale bandwidth, double-centering, driver "
+        "eigensolve on the bounded L×L problem, then a mapInPandas "
+        "out-of-sample transform projecting each row's centered "
+        "kernel vector through α = VΛ^(−1/2) — only the KB-sized "
+        "(landmarks, γ, K means, α) state ships to executors, "
+        "nothing scales with corpus size but the scan.",
+    tags=("reduction", "ml"),
+)
+def t9d_landmark_kpca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    L, gamma, cm, gm, alpha = fit_lkpca(spark, sf_dir, N_COMPONENTS)
+    df = supervised_frame(spark, sf_dir)
+    return _oos_transform(df, kpca_embed_fn(L, gamma, cm, gm, alpha), N_COMPONENTS)
+
+
+# ------- neighbor-graph kernel: landmark spectral embedding (UMAP slot)
+
+SPEC_KNN = 8
+
+
+def fit_lspectral(
+    spark: SparkSession,
+    sf_dir: str,
+    n_components: int,
+    n_landmarks: int = LMDS_LANDMARKS,
+    knn: int = SPEC_KNN,
+):
+    """Landmark spectral embedding (Laplacian eigenmaps) — the honest
+    buildable stand-in for the reference's UMAP sweep (nb cells
+    104-114; the umap package is container-absent, documented in
+    ROADMAP.md): UMAP-SHAPED (a kNN-graph embedding judged by the
+    same coranking trust column), not UMAP. Fit: symmetrized kNN
+    graph over the pinned landmark set with heat-kernel weights at
+    the median-kNN-distance bandwidth, normalized Laplacian
+    L_sym = I − D^(−1/2) W D^(−1/2), bottom non-constant eigenvectors
+    mapped back through D^(−1/2) (the generalized eigenproblem
+    Lu = λDu), unit-norm·√n scaling like fit_llle. Returns
+    (landmarks, σ, Y landmark embedding)."""
+    df = supervised_frame(spark, sf_dir)
+    head = df.orderBy("vec_id").limit(n_landmarks).select("features").toPandas()
+    L = np.stack(head["features"].to_numpy()).astype(np.float64)
+    n = len(L)
+    d = np.sqrt(_pairwise_sq("l2", L, L))
+    nn = np.argsort(d, axis=1)[:, 1 : knn + 1]
+    sigma = float(np.median(d[np.arange(n)[:, None], nn]))
+    sigma = sigma if sigma > 0 else 1.0
+    W = np.zeros((n, n))
+    for i in range(n):
+        w = np.exp(-(d[i, nn[i]] ** 2) / (2.0 * sigma * sigma))
+        W[i, nn[i]] = np.maximum(W[i, nn[i]], w)
+        W[nn[i], i] = np.maximum(W[nn[i], i], w)
+    deg = np.maximum(W.sum(axis=1), 1e-12)
+    dinv = 1.0 / np.sqrt(deg)
+    Lsym = np.eye(n) - (W * dinv[:, None]) * dinv[None, :]
+    vals, vecs = np.linalg.eigh(Lsym)
+    # ascending order: index 0 is the constant mode (λ ≈ 0); map the
+    # next n_components back through D^(−1/2) to generalized
+    # eigenvectors, then normalize each to ‖·‖=√n
+    U = vecs[:, 1 : n_components + 1] * dinv[:, None]
+    U = U / np.linalg.norm(U, axis=0) * np.sqrt(n)
+    for i in range(U.shape[1]):
+        j = int(np.argmax(np.abs(U[:, i])))
+        if U[j, i] < 0:
+            U[:, i] = -U[:, i]
+    return L, sigma, U
+
+
+def spectral_embed_fn(
+    landmarks: np.ndarray, sigma: float, Y: np.ndarray, knn: int = SPEC_KNN
+):
+    """Out-of-sample extension for _oos_transform: each row embeds as
+    the heat-kernel-affinity-weighted average of its kNN landmarks'
+    embeddings — the same neighbor-interpolation UMAP's transform()
+    performs, and the natural extension for an affinity-graph
+    embedding. Per-row cost O(L) distances + O(knn·k); a landmark's
+    own kNN set contains itself at weight 1, so landmarks land near
+    their fitted coordinates."""
+
+    def embed(X: np.ndarray) -> np.ndarray:
+        d2 = _pairwise_sq("l2", X, landmarks)
+        idx = np.argsort(d2, axis=1)[:, :knn]
+        rows = np.arange(len(X))[:, None]
+        a = np.exp(-d2[rows, idx] / (2.0 * sigma * sigma))
+        a = a / np.maximum(a.sum(axis=1, keepdims=True), 1e-300)
+        return np.einsum("nk,nkc->nc", a, Y[idx])
+
+    return embed
+
+
+@query(
+    "t9e_spectral_embedding",
+    oracle=None,
+    doc="t9e neighbor-graph embedding (UMAP slot) — landmark "
+        "Laplacian eigenmaps on t9's subsample-fit / broadcast / "
+        "distributed-transform path, standing in for the reference's "
+        "UMAP sweep (nb cells 104-114; umap is container-absent): "
+        "heat-kernel kNN graph over the landmarks, normalized-"
+        "Laplacian eigensolve driver-side, out-of-sample rows embed "
+        "as the affinity-weighted average of their kNN landmarks' "
+        "coordinates (the same neighbor interpolation umap.transform "
+        "performs). UMAP-shaped, not UMAP — judged by the same "
+        "coranking trust_mean column as every other kernel.",
+    tags=("reduction", "ml"),
+)
+def t9e_spectral_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    L, sigma, Y = fit_lspectral(spark, sf_dir, N_COMPONENTS)
+    df = supervised_frame(spark, sf_dir)
+    return _oos_transform(df, spectral_embed_fn(L, sigma, Y), N_COMPONENTS)
+
+
 def reduction_sweep(
     spark: SparkSession,
     sf_dir: str,
@@ -430,6 +647,8 @@ def reduction_sweep(
         ("lmds_l1", 2), ("lmds_l1", 4),
         ("lisomap_l2", 2), ("lisomap_l2", 4),
         ("llle_l2", 2), ("llle_l2", 4),
+        ("lkpca_rbf", 2), ("lkpca_rbf", 4),
+        ("lspec_l2", 2), ("lspec_l2", 4),
     ),
     lam: float = 1.0,
     k: int = 5,
@@ -456,6 +675,18 @@ def reduction_sweep(
                 Lm, Yl = fit_llle(spark, sf_dir, nc)
                 cols = [f"mc{i + 1}" for i in range(nc)]
                 reduced_wide = lle_transform(base, Lm, Yl)
+            elif kernel == "lkpca_rbf":
+                Lm, gam, cm, gm, alpha = fit_lkpca(spark, sf_dir, nc)
+                cols = [f"mc{i + 1}" for i in range(nc)]
+                reduced_wide = _oos_transform(
+                    base, kpca_embed_fn(Lm, gam, cm, gm, alpha), nc
+                )
+            elif kernel == "lspec_l2":
+                Lm, sig, Ys = fit_lspectral(spark, sf_dir, nc)
+                cols = [f"mc{i + 1}" for i in range(nc)]
+                reduced_wide = _oos_transform(
+                    base, spectral_embed_fn(Lm, sig, Ys), nc
+                )
             else:
                 Lm, dmean, pseudo = fit_lmds(spark, sf_dir, nc)
                 cols = [f"mc{i + 1}" for i in range(nc)]
@@ -500,7 +731,8 @@ def reduction_sweep(
     doc="T3 tune_reduction_dask sweep (tuners.py:149-252): "
         "(kernel × n_components → CV score) result table with status "
         "column for failed configs; kernels = subsample-fit PCA, "
-        "landmark MDS / Isomap / LLE (nonlinear), each row ALSO "
+        "landmark MDS / Isomap / LLE / RBF-KernelPCA / spectral "
+        "(Laplacian eigenmaps, the UMAP slot), each row ALSO "
         "carrying trust_mean — the mean coranking trustworthiness of "
         "the produced embedding vs the original feature space (the "
         "quality judgment the reference imports for its sweeps, nb "

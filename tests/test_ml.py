@@ -353,9 +353,16 @@ def test_reduction_sweep_has_all_kernels(spark):
     from reduction_dask_spark.operators.reduction import reduction_sweep
 
     out = reduction_sweep(
-        spark, SF_SMALL, configs=(("pca", 2), ("lmds_l1", 2), ("lisomap_l2", 2))
+        spark,
+        SF_SMALL,
+        configs=(
+            ("pca", 2), ("lmds_l1", 2), ("lisomap_l2", 2),
+            ("lkpca_rbf", 2), ("lspec_l2", 2),
+        ),
     ).toPandas()
-    assert set(out["kernel"]) == {"pca", "lmds_l1", "lisomap_l2"}
+    assert set(out["kernel"]) == {
+        "pca", "lmds_l1", "lisomap_l2", "lkpca_rbf", "lspec_l2"
+    }
     assert (out["status"] == "ok").all()
     assert out["spearman_mean"].notna().all()
 
@@ -593,6 +600,151 @@ def test_t9c_registered_runs(spark):
     from reduction_dask_spark.operators.reduction import t9c_landmark_lle
 
     out = t9c_landmark_lle(spark, SF_SMALL)
+    rows = out.collect()
+    assert len(rows) == supervised_frame(spark, SF_SMALL).count()
+    assert set(out.columns) >= {"vec_id", "mc1", "mc2"}
+
+
+# ------------------------------------------- landmark KPCA kernel
+
+
+def test_lkpca_transform_matches_numpy_and_self_embedding(spark):
+    """Distributed out-of-sample KPCA == the same centered-kernel
+    projection on collected rows; a landmark projects to its own
+    training embedding √λ·v (the double-centering identity
+    k̃(L_i) = (JKJ)[i])."""
+    from reduction_dask_spark.operators.reduction import (
+        _oos_transform,
+        _pairwise_sq,
+        fit_lkpca,
+        kpca_embed_fn,
+    )
+
+    Lm, gamma, cm, gm, alpha = fit_lkpca(spark, SF_SMALL, 2)
+    df = supervised_frame(spark, SF_SMALL)
+    got = (
+        _oos_transform(df, kpca_embed_fn(Lm, gamma, cm, gm, alpha), 2)
+        .select("vec_id", "mc1", "mc2")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pdf = (
+        df.select("vec_id", "features")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    X = np.stack(pdf["features"].to_numpy()).astype(float)
+    kx = np.exp(-gamma * _pairwise_sq("l2", X, Lm))
+    kc = kx - kx.mean(axis=1, keepdims=True) - cm[None, :] + gm
+    want = kc @ alpha
+    np.testing.assert_allclose(
+        got[["mc1", "mc2"]].to_numpy(), np.round(want, 6), atol=2e-6
+    )
+    assert got["mc1"].std() > 1e-3 and got["mc2"].std() > 1e-3
+
+    # landmark self-embedding: k̃(L_i) @ α == √λ·v_i row-for-row
+    K = np.exp(-gamma * _pairwise_sq("l2", Lm, Lm))
+    n = len(Lm)
+    J = np.eye(n) - np.full((n, n), 1.0 / n)
+    Kc = J @ K @ J
+    emb = kpca_embed_fn(Lm, gamma, cm, gm, alpha)(Lm)
+    np.testing.assert_allclose(emb, Kc @ alpha, atol=1e-10)
+    # and Kc @ alpha is the eigensystem's √λ·v up to the pinned order
+    vals, vecs = np.linalg.eigh(Kc)
+    lead = np.sort(vals)[::-1][:2]
+    norms = np.linalg.norm(emb, axis=0)
+    np.testing.assert_allclose(norms, np.sqrt(np.maximum(lead, 0)), rtol=1e-8)
+
+
+def test_t9d_registered_runs(spark):
+    from reduction_dask_spark.operators.reduction import t9d_landmark_kpca
+
+    out = t9d_landmark_kpca(spark, SF_SMALL)
+    rows = out.collect()
+    assert len(rows) == supervised_frame(spark, SF_SMALL).count()
+    assert set(out.columns) >= {"vec_id", "mc1", "mc2"}
+
+
+# --------------------------------- landmark spectral (UMAP slot)
+
+
+def test_lspectral_blob_separation():
+    """Pure-kernel structural check: on two well-separated blobs the
+    first non-constant Laplacian eigenvector is (near-)constant within
+    each blob with opposite signs — the defining property of a
+    spectral embedding."""
+    from reduction_dask_spark.operators.reduction import _pairwise_sq
+
+    rng = np.random.default_rng(5)
+    a = rng.normal((0, 0, 0), 0.3, size=(30, 3))
+    b = rng.normal((10, 0, 0), 0.3, size=(30, 3))
+    L = np.vstack([a, b])
+    n = len(L)
+    d = np.sqrt(_pairwise_sq("l2", L, L))
+    nn = np.argsort(d, axis=1)[:, 1:9]
+    sigma = float(np.median(d[np.arange(n)[:, None], nn]))
+    W = np.zeros((n, n))
+    for i in range(n):
+        w = np.exp(-(d[i, nn[i]] ** 2) / (2 * sigma * sigma))
+        W[i, nn[i]] = np.maximum(W[i, nn[i]], w)
+        W[nn[i], i] = np.maximum(W[nn[i], i], w)
+    deg = np.maximum(W.sum(1), 1e-12)
+    dinv = 1.0 / np.sqrt(deg)
+    Lsym = np.eye(n) - (W * dinv[:, None]) * dinv[None, :]
+    vals, vecs = np.linalg.eigh(Lsym)
+    u1 = vecs[:, 1] * dinv
+    # blocks take opposite signs (disconnected blobs ⇒ indicator modes)
+    sa, sb = np.sign(u1[:30]), np.sign(u1[30:])
+    assert len(set(sa.tolist())) == 1 and len(set(sb.tolist())) == 1
+    assert sa[0] != sb[0]
+
+
+def test_lspectral_transform_matches_numpy(spark):
+    """Distributed out-of-sample spectral embedding == the same
+    affinity-weighted kNN-landmark average on collected rows; the
+    embedding is non-degenerate."""
+    from reduction_dask_spark.operators.reduction import (
+        SPEC_KNN,
+        _oos_transform,
+        _pairwise_sq,
+        fit_lspectral,
+        spectral_embed_fn,
+    )
+
+    Lm, sigma, Y = fit_lspectral(spark, SF_SMALL, 2)
+    df = supervised_frame(spark, SF_SMALL)
+    got = (
+        _oos_transform(df, spectral_embed_fn(Lm, sigma, Y), 2)
+        .select("vec_id", "mc1", "mc2")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pdf = (
+        df.select("vec_id", "features")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    X = np.stack(pdf["features"].to_numpy()).astype(float)
+    d2 = _pairwise_sq("l2", X, Lm)
+    idx = np.argsort(d2, axis=1)[:, :SPEC_KNN]
+    rows = np.arange(len(X))[:, None]
+    a = np.exp(-d2[rows, idx] / (2 * sigma * sigma))
+    a = a / np.maximum(a.sum(axis=1, keepdims=True), 1e-300)
+    want = np.einsum("nk,nkc->nc", a, Y[idx])
+    np.testing.assert_allclose(
+        got[["mc1", "mc2"]].to_numpy(), np.round(want, 6), atol=2e-6
+    )
+    assert got["mc1"].std() > 1e-3 and got["mc2"].std() > 1e-3
+
+
+def test_t9e_registered_runs(spark):
+    from reduction_dask_spark.operators.reduction import t9e_spectral_embedding
+
+    out = t9e_spectral_embedding(spark, SF_SMALL)
     rows = out.collect()
     assert len(rows) == supervised_frame(spark, SF_SMALL).count()
     assert set(out.columns) >= {"vec_id", "mc1", "mc2"}
