@@ -1526,12 +1526,15 @@ REP_DUP5_PCT = 15  # fail if duplicated 5-grams cover > 15% of positions
 def _gram_col(toks: Column, k: int) -> Column:
     """All k-grams of a token array WITH multiplicity (dedup's
     shingles_of_tokens minus the array_distinct — repetition rules
-    need the counts the dedup index deliberately drops)."""
+    need the counts the dedup index deliberately drops). The slice
+    length clamps at 0 so docs shorter than k yield an empty array
+    instead of an ANSI negative-length error."""
     n = F.size(toks)
-    out = F.slice(toks, 1, n - (k - 1))
+    ln = F.greatest(n - (k - 1), F.lit(0))
+    out = F.slice(toks, 1, ln)
     for j in range(1, k):
         out = F.zip_with(
-            out, F.slice(toks, 1 + j, n - (k - 1)),
+            out, F.slice(toks, 1 + j, ln),
             lambda a, b: F.concat_ws(" ", a, b),
         )
     return out
@@ -1540,26 +1543,37 @@ def _gram_col(toks: Column, k: int) -> Column:
 def repetition_flags_of(d: DataFrame) -> DataFrame:
     """Per-document Gopher repetition-rule fail flags (f_top2, f_top3,
     f_dup5) from a (doc_id, text) relation — rep1's aggregation runs
-    on top; the fixture test plants repetitious documents here."""
+    on top; the fixture test plants repetitious documents here.
+
+    ONE corpus scan, ONE explode: the 2/3/5-gram arrays are built
+    array-side in a single select and arrays_zip'ed (shorter arrays
+    null-pad to the longest, so a position carries its 2-gram and
+    whatever higher grams start there), then one posexplode produces
+    the shared (doc_id, p, g2, g3, g5) stream pinned for its four
+    consumers — the r6 version re-exploded the corpus per gram order
+    (3 scans), the round's highest non-baseline ×10 ratio."""
     toks = tokens(F.col("text"))
     base = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    zipped = F.arrays_zip(
+        _gram_col(F.col("toks"), 2).alias("g2"),
+        _gram_col(F.col("toks"), 3).alias("g3"),
+        _gram_col(F.col("toks"), 5).alias("g5"),
+    )
+    stream = pin(
+        base.select("doc_id", F.posexplode(zipped).alias("p", "s"))
+        .select("doc_id", "p", "s.g2", "s.g3", "s.g5")
+    )
 
-    def top_frac(k: int, alias: str) -> DataFrame:
-        # docs shorter than k have no k-grams (ANSI slice errors on a
-        # negative length; the base left-join fills their count with 0)
-        g = base.filter(F.col("n") >= k).select(
-            "doc_id", F.explode(_gram_col(F.col("toks"), k)).alias("g")
-        )
+    def top_frac(col: str, alias: str) -> DataFrame:
         return (
-            g.groupBy("doc_id", "g")
+            stream.filter(F.col(col).isNotNull())
+            .groupBy("doc_id", col)
             .agg(F.count("*").alias("c"))
             .groupBy("doc_id")
             .agg(F.max("c").alias(alias))
         )
 
-    g5 = base.filter(F.col("n") >= 5).select(
-        "doc_id", F.posexplode(_gram_col(F.col("toks"), 5)).alias("p", "g")
-    )
+    g5 = stream.filter(F.col("g5").isNotNull()).select("doc_id", "p", F.col("g5").alias("g"))
     c5 = g5.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
     cov5 = (
         g5.join(c5.filter(F.col("c") >= 2), ["doc_id", "g"])
@@ -1570,8 +1584,8 @@ def repetition_flags_of(d: DataFrame) -> DataFrame:
     )
     j = (
         base.select("doc_id", "n")
-        .join(top_frac(2, "maxc2"), "doc_id", "left")
-        .join(top_frac(3, "maxc3"), "doc_id", "left")
+        .join(top_frac("g2", "maxc2"), "doc_id", "left")
+        .join(top_frac("g3", "maxc3"), "doc_id", "left")
         .join(cov5, "doc_id", "left")
         .na.fill({"maxc2": 0, "maxc3": 0, "cov5": 0})
     )
@@ -1655,13 +1669,15 @@ def repetition_flags_of(d: DataFrame) -> DataFrame:
         "this single-line corpus, noted not stubbed). Token-fraction "
         "thresholds mean docs under 10 tokens always trip top_2gram "
         "(2/n > 20%) — by design these rules run after gq1's "
-        "min-word-count filter, as in the paper. Scale shape: "
-        "per-doc n-gram counting is a (doc_id, gram) groupBy over the "
-        "exploded stream (the shingle index's cost class, linear in "
-        "corpus); coverage is one distinct over exploded 5-position "
-        "spans; thresholds are integer cross-multiplications; output "
-        "O(rules). Same (rule, n_fail, n_sole_fail, n_survivors) "
-        "attribution shape as gq1.",
+        "min-word-count filter, as in the paper. Scale shape: ONE "
+        "corpus scan and ONE explode — the 2/3/5-gram arrays are "
+        "arrays_zip'ed array-side and the shared pinned (doc_id, p, "
+        "g2, g3, g5) stream feeds all three (doc_id, gram) groupBys "
+        "(the shingle index's cost class, linear in corpus); coverage "
+        "is one distinct over exploded 5-position spans; thresholds "
+        "are integer cross-multiplications; output O(rules). Same "
+        "(rule, n_fail, n_sole_fail, n_survivors) attribution shape "
+        "as gq1.",
     tags=("text", "pipeline"),
 )
 def rep1_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
