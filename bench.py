@@ -7,12 +7,14 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Execution is measured with the noop sink (full plan runs, nothing is
 collected to the driver) after a warm-up of the session + file listing.
-Each query is timed $SPARK_GRAFT_BENCH_REPS times (default 3) and the
+Each query is timed $SPARK_GRAFT_BENCH_REPS times (default 5) and the
 MIN is reported: the work is deterministic, so the fastest rep is the
 least-noise estimate of the plan's cost — single cold runs at sf0.1
 swing ±50% from GC, JIT and page-cache effects (the median still
 carried several-second swings round-over-round), and every query is
-measured under the same rule.
+measured under the same rule. The rep count and the sampled 1-min
+load are recorded in the output JSON so every committed reading is
+self-describing (r7 verdict item 4).
 """
 
 from __future__ import annotations
@@ -44,7 +46,7 @@ HEADLINE = [
 ]
 
 
-LOAD_CEILING = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+LOAD_CEILING = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "1.0"))
 
 
 def _wait_for_idle_box() -> float:
@@ -54,7 +56,7 @@ def _wait_for_idle_box() -> float:
     (up to ~5 min) for it to drain rather than certify a loaded
     number. The sampled load is recorded in the output JSON either
     way, so a reading taken under load is visibly annotated."""
-    deadline = time.time() + float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
+    deadline = time.time() + float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "600"))
     load = os.getloadavg()[0]
     while load > LOAD_CEILING and time.time() < deadline:
         print(
@@ -138,6 +140,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
                 "load_1min_at_start": round(load_at_start, 2),
                 "loaded_run": load_at_start > LOAD_CEILING,
             }

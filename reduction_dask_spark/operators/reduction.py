@@ -158,34 +158,14 @@ def lmds_transform(
     squared distances to the L landmarks + one (n×L)·(L×k) matmul.
     Only the KB-sized landmark matrix ships to executors. ``delta_fn``
     overrides the squared-distance computation (t9b passes the
-    graph-geodesic version); default is _pairwise_sq(metric)."""
-    import pandas as pd
+    graph-geodesic version); default is _pairwise_sq(metric). Routed
+    through the shared _oos_transform mapInPandas shell."""
 
-    k = pseudo.shape[1]
-    cols = [f"mc{i + 1}" for i in range(k)]
-    # pass through supervision columns when present — avoids a join
-    # back onto the source frame in the sweep path
-    passthrough = [c for c in ("era", "y") if c in df.columns]
-    pass_types = {"era": "int", "y": "double"}
+    def embed(X: np.ndarray) -> np.ndarray:
+        delta = delta_fn(X) if delta_fn is not None else _pairwise_sq(metric, X, landmarks)
+        return 0.5 * (delta_mean[None, :] - delta) @ pseudo
 
-    def mapper(batches):
-        for pdf in batches:
-            X = np.stack(pdf["features"].to_numpy()).astype(np.float64)
-            delta = delta_fn(X) if delta_fn is not None else _pairwise_sq(metric, X, landmarks)
-            Y = 0.5 * (delta_mean[None, :] - delta) @ pseudo
-            out = pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy()})
-            for p in passthrough:
-                out[p] = pdf[p].to_numpy()
-            for i, c in enumerate(cols):
-                out[c] = np.round(Y[:, i], 6)
-            yield out
-
-    schema = ", ".join(
-        ["vec_id long"]
-        + [f"{p} {pass_types[p]}" for p in passthrough]
-        + [f"{c} double" for c in cols]
-    )
-    return df.mapInPandas(mapper, schema=schema)
+    return _oos_transform(df, embed, pseudo.shape[1])
 
 
 @query(
@@ -368,36 +348,20 @@ def lle_transform(
     weights, and embeds as the weight-combination of the landmark
     embedding y(x) = Σ_j w_j·Y[j]. Only (landmarks, Y) — KBs — ship
     to executors; per-row cost is one k×k solve, nothing scales with
-    corpus size but the scan."""
-    import pandas as pd
-
+    corpus size but the scan. Routed through the shared
+    _oos_transform mapInPandas shell."""
     k = Y.shape[1]
-    cols = [f"mc{i + 1}" for i in range(k)]
-    passthrough = [c for c in ("era", "y") if c in df.columns]
-    pass_types = {"era": "int", "y": "double"}
 
-    def mapper(batches):
-        for pdf in batches:
-            X = np.stack(pdf["features"].to_numpy()).astype(np.float64)
-            d2 = _pairwise_sq("l2", X, landmarks)
-            idx = np.argsort(d2, axis=1)[:, :knn]
-            out_y = np.empty((len(X), k))
-            for r in range(len(X)):
-                w = _lle_local_weights(landmarks[idx[r]] - X[r])
-                out_y[r] = w @ Y[idx[r]]
-            out = pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy()})
-            for p in passthrough:
-                out[p] = pdf[p].to_numpy()
-            for i, c in enumerate(cols):
-                out[c] = np.round(out_y[:, i], 6)
-            yield out
+    def embed(X: np.ndarray) -> np.ndarray:
+        d2 = _pairwise_sq("l2", X, landmarks)
+        idx = np.argsort(d2, axis=1)[:, :knn]
+        out_y = np.empty((len(X), k))
+        for r in range(len(X)):
+            w = _lle_local_weights(landmarks[idx[r]] - X[r])
+            out_y[r] = w @ Y[idx[r]]
+        return out_y
 
-    schema = ", ".join(
-        ["vec_id long"]
-        + [f"{p} {pass_types[p]}" for p in passthrough]
-        + [f"{c} double" for c in cols]
-    )
-    return df.mapInPandas(mapper, schema=schema)
+    return _oos_transform(df, embed, k)
 
 
 @query(
@@ -440,6 +404,8 @@ def _oos_transform(df: DataFrame, embed_fn, k: int) -> DataFrame:
 
     def mapper(batches):
         for pdf in batches:
+            if not len(pdf):  # np.stack raises on zero arrays
+                continue
             X = np.stack(pdf["features"].to_numpy()).astype(np.float64)
             Y = embed_fn(X)
             out = pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy()})

@@ -1551,7 +1551,16 @@ def repetition_flags_of(d: DataFrame) -> DataFrame:
     whatever higher grams start there), then one posexplode produces
     the shared (doc_id, p, g2, g3, g5) stream pinned for its four
     consumers — the r6 version re-exploded the corpus per gram order
-    (3 scans), the round's highest non-baseline ×10 ratio."""
+    (3 scans), the round's highest non-baseline ×10 ratio.
+
+    The stream carries xxhash64 FINGERPRINTS of the grams, not the
+    gram strings (an r8 fix: 5-gram strings averaged ~30 bytes each,
+    tripling the pinned cache and every groupBy's shuffle width at
+    ×10 — three 8-byte longs cache and shuffle ~4× smaller and
+    hash-compare instead of string-compare). Repetition flags only
+    need per-doc gram COUNTS, so a 64-bit within-doc collision —
+    birthday-bounded ≪ 1e-9 at any real document length — is the
+    standard sketch tradeoff, same as the dedup family's md5h60."""
     toks = tokens(F.col("text"))
     base = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
     zipped = F.arrays_zip(
@@ -1559,9 +1568,16 @@ def repetition_flags_of(d: DataFrame) -> DataFrame:
         _gram_col(F.col("toks"), 3).alias("g3"),
         _gram_col(F.col("toks"), 5).alias("g5"),
     )
+
+    def hashed(c: str) -> Column:
+        # xxhash64 hashes null as the bare seed, not null — guard so
+        # the pad nulls from arrays_zip stay null in the stream
+        g = F.col(f"s.{c}")
+        return F.when(g.isNotNull(), F.xxhash64(g)).alias(c)
+
     stream = pin(
         base.select("doc_id", F.posexplode(zipped).alias("p", "s"))
-        .select("doc_id", "p", "s.g2", "s.g3", "s.g5")
+        .select("doc_id", "p", hashed("g2"), hashed("g3"), hashed("g5"))
     )
 
     def top_frac(col: str, alias: str) -> DataFrame:
@@ -1575,12 +1591,22 @@ def repetition_flags_of(d: DataFrame) -> DataFrame:
 
     g5 = stream.filter(F.col("g5").isNotNull()).select("doc_id", "p", F.col("g5").alias("g"))
     c5 = g5.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    # positional-union coverage WITHOUT the 5× explode + distinct the
+    # r7 version paid (its ×10 hot spot): the union of equal-length
+    # intervals [p, p+4] sorted by start is 5 for the first + min(Δp,
+    # 5) per successor — one lag window over only the REPEATED
+    # positions (≤ n rows, usually far fewer) replaces a ≤ 5n-row
+    # exploded distinct shuffle
+    rep_pos = g5.join(c5.filter(F.col("c") >= 2), ["doc_id", "g"]).select("doc_id", "p")
+    wseq = Window.partitionBy("doc_id").orderBy("p")
+    gap = F.col("p") - F.lag("p").over(wseq)
     cov5 = (
-        g5.join(c5.filter(F.col("c") >= 2), ["doc_id", "g"])
-        .select("doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + 4)).alias("pos"))
-        .distinct()
+        rep_pos.select(
+            "doc_id",
+            F.when(gap.isNull(), F.lit(5)).otherwise(F.least(gap, F.lit(5))).alias("inc"),
+        )
         .groupBy("doc_id")
-        .agg(F.count("*").alias("cov5"))
+        .agg(F.sum("inc").alias("cov5"))
     )
     j = (
         base.select("doc_id", "n")
@@ -1814,4 +1840,93 @@ def cls2_trained_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("is_train"), "train").otherwise("test").alias("split"),
         F.round(p, 6).alias("score"),
         (p >= 0.5).cast("bigint").alias("pred"),
+    )
+
+
+@query(
+    "cls2b_classifier_eval",
+    oracle=None,  # scores come from cls2's iterative IRLS fit — not
+    # SQL-expressible; the planted-concept pytest pins held-out
+    # AUC ≈ 1 and the reliability-table invariants instead
+    doc="cls2b quality-classifier EVALUATION — the measured readout a "
+        "trained quality filter must ship with before it gates a "
+        "corpus (r6/r7 verdict carry-item): cls2's HELD-OUT split "
+        "(doc_id%2=1, never seen by the IRLS fit) scored and pushed "
+        "through auc1's Mann-Whitney rank-sum AUC (midrank prefix "
+        "sums over DISTINCT scores via the two-pass range-partition "
+        "pattern — never a global sort of scored rows) and calib1's "
+        "fixed-width 10-bin reliability table (per-bin "
+        "mean score vs realized positive rate; the ece_contrib "
+        "column sums to the Expected Calibration Error). One row "
+        "per non-empty bin; the (auc, npos, nneg) verdict rides "
+        "along as 1-row-broadcast columns. Scale: the scored "
+        "relation is scanned twice (distinct-score agg, bin agg); "
+        "everything after is |bins|-sized. This is the pattern for "
+        "evaluating ANY scored gate in-engine: score → rank-sum AUC "
+        "→ reliability, no collect.",
+    tags=("text", "ml", "metric", "pipeline"),
+)
+def cls2b_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import pin as _pin
+    from .metrics import CALIB_BINS
+    from .relational import global_prefix_agg
+
+    scored = _pin(
+        cls2_trained_classifier(spark, sf_dir).filter(F.col("split") == "test")
+    )
+    # Mann-Whitney AUC over the held-out scores (auc1's relation)
+    v = scored.groupBy("score").agg(
+        F.count("*").alias("c"), F.sum("label").alias("cp")
+    )
+    p = global_prefix_agg(v, ["score"], [("c", "sum", "pfx")]).select(
+        "score", "c", "cp", "pfx"
+    )
+    s = p.agg(
+        F.sum(F.col("cp") * (F.col("pfx") + (F.col("c") + 1) / 2.0)).alias("sumr")
+    )
+    t = scored.agg(
+        F.sum("label").alias("npos"), (F.count("*") - F.sum("label")).alias("nneg")
+    )
+    auc = (F.col("sumr") - F.col("npos") * (F.col("npos") + 1) / 2.0) / (
+        F.col("npos") * F.col("nneg").cast("double")
+    )
+    aucrow = t.crossJoin(F.broadcast(s)).select(
+        F.col("npos").cast("bigint").alias("npos"),
+        F.col("nneg").cast("bigint").alias("nneg"),
+        F.round(auc, 6).alias("auc"),
+    )
+    # calib1's reliability bins over the same held-out scores
+    b = scored.select(
+        F.least(
+            F.lit(CALIB_BINS - 1), F.floor(F.col("score") * CALIB_BINS).cast("int")
+        ).alias("bin"),
+        "score",
+        F.col("label").alias("y"),
+    )
+    per = b.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.avg("score").alias("mean_score"),
+        F.sum("y").alias("n_pos"),
+        F.avg(F.col("y").cast("double")).alias("frac_pos"),
+    )
+    tot = per.agg(F.sum("n").alias("nn"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(aucrow))
+        .select(
+            "bin",
+            F.col("n").cast("bigint").alias("n"),
+            F.round("mean_score", 6).alias("mean_score"),
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+            F.round("frac_pos", 6).alias("frac_pos"),
+            F.round(
+                F.abs(F.col("mean_score") - F.col("frac_pos"))
+                * F.col("n")
+                / F.col("nn"),
+                6,
+            ).alias("ece_contrib"),
+            "npos",
+            "nneg",
+            "auc",
+        )
     )

@@ -436,3 +436,43 @@ def test_protoshim_repeated_read_defers_attach_until_mutation():
     c2.xs.append(1)
     c2.xs.append(2)
     assert c2.xs == [1, 2]
+
+
+def test_protoshim_stale_repeated_handle_merges_not_overwrites():
+    """r7 advisor item: hold a pre-materialization repeated handle
+    (a = c.xs), materialize a SECOND container (c.xs.append(1)), then
+    mutate the stale handle (a.append(2)) — the earlier element must
+    survive (merged into the live container), not be silently lost to
+    an overwrite."""
+    import sys
+
+    from reduction_dask_spark.streaming import _shim_root
+
+    if _shim_root() not in sys.path:
+        sys.path.insert(0, _shim_root())
+    from google.protobuf._mini_runtime import (
+        FieldDesc,
+        MessageDesc,
+        build_message_class,
+    )
+
+    reg: dict = {}
+    child = MessageDesc()
+    child.name = "C4"
+    fx = FieldDesc(); fx.name = "xs"; fx.number = 1; fx.type = 3; fx.label = 3
+    child.fields = [fx]
+    C = build_message_class(child, reg, "pkg4")
+
+    c = C()
+    a = c.xs            # pre-materialization handle A
+    c.xs.append(1)      # handle B goes live
+    a.append(2)         # stale-handle mutation must merge, not clobber
+    assert sorted(c.xs) == [1, 2]
+    rt = C()
+    rt.ParseFromString(c.SerializeToString())
+    assert sorted(rt.xs) == [1, 2]
+
+    # and a second stale mutation after the merge doesn't double-add
+    before = list(c.xs)
+    a.append(3)         # A is detached now (owner cleared at merge)
+    assert list(c.xs) == before

@@ -47,6 +47,7 @@ CROSS_OK = {
     "j6_zip_join_task_table": "4×3 param×fold metadata table",
     "sk2_salted_join": "3-row dim × 8 salts explosion (24 rows)",
     "t3_lang_id_naive_bayes": "×|langs| model fan-out + 1-row vocab broadcast",
+    "shuf1_epoch_shuffle": "×SHUF_EPOCHS (2) broadcast epoch fan-out (t3's bounded-fan-out shape)",
     "lp1_nb_loglik_quality": "×|langs| score fan-out + 1-row vocab broadcast (t3's shape)",
     "cm1_langid_confusion": "inherits t3's ×|langs| fan-out + 1-row vocab broadcast",
     "t12_tfidf_keywords": "1-row corpus-count broadcast",
@@ -115,6 +116,7 @@ CROSS_OK = {
     "sky1_pareto_front": "triangular partition-offset metadata join (w2's prefix-min pattern)",
     "dp1_noisy_counts": "|eps|-row mechanism-parameter broadcast over the per-type count relation",
     "auc1_roc_auc": "triangular partition-offset prefix sum + two 1-row aggregate broadcasts",
+    "cls2b_classifier_eval": "auc1's prefix-sum shape + three 1-row aggregate broadcasts (rank-sum, bin total, AUC verdict)",
     "ab1_cuped_abtest": "two 1-row broadcasts (event span, CUPED theta)",
     "pr1_global_pct_rank": "triangular partition-offset join + 1-row count broadcast (w2's pattern)",
     "srv1_kaplan_meier": "triangular prefix joins on the calendar-bounded duration relation (ru1's pattern)",
