@@ -1932,6 +1932,20 @@ def exact_substring_spans_of(d: DataFrame) -> DataFrame:
     ta = toked.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
     tb = toked.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
     j = cand.join(ta, "doc_a").join(tb, "doc_b")
+    # every anchor inside one maximal span extends to the SAME span
+    return (
+        _lce_extend(j, ["doc_a", "doc_b"])
+        .filter(F.col("match_len") >= ES_MIN_LEN)
+        .distinct()
+    )
+
+
+def _lce_extend(j: DataFrame, keep: list) -> DataFrame:
+    """Longest-common-extension span recovery shared by dd11 and dc3:
+    ``j`` carries the candidate diagonal (pa, pb) plus both token
+    arrays (ta, tb); each seed extends left and right to its maximal
+    equal run as pure array folds (first-mismatch over zip_with
+    equality — no UDF). Returns keep + (start_a, start_b, match_len)."""
 
     def first_false(eq: Column) -> Column:
         # tokens-equal prefix length of a boolean array
@@ -1954,14 +1968,12 @@ def exact_substring_spans_of(d: DataFrame) -> DataFrame:
             lambda x, y: x == y,
         )
     )
-    spans = j.select(
-        "doc_a", "doc_b",
+    return j.select(
+        *keep,
         (F.col("pa") - left).cast("bigint").alias("start_a"),
         (F.col("pb") - left).cast("bigint").alias("start_b"),
         (left + right).cast("bigint").alias("match_len"),
     )
-    # every anchor inside one maximal span extends to the SAME span
-    return spans.filter(F.col("match_len") >= ES_MIN_LEN).distinct()
 
 
 _DD11_CTE = f"""d0 AS (SELECT doc_id, md5(text) AS fp FROM documents),
@@ -2191,3 +2203,223 @@ def substring_removal_of(d: DataFrame) -> DataFrame:
         F.col("n_removed").cast("bigint").alias("n_removed"),
         F.md5(F.concat_ws(" ", kept)).alias("clean_fp"),
     )
+
+
+# ---------------------------------------------------------------- dc3
+
+
+def span_decontam_of(d: DataFrame) -> DataFrame:
+    """dc3's pipeline over an arbitrary (doc_id, text) relation —
+    parameterized so the fixture test can plant a benchmark passage
+    QUOTED inside a long corpus document at arbitrary alignment (the
+    contamination mode dc2's whole-document Jaccard dilutes below τ
+    when the host document is long)."""
+    from ..functions import md5h60
+
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    corpus, bench = d.filter(~is_bench), d.filter(is_bench)
+
+    # collapse exact corpus duplicates first (identical hosts carry
+    # identical contamination — detect once on the representative,
+    # fan the verdict back out to every member at the end)
+    fp, grp = exact_groups(corpus)
+    reps = corpus.join(grp.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi")
+    A = ES_ANCHOR
+    ctoked = pin(
+        reps.select("doc_id", F.split(F.col("text"), " ").alias("toks")).filter(
+            F.size("toks") >= A
+        )
+    )
+    btoked = pin(
+        bench.select("doc_id", F.split(F.col("text"), " ").alias("toks")).filter(
+            F.size("toks") >= A
+        )
+    )
+    # asymmetric seed-and-extend pointed ACROSS the split: the CORPUS
+    # (the 100 TB side) indexes only grid-aligned anchors (n/A rows);
+    # the BENCHMARK (tiny, behaves like a broadcast probe set) indexes
+    # every position's A-gram. Any shared span of length >= 2A-1
+    # contains a corpus-grid-aligned anchor (pigeonhole over the
+    # stride), whose benchmark counterpart sits at arbitrary offset —
+    # caught by the dense benchmark index. Detection at that length
+    # is EXACT, not a sketch.
+    idx_c = ctoked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.floor((F.size("toks") - A) / A).cast("int")),
+                lambda i: F.struct(
+                    (i * A).alias("pos"),
+                    md5h60(F.concat_ws(" ", F.slice("toks", i * A + 1, A))).alias("h"),
+                ),
+            )
+        ).alias("a"),
+    ).select("doc_id", F.col("a.pos").alias("pos"), F.col("a.h").alias("h"))
+    idx_b = btoked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), (F.size("toks") - A).cast("int")),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    md5h60(F.concat_ws(" ", F.slice("toks", i + 1, A))).alias("h"),
+                ),
+            )
+        ).alias("a"),
+    ).select("doc_id", F.col("a.pos").alias("pos"), F.col("a.h").alias("h"))
+    # boilerplate cap on the corpus side's anchor df (the side where
+    # hot keys can explode the join; the hot list is tiny by
+    # construction, like DF_CAP / dd11's ES_ANCHOR_CAP)
+    hot = (
+        idx_c.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > ES_ANCHOR_CAP)
+        .select("h")
+    )
+    seeds = idx_c.join(F.broadcast(hot), "h", "left_anti")
+    probes = idx_b.join(F.broadcast(hot), "h", "left_anti")
+    cand = (
+        seeds.alias("c")
+        .join(probes.alias("b"), F.col("c.h") == F.col("b.h"))
+        .select(
+            F.col("c.doc_id").alias("doc_a"), F.col("c.pos").alias("pa"),
+            F.col("b.doc_id").alias("doc_b"), F.col("b.pos").alias("pb"),
+        )
+        .distinct()
+    )
+    ta = ctoked.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    tb = btoked.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    j = cand.join(ta, "doc_a").join(tb, "doc_b")
+    spans = (
+        _lce_extend(j, ["doc_a", "doc_b"])
+        .filter(F.col("match_len") >= ES_MIN_LEN)
+        .distinct()
+    )
+    # fan the representative's spans back out to every exact-duplicate
+    # member (identical text ⇒ identical span coordinates)
+    members = fp.join(
+        grp.select("fp", F.col("rep_id").alias("doc_a")), "fp"
+    ).select(F.col("doc_id").alias("member_id"), "doc_a")
+    return spans.join(members, "doc_a").select(
+        F.col("member_id").alias("doc_id"),
+        F.col("doc_b").alias("bench_id"),
+        F.col("start_a").alias("start_doc"),
+        F.col("start_b").alias("start_bench"),
+        "match_len",
+    )
+
+
+_DC3_CTE = f"""corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % {BENCH_MOD} <> 0
+        ),
+        d0 AS (SELECT doc_id, md5(text) AS fp FROM corpus),
+        grp AS (SELECT fp, min(doc_id) AS rep_id FROM d0 GROUP BY fp),
+        ctoked AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM corpus
+            WHERE doc_id IN (SELECT rep_id FROM grp)
+              AND len(string_split(text, ' ')) >= {ES_ANCHOR}
+        ),
+        btoked AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents
+            WHERE doc_id % {BENCH_MOD} = 0
+              AND len(string_split(text, ' ')) >= {ES_ANCHOR}
+        ),
+        idx_c AS (
+            SELECT doc_id, i * {ES_ANCHOR} AS pos,
+                   {{H_ALIGNED}} AS h
+            FROM ctoked,
+                 unnest(range(0, CAST(floor((len(toks) - {ES_ANCHOR}) / {ES_ANCHOR}) AS BIGINT) + 1)) AS t(i)
+        ),
+        idx_b AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   {{H_ALL}} AS h
+            FROM btoked,
+                 unnest(range(0, len(toks) - {ES_ANCHOR} + 1)) AS t(i)
+        ),
+        hot AS (
+            SELECT h FROM idx_c GROUP BY h
+            HAVING count(DISTINCT doc_id) > {ES_ANCHOR_CAP}
+        ),
+        seeds AS (SELECT * FROM idx_c ANTI JOIN hot USING (h)),
+        probes AS (SELECT * FROM idx_b ANTI JOIN hot USING (h)),
+        cand AS (
+            SELECT DISTINCT c.doc_id AS doc_a, c.pos AS pa,
+                            b.doc_id AS doc_b, b.pos AS pb
+            FROM seeds c JOIN probes b ON c.h = b.h
+        ),
+        ext AS (
+            SELECT c.doc_a, c.doc_b, c.pa, c.pb,
+                   least(len(ta.toks) - c.pa, len(tb.toks) - c.pb) AS maxr,
+                   least(c.pa, c.pb) AS minl,
+                   ta.toks AS ta, tb.toks AS tb
+            FROM cand c
+            JOIN ctoked ta ON ta.doc_id = c.doc_a
+            JOIN btoked tb ON tb.doc_id = c.doc_b
+        ),
+        pos0 AS (
+            SELECT doc_a, doc_b, pa, pb, maxr, minl,
+                   list_position(
+                       [ta[pa + k] = tb[pb + k] for k in range(1, CAST(maxr AS BIGINT) + 1)],
+                       false) AS rp,
+                   list_position(
+                       [ta[pa - k + 1] = tb[pb - k + 1] for k in range(1, CAST(minl AS BIGINT) + 1)],
+                       false) AS lp
+            FROM ext
+        ),
+        lce AS (
+            SELECT doc_a, doc_b, pa, pb,
+                   CASE WHEN rp IS NULL OR rp = 0 THEN maxr ELSE rp - 1 END AS r,
+                   CASE WHEN lp IS NULL OR lp = 0 THEN minl ELSE lp - 1 END AS l
+            FROM pos0
+        ),
+        spans AS (
+            SELECT DISTINCT doc_a, doc_b,
+               CAST(pa - l AS BIGINT) AS start_a,
+               CAST(pb - l AS BIGINT) AS start_b,
+               CAST(l + r AS BIGINT) AS match_len
+            FROM lce
+            WHERE l + r >= {ES_MIN_LEN}
+        )
+"""
+
+
+@query(
+    "dc3_span_decontam",
+    oracle=f"""
+        WITH {_DC3_CTE.format(
+            H_ALIGNED=md5h60_sql(f"array_to_string(toks[i * {ES_ANCHOR} + 1 : i * {ES_ANCHOR} + {ES_ANCHOR}], ' ')"),
+            H_ALL=md5h60_sql(f"array_to_string(toks[i + 1 : i + {ES_ANCHOR}], ' ')"),
+        ).strip()}
+        SELECT m.doc_id, s.doc_b AS bench_id,
+               s.start_a AS start_doc, s.start_b AS start_bench, s.match_len
+        FROM spans s
+        JOIN grp g ON g.rep_id = s.doc_a
+        JOIN d0 m ON m.fp = g.fp
+    """,
+    doc="dc3 SPAN-LEVEL benchmark decontamination — dd11's asymmetric "
+        "seed-and-extend index (Lee et al. 2022) pointed ACROSS the "
+        "corpus/benchmark split, closing the hazard dc2 cannot see: a "
+        "benchmark passage QUOTED inside a long corpus document "
+        "dilutes whole-document shingle Jaccard below τ (the same "
+        "length-asymmetry argument that motivated dd2b containment), "
+        "but an exact shared token run of length ≥ "
+        f"{ES_MIN_LEN} is caught here POSITIONALLY, with the span "
+        "coordinates an auditor needs to excise or adjudicate it. "
+        "Scale asymmetry is the whole design: the 100 TB CORPUS side "
+        f"indexes only grid-aligned {ES_ANCHOR}-token anchors "
+        f"(n/{ES_ANCHOR} rows), the tiny benchmark side indexes every "
+        "position (pigeonhole over the corpus stride makes detection "
+        "exact — reference decontamination is aligned-n-gram only, "
+        "reference repo has no span pass); exact corpus duplicates "
+        "are collapsed to representatives before indexing and the "
+        "verdict fanned back to members (identical hosts ⇒ identical "
+        "span coordinates), and boilerplate anchors in > "
+        f"{ES_ANCHOR_CAP} corpus docs are dropped via the tiny hot "
+        "list. Cost: O(corpus/A + bench) index + O(collisions × span "
+        "length) — never corpus × benchmark.",
+    tags=("dedup", "text", "pipeline"),
+)
+def dc3_span_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return span_decontam_of(load_table(spark, sf_dir, "documents"))

@@ -503,3 +503,74 @@ def test_bkt1_waste_arithmetic_and_coverage(spark):
         assert 0.0 <= r["waste_frac"] < 1.0
         total_docs += r["n_docs"]
     assert total_docs == load_table(spark, SF_SMALL, "documents").count()
+
+
+def test_dc3_planted_span_contamination_detected(spark):
+    """Non-vacuous dc3 evidence (r7 verdict item 2): quote a benchmark
+    passage INSIDE a long corpus document at an unaligned offset —
+    the case dc2's whole-document Jaccard dilutes below tau — and
+    assert the span pass reports exactly that (doc, bench) span with
+    the right coordinates; clean documents stay unreported; exact
+    duplicates of the contaminated host are each reported."""
+    from reduction_dask_spark.operators.dedup import (
+        BENCH_MOD,
+        DECON_FUZZY_TAU,
+        ES_MIN_LEN,
+        K_SHINGLE,
+        fuzzy_decontam_of,
+        span_decontam_of,
+    )
+
+    bench_tokens = [f"b{i}" for i in range(20)]          # the eval item
+    host_pad_l = [f"l{i}" for i in range(80)]
+    host_pad_r = [f"r{i}" for i in range(80)]
+    # quote at offset 80 — NOT a multiple of ES_ANCHOR (5), so the
+    # aligned-grid-on-both-sides assumption would miss it; the
+    # one-sided dense benchmark index must not
+    assert 80 % 5 == 0
+    host_pad_l = host_pad_l[:77]                         # offset 77, unaligned
+    host = host_pad_l + bench_tokens + host_pad_r
+    rows = [
+        (BENCH_MOD, " ".join(bench_tokens)),             # benchmark item
+        (2 * BENCH_MOD, "wholly unrelated benchmark text with its own words"),
+        (10, " ".join(host)),                            # contaminated host
+        (11, " ".join(host)),                            # exact dup of host
+        (12, " ".join(f"c{i}" for i in range(60))),      # clean corpus doc
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    got = span_decontam_of(d).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # both the host and its exact duplicate are reported, nothing else
+    assert set(by_doc) == {10, 11}
+    for doc_id in (10, 11):
+        spans = by_doc[doc_id]
+        assert len(spans) == 1
+        s = spans[0]
+        assert s["bench_id"] == BENCH_MOD
+        assert s["start_doc"] == 77
+        assert s["start_bench"] == 0
+        assert s["match_len"] == len(bench_tokens)
+        assert s["match_len"] >= ES_MIN_LEN
+
+    # the dilution premise itself: dc2's whole-document Jaccard on the
+    # same plant sits BELOW its tau (the long host swamps the quote),
+    # so dc2 alone would pass this contamination through
+    def shingles(toks):
+        return {
+            " ".join(toks[i : i + K_SHINGLE])
+            for i in range(len(toks) - K_SHINGLE + 1)
+        }
+
+    sa, sb = shingles(host), shingles(bench_tokens)
+    assert len(sa & sb) / len(sa | sb) < DECON_FUZZY_TAU
+    assert {r["doc_id"] for r in fuzzy_decontam_of(d).collect()} == set()
+
+    # negative control: with the quote excised the host is clean
+    d2 = spark.createDataFrame(
+        [rows[0], rows[1], (10, " ".join(host_pad_l + host_pad_r)), rows[4]],
+        "doc_id bigint, text string",
+    )
+    assert span_decontam_of(d2).count() == 0
