@@ -902,3 +902,52 @@ def test_cls2_trained_classifier_numpy_parity_and_heldout_accuracy(spark):
     # score column is the rounded sigmoid of the fitted logit
     sc = np.array([out[ids[i]]["score"] for i in range(len(ids))])
     assert np.abs(sc - np.round(p, 6)).max() < 5e-4
+
+
+def test_cls2b_eval_auc_and_reliability(spark):
+    """cls2b readout invariants against a pure-numpy recomputation on
+    the SAME held-out scores: rank-sum AUC matches the O(n^2)
+    definition exactly, reliability bins partition the split, ECE
+    contributions sum to the ECE, and — the planted concept being
+    linearly separable — held-out AUC is near-perfect (the bar a
+    trained quality gate must clear before it filters a corpus)."""
+    from reduction_dask_spark.operators.text import (
+        cls2_trained_classifier,
+        cls2b_classifier_eval,
+    )
+
+    rows = cls2b_classifier_eval(spark, SF_SMALL).collect()
+    assert rows
+    scored = (
+        cls2_trained_classifier(spark, SF_SMALL)
+        .filter("split = 'test'")
+        .collect()
+    )
+    s = np.array([r["score"] for r in scored])
+    y = np.array([r["label"] for r in scored])
+    pos, neg = s[y == 1], s[y == 0]
+    # O(n^2) Mann-Whitney ground truth with tie = 1/2
+    wins = (pos[:, None] > neg[None, :]).sum() + 0.5 * (
+        pos[:, None] == neg[None, :]
+    ).sum()
+    auc_true = wins / (len(pos) * len(neg))
+
+    r0 = rows[0]
+    assert all(r["auc"] == r0["auc"] for r in rows)  # 1-row broadcast columns
+    assert (r0["npos"], r0["nneg"]) == (len(pos), len(neg))
+    assert abs(r0["auc"] - round(auc_true, 6)) < 1e-9
+    assert r0["auc"] >= 0.95  # separable planted concept => near-perfect
+    # (0.963 at sf0.001's 250-doc split; the exact-equality assert
+    # above is the correctness evidence, this is the quality bar)
+
+    # bins partition the held-out split; ECE is the contrib sum
+    assert sum(r["n"] for r in rows) == len(s)
+    assert sum(r["n_pos"] for r in rows) == int(y.sum())
+    bins = np.minimum(9, np.floor(s * 10).astype(int))
+    for r in rows:
+        m = bins == r["bin"]
+        assert r["n"] == int(m.sum())
+        assert abs(r["mean_score"] - round(float(s[m].mean()), 6)) < 1e-9
+        assert abs(r["frac_pos"] - round(float(y[m].mean()), 6)) < 1e-9
+        ece_c = abs(s[m].mean() - y[m].mean()) * m.sum() / len(s)
+        assert abs(r["ece_contrib"] - round(ece_c, 6)) < 2e-6
