@@ -82,11 +82,18 @@ def doc_survival_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (GQ_ALPHA_DEN * n_alpha >= GQ_ALPHA_NUM * n)
     )
 
-    staged = d.select(
-        "doc_id", "lang",
-        normalized_fingerprint(F.col("text")).alias("fp"),
-        (quality >= QUALITY_TAU).alias("q_ok"),
-        ((quality >= QUALITY_TAU) & gq_pass).alias("gopher_ok"),
+    # pinned: the token-expression scan is the funnel's most expensive
+    # per-row work and THREE later branches (rep survivor semi-join,
+    # keeper window, exact-survivor shingle source) read it — without
+    # the pin Catalyst re-executes the scan per branch (measured 15.2 s
+    # vs 6 s at sf0.1 for the whole funnel)
+    staged = pin(
+        d.select(
+            "doc_id", "lang",
+            normalized_fingerprint(F.col("text")).alias("fp"),
+            (quality >= QUALITY_TAU).alias("q_ok"),
+            ((quality >= QUALITY_TAU) & gq_pass).alias("gopher_ok"),
+        )
     )
 
     # Gopher A1.2 repetition rules (rep1's gram stream) over GOPHER
@@ -104,14 +111,28 @@ def doc_survival_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # exact dedup: survivor = smallest doc_id per fingerprint among
-    # repetition survivors
-    keep_exact = (
-        flagged.filter("rep_ok")
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"), F.lit(True).alias("is_keeper"))
+    # repetition survivors. A window-min over fp (one shuffle, no
+    # self-join) — the groupBy+join-back formulation re-executed the
+    # rep gram stream on the build side. NULL algebra: if no rep
+    # survivor shares the fp, the conditional min is NULL and
+    # rep_ok=false & NULL = false.
+    flagged = flagged.withColumn(
+        "exact_ok",
+        F.col("rep_ok")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("rep_ok"), F.col("doc_id"))).over(
+                Window.partitionBy("fp")
+            )
+        ),
     )
-    flagged = flagged.join(keep_exact, ["fp", "doc_id"], "left").withColumn(
-        "exact_ok", F.col("rep_ok") & F.coalesce("is_keeper", F.lit(False))
+    # pinned: doc_id + boolean flags only (KB-scale); the near-dup,
+    # decontamination, and final-select branches each read it, and the
+    # upstream side embeds the whole repetition gram stream
+    flagged = pin(
+        flagged.select(
+            "doc_id", "lang", "q_ok", "gopher_ok", "rep_ok", "exact_ok"
+        )
     )
 
     # near-dup dedup AMONG EXACT SURVIVORS ONLY: the pair join's cost is

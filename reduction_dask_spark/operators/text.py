@@ -343,6 +343,102 @@ def mw1_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- mw4
+
+DOREMI_LAM = 4.0  # excess-loss multiplier (DoReMi's eta * steps)
+
+
+@query(
+    "mw4_doremi_mixture",
+    oracle=f"""
+        WITH m0 AS (
+            SELECT lang, string_split(text, ' ') AS toks FROM documents
+        ),
+        pl AS (
+            SELECT lang,
+                   CAST(round(-ln(len(list_distinct(toks))::DOUBLE
+                                  / len(toks)) * 1000000) AS BIGINT) AS loss_q
+            FROM m0
+        ),
+        d AS (
+            SELECT lang, count(*) AS n_docs, sum(loss_q) AS sq
+            FROM pl GROUP BY lang
+        ),
+        t AS (SELECT sum(n_docs) AS n, sum(sq) AS tq FROM d),
+        e AS (
+            SELECT lang, n_docs,
+                   sq / (n_docs * 1e6) AS mean_loss,
+                   greatest(0.0, sq / (n_docs * 1e6) - tq / (n * 1e6)) AS excess,
+                   n_docs::DOUBLE / n AS share
+            FROM d, t
+        ),
+        z AS (SELECT sum(share * exp({DOREMI_LAM} * excess)) AS z FROM e)
+        SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+               round(mean_loss, 6) AS mean_loss,
+               round(excess, 6) AS excess,
+               round(share * exp({DOREMI_LAM} * excess) / z.z, 6) AS weight
+        FROM e, z
+    """,
+    doc="mw4 DoReMi-shaped domain-mixture reweighting: per-language "
+        "proxy loss (repetition surprisal -ln(type/token ratio) — the "
+        "static stand-in for the proxy-model log-loss DoReMi trains; "
+        "Xie et al. 2023, arXiv:2305.10429), excess loss over the "
+        "corpus-wide reference mean clipped at 0 (DoReMi's "
+        "max(0, l_d - l_ref)), and the exponentiated-gradient mixture "
+        "weight w_d proportional to share_d * exp(lam * excess_d), "
+        f"lam={DOREMI_LAM}. Honest scope note: with a STATIC proxy "
+        "loss the per-round EG normalizer is a scalar common to all "
+        "domains and cancels, so T rounds collapse to this one "
+        "closed-form softmax pass — the iterative machinery only "
+        "matters when the proxy loss is re-estimated per round (that "
+        "loop is log1/cls2's IRLS territory). Parity/scale: per-doc "
+        "losses are quantized to integer micro-units before the "
+        "domain sum (order-free exact aggregation, the ts4 "
+        "fixed-point pattern), domain stats are one map-side-combined "
+        "groupBy, and the normalizer is a |domains|-row broadcast — "
+        "mixture weights for a 100 TB corpus cost one scan.",
+    tags=("text", "pipeline"),
+)
+def mw4_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    loss = -F.log(
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    )
+    pl = d.select(
+        "lang",
+        F.round(loss * 1000000).cast("bigint").alias("loss_q"),
+    )
+    dom = pl.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("loss_q").alias("sq")
+    )
+    tot = dom.agg(F.sum("n_docs").alias("n"), F.sum("sq").alias("tq"))
+    mean_loss = F.col("sq") / (F.col("n_docs") * F.lit(1e6))
+    excess = F.greatest(
+        F.lit(0.0), mean_loss - F.col("tq") / (F.col("n") * F.lit(1e6))
+    )
+    share = F.col("n_docs").cast("double") / F.col("n")
+    e = dom.join(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        mean_loss.alias("mean_loss"),
+        excess.alias("excess"),
+        share.alias("share"),
+    )
+    z = e.agg(
+        F.sum(F.col("share") * F.exp(DOREMI_LAM * F.col("excess"))).alias("z")
+    )
+    return e.join(F.broadcast(z)).select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round("mean_loss", 6).alias("mean_loss"),
+        F.round("excess", 6).alias("excess"),
+        F.round(
+            F.col("share") * F.exp(DOREMI_LAM * F.col("excess")) / F.col("z"), 6
+        ).alias("weight"),
+    )
+
+
 # ---------------------------------------------------------------- t5
 
 VOCAB_K = 40  # induced vocabulary size

@@ -83,6 +83,7 @@ CROSS_OK = {
     "t5_vocab_oov": "VOCAB_K-row vocabulary broadcast",
     "t6_bm25_topk": "query tokens + 1-row corpus stats broadcast",
     "mw1_mix_weights": "1-row normalizer broadcast",
+    "mw4_doremi_mixture": "two 1-row aggregate broadcasts (corpus totals, EG normalizer)",
     "mw2_mixture_sample": "lang-count rate table broadcast",
     "t9_landmark_mds": "landmark distance matrix broadcast",
     "d5_optimal_clusters": "p×p distance matrix (feature count) broadcast",
