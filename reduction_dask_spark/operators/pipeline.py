@@ -382,6 +382,98 @@ def pipe1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("r.stage", "r.n")
 
 
+# ---------------------------------------------------------------- pipe2
+
+EXPORT_SHARDS = 4  # dataloader shard files (a cluster run uses O(1000))
+PACK_BUDGET = 256  # tokens per training sequence pack (shared with pack1)
+
+
+@query(
+    "pipe2_export_manifest",
+    oracle=_FUNNEL_SQL
+    + f"""
+    , kept AS (
+        SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tok,
+               (('0x' || substring(md5('0:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT) AS skey
+        FROM documents d JOIN lang USING (doc_id)
+    ),
+    sharded AS (
+        SELECT doc_id, n_tok, skey, skey % {EXPORT_SHARDS} AS shard FROM kept
+    ),
+    run AS (
+        SELECT shard, doc_id, n_tok,
+               COALESCE(sum(n_tok) OVER (
+                   PARTITION BY shard ORDER BY skey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        FROM sharded
+    ),
+    seqs AS (
+        SELECT shard, doc_id, n_tok, prefix // {PACK_BUDGET} AS seq_id FROM run
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+           round(sum(n_tok) / (count(DISTINCT seq_id) * {PACK_BUDGET}.0), 6) AS fill_frac
+    FROM seqs
+    GROUP BY shard
+    """,
+    doc="pipe2 training-data EXPORT manifest — the composition that "
+        "turns pipe1's curated survivor set into what a dataloader "
+        "actually consumes, closing PIPELINES.md §1 end-to-end: "
+        "curated docs (pipe1's full 8-stage funnel) → shuf1's epoch-0 "
+        "deterministic shuffle key md5('0:'||doc_id) → shard = "
+        f"skey % {EXPORT_SHARDS} → per-shard greedy sequence packing "
+        f"(pack1's exclusive running token count, {PACK_BUDGET}-token "
+        "budget, in SHUFFLED order — real pipelines shuffle before "
+        "packing so each training sequence mixes unrelated documents) "
+        "→ one manifest row per shard: docs, token mass, sequences "
+        "started, fill fraction (>1 means long docs spill across "
+        "budget boundaries — n_seqs counts STARTED sequences). "
+        "Scale design: the shard count is the parallelism knob — the "
+        "running-sum window is PARTITIONED BY shard (bounded "
+        "per-partition order, never a global sort), the shuffle key "
+        "is a uniform content hash so shards are balanced with no "
+        "skew handling, and the within-shard order is exactly the "
+        "global shuffle restricted to the shard, so concatenating "
+        "shard streams reproduces a bit-for-bit deterministic "
+        "training order on any cluster size or partitioning. The "
+        "manifest is the resume/audit contract every pretraining "
+        "job ships with its shards.",
+    tags=("pipeline", "text"),
+)
+def pipe2_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import md5h60
+
+    flags = doc_survival_flags(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    kept = d.join(flags.filter("lang_ok").select("doc_id"), "doc_id").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        md5h60(F.concat(F.lit("0:"), F.col("doc_id").cast("string"))).alias("skey"),
+    )
+    sharded = kept.withColumn("shard", F.col("skey") % EXPORT_SHARDS)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("skey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seqs = sharded.withColumn(
+        "seq_id",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / PACK_BUDGET),
+    )
+    return seqs.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.countDistinct("seq_id").alias("n_seqs"),
+        F.round(
+            F.sum("n_tok")
+            / (F.countDistinct("seq_id") * F.lit(float(PACK_BUDGET))),
+            6,
+        ).alias("fill_frac"),
+    )
+
+
 @query(
     "scd1_merge_upsert",
     oracle="""
@@ -609,7 +701,6 @@ def pii1_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- pack1
 
-PACK_BUDGET = 256  # tokens per training sequence pack
 
 
 @query(

@@ -66,3 +66,87 @@ def test_pipe1_flags_monotone(spark):
     # the funnel actually filters: strictly fewer lang survivors than docs
     assert sum(r["lang_ok"] for r in rows) < len(rows)
     assert sum(r["q_ok"] for r in rows) > 0
+
+
+def test_pipe2_manifest_matches_pandas(spark):
+    """Engine-independent ground truth for pipe2's export half: the
+    shuffle key comes from python hashlib, the shard/pack/manifest
+    math from pandas — neither Spark nor DuckDB expressions are
+    reused, so a shared SQL-semantics mistake can't pass both."""
+    import hashlib
+
+    from reduction_dask_spark.operators.pipeline import (
+        EXPORT_SHARDS,
+        PACK_BUDGET,
+        pipe2_export_manifest,
+    )
+
+    flags = doc_survival_flags(spark, SF_SMALL).toPandas()
+    kept_ids = set(flags.loc[flags.lang_ok, "doc_id"])
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    kept = docs[docs.doc_id.isin(kept_ids)].copy()
+    assert len(kept) > 0
+    kept["n_tok"] = kept.text.str.split(" ").map(len)
+    kept["skey"] = kept.doc_id.map(
+        lambda i: int(hashlib.md5(f"0:{i}".encode()).hexdigest()[:15], 16)
+    )
+    kept["shard"] = kept.skey % EXPORT_SHARDS
+
+    expected = {}
+    for shard, g in kept.sort_values(["skey", "doc_id"]).groupby("shard"):
+        prefix = g.n_tok.cumsum().shift(fill_value=0)
+        n_seqs = (prefix // PACK_BUDGET).nunique()
+        expected[shard] = (
+            len(g),
+            int(g.n_tok.sum()),
+            int(n_seqs),
+            round(g.n_tok.sum() / (n_seqs * PACK_BUDGET), 6),
+        )
+
+    got = {r["shard"]: r for r in pipe2_export_manifest(spark, SF_SMALL).collect()}
+    assert set(got) == set(expected)
+    for shard, (nd, nt, ns, ff) in expected.items():
+        r = got[shard]
+        assert (r["n_docs"], r["n_tokens"], r["n_seqs"]) == (nd, nt, ns), shard
+        assert abs(r["fill_frac"] - ff) < 1e-6, shard
+    # conservation: every curated doc and token lands in exactly one shard
+    assert sum(r["n_docs"] for r in got.values()) == len(kept)
+    assert sum(r["n_tokens"] for r in got.values()) == int(kept.n_tok.sum())
+
+
+def test_dd12_planted_incremental_flags(spark):
+    """Planted history/delta fixture: every dd12 flag fires exactly
+    where it should (delta ids are ≡DELTA_REM mod DELTA_MOD)."""
+    from reduction_dask_spark.operators.dedup import (
+        DELTA_MOD,
+        DELTA_REM,
+        incremental_dedup_of,
+    )
+
+    assert (DELTA_MOD, DELTA_REM) == (5, 3)  # fixture ids assume this
+    words = [f"w{i}" for i in range(30)]
+    text_a = " ".join(words)
+    near_a = " ".join(words[:15] + ["EDITED"] + words[16:])  # 1-token edit
+    text_b = " ".join(f"b{i}" for i in range(30))
+    text_c = " ".join(f"c{i}" for i in range(30))
+    rows = [
+        (1, text_a),   # history
+        (2, text_c.replace("c", "h")),  # history filler
+        (3, text_a),   # delta: exact copy of history doc 1
+        (8, near_a),   # delta: one-token near-edit of history doc 1
+        (13, text_b),  # delta: min-id twin — accepted
+        (18, text_b),  # delta: intra-delta duplicate of 13
+        (23, text_c),  # delta: genuinely new — accepted
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in incremental_dedup_of(d).collect()}
+    assert set(got) == {3, 8, 13, 18, 23}
+
+    def flags(r):
+        return (r["exact_hist"], r["intra_dup"], r["near_hist"], r["accepted"])
+
+    assert flags(got[3]) == (True, False, True, False)    # exact ⇒ also near
+    assert flags(got[8]) == (False, False, True, False)   # near only
+    assert flags(got[13]) == (False, False, False, True)  # twin keeper
+    assert flags(got[18]) == (False, True, False, False)  # intra dup
+    assert flags(got[23]) == (False, False, False, True)  # new

@@ -107,6 +107,7 @@ CROSS_OK = {
     "t7_fit_transform_pca": "p×k loadings broadcast",
     "t8_distributed_pca": "p×k loadings broadcast",
     "pipe1_corpus_curation": "1-row funnel counters + hot-shingle broadcast",
+    "pipe2_export_manifest": "inherits pipe1's funnel broadcasts (hot-shingle, benchmark shingles)",
     "an2_funnel_conversion": "1-row step totals broadcast",
     "prof1_column_profile": "single-row profile explode",
     "mm2_feature_extract": "1-row normalizer broadcast",
