@@ -935,7 +935,10 @@ PREFIX_FP_SQL = (
         "fingerprint-only relation that at 100 TB lives as a table "
         "bucketed by fingerprint (tests/test_bucketing.py pattern), "
         "so the anti-join routes only the small batch through the "
-        "shuffle; the distinct() is partial-aggregated map-side.",
+        "shuffle; the distinct() is partial-aggregated map-side. "
+        "dd9 is the cheap EXACT gate at the ingestion tier; dd12 is "
+        "the full curation-tier incremental pass downstream (exact + "
+        "intra-delta + NEAR-dup vs history with Jaccard verify).",
     tags=("dedup", "pipeline"),
 )
 def dd9_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2557,7 +2560,14 @@ def incremental_dedup_of(d: DataFrame) -> DataFrame:
         "appended); every join is delta-driven, so candidate cost is "
         "Σ_shingle df_delta·df_hist, bounded by the df-cap, and the "
         "job scales with the DELTA (1 TB/day) not the corpus "
-        "(100 TB) — the whole point of incremental curation.",
+        "(100 TB) — the whole point of incremental curation. "
+        "Relation to dd9: dd9 is the ingestion-tier EXACT-only gate "
+        "(prefix fingerprint, anti-join, no near pass); dd12 is the "
+        "curation-tier pass that runs after it — full normalized "
+        "fingerprints, intra-delta dedup, and the fuzzy "
+        "delta-vs-history stage dd9 deliberately omits. They compose: "
+        "dd9 cheaply drops byte-dups at ingest, dd12 adjudicates what "
+        "remains.",
     tags=("dedup", "pipeline"),
 )
 def dd12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
