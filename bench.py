@@ -53,7 +53,7 @@ def _wait_for_idle_box() -> float:
     """Noise guard: BENCH_r06 shipped a phantom +20% because the
     reading was taken while probe/suite jobs shared the box. Sample
     the 1-min load average before warm-up; if the box is loaded, wait
-    (up to ~5 min) for it to drain rather than certify a loaded
+    (up to ~10 min, SPARK_GRAFT_BENCH_LOAD_WAIT) for it to drain rather than certify a loaded
     number. The sampled load is recorded in the output JSON either
     way, so a reading taken under load is visibly annotated."""
     deadline = time.time() + float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "600"))

@@ -1979,6 +1979,48 @@ def _lce_extend(j: DataFrame, keep: list) -> DataFrame:
     )
 
 
+def lce_sql_from(ta_src: str, tb_src: str) -> str:
+    """The ext→pos0→lce→spans CTE chain shared by dd11 and dc3:
+    longest-common-extension folds around a preceding
+    ``cand(doc_a, pa, doc_b, pb)`` relation, parameterized on the two
+    (doc_id, toks) token relations — the SQL twin of the factored
+    Spark-side :func:`_lce_extend` (shingle_sql_from's convention)."""
+    return f"""ext AS (
+            SELECT c.doc_a, c.doc_b, c.pa, c.pb,
+                   least(len(ta.toks) - c.pa, len(tb.toks) - c.pb) AS maxr,
+                   least(c.pa, c.pb) AS minl,
+                   ta.toks AS ta, tb.toks AS tb
+            FROM cand c
+            JOIN {ta_src} ta ON ta.doc_id = c.doc_a
+            JOIN {tb_src} tb ON tb.doc_id = c.doc_b
+        ),
+        pos0 AS (
+            SELECT doc_a, doc_b, pa, pb, maxr, minl,
+                   list_position(
+                       [ta[pa + k] = tb[pb + k] for k in range(1, CAST(maxr AS BIGINT) + 1)],
+                       false) AS rp,
+                   list_position(
+                       [ta[pa - k + 1] = tb[pb - k + 1] for k in range(1, CAST(minl AS BIGINT) + 1)],
+                       false) AS lp
+            FROM ext
+        ),
+        lce AS (
+            -- list_position returns 0 for "no mismatch found" (full run)
+            SELECT doc_a, doc_b, pa, pb,
+                   CASE WHEN rp IS NULL OR rp = 0 THEN maxr ELSE rp - 1 END AS r,
+                   CASE WHEN lp IS NULL OR lp = 0 THEN minl ELSE lp - 1 END AS l
+            FROM pos0
+        ),
+        spans AS (
+            SELECT DISTINCT doc_a, doc_b,
+               CAST(pa - l AS BIGINT) AS start_a,
+               CAST(pb - l AS BIGINT) AS start_b,
+               CAST(l + r AS BIGINT) AS match_len
+            FROM lce
+            WHERE l + r >= {ES_MIN_LEN}
+        )"""
+
+
 _DD11_CTE = f"""d0 AS (SELECT doc_id, md5(text) AS fp FROM documents),
         grp AS (SELECT fp, min(doc_id) AS rep_id FROM d0 GROUP BY fp),
         toked AS (
@@ -2011,40 +2053,7 @@ _DD11_CTE = f"""d0 AS (SELECT doc_id, md5(text) AS fp FROM documents),
             FROM seeds a JOIN probes b
               ON a.h = b.h AND a.doc_id < b.doc_id
         ),
-        ext AS (
-            SELECT c.doc_a, c.doc_b, c.pa, c.pb,
-                   least(len(ta.toks) - c.pa, len(tb.toks) - c.pb) AS maxr,
-                   least(c.pa, c.pb) AS minl,
-                   ta.toks AS ta, tb.toks AS tb
-            FROM cand c
-            JOIN toked ta ON ta.doc_id = c.doc_a
-            JOIN toked tb ON tb.doc_id = c.doc_b
-        ),
-        pos0 AS (
-            SELECT doc_a, doc_b, pa, pb, maxr, minl,
-                   list_position(
-                       [ta[pa + k] = tb[pb + k] for k in range(1, CAST(maxr AS BIGINT) + 1)],
-                       false) AS rp,
-                   list_position(
-                       [ta[pa - k + 1] = tb[pb - k + 1] for k in range(1, CAST(minl AS BIGINT) + 1)],
-                       false) AS lp
-            FROM ext
-        ),
-        lce AS (
-            -- list_position returns 0 for "no mismatch found" (full run)
-            SELECT doc_a, doc_b, pa, pb,
-                   CASE WHEN rp IS NULL OR rp = 0 THEN maxr ELSE rp - 1 END AS r,
-                   CASE WHEN lp IS NULL OR lp = 0 THEN minl ELSE lp - 1 END AS l
-            FROM pos0
-        ),
-        spans AS (
-            SELECT DISTINCT doc_a, doc_b,
-               CAST(pa - l AS BIGINT) AS start_a,
-               CAST(pb - l AS BIGINT) AS start_b,
-               CAST(l + r AS BIGINT) AS match_len
-        FROM lce
-        WHERE l + r >= {ES_MIN_LEN}
-        )
+        {lce_sql_from('toked', 'toked')}
 """
 
 
@@ -2352,39 +2361,7 @@ _DC3_CTE = f"""corpus AS (
                             b.doc_id AS doc_b, b.pos AS pb
             FROM seeds c JOIN probes b ON c.h = b.h
         ),
-        ext AS (
-            SELECT c.doc_a, c.doc_b, c.pa, c.pb,
-                   least(len(ta.toks) - c.pa, len(tb.toks) - c.pb) AS maxr,
-                   least(c.pa, c.pb) AS minl,
-                   ta.toks AS ta, tb.toks AS tb
-            FROM cand c
-            JOIN ctoked ta ON ta.doc_id = c.doc_a
-            JOIN btoked tb ON tb.doc_id = c.doc_b
-        ),
-        pos0 AS (
-            SELECT doc_a, doc_b, pa, pb, maxr, minl,
-                   list_position(
-                       [ta[pa + k] = tb[pb + k] for k in range(1, CAST(maxr AS BIGINT) + 1)],
-                       false) AS rp,
-                   list_position(
-                       [ta[pa - k + 1] = tb[pb - k + 1] for k in range(1, CAST(minl AS BIGINT) + 1)],
-                       false) AS lp
-            FROM ext
-        ),
-        lce AS (
-            SELECT doc_a, doc_b, pa, pb,
-                   CASE WHEN rp IS NULL OR rp = 0 THEN maxr ELSE rp - 1 END AS r,
-                   CASE WHEN lp IS NULL OR lp = 0 THEN minl ELSE lp - 1 END AS l
-            FROM pos0
-        ),
-        spans AS (
-            SELECT DISTINCT doc_a, doc_b,
-               CAST(pa - l AS BIGINT) AS start_a,
-               CAST(pb - l AS BIGINT) AS start_b,
-               CAST(l + r AS BIGINT) AS match_len
-            FROM lce
-            WHERE l + r >= {ES_MIN_LEN}
-        )
+        {lce_sql_from('ctoked', 'btoked')}
 """
 
 

@@ -1963,11 +1963,10 @@ def cls2_trained_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "ml", "metric", "pipeline"),
 )
 def cls2b_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..caching import pin as _pin
     from .metrics import CALIB_BINS
     from .relational import global_prefix_agg
 
-    scored = _pin(
+    scored = pin(
         cls2_trained_classifier(spark, sf_dir).filter(F.col("split") == "test")
     )
     # Mann-Whitney AUC over the held-out scores (auc1's relation)

@@ -524,9 +524,11 @@ def test_dc3_planted_span_contamination_detected(spark):
     bench_tokens = [f"b{i}" for i in range(20)]          # the eval item
     host_pad_l = [f"l{i}" for i in range(80)]
     host_pad_r = [f"r{i}" for i in range(80)]
-    # quote at offset 80 — NOT a multiple of ES_ANCHOR (5), so the
-    # aligned-grid-on-both-sides assumption would miss it; the
-    # one-sided dense benchmark index must not
+    # 80 IS a multiple of ES_ANCHOR (5) — truncating the pad to 77
+    # puts the quote at an UNALIGNED offset, which a grid-on-both-
+    # sides index would miss; the one-sided dense benchmark index
+    # must not (do not delete the truncation: aligned offsets would
+    # pass even with the buggy indexing)
     assert 80 % 5 == 0
     host_pad_l = host_pad_l[:77]                         # offset 77, unaligned
     host = host_pad_l + bench_tokens + host_pad_r

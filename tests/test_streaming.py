@@ -472,7 +472,12 @@ def test_protoshim_stale_repeated_handle_merges_not_overwrites():
     rt.ParseFromString(c.SerializeToString())
     assert sorted(rt.xs) == [1, 2]
 
-    # and a second stale mutation after the merge doesn't double-add
-    before = list(c.xs)
-    a.append(3)         # A is detached now (owner cleared at merge)
-    assert list(c.xs) == before
+    # and mutations through the merged handle keep FORWARDING to the
+    # live container (r8: nothing written through any handle is ever
+    # dropped from the message)
+    a.append(3)
+    assert sorted(c.xs) == [1, 2, 3]
+    a.extend([4])
+    assert sorted(c.xs) == [1, 2, 3, 4]
+    # forwarding didn't double-add the merged prefix
+    assert list(c.xs).count(2) == 1
