@@ -150,3 +150,57 @@ def test_dd12_planted_incremental_flags(spark):
     assert flags(got[13]) == (False, False, False, True)  # twin keeper
     assert flags(got[18]) == (False, True, False, False)  # intra dup
     assert flags(got[23]) == (False, False, False, True)  # new
+
+
+def test_dc3_span_at_document_boundaries(spark):
+    """LCE edge coverage: the benchmark quote sits at the very START
+    (left extension length 0 — empty comparison list) and the very
+    END (right extension bounded by the doc boundary) of its host."""
+    from reduction_dask_spark.operators.dedup import (
+        BENCH_MOD,
+        ES_MIN_LEN,
+        span_decontam_of,
+    )
+
+    bench_tokens = [f"b{i}" for i in range(20)]
+    pad = [f"p{i}" for i in range(63)]  # unaligned tail/lead (63 % 5 != 0)
+    rows = [
+        (BENCH_MOD, " ".join(bench_tokens)),
+        (10, " ".join(bench_tokens + pad)),   # quote at host START
+        (20, " ".join(pad + bench_tokens)),   # quote at host END (offset 63)
+        (30, " ".join(f"c{i}" for i in range(60))),  # clean
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {}
+    for r in span_decontam_of(d).collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    assert set(got) == {10, 20}
+    (s10,) = got[10]
+    assert (s10["start_doc"], s10["start_bench"], s10["match_len"]) == (0, 0, 20)
+    (s20,) = got[20]
+    assert (s20["start_doc"], s20["start_bench"], s20["match_len"]) == (63, 0, 20)
+    assert s20["match_len"] >= ES_MIN_LEN
+
+
+def test_dd12_intra_delta_near_dup_is_out_of_scope(spark):
+    """Pins the documented boundary: dd12's near flag is vs HISTORY
+    only — two near-identical docs both inside the delta are each
+    accepted (intra-batch fuzzy dedup is dd3's job, run on the
+    accepted batch afterwards)."""
+    from reduction_dask_spark.operators.dedup import incremental_dedup_of
+
+    words = [f"w{i}" for i in range(30)]
+    near = words[:10] + ["EDITED"] + words[11:]
+    rows = [
+        (1, " ".join(f"h{i}" for i in range(30))),  # unrelated history
+        (3, " ".join(words)),                        # delta
+        (8, " ".join(near)),                         # delta near-dup of 3
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in incremental_dedup_of(d).collect()}
+    assert set(got) == {3, 8}
+    for i in (3, 8):
+        r = got[i]
+        assert (r["exact_hist"], r["intra_dup"], r["near_hist"], r["accepted"]) == (
+            False, False, False, True,
+        ), i
