@@ -1861,6 +1861,9 @@ def fuzzy_decontam_of(d: DataFrame) -> DataFrame:
 ES_ANCHOR = 5                       # aligned anchor width == stride
 ES_MIN_LEN = 2 * ES_ANCHOR - 1      # guaranteed-detection span length
 ES_ANCHOR_CAP = 50                  # drop anchors in more docs (boilerplate)
+ES_EXEMPT_CAP = 1000                # dc3: corpus rows kept per benchmark-
+                                    # matching hot anchor (exempt from the
+                                    # drop, bounded instead of unbounded)
 
 
 def exact_substring_spans_of(d: DataFrame) -> DataFrame:
@@ -2220,25 +2223,21 @@ def substring_removal_of(d: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------- dc3
 
 
-def span_decontam_of(d: DataFrame) -> DataFrame:
-    """dc3's pipeline over an arbitrary (doc_id, text) relation —
-    parameterized so the fixture test can plant a benchmark passage
-    QUOTED inside a long corpus document at arbitrary alignment (the
-    contamination mode dc2's whole-document Jaccard dilutes below τ
-    when the host document is long)."""
+def span_spans_between(corpus: DataFrame, bench: DataFrame) -> DataFrame:
+    """dc3's core: exact shared-token spans (length ≥ ES_MIN_LEN)
+    between an arbitrary corpus relation and a tiny benchmark
+    relation, both (doc_id, text) — factored out (r9) so pipe3's
+    funnel can point it at the near-dup SURVIVORS instead of the full
+    corpus. Returns (doc_a=corpus doc, doc_b=bench doc, start_a,
+    start_b, match_len). Callers own any exact-duplicate collapse of
+    the corpus side; the asymmetric grid/dense indexing, the
+    hot-anchor cap with benchmark exemption, and the LCE extension
+    live here (one implementation, one SQL twin)."""
     from ..functions import md5h60
 
-    is_bench = F.col("doc_id") % BENCH_MOD == 0
-    corpus, bench = d.filter(~is_bench), d.filter(is_bench)
-
-    # collapse exact corpus duplicates first (identical hosts carry
-    # identical contamination — detect once on the representative,
-    # fan the verdict back out to every member at the end)
-    fp, grp = exact_groups(corpus)
-    reps = corpus.join(grp.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi")
     A = ES_ANCHOR
     ctoked = pin(
-        reps.select("doc_id", F.split(F.col("text"), " ").alias("toks")).filter(
+        corpus.select("doc_id", F.split(F.col("text"), " ").alias("toks")).filter(
             F.size("toks") >= A
         )
     )
@@ -2279,17 +2278,42 @@ def span_decontam_of(d: DataFrame) -> DataFrame:
             )
         ).alias("a"),
     ).select("doc_id", F.col("a.pos").alias("pos"), F.col("a.h").alias("h"))
-    # boilerplate cap on the corpus side's anchor df (the side where
-    # hot keys can explode the join; the hot list is tiny by
-    # construction, like DF_CAP / dd11's ES_ANCHOR_CAP)
+    # boilerplate cap on the corpus side's anchor df, with a BENCHMARK
+    # EXEMPTION (r8 advisor): dropping every df>cap anchor from BOTH
+    # sides made the most widely replicated contamination self-hiding
+    # — a benchmark passage quoted in > cap distinct (non-identical)
+    # corpus hosts lost all of its grid anchors and became
+    # undetectable. Anchors that also occur in the (tiny, dense)
+    # benchmark index are exempt from the drop; their corpus fan-out
+    # is bounded instead by keeping the first ES_EXEMPT_CAP
+    # (doc_id, pos) rows per anchor — deterministic, oracle-mirrored.
+    # Residual blind spot (documented, not silent): a host past the
+    # exempt cap on an anchor that is its span's ONLY aligned anchor;
+    # at 2A-1 ≤ span < 3A-1 a span has 1-2 grid anchors, longer spans
+    # have more, so the cap must be exhausted on every one to miss.
+    # True boilerplate (df>cap, NOT in any benchmark doc) is still
+    # dropped from both sides exactly as before.
     hot = (
         idx_c.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") > ES_ANCHOR_CAP)
         .select("h")
     )
-    seeds = idx_c.join(F.broadcast(hot), "h", "left_anti")
-    probes = idx_b.join(F.broadcast(hot), "h", "left_anti")
+    bench_h = idx_b.select("h").distinct()
+    exempt = hot.join(bench_h, "h", "left_semi")
+    hot_drop = hot.join(bench_h, "h", "left_anti")
+    seeds_norm = idx_c.join(F.broadcast(hot), "h", "left_anti")
+    seeds_ex = (
+        idx_c.join(F.broadcast(exempt), "h", "left_semi")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("h").orderBy("doc_id", "pos")),
+        )
+        .filter(F.col("rn") <= ES_EXEMPT_CAP)
+        .drop("rn")
+    )
+    seeds = seeds_norm.unionByName(seeds_ex)
+    probes = idx_b.join(F.broadcast(hot_drop), "h", "left_anti")
     cand = (
         seeds.alias("c")
         .join(probes.alias("b"), F.col("c.h") == F.col("b.h"))
@@ -2302,11 +2326,28 @@ def span_decontam_of(d: DataFrame) -> DataFrame:
     ta = ctoked.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
     tb = btoked.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
     j = cand.join(ta, "doc_a").join(tb, "doc_b")
-    spans = (
+    return (
         _lce_extend(j, ["doc_a", "doc_b"])
         .filter(F.col("match_len") >= ES_MIN_LEN)
         .distinct()
     )
+
+
+def span_decontam_of(d: DataFrame) -> DataFrame:
+    """dc3's pipeline over an arbitrary (doc_id, text) relation —
+    parameterized so the fixture test can plant a benchmark passage
+    QUOTED inside a long corpus document at arbitrary alignment (the
+    contamination mode dc2's whole-document Jaccard dilutes below τ
+    when the host document is long)."""
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    corpus, bench = d.filter(~is_bench), d.filter(is_bench)
+
+    # collapse exact corpus duplicates first (identical hosts carry
+    # identical contamination — detect once on the representative,
+    # fan the verdict back out to every member at the end)
+    fp, grp = exact_groups(corpus)
+    reps = corpus.join(grp.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi")
+    spans = span_spans_between(reps, bench)
     # fan the representative's spans back out to every exact-duplicate
     # member (identical text ⇒ identical span coordinates)
     members = fp.join(
@@ -2319,6 +2360,53 @@ def span_decontam_of(d: DataFrame) -> DataFrame:
         F.col("start_b").alias("start_bench"),
         "match_len",
     )
+
+
+def span_sql_between(ctoked: str, btoked: str) -> str:
+    """DuckDB CTE chain from two tokenized (doc_id, toks) sources to
+    the ``spans`` relation — the SQL twin of
+    :func:`span_spans_between` (grid/dense asymmetric index,
+    hot-anchor cap with benchmark exemption, LCE extension), shared
+    by the dc3 oracle and pipe3's funnel oracle."""
+    A = ES_ANCHOR
+    h_aligned = md5h60_sql(f"array_to_string(toks[i * {A} + 1 : i * {A} + {A}], ' ')")
+    h_all = md5h60_sql(f"array_to_string(toks[i + 1 : i + {A}], ' ')")
+    return f"""idx_c AS (
+            SELECT doc_id, i * {A} AS pos,
+                   {h_aligned} AS h
+            FROM {ctoked},
+                 unnest(range(0, CAST(floor((len(toks) - {A}) / {A}) AS BIGINT) + 1)) AS t(i)
+        ),
+        idx_b AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   {h_all} AS h
+            FROM {btoked},
+                 unnest(range(0, len(toks) - {A} + 1)) AS t(i)
+        ),
+        hot AS (
+            SELECT h FROM idx_c GROUP BY h
+            HAVING count(DISTINCT doc_id) > {ES_ANCHOR_CAP}
+        ),
+        exempt AS (SELECT h FROM hot SEMI JOIN idx_b USING (h)),
+        hot_drop AS (SELECT h FROM hot ANTI JOIN idx_b USING (h)),
+        seeds AS (
+            SELECT doc_id, pos, h FROM idx_c ANTI JOIN hot USING (h)
+            UNION ALL
+            SELECT doc_id, pos, h FROM (
+                SELECT i.doc_id, i.pos, i.h,
+                       row_number() OVER (
+                           PARTITION BY i.h ORDER BY i.doc_id, i.pos
+                       ) AS rn
+                FROM idx_c i SEMI JOIN exempt e ON i.h = e.h
+            ) WHERE rn <= {ES_EXEMPT_CAP}
+        ),
+        probes AS (SELECT * FROM idx_b ANTI JOIN hot_drop USING (h)),
+        cand AS (
+            SELECT DISTINCT c.doc_id AS doc_a, c.pos AS pa,
+                            b.doc_id AS doc_b, b.pos AS pb
+            FROM seeds c JOIN probes b ON c.h = b.h
+        ),
+        {lce_sql_from(ctoked, btoked)}"""
 
 
 _DC3_CTE = f"""corpus AS (
@@ -2338,40 +2426,14 @@ _DC3_CTE = f"""corpus AS (
             WHERE doc_id % {BENCH_MOD} = 0
               AND len(string_split(text, ' ')) >= {ES_ANCHOR}
         ),
-        idx_c AS (
-            SELECT doc_id, i * {ES_ANCHOR} AS pos,
-                   {{H_ALIGNED}} AS h
-            FROM ctoked,
-                 unnest(range(0, CAST(floor((len(toks) - {ES_ANCHOR}) / {ES_ANCHOR}) AS BIGINT) + 1)) AS t(i)
-        ),
-        idx_b AS (
-            SELECT doc_id, CAST(i AS BIGINT) AS pos,
-                   {{H_ALL}} AS h
-            FROM btoked,
-                 unnest(range(0, len(toks) - {ES_ANCHOR} + 1)) AS t(i)
-        ),
-        hot AS (
-            SELECT h FROM idx_c GROUP BY h
-            HAVING count(DISTINCT doc_id) > {ES_ANCHOR_CAP}
-        ),
-        seeds AS (SELECT * FROM idx_c ANTI JOIN hot USING (h)),
-        probes AS (SELECT * FROM idx_b ANTI JOIN hot USING (h)),
-        cand AS (
-            SELECT DISTINCT c.doc_id AS doc_a, c.pos AS pa,
-                            b.doc_id AS doc_b, b.pos AS pb
-            FROM seeds c JOIN probes b ON c.h = b.h
-        ),
-        {lce_sql_from('ctoked', 'btoked')}
+        {span_sql_between('ctoked', 'btoked')}
 """
 
 
 @query(
     "dc3_span_decontam",
     oracle=f"""
-        WITH {_DC3_CTE.format(
-            H_ALIGNED=md5h60_sql(f"array_to_string(toks[i * {ES_ANCHOR} + 1 : i * {ES_ANCHOR} + {ES_ANCHOR}], ' ')"),
-            H_ALL=md5h60_sql(f"array_to_string(toks[i + 1 : i + {ES_ANCHOR}], ' ')"),
-        ).strip()}
+        WITH {_DC3_CTE.strip()}
         SELECT m.doc_id, s.doc_b AS bench_id,
                s.start_a AS start_doc, s.start_b AS start_bench, s.match_len
         FROM spans s
@@ -2397,7 +2459,12 @@ _DC3_CTE = f"""corpus AS (
         "verdict fanned back to members (identical hosts ⇒ identical "
         "span coordinates), and boilerplate anchors in > "
         f"{ES_ANCHOR_CAP} corpus docs are dropped via the tiny hot "
-        "list. Cost: O(corpus/A + bench) index + O(collisions × span "
+        "list — EXCEPT anchors that also occur in the benchmark "
+        "index (r9, advisor fix): those are exempt from the drop so "
+        "the most widely quoted contamination cannot self-hide, with "
+        f"corpus fan-out bounded at {ES_EXEMPT_CAP} deterministic "
+        "(doc_id, pos) rows per exempt anchor instead. Cost: "
+        "O(corpus/A + bench) index + O(collisions × span "
         "length) — never corpus × benchmark.",
     tags=("dedup", "text", "pipeline"),
 )

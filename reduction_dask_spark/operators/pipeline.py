@@ -29,24 +29,27 @@ QUALITY_TAU = 0.3
 KEEP_LANGS = ("en", "de", "fr", "es")
 
 
-def doc_survival_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per document with a boolean column per curation stage —
-    r8 extends the funnel to the FULL stage set PIPELINES.md §1
-    promises (r7 verdict item 5): quality score → Gopher A1.1 rules →
-    Gopher A1.2 repetition rules → exact dedup → near dedup →
-    benchmark decontamination → language allowlist.
+def _flags_through_near(
+    spark: SparkSession, sf_dir: str, quality_gate: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared front of the curation funnels (pipe1/pipe2/pipe3/pipe4):
+    quality → Gopher A1.1 → repetition → exact dedup → near dedup.
+    Returns ``(docs, flagged, sh_surv)``: the documents table, the
+    flag relation through ``near_ok`` (one row per doc), and the
+    pinned exact-survivor shingle index the decontam stages reuse.
+
+    ``quality_gate`` (r9, pipe4): optional (doc_id, cls_ok) relation
+    replacing the heuristic quality score as the first stage — the
+    trained-classifier gate; docs absent from the gate fail closed.
 
     Single-pass design: the quality AND Gopher-rule expressions share
     ONE token-array scan; the repetition gram stream runs only over
     Gopher survivors; the fingerprint groupBy and the (expensive)
     Jaccard pair join each run exactly ONCE on their shrunken inputs;
-    the decontamination stage REUSES the near-dup stage's pinned
-    survivor shingle index against a broadcast benchmark shingle set
-    (dc1's relation) instead of re-shingling; stages compose as flag
-    conjunctions — vs the naive per-stage-subquery funnel that
-    re-executes the whole upstream chain for every stage count. At
-    100 TB that difference is the job."""
-    from .dedup import BENCH_MOD, DECON_MIN_SHARED
+    stages compose as flag conjunctions — vs the naive
+    per-stage-subquery funnel that re-executes the whole upstream
+    chain for every stage count. At 100 TB that difference is the
+    job."""
     from .text import (
         GQ_ALPHA_DEN,
         GQ_ALPHA_NUM,

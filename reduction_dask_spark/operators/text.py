@@ -1955,7 +1955,11 @@ def cls2_trained_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean score vs realized positive rate; the ece_contrib "
         "column sums to the Expected Calibration Error). One row "
         "per non-empty bin; the (auc, npos, nneg) verdict rides "
-        "along as 1-row-broadcast columns. Scale: the scored "
+        "along as 1-row-broadcast columns. Null semantics (r8 "
+        "advisor): a degenerate single-class split (npos or nneg = "
+        "0, e.g. label drift) has no defined rank-sum AUC — auc is "
+        "an EXPLICIT when()-guarded null with the class counts "
+        "alongside showing why, never a silent 0/0. Scale: the scored "
         "relation is scanned twice (distinct-score agg, bin agg); "
         "everything after is |bins|-sized. This is the pattern for "
         "evaluating ANY scored gate in-engine: score → rank-sum AUC "
@@ -1963,12 +1967,19 @@ def cls2_trained_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "ml", "metric", "pipeline"),
 )
 def cls2b_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .metrics import CALIB_BINS
-    from .relational import global_prefix_agg
-
     scored = pin(
         cls2_trained_classifier(spark, sf_dir).filter(F.col("split") == "test")
     )
+    return classifier_readout_of(scored)
+
+
+def classifier_readout_of(scored: DataFrame) -> DataFrame:
+    """cls2b's AUC + reliability readout over any (score, label)
+    relation — factored out so the degenerate-split guard is testable
+    on a constructed single-class split (r8 advisor item)."""
+    from .metrics import CALIB_BINS
+    from .relational import global_prefix_agg
+
     # Mann-Whitney AUC over the held-out scores (auc1's relation)
     v = scored.groupBy("score").agg(
         F.count("*").alias("c"), F.sum("label").alias("cp")
@@ -1982,8 +1993,15 @@ def cls2b_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = scored.agg(
         F.sum("label").alias("npos"), (F.count("*") - F.sum("label")).alias("nneg")
     )
-    auc = (F.col("sumr") - F.col("npos") * (F.col("npos") + 1) / 2.0) / (
-        F.col("npos") * F.col("nneg").cast("double")
+    # degenerate-split guard (r8 advisor): a single-class held-out
+    # split (npos or nneg = 0) has no defined rank-sum AUC — emit an
+    # EXPLICIT null rather than letting the division produce NaN/null
+    # silently; the (npos, nneg) columns ride along so the readout
+    # shows WHY the verdict is null
+    auc = F.when(
+        (F.col("npos") > 0) & (F.col("nneg") > 0),
+        (F.col("sumr") - F.col("npos") * (F.col("npos") + 1) / 2.0)
+        / (F.col("npos") * F.col("nneg").cast("double")),
     )
     aucrow = t.crossJoin(F.broadcast(s)).select(
         F.col("npos").cast("bigint").alias("npos"),
