@@ -123,7 +123,13 @@ def shingle_table_of(d: DataFrame) -> DataFrame:
 
 # DuckDB mirror of shingle_table_of — CTE chain parameterized on the
 # (doc_id, text) source relation, mirroring the DataFrame parameter
-def shingle_sql_from(src: str) -> str:
+def shingle_sql_from(src: str, materialized: bool = False) -> str:
+    # materialized: force DuckDB to evaluate the index ONCE when the
+    # surrounding WITH block references ``sh`` many times (DuckDB
+    # inlines CTEs by default, re-executing the whole chain per
+    # reference — pipe1's funnel oracle measured 10.9 s → 0.1 s at
+    # sf0.001 from this hint alone)
+    m = "MATERIALIZED " if materialized else ""
     return f"""
     d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}),
     shs AS (
@@ -134,7 +140,7 @@ def shingle_sql_from(src: str) -> str:
     ),
     sh0 AS (SELECT doc_id, {md5h60_sql('shingle_s')} AS shingle FROM shs),
     hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > {DF_CAP}),
-    sh AS (SELECT doc_id, shingle FROM sh0 ANTI JOIN hot USING (shingle))
+    sh AS {m}(SELECT doc_id, shingle FROM sh0 ANTI JOIN hot USING (shingle))
 """
 
 
@@ -2024,6 +2030,61 @@ def lce_sql_from(ta_src: str, tb_src: str) -> str:
         )"""
 
 
+def excise_sql(doc_col: str, start_col: str, toked_body: str) -> str:
+    """SQL twin of :func:`excise_intervals`: the iv→ivs interval-merge
+    CTE chain over a preceding ``spans`` relation (taking the
+    ``doc_col`` side's ``start_col`` coordinate) plus the final
+    token-excision SELECT over ``toked_body`` = a (doc_id, toks)
+    query. Shared by dd11b's oracle and pipe3's funnel oracle."""
+    return f"""iv AS (
+            -- DISTINCT makes (doc_id, s, e) unique, so ORDER BY (s, e)
+            -- is a TOTAL order within each doc: without it, the same
+            -- interval arriving from two partner docs can tie-break
+            -- differently in the prevmax and island-sum windows and
+            -- split one island in two (double-counting n_removed)
+            SELECT DISTINCT {doc_col} AS doc_id, {start_col} AS s,
+                            {start_col} + match_len AS e
+            FROM spans
+        ),
+        marked AS (
+            SELECT doc_id, s, e,
+                   max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prevmax
+            FROM iv
+        ),
+        isl AS (
+            SELECT doc_id, s, e,
+                   sum(CASE WHEN prevmax IS NULL OR s > prevmax THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY s, e
+                             ROWS UNBOUNDED PRECEDING) AS isl
+            FROM marked
+        ),
+        merged AS (
+            SELECT doc_id, isl, min(s) AS s, max(e) AS e
+            FROM isl GROUP BY doc_id, isl
+        ),
+        ivs AS (
+            SELECT doc_id,
+                   list(struct_pack(s := s, e := e) ORDER BY s, e) AS ivs,
+                   sum(e - s) AS n_removed
+            FROM merged GROUP BY doc_id
+        ),
+        toked2 AS ({toked_body})
+        SELECT t.doc_id,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               CAST(v.n_removed AS BIGINT) AS n_removed,
+               -- array_to_string of an EMPTY list is NULL in DuckDB
+               -- (Spark's concat_ws gives ''): coalesce for the
+               -- fully-removed-document case
+               md5(coalesce(array_to_string(
+                   [t.toks[i] for i in range(1, len(t.toks) + 1)
+                    if len(list_filter(v.ivs,
+                          iv -> (i - 1) >= iv.s AND (i - 1) < iv.e)) = 0],
+                   ' '), '')) AS clean_fp
+        FROM toked2 t JOIN ivs v USING (doc_id)"""
+
+
 _DD11_CTE = f"""d0 AS (SELECT doc_id, md5(text) AS fp FROM documents),
         grp AS (SELECT fp, min(doc_id) AS rep_id FROM d0 GROUP BY fp),
         toked AS (
@@ -2102,53 +2163,8 @@ def dd11_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd11b_substring_removal",
     oracle=f"""
         WITH {_DD11_CTE.strip()},
-        iv AS (
-            -- DISTINCT makes (doc_id, s, e) unique, so ORDER BY (s, e)
-            -- is a TOTAL order within each doc: without it, the same
-            -- interval arriving from two doc_a partners can tie-break
-            -- differently in the prevmax and island-sum windows and
-            -- split one island in two (double-counting n_removed)
-            SELECT DISTINCT doc_b AS doc_id, start_b AS s,
-                            start_b + match_len AS e
-            FROM spans
-        ),
-        marked AS (
-            SELECT doc_id, s, e,
-                   max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                       AS prevmax
-            FROM iv
-        ),
-        isl AS (
-            SELECT doc_id, s, e,
-                   sum(CASE WHEN prevmax IS NULL OR s > prevmax THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY doc_id ORDER BY s, e
-                             ROWS UNBOUNDED PRECEDING) AS isl
-            FROM marked
-        ),
-        merged AS (
-            SELECT doc_id, isl, min(s) AS s, max(e) AS e
-            FROM isl GROUP BY doc_id, isl
-        ),
-        ivs AS (
-            SELECT doc_id,
-                   list(struct_pack(s := s, e := e) ORDER BY s, e) AS ivs,
-                   sum(e - s) AS n_removed
-            FROM merged GROUP BY doc_id
-        ),
-        toked2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-        SELECT t.doc_id,
-               CAST(len(t.toks) AS BIGINT) AS n_tokens,
-               CAST(v.n_removed AS BIGINT) AS n_removed,
-               -- array_to_string of an EMPTY list is NULL in DuckDB
-               -- (Spark's concat_ws gives ''): coalesce for the
-               -- fully-removed-document case
-               md5(coalesce(array_to_string(
-                   [t.toks[i] for i in range(1, len(t.toks) + 1)
-                    if len(list_filter(v.ivs,
-                          iv -> (i - 1) >= iv.s AND (i - 1) < iv.e)) = 0],
-                   ' '), '')) AS clean_fp
-        FROM toked2 t JOIN ivs v USING (doc_id)
+        {excise_sql('doc_b', 'start_b',
+                    "SELECT doc_id, string_split(text, ' ') AS toks FROM documents")}
     """,
     doc="dd11b exact-substring REMOVAL — the action Lee et al. 2022 "
         "take on dd11's spans: every duplicated span is cut from the "
@@ -2181,6 +2197,18 @@ def substring_removal_of(d: DataFrame) -> DataFrame:
         F.col("start_b").alias("s"),
         (F.col("start_b") + F.col("match_len")).alias("e"),
     ).distinct()
+    return excise_intervals(d, iv)
+
+
+def excise_intervals(d: DataFrame, iv: DataFrame) -> DataFrame:
+    """Merge per-document token intervals ``iv = (doc_id, s, e)``
+    (half-open [s, e), gaps-and-islands window) and cut the covered
+    tokens from ``d = (doc_id, text)`` — dd11b's removal machinery,
+    factored (r10) so pipe3 can excise dc3-shaped corpus/benchmark
+    spans with the identical merge/cut semantics. One row per
+    AFFECTED document: token count, tokens removed, md5 of the
+    surviving token sequence. Callers must hand in distinct
+    intervals (see substring_removal_of's tie-break note)."""
     wprev = (
         Window.partitionBy("doc_id").orderBy("s", "e")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -2362,49 +2390,53 @@ def span_decontam_of(d: DataFrame) -> DataFrame:
     )
 
 
-def span_sql_between(ctoked: str, btoked: str) -> str:
+def span_sql_between(ctoked: str, btoked: str, prefix: str = "") -> str:
     """DuckDB CTE chain from two tokenized (doc_id, toks) sources to
     the ``spans`` relation — the SQL twin of
     :func:`span_spans_between` (grid/dense asymmetric index,
     hot-anchor cap with benchmark exemption, LCE extension), shared
-    by the dc3 oracle and pipe3's funnel oracle."""
+    by the dc3 oracle and pipe3's funnel oracle. ``prefix`` renames
+    the seed-side CTEs so the chain composes into a WITH block that
+    already defines ``hot`` (pipe3 appends this to the funnel SQL,
+    whose shingle index has its own hot list)."""
     A = ES_ANCHOR
+    p = prefix
     h_aligned = md5h60_sql(f"array_to_string(toks[i * {A} + 1 : i * {A} + {A}], ' ')")
     h_all = md5h60_sql(f"array_to_string(toks[i + 1 : i + {A}], ' ')")
-    return f"""idx_c AS (
+    return f"""{p}idx_c AS (
             SELECT doc_id, i * {A} AS pos,
                    {h_aligned} AS h
             FROM {ctoked},
                  unnest(range(0, CAST(floor((len(toks) - {A}) / {A}) AS BIGINT) + 1)) AS t(i)
         ),
-        idx_b AS (
+        {p}idx_b AS (
             SELECT doc_id, CAST(i AS BIGINT) AS pos,
                    {h_all} AS h
             FROM {btoked},
                  unnest(range(0, len(toks) - {A} + 1)) AS t(i)
         ),
-        hot AS (
-            SELECT h FROM idx_c GROUP BY h
+        {p}hot AS (
+            SELECT h FROM {p}idx_c GROUP BY h
             HAVING count(DISTINCT doc_id) > {ES_ANCHOR_CAP}
         ),
-        exempt AS (SELECT h FROM hot SEMI JOIN idx_b USING (h)),
-        hot_drop AS (SELECT h FROM hot ANTI JOIN idx_b USING (h)),
-        seeds AS (
-            SELECT doc_id, pos, h FROM idx_c ANTI JOIN hot USING (h)
+        {p}exempt AS (SELECT h FROM {p}hot SEMI JOIN {p}idx_b USING (h)),
+        {p}hot_drop AS (SELECT h FROM {p}hot ANTI JOIN {p}idx_b USING (h)),
+        {p}seeds AS (
+            SELECT doc_id, pos, h FROM {p}idx_c ANTI JOIN {p}hot USING (h)
             UNION ALL
             SELECT doc_id, pos, h FROM (
                 SELECT i.doc_id, i.pos, i.h,
                        row_number() OVER (
                            PARTITION BY i.h ORDER BY i.doc_id, i.pos
                        ) AS rn
-                FROM idx_c i SEMI JOIN exempt e ON i.h = e.h
+                FROM {p}idx_c i SEMI JOIN {p}exempt e ON i.h = e.h
             ) WHERE rn <= {ES_EXEMPT_CAP}
         ),
-        probes AS (SELECT * FROM idx_b ANTI JOIN hot_drop USING (h)),
+        {p}probes AS (SELECT * FROM {p}idx_b ANTI JOIN {p}hot_drop USING (h)),
         cand AS (
             SELECT DISTINCT c.doc_id AS doc_a, c.pos AS pa,
                             b.doc_id AS doc_b, b.pos AS pb
-            FROM seeds c JOIN probes b ON c.h = b.h
+            FROM {p}seeds c JOIN {p}probes b ON c.h = b.h
         ),
         {lce_sql_from(ctoked, btoked)}"""
 
@@ -2616,3 +2648,208 @@ def incremental_dedup_of(d: DataFrame) -> DataFrame:
 )
 def dd12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup_of(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------- dd13
+
+
+def two_tier_dedup_of(d: DataFrame) -> DataFrame:
+    """dd13's pipeline over an arbitrary (doc_id, text) relation —
+    parameterized so the tier-disagreement pytest can plant docs the
+    tiers judge differently (same lead-in / different body: tier 1
+    rejects what tier 2's exact pass never would; different lead-in /
+    near-dup body: sails through tier 1, caught by tier 2's fuzzy
+    pass)."""
+    is_delta = F.col("doc_id") % DELTA_MOD == DELTA_REM
+
+    # tier 1 — dd9's INGESTION gate, prefix fingerprints only (the
+    # cheap per-doc key an ingest tier can afford): reject deltas
+    # whose lead-in is already in history, keep min-id per lead-in
+    # within the batch. ingest_intra is defined over the WHOLE delta
+    # per prefix (not hist-survivors only) — for any prefix already
+    # in history every member is rejected via ingest_hist anyway, so
+    # the verdicts agree with dd9 while keeping one window pass.
+    pf = d.select(
+        "doc_id",
+        prefix_fingerprint(F.col("text")).alias("pfp"),
+        is_delta.alias("is_delta"),
+    )
+    hist_pfp = pf.filter(~F.col("is_delta")).select("pfp").distinct()
+    t1 = (
+        pf.filter("is_delta")
+        .join(hist_pfp.withColumn("_ih", F.lit(True)), "pfp", "left")
+        .withColumn(
+            "ingest_intra",
+            F.col("doc_id") != F.min("doc_id").over(Window.partitionBy("pfp")),
+        )
+        .select(
+            "doc_id",
+            F.coalesce("_ih", F.lit(False)).alias("ingest_hist"),
+            "ingest_intra",
+        )
+    )
+    surv1 = t1.filter(~F.col("ingest_hist") & ~F.col("ingest_intra")).select("doc_id")
+
+    # tier 2 — dd12's CURATION pass over TIER-1 SURVIVORS ONLY: the
+    # whole point of the two-tier shape is that the expensive stage
+    # (full normalized fingerprints + the shingle candidate join)
+    # never sees what the cheap gate already dropped
+    nf = d.select(
+        "doc_id",
+        normalized_fingerprint(F.col("text")).alias("fp"),
+        is_delta.alias("is_delta"),
+    )
+    hist_fp = nf.filter(~F.col("is_delta")).select("fp").distinct()
+    d2 = nf.join(surv1, "doc_id", "left_semi")
+    t2 = (
+        d2.join(hist_fp.withColumn("_eh", F.lit(True)), "fp", "left")
+        .withColumn(
+            "intra_dup",
+            F.col("doc_id") != F.min("doc_id").over(Window.partitionBy("fp")),
+        )
+        .select(
+            "doc_id",
+            F.coalesce("_eh", F.lit(False)).alias("exact_hist"),
+            "intra_dup",
+        )
+    )
+    # near-dup vs history: dd12's df-capped inverted-index candidate
+    # join, delta side narrowed to tier-1 survivors
+    sh = pin(shingle_table_of(d.select("doc_id", "text")))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.join(surv1, "doc_id", "left_semi")
+        .select(F.col("doc_id").alias("d_id"), "shingle")
+        .join(
+            sh.filter(F.col("doc_id") % DELTA_MOD != DELTA_REM)
+            .select(F.col("doc_id").alias("h_id"), "shingle"),
+            "shingle",
+        )
+        .groupBy("d_id", "h_id")
+        .agg(F.count("*").alias("ninter"))
+    )
+    near = (
+        inter.join(sizes.select(F.col("doc_id").alias("d_id"), F.col("n").alias("na")), "d_id")
+        .join(sizes.select(F.col("doc_id").alias("h_id"), F.col("n").alias("nb")), "h_id")
+        .filter(
+            F.round(
+                F.col("ninter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("ninter")),
+                6,
+            )
+            >= JACCARD_TAU
+        )
+        .select(F.col("d_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_nh", F.lit(True))
+    )
+
+    return (
+        t1.join(t2, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "ingest_hist",
+            "ingest_intra",
+            F.coalesce("exact_hist", F.lit(False)).alias("exact_hist"),
+            F.coalesce("intra_dup", F.lit(False)).alias("intra_dup"),
+            F.coalesce("_nh", F.lit(False)).alias("near_hist"),
+        )
+        .withColumn(
+            "accepted",
+            ~F.col("ingest_hist")
+            & ~F.col("ingest_intra")
+            & ~F.col("exact_hist")
+            & ~F.col("intra_dup")
+            & ~F.col("near_hist"),
+        )
+    )
+
+
+@query(
+    "dd13_two_tier_dedup",
+    oracle=f"""
+        WITH {SHINGLE_SQL},
+        pfx AS (
+            SELECT doc_id, {PREFIX_FP_SQL} AS pfp,
+                   doc_id % {DELTA_MOD} = {DELTA_REM} AS is_delta
+            FROM documents
+        ),
+        hist_p AS (SELECT DISTINCT pfp FROM pfx WHERE NOT is_delta),
+        t1 AS MATERIALIZED (
+            SELECT doc_id,
+                   pfp IN (SELECT pfp FROM hist_p) AS ingest_hist,
+                   doc_id <> min(doc_id) OVER (PARTITION BY pfp) AS ingest_intra
+            FROM pfx WHERE is_delta
+        ),
+        surv1 AS MATERIALIZED (
+            SELECT doc_id FROM t1 WHERE NOT ingest_hist AND NOT ingest_intra
+        ),
+        fpx AS (
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+                   doc_id % {DELTA_MOD} = {DELTA_REM} AS is_delta
+            FROM documents
+        ),
+        hist_f AS (SELECT DISTINCT fp FROM fpx WHERE NOT is_delta),
+        t2 AS (
+            SELECT doc_id,
+                   fp IN (SELECT fp FROM hist_f) AS exact_hist,
+                   doc_id <> min(doc_id) OVER (PARTITION BY fp) AS intra_dup
+            FROM fpx SEMI JOIN surv1 USING (doc_id)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS d_id, b.doc_id AS h_id, count(*) AS ninter
+            FROM (SELECT * FROM sh SEMI JOIN surv1 USING (doc_id)) a
+            JOIN sh b ON a.shingle = b.shingle
+            WHERE b.doc_id % {DELTA_MOD} <> {DELTA_REM}
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        nearh AS (
+            SELECT DISTINCT i.d_id AS doc_id
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.d_id
+            JOIN sizes sb ON sb.doc_id = i.h_id
+            WHERE round(i.ninter::DOUBLE / (sa.n + sb.n - i.ninter), 6) >= {JACCARD_TAU}
+        )
+        SELECT t1.doc_id, t1.ingest_hist, t1.ingest_intra,
+               coalesce(t2.exact_hist, false) AS exact_hist,
+               coalesce(t2.intra_dup, false) AS intra_dup,
+               t1.doc_id IN (SELECT doc_id FROM nearh) AS near_hist,
+               (NOT t1.ingest_hist AND NOT t1.ingest_intra
+                AND NOT coalesce(t2.exact_hist, false)
+                AND NOT coalesce(t2.intra_dup, false)
+                AND t1.doc_id NOT IN (SELECT doc_id FROM nearh)) AS accepted
+        FROM t1 LEFT JOIN t2 USING (doc_id)
+    """,
+    doc="dd13 TWO-TIER ingestion dedup — dd9's cheap exact gate and "
+        "dd12's fuzzy curation pass composed as ONE declared query, "
+        "the production split their docstrings promise: tier 1 "
+        "(INGEST) rejects a delta doc whose prefix fingerprint (md5 "
+        "of the first 8 tokens) is already in history or is not the "
+        "min-id holder of its prefix within the batch — per-doc cost "
+        "is one hash and one anti-join against a fingerprint-only "
+        "bucketed index, affordable on every ingested byte; tier 2 "
+        "(CURATION) runs dd12's full pass — normalized-fingerprint "
+        "exact-vs-history, intra-delta dedup, shingle-Jaccard "
+        f"near-dup ≥ {JACCARD_TAU} vs history — over TIER-1 "
+        "SURVIVORS ONLY, so the expensive candidate join never sees "
+        "what the gate dropped. Output: one row per delta doc with "
+        "both tiers' flags and the final accept verdict; tier-2 "
+        "flags of tier-1 rejects are false (never evaluated — the "
+        "doc never reached the tier), making the reject ATTRIBUTABLE "
+        "to its tier, which is what an ingestion audit needs. The "
+        "tiers genuinely disagree in both directions (pytest "
+        "fixture): same lead-in/different body is a tier-1 reject "
+        "tier 2 would admit (the aggressive-prefix tradeoff dd9 "
+        "documents), different lead-in/near-dup body passes tier 1 "
+        "and is caught by tier 2. Scale contract inherited from "
+        "both parents: history touched only through its persistent "
+        "fingerprint and shingle-index artifacts, every join "
+        "delta-driven, candidate cost Σ_shingle df_delta·df_hist "
+        "bounded by the df-cap.",
+    tags=("dedup", "pipeline"),
+)
+def dd13_two_tier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return two_tier_dedup_of(load_table(spark, sf_dir, "documents"))

@@ -17,11 +17,18 @@ from ..caching import pin
 from ..registry import query
 from ..sources import load_table
 from .dedup import (
+    BENCH_MOD,
+    DECON_MIN_SHARED,
+    ES_ANCHOR,
     JACCARD_TAU,
     _JACCARD_SQL,
+    excise_intervals,
+    excise_sql,
     jaccard_pairs,
     shingle_sql_from,
     shingle_table_of,
+    span_spans_between,
+    span_sql_between,
 )
 from .text import normalized_fingerprint
 
@@ -65,11 +72,8 @@ def _flags_through_near(
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
-    stop_ratio = F.size(F.filter(toks, lambda x: x.isin("a", "the"))).cast("double") / n
-    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n
-    quality = F.least(F.lit(1.0), n / F.lit(50.0)) * (1.0 - stop_ratio) * uniq_ratio
     # Gopher A1.1 rules (gq1's integer-cross-multiplied expressions)
-    # in the SAME scan as the quality score
+    # in the SAME scan as the quality gate
     sum_len = F.aggregate(
         F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
     )
@@ -85,17 +89,37 @@ def _flags_through_near(
         & (GQ_ALPHA_DEN * n_alpha >= GQ_ALPHA_NUM * n)
     )
 
+    if quality_gate is None:
+        stop_ratio = (
+            F.size(F.filter(toks, lambda x: x.isin("a", "the"))).cast("double") / n
+        )
+        uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+        quality = F.least(F.lit(1.0), n / F.lit(50.0)) * (1.0 - stop_ratio) * uniq_ratio
+        base = d
+        q_ok = quality >= QUALITY_TAU
+    else:
+        # classifier gate replaces the heuristic score: one
+        # co-partitioned left join on the key (the gate relation is
+        # corpus-sized — never broadcast); docs the gate never scored
+        # FAIL CLOSED (coalesce false), the only safe default for a
+        # quality filter
+        gate = quality_gate.select(
+            "doc_id", F.col("cls_ok").cast("boolean").alias("_cls_ok")
+        )
+        base = d.join(gate, "doc_id", "left")
+        q_ok = F.coalesce(F.col("_cls_ok"), F.lit(False))
+
     # pinned: the token-expression scan is the funnel's most expensive
     # per-row work and THREE later branches (rep survivor semi-join,
     # keeper window, exact-survivor shingle source) read it — without
     # the pin Catalyst re-executes the scan per branch (measured 15.2 s
     # vs 6 s at sf0.1 for the whole funnel)
     staged = pin(
-        d.select(
+        base.select(
             "doc_id", "lang",
             normalized_fingerprint(F.col("text")).alias("fp"),
-            (quality >= QUALITY_TAU).alias("q_ok"),
-            ((quality >= QUALITY_TAU) & gq_pass).alias("gopher_ok"),
+            q_ok.alias("q_ok"),
+            (q_ok & gq_pass).alias("gopher_ok"),
         )
     )
 
@@ -152,9 +176,22 @@ def _flags_through_near(
     sh_surv = pin(shingle_table_of(surv))
     pairs = jaccard_pairs(sh_surv, tau=JACCARD_TAU)
     drop = pairs.select(F.col("doc_b").alias("doc_id"), F.lit(True).alias("is_dup")).distinct()
-    flagged = flagged.join(drop, "doc_id", "left").withColumn(
-        "near_ok", F.col("exact_ok") & ~F.coalesce("is_dup", F.lit(False))
+    flagged = flagged.join(drop, "doc_id", "left").select(
+        "doc_id", "lang", "q_ok", "gopher_ok", "rep_ok", "exact_ok",
+        (F.col("exact_ok") & ~F.coalesce("is_dup", F.lit(False))).alias("near_ok"),
     )
+    return d, flagged, sh_surv
+
+
+def doc_survival_flags(
+    spark: SparkSession, sf_dir: str, quality_gate: DataFrame | None = None
+) -> DataFrame:
+    """The FULL curation flag relation (one row per document):
+    :func:`_flags_through_near`'s five stages plus benchmark
+    decontamination (dc1's broadcast shingle anti-overlap) and the
+    language allowlist — the conjunction chain pipe1 counts and pipe2
+    exports from."""
+    d, flagged, sh_surv = _flags_through_near(spark, sf_dir, quality_gate)
 
     # benchmark decontamination (dc1's relation) on the near survivors:
     # the benchmark shingle set is tiny → broadcast; the corpus side
@@ -185,22 +222,11 @@ def _flags_through_near(
     )
 
 
-def curated_docs(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Each curation stage as a DataFrame of surviving doc_ids."""
-    flags = doc_survival_flags(spark, sf_dir)
-    return {
-        "total": flags.select("doc_id"),
-        "quality": flags.filter("q_ok").select("doc_id"),
-        "gopher": flags.filter("gopher_ok").select("doc_id"),
-        "repetition": flags.filter("rep_ok").select("doc_id"),
-        "exact_dedup": flags.filter("exact_ok").select("doc_id"),
-        "near_dedup": flags.filter("near_ok").select("doc_id"),
-        "decontam": flags.filter("decontam_ok").select("doc_id"),
-        "lang": flags.filter("lang_ok").select("doc_id"),
-    }
-
-
-def _funnel_sql() -> str:
+def _funnel_sql(quality_pred: str | None = None) -> str:
+    """The funnel's DuckDB CTE chain. ``quality_pred`` (pipe4)
+    replaces the heuristic quality-score predicate on the first
+    stage with an arbitrary boolean SQL expression over ``toks`` —
+    the oracle twin of _flags_through_near's ``quality_gate``."""
     from ..functions import md5h60_sql
     from .dedup import DF_CAP, K_SHINGLE, BENCH_MOD as _BM, DECON_MIN_SHARED as _DMS
     from .text import (
@@ -217,23 +243,25 @@ def _funnel_sql() -> str:
         _STOP_SQL,
     )
 
+    qp = quality_pred or f"""least(1.0, len(toks) / 50.0)
+              * (1.0 - len(list_filter(toks, x -> x IN ('a', 'the')))::DOUBLE / len(toks))
+              * (len(list_distinct(toks))::DOUBLE / len(toks)) >= {QUALITY_TAU}"""
+
     return f"""
     WITH
     m0 AS (
         SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents
     ),
-    q AS (
+    q AS MATERIALIZED (
         SELECT doc_id, lang, text, toks,
                len(toks) AS n,
                list_sum(list_transform(toks, x -> len(x))) AS sum_len,
                len(list_filter(list_distinct(toks), x -> x IN {_STOP_SQL})) AS n_stop,
                len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha
         FROM m0
-        WHERE least(1.0, len(toks) / 50.0)
-              * (1.0 - len(list_filter(toks, x -> x IN ('a', 'the')))::DOUBLE / len(toks))
-              * (len(list_distinct(toks))::DOUBLE / len(toks)) >= {QUALITY_TAU}
+        WHERE {qp}
     ),
-    gq AS (
+    gq AS MATERIALIZED (
         SELECT doc_id, lang, text, toks FROM q
         WHERE n BETWEEN {GQ_MIN_WORDS} AND {GQ_MAX_WORDS}
           AND sum_len >= {GQ_MWL_LO} * n AND sum_len <= {GQ_MWL_HI} * n
@@ -272,7 +300,7 @@ def _funnel_sql() -> str:
             FROM rg5f JOIN rc5 USING (doc_id, g)
         ) GROUP BY doc_id
     ),
-    repf AS (
+    repf AS MATERIALIZED (
         SELECT g.doc_id, g.lang, g.text FROM gq g
         LEFT JOIN rm2 ON rm2.doc_id = g.doc_id
         LEFT JOIN rm3 ON rm3.doc_id = g.doc_id
@@ -281,12 +309,12 @@ def _funnel_sql() -> str:
           AND NOT (300 * coalesce(rm3.maxc3, 0) > {REP_TOP3_PCT} * len(g.toks))
           AND NOT (100 * coalesce(rcov.cov5, 0) > {REP_DUP5_PCT} * len(g.toks))
     ),
-    fp AS (
+    fp AS MATERIALIZED (
         SELECT doc_id, lang,
                md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
         FROM repf
     ),
-    exact AS (
+    exact AS MATERIALIZED (
         SELECT fp.doc_id, fp.lang
         FROM fp JOIN (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f) k
           ON fp.f = k.f AND fp.doc_id = k.doc_id
@@ -294,9 +322,9 @@ def _funnel_sql() -> str:
     exact_docs AS (
         SELECT e.doc_id, dd.text FROM exact e JOIN documents dd USING (doc_id)
     ),
-    {shingle_sql_from('exact_docs')},
+    {shingle_sql_from('exact_docs', materialized=True)},
     {_JACCARD_SQL},
-    neardup AS (
+    neardup AS MATERIALIZED (
         SELECT e.doc_id, e.lang FROM exact e
         WHERE e.doc_id NOT IN (SELECT doc_b FROM jac WHERE jaccard >= {JACCARD_TAU})
     ),
@@ -360,10 +388,16 @@ _FUNNEL_SQL = _funnel_sql()
     tags=("pipeline", "dedup", "text", "bench"),
 )
 def pipe1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    flags = doc_survival_flags(spark, sf_dir)
+    return _funnel_counts(doc_survival_flags(spark, sf_dir), "quality")
+
+
+def _funnel_counts(flags: DataFrame, first_stage: str) -> DataFrame:
+    """One-row flag-sum aggregate unpivoted to the (stage, n) funnel
+    shape — shared by pipe1 (heuristic first stage, labeled
+    'quality') and pipe4 (classifier gate, labeled 'gate')."""
     counts = flags.agg(
         F.count("*").alias("total"),
-        F.sum(F.col("q_ok").cast("long")).alias("quality"),
+        F.sum(F.col("q_ok").cast("long")).alias(first_stage),
         F.sum(F.col("gopher_ok").cast("long")).alias("gopher"),
         F.sum(F.col("rep_ok").cast("long")).alias("repetition"),
         F.sum(F.col("exact_ok").cast("long")).alias("exact_dedup"),
@@ -371,9 +405,8 @@ def pipe1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("decontam_ok").cast("long")).alias("decontam"),
         F.sum(F.col("lang_ok").cast("long")).alias("lang"),
     )
-    # unpivot the 1-row aggregate to the (stage, n) funnel shape
     stages = (
-        "total", "quality", "gopher", "repetition",
+        "total", first_stage, "gopher", "repetition",
         "exact_dedup", "near_dedup", "decontam", "lang",
     )
     return counts.select(
@@ -475,6 +508,156 @@ def pipe2_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fill_frac"),
     )
+
+
+# ---------------------------------------------------------------- pipe3
+
+
+def span_excision_of(docs: DataFrame, near_ids: DataFrame) -> DataFrame:
+    """pipe3's excision half over an arbitrary (doc_id, text) relation
+    plus a near-dup-survivor id relation — parameterized so the
+    planted-contamination pytest can hand in a constructed corpus.
+    Corpus side = near survivors outside the benchmark split; bench
+    side = the benchmark split of the RAW corpus (the eval suite
+    exists independently of curation verdicts). Returns one row per
+    affected document: dd11b's (n_tokens, n_removed, clean_fp)."""
+    corpus = (
+        docs.join(near_ids, "doc_id", "left_semi")
+        .filter(F.col("doc_id") % BENCH_MOD != 0)
+        .select("doc_id", "text")
+    )
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0).select("doc_id", "text")
+    spans = span_spans_between(corpus, bench)
+    iv = spans.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("start_a").alias("s"),
+        (F.col("start_a") + F.col("match_len")).alias("e"),
+    ).distinct()
+    return excise_intervals(docs.select("doc_id", "text"), iv)
+
+
+@query(
+    "pipe3_span_excision",
+    oracle=_FUNNEL_SQL
+    + f""",
+    ctoked3 AS (
+        SELECT d.doc_id, string_split(d.text, ' ') AS toks
+        FROM documents d SEMI JOIN neardup USING (doc_id)
+        WHERE d.doc_id % {BENCH_MOD} <> 0
+          AND len(string_split(d.text, ' ')) >= {ES_ANCHOR}
+    ),
+    btoked3 AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE doc_id % {BENCH_MOD} = 0
+          AND len(string_split(text, ' ')) >= {ES_ANCHOR}
+    ),
+    {span_sql_between('ctoked3', 'btoked3', prefix='es_')},
+    {excise_sql('doc_a', 'start_a',
+                "SELECT doc_id, string_split(text, ' ') AS toks FROM documents")}
+    """,
+    doc="pipe3 SPAN-EXCISION funnel — dc3's span-level benchmark "
+        "decontamination composed INTO the curation funnel (the r9 "
+        "factoring of span_spans_between exists exactly for this): "
+        "the funnel's quality → Gopher → repetition → exact → "
+        "near-dup stages run first, then the asymmetric grid/dense "
+        "seed-and-extend span pass points at the NEAR-DUP SURVIVORS "
+        "only, and every detected benchmark span is EXCISED dd11b-"
+        "style (gaps-and-islands interval merge, positional token "
+        "cut) instead of dropping the whole document — the "
+        "surgical alternative to pipe1's doc-level decontam stage, "
+        "closing the long-host dilution hazard (a quoted benchmark "
+        "passage inside a long document dilutes doc-level shingle "
+        "overlap; the span pass catches it positionally). Output: "
+        "one row per affected survivor with token count, tokens "
+        "removed, and the md5 of the cleaned token stream. Scale "
+        "composition is the point: the expensive span index runs on "
+        "the post-funnel corpus (already exact-deduped, so the "
+        "corpus side needs NO duplicate collapse — the funnel's "
+        "exact stage did it), the corpus side indexes only n/A "
+        "grid anchors, and the excision is a per-doc map over a "
+        "tiny broadcast-size interval list.",
+    tags=("pipeline", "dedup", "text"),
+)
+def pipe3_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, flagged, _sh_surv = _flags_through_near(spark, sf_dir)
+    return span_excision_of(docs, flagged.filter("near_ok").select("doc_id"))
+
+
+# ---------------------------------------------------------------- pipe4
+
+
+def _cls1_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import cls1_quality_classifier
+
+    return cls1_quality_classifier(spark, sf_dir).select(
+        "doc_id", (F.col("keep") == 1).alias("cls_ok")
+    )
+
+
+def _cls1_pred_sql() -> str:
+    from .text import _cls_weight_sql
+
+    return f"list_sum(list_transform(toks, t -> {_cls_weight_sql('t')})) >= 0"
+
+
+@query(
+    "pipe4_gated_funnel",
+    oracle=_funnel_sql(quality_pred=_cls1_pred_sql())
+    + """
+    SELECT 'total' AS stage, CAST(count(*) AS BIGINT) AS n FROM documents
+    UNION ALL SELECT 'gate', CAST(count(*) AS BIGINT) FROM q
+    UNION ALL SELECT 'gopher', CAST(count(*) AS BIGINT) FROM gq
+    UNION ALL SELECT 'repetition', CAST(count(*) AS BIGINT) FROM repf
+    UNION ALL SELECT 'exact_dedup', CAST(count(*) AS BIGINT) FROM exact
+    UNION ALL SELECT 'near_dedup', CAST(count(*) AS BIGINT) FROM neardup
+    UNION ALL SELECT 'decontam', CAST(count(*) AS BIGINT) FROM decon
+    UNION ALL SELECT 'lang', CAST(count(*) AS BIGINT) FROM lang
+    """,
+    doc="pipe4 CLASSIFIER-GATED funnel — the funnel's first stage "
+        "swapped from the heuristic quality score to a model "
+        "verdict via _flags_through_near(quality_gate=...): the "
+        "(doc_id, cls_ok) gate relation joins in on the key (one "
+        "co-partitioned shuffle — the gate is corpus-sized, never "
+        "broadcast) and docs ABSENT from the gate fail closed. This "
+        "registered twin gates on cls1's deterministic hash-weight "
+        "linear classifier, so the ENTIRE gated funnel is value-"
+        "checked against DuckDB end-to-end; the trained IRLS gate "
+        "(cls2) rides the identical code path as pipe4b — iterative "
+        "fits aren't SQL-expressible, which is exactly why the gate "
+        "PLUMBING gets its oracle here with a closed-form stand-in. "
+        "This is the CCNet/GPT-3-style quality-classifier curation "
+        "shape: train/score once, gate the funnel at scan speed.",
+    tags=("pipeline", "dedup", "text", "ml"),
+)
+def pipe4_gated_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gate = _cls1_gate(spark, sf_dir)
+    return _funnel_counts(doc_survival_flags(spark, sf_dir, quality_gate=gate), "gate")
+
+
+@query(
+    "pipe4b_trained_gated_funnel",
+    oracle=None,  # the gate comes from cls2's iterative IRLS fit — not
+    # SQL-expressible; pipe4 oracle-checks the identical funnel path
+    # with a closed-form gate, and the pytest pins fail-closed
+    # semantics plus heuristic/trained gate disagreement
+    doc="pipe4b the SAME gated funnel as pipe4 but with the TRAINED "
+        "quality classifier (cls2: hashed bag-of-words, ridge IRLS "
+        "fit in-engine, broadcast-β scoring) as the gate — the "
+        "composition a production corpus pipeline actually runs: "
+        "featurize → fit → score → gate → dedup → decontam → "
+        "export. The gate path (fail-closed key join) is byte-"
+        "identical to pipe4's oracle-checked one; only the gate "
+        "relation differs. cls2's held-out quality is itself "
+        "measured by cls2b before the gate is trusted.",
+    tags=("pipeline", "dedup", "text", "ml"),
+)
+def pipe4b_trained_gated_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import cls2_trained_classifier
+
+    gate = cls2_trained_classifier(spark, sf_dir).select(
+        "doc_id", (F.col("pred") == 1).alias("cls_ok")
+    )
+    return _funnel_counts(doc_survival_flags(spark, sf_dir, quality_gate=gate), "gate")
 
 
 @query(

@@ -1,8 +1,8 @@
-"""Ground truths for the round-9 additions: the r8 advisor fixes
-(dc3 hot-anchor benchmark exemption, protoshim deletion-mutator
-forwarding, cls2b degenerate-split AUC guard) and the new pipeline
-compositions (pipe3 span-excision funnel, pipe4 classifier-gated
-funnel, dd13 two-tier ingestion)."""
+"""Ground truths for the round-9 additions — the r8 advisor fixes:
+dc3 hot-anchor benchmark exemption, protoshim deletion-mutator
+forwarding, cls2b degenerate-split AUC guard. (The pipe3/pipe4/dd13
+compositions those fixes anticipated landed in round 10; their tests
+live in test_round10_ops.py.)"""
 
 from __future__ import annotations
 
