@@ -2030,12 +2030,23 @@ def lce_sql_from(ta_src: str, tb_src: str) -> str:
         )"""
 
 
-def excise_sql(doc_col: str, start_col: str, toked_body: str) -> str:
+def excise_sql(
+    doc_col: str,
+    start_col: str,
+    toked_body: str,
+    affected_only: bool = True,
+    as_cte: str | None = None,
+) -> str:
     """SQL twin of :func:`excise_intervals`: the iv→ivs interval-merge
     CTE chain over a preceding ``spans`` relation (taking the
     ``doc_col`` side's ``start_col`` coordinate) plus the final
     token-excision SELECT over ``toked_body`` = a (doc_id, toks)
-    query. Shared by dd11b's oracle and pipe3's funnel oracle."""
+    query. Shared by dd11b's oracle and pipe3's funnel oracle
+    (``affected_only=False`` — every toked2 doc emits a row).
+    ``as_cte`` wraps the final SELECT in a named CTE instead so a
+    caller (pipe5) can keep composing past the manifest."""
+    head = f"{as_cte} AS (\n        " if as_cte else ""
+    tail = "\n        )" if as_cte else ""
     return f"""iv AS (
             -- DISTINCT makes (doc_id, s, e) unique, so ORDER BY (s, e)
             -- is a TOTAL order within each doc: without it, the same
@@ -2070,19 +2081,20 @@ def excise_sql(doc_col: str, start_col: str, toked_body: str) -> str:
                    sum(e - s) AS n_removed
             FROM merged GROUP BY doc_id
         ),
-        toked2 AS ({toked_body})
-        SELECT t.doc_id,
+        toked2 AS ({toked_body}){',' if as_cte else ''}
+        {head}SELECT t.doc_id,
                CAST(len(t.toks) AS BIGINT) AS n_tokens,
-               CAST(v.n_removed AS BIGINT) AS n_removed,
+               CAST(coalesce(v.n_removed, 0) AS BIGINT) AS n_removed,
                -- array_to_string of an EMPTY list is NULL in DuckDB
                -- (Spark's concat_ws gives ''): coalesce for the
-               -- fully-removed-document case
+               -- fully-removed-document case; v.ivs coalesces to []
+               -- in left-join mode (untouched doc keeps every token)
                md5(coalesce(array_to_string(
                    [t.toks[i] for i in range(1, len(t.toks) + 1)
-                    if len(list_filter(v.ivs,
+                    if len(list_filter(coalesce(v.ivs, []),
                           iv -> (i - 1) >= iv.s AND (i - 1) < iv.e)) = 0],
                    ' '), '')) AS clean_fp
-        FROM toked2 t JOIN ivs v USING (doc_id)"""
+        FROM toked2 t {'JOIN' if affected_only else 'LEFT JOIN'} ivs v USING (doc_id){tail}"""
 
 
 _DD11_CTE = f"""d0 AS (SELECT doc_id, md5(text) AS fp FROM documents),
@@ -2200,15 +2212,20 @@ def substring_removal_of(d: DataFrame) -> DataFrame:
     return excise_intervals(d, iv)
 
 
-def excise_intervals(d: DataFrame, iv: DataFrame) -> DataFrame:
+def excise_intervals(
+    d: DataFrame, iv: DataFrame, affected_only: bool = True
+) -> DataFrame:
     """Merge per-document token intervals ``iv = (doc_id, s, e)``
     (half-open [s, e), gaps-and-islands window) and cut the covered
     tokens from ``d = (doc_id, text)`` — dd11b's removal machinery,
     factored (r10) so pipe3 can excise dc3-shaped corpus/benchmark
     spans with the identical merge/cut semantics. One row per
-    AFFECTED document: token count, tokens removed, md5 of the
-    surviving token sequence. Callers must hand in distinct
-    intervals (see substring_removal_of's tie-break note)."""
+    AFFECTED document (dd11b's shape), or — with
+    ``affected_only=False`` — per EVERY doc in ``d`` (pipe3's cleaned
+    manifest: untouched docs carry n_removed=0 and the hash of their
+    full token stream, so the oracle pins the whole export, not just
+    the edits). Callers must hand in distinct intervals (see
+    substring_removal_of's tie-break note)."""
     wprev = (
         Window.partitionBy("doc_id").orderBy("s", "e")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -2234,16 +2251,18 @@ def excise_intervals(d: DataFrame, iv: DataFrame) -> DataFrame:
         F.sum(F.col("e") - F.col("s")).alias("n_removed"),
     )
     toked = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
-    kept = F.filter(
+    cut = F.filter(
         F.col("toks"),
         lambda x, i: ~F.exists(
             F.col("ivs"), lambda v: (i >= v["s"]) & (i < v["e"])
         ),
     )
-    return toked.join(ivs, "doc_id").select(
+    # null ivs (doc untouched, left-join mode): keep every token
+    kept = F.when(F.col("ivs").isNull(), F.col("toks")).otherwise(cut)
+    return toked.join(ivs, "doc_id", "inner" if affected_only else "left").select(
         "doc_id",
         F.size("toks").cast("bigint").alias("n_tokens"),
-        F.col("n_removed").cast("bigint").alias("n_removed"),
+        F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias("n_removed"),
         F.md5(F.concat_ws(" ", kept)).alias("clean_fp"),
     )
 

@@ -424,15 +424,38 @@ EXPORT_SHARDS = 4  # dataloader shard files (a cluster run uses O(1000))
 PACK_BUDGET = 256  # tokens per training sequence pack (shared with pack1)
 
 
-@query(
-    "pipe2_export_manifest",
-    oracle=_FUNNEL_SQL
-    + f"""
-    , kept AS (
-        SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tok,
-               (('0x' || substring(md5('0:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT) AS skey
-        FROM documents d JOIN lang USING (doc_id)
-    ),
+def _export_manifest(kept: DataFrame) -> DataFrame:
+    """pipe2's export half over any (doc_id, n_tok, skey) relation:
+    shard by the shuffle key, per-shard greedy running-budget packing,
+    one manifest row per shard — factored (r10) so pipe5 can export
+    the span-excised token counts through the identical math."""
+    sharded = kept.withColumn("shard", F.col("skey") % EXPORT_SHARDS)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("skey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seqs = sharded.withColumn(
+        "seq_id",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / PACK_BUDGET),
+    )
+    return seqs.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.countDistinct("seq_id").alias("n_seqs"),
+        F.round(
+            F.sum("n_tok")
+            / (F.countDistinct("seq_id") * F.lit(float(PACK_BUDGET))),
+            6,
+        ).alias("fill_frac"),
+    )
+
+
+def _export_manifest_sql(kept_body: str) -> str:
+    """SQL twin of :func:`_export_manifest`: CTEs from a
+    (doc_id, n_tok, skey) query to the final per-shard manifest
+    SELECT — shared by the pipe2 and pipe5 oracles."""
+    return f"""kept AS ({kept_body}),
     sharded AS (
         SELECT doc_id, n_tok, skey, skey % {EXPORT_SHARDS} AS shard FROM kept
     ),
@@ -452,7 +475,17 @@ PACK_BUDGET = 256  # tokens per training sequence pack (shared with pack1)
            CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
            round(sum(n_tok) / (count(DISTINCT seq_id) * {PACK_BUDGET}.0), 6) AS fill_frac
     FROM seqs
-    GROUP BY shard
+    GROUP BY shard"""
+
+
+@query(
+    "pipe2_export_manifest",
+    oracle=_FUNNEL_SQL
+    + f"""
+    , {_export_manifest_sql('''
+        SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tok,
+               (('0x' || substring(md5('0:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT) AS skey
+        FROM documents d JOIN lang USING (doc_id)''')}
     """,
     doc="pipe2 training-data EXPORT manifest — the composition that "
         "turns pipe1's curated survivor set into what a dataloader "
@@ -488,26 +521,7 @@ def pipe2_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ")).alias("n_tok"),
         md5h60(F.concat(F.lit("0:"), F.col("doc_id").cast("string"))).alias("skey"),
     )
-    sharded = kept.withColumn("shard", F.col("skey") % EXPORT_SHARDS)
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("skey", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    seqs = sharded.withColumn(
-        "seq_id",
-        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / PACK_BUDGET),
-    )
-    return seqs.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tok").cast("bigint").alias("n_tokens"),
-        F.countDistinct("seq_id").alias("n_seqs"),
-        F.round(
-            F.sum("n_tok")
-            / (F.countDistinct("seq_id") * F.lit(float(PACK_BUDGET))),
-            6,
-        ).alias("fill_frac"),
-    )
+    return _export_manifest(kept)
 
 
 # ---------------------------------------------------------------- pipe3
@@ -519,13 +533,13 @@ def span_excision_of(docs: DataFrame, near_ids: DataFrame) -> DataFrame:
     planted-contamination pytest can hand in a constructed corpus.
     Corpus side = near survivors outside the benchmark split; bench
     side = the benchmark split of the RAW corpus (the eval suite
-    exists independently of curation verdicts). Returns one row per
-    affected document: dd11b's (n_tokens, n_removed, clean_fp)."""
-    corpus = (
-        docs.join(near_ids, "doc_id", "left_semi")
-        .filter(F.col("doc_id") % BENCH_MOD != 0)
-        .select("doc_id", "text")
-    )
+    exists independently of curation verdicts). Returns the CLEANED
+    MANIFEST — one row per near survivor: dd11b's (n_tokens,
+    n_removed, clean_fp), with untouched docs at n_removed=0 and the
+    hash of their full token stream, so the oracle pins the entire
+    exported corpus, not only the edited rows."""
+    surv_docs = docs.join(near_ids, "doc_id", "left_semi").select("doc_id", "text")
+    corpus = surv_docs.filter(F.col("doc_id") % BENCH_MOD != 0)
     bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0).select("doc_id", "text")
     spans = span_spans_between(corpus, bench)
     iv = spans.select(
@@ -533,7 +547,7 @@ def span_excision_of(docs: DataFrame, near_ids: DataFrame) -> DataFrame:
         F.col("start_a").alias("s"),
         (F.col("start_a") + F.col("match_len")).alias("e"),
     ).distinct()
-    return excise_intervals(docs.select("doc_id", "text"), iv)
+    return excise_intervals(surv_docs, iv, affected_only=False)
 
 
 @query(
@@ -553,7 +567,9 @@ def span_excision_of(docs: DataFrame, near_ids: DataFrame) -> DataFrame:
     ),
     {span_sql_between('ctoked3', 'btoked3', prefix='es_')},
     {excise_sql('doc_a', 'start_a',
-                "SELECT doc_id, string_split(text, ' ') AS toks FROM documents")}
+                "SELECT d.doc_id, string_split(d.text, ' ') AS toks "
+                "FROM documents d SEMI JOIN neardup USING (doc_id)",
+                affected_only=False)}
     """,
     doc="pipe3 SPAN-EXCISION funnel — dc3's span-level benchmark "
         "decontamination composed INTO the curation funnel (the r9 "
@@ -568,8 +584,10 @@ def span_excision_of(docs: DataFrame, near_ids: DataFrame) -> DataFrame:
         "closing the long-host dilution hazard (a quoted benchmark "
         "passage inside a long document dilutes doc-level shingle "
         "overlap; the span pass catches it positionally). Output: "
-        "one row per affected survivor with token count, tokens "
-        "removed, and the md5 of the cleaned token stream. Scale "
+        "the cleaned-corpus MANIFEST — one row per near survivor "
+        "with token count, tokens removed (0 for untouched docs), "
+        "and the md5 of the surviving token stream, so the oracle "
+        "value-checks the entire export, not only the edits. Scale "
         "composition is the point: the expensive span index runs on "
         "the post-funnel corpus (already exact-deduped, so the "
         "corpus side needs NO duplicate collapse — the funnel's "
@@ -658,6 +676,66 @@ def pipe4b_trained_gated_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.col("pred") == 1).alias("cls_ok")
     )
     return _funnel_counts(doc_survival_flags(spark, sf_dir, quality_gate=gate), "gate")
+
+
+# ---------------------------------------------------------------- pipe5
+
+
+@query(
+    "pipe5_clean_export",
+    oracle=_FUNNEL_SQL
+    + f""",
+    ctoked5 AS (
+        SELECT d.doc_id, string_split(d.text, ' ') AS toks
+        FROM documents d SEMI JOIN lang USING (doc_id)
+        WHERE d.doc_id % {BENCH_MOD} <> 0
+          AND len(string_split(d.text, ' ')) >= {ES_ANCHOR}
+    ),
+    btoked5 AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE doc_id % {BENCH_MOD} = 0
+          AND len(string_split(text, ' ')) >= {ES_ANCHOR}
+    ),
+    {span_sql_between('ctoked5', 'btoked5', prefix='es_')},
+    {excise_sql('doc_a', 'start_a',
+                "SELECT d.doc_id, string_split(d.text, ' ') AS toks "
+                "FROM documents d SEMI JOIN lang USING (doc_id)",
+                affected_only=False, as_cte='manifest')},
+    {_export_manifest_sql(f'''
+        SELECT m.doc_id, CAST(m.n_tokens - m.n_removed AS BIGINT) AS n_tok,
+               (('0x' || substring(md5('0:' || CAST(m.doc_id AS VARCHAR)), 1, 15))::BIGINT) AS skey
+        FROM manifest m''')}
+    """,
+    doc="pipe5 the WHOLE 100 TB path as one declared, oracle-checked "
+        "query — what pipe1→pipe3→pipe2 compose to: the full 8-stage "
+        "funnel picks the lang survivors, dc3's span pass excises "
+        "benchmark quotes from them (pipe3's surgical decontam, here "
+        "applied to the FINAL keep set), and the export half shards, "
+        "shuffles and greedy-packs the CLEANED token counts "
+        "(n_tokens − n_removed) into pipe2's per-shard manifest. "
+        "This is the composition a pretraining data job actually "
+        "ships: the manifest's token mass is what the dataloader "
+        "will really read — exporting raw counts after excision "
+        "under-fills every sequence the excised tokens used to pad. "
+        "Scale: one funnel pass (pinned shared scans), one span index "
+        "over the final keep set (n/A grid rows), one hash-partitioned "
+        "window — nothing here is new work at scale, only the "
+        "composition; every piece's cap/skew story is inherited and "
+        "separately value-checked (test_cap_binding).",
+    tags=("pipeline", "dedup", "text"),
+)
+def pipe5_clean_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import md5h60
+
+    flags = doc_survival_flags(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    manifest = span_excision_of(docs, flags.filter("lang_ok").select("doc_id"))
+    kept = manifest.select(
+        "doc_id",
+        (F.col("n_tokens") - F.col("n_removed")).cast("bigint").alias("n_tok"),
+        md5h60(F.concat(F.lit("0:"), F.col("doc_id").cast("string"))).alias("skey"),
+    )
+    return _export_manifest(kept)
 
 
 @query(

@@ -46,7 +46,11 @@ def query(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, 
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries, in
-# registration order.  Registration order is an import-order artifact, so we
+# registration order.  (r10: p4_dropna / p5_limit_pinned / set_intersect —
+# trivial ops green in every driver sample since round 1 — rotated out for
+# the round-10 funnel compositions pipe3/pipe4/dd13 so the new flagships
+# get driver-checked; the rotated-out ops stay under the full local gate
+# and pytest.)  Registration order is an import-order artifact, so we
 # pin an explicit priority window: every SURVEY.md §2-mandated oracle query
 # (projection/feature/join/agg/window/order/set/cv/metric families, the
 # distance kernels, the dedup/similarity/text flagships, the curation
@@ -56,8 +60,8 @@ def query(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, 
 PRIORITY_WINDOW: tuple[str, ...] = (
     "s1_scan_projection",
     "p3_filter_isin",
-    "p4_dropna",
-    "p5_limit_pinned",
+    "pipe3_span_excision",
+    "pipe4_gated_funnel",
     "p6_sample_hash",
     "p8_union",
     "p9_permute_column",
@@ -83,7 +87,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "w2_rank_importance",
     "o2_topk_per_group",
     "o3_argmax",
-    "set_intersect",
+    "dd13_two_tier_dedup",
     "c1_kfold_era_assignment",
     "c3_fraction_resource",
     "m1_spearman_by_era",

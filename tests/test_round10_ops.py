@@ -19,9 +19,10 @@ from .conftest import SF_SMALL
 
 def test_pipe3_planted_quote_is_excised(spark):
     """A benchmark passage quoted at an UNALIGNED offset inside a long
-    near-surviving host must be cut out exactly (interval [23, 43)),
-    while clean hosts and hosts outside the near-survivor set emit no
-    row, and benchmark docs are never excised."""
+    near-surviving host must be cut out exactly (interval [23, 43));
+    a clean survivor appears UNTOUCHED in the manifest (n_removed=0,
+    hash of its full token stream); hosts outside the near-survivor
+    set emit no row."""
     from reduction_dask_spark.operators.dedup import BENCH_MOD
     from reduction_dask_spark.operators.pipeline import span_excision_of
 
@@ -41,12 +42,16 @@ def test_pipe3_planted_quote_is_excised(spark):
     near = spark.createDataFrame([(1,), (2,)], "doc_id long")
     rows = {r["doc_id"]: r for r in span_excision_of(docs, near).collect()}
 
-    assert set(rows) == {1}
+    assert set(rows) == {1, 2}
     r = rows[1]
     assert r["n_tokens"] == 50
     assert r["n_removed"] == 20
     cleaned = " ".join(t for i, t in enumerate(host1) if not (23 <= i < 43))
     assert r["clean_fp"] == hashlib.md5(cleaned.encode()).hexdigest()
+    # untouched survivor: manifest row with n_removed=0, full-text hash
+    r2 = rows[2]
+    assert r2["n_removed"] == 0 and r2["n_tokens"] == 30
+    assert r2["clean_fp"] == hashlib.md5(" ".join(host2).encode()).hexdigest()
 
 
 def test_pipe3_overlapping_spans_merge(spark):
@@ -67,7 +72,7 @@ def test_pipe3_overlapping_spans_merge(spark):
     )
     near = spark.createDataFrame([(1,)], "doc_id long")
     r = span_excision_of(docs, near).collect()
-    assert len(r) == 1
+    assert len(r) == 1  # the manifest covers exactly the near set
     assert r[0]["n_removed"] == 24  # one merged island [10, 34)
     cleaned = " ".join(t for i, t in enumerate(host) if not (10 <= i < 34))
     assert r[0]["clean_fp"] == hashlib.md5(cleaned.encode()).hexdigest()
@@ -137,6 +142,26 @@ def test_pipe4b_trained_gate_funnel_shape(spark):
     ns = [rows[s] for s in order]
     assert all(a >= b for a, b in zip(ns, ns[1:]))
     assert ns[0] > ns[1] > 0  # the gate actually gates
+
+
+# ---------------------------------------------------------------- pipe5
+
+
+def test_pipe5_matches_pipe2_minus_excised(spark):
+    """pipe5 exports the SAME keep set through the SAME shuffle key as
+    pipe2 — per shard the doc counts must match exactly and the token
+    mass can only shrink (excision removes, never adds)."""
+    from reduction_dask_spark.operators.pipeline import (
+        pipe2_export_manifest,
+        pipe5_clean_export,
+    )
+
+    p2 = {r["shard"]: r for r in pipe2_export_manifest(spark, SF_SMALL).collect()}
+    p5 = {r["shard"]: r for r in pipe5_clean_export(spark, SF_SMALL).collect()}
+    assert set(p2) == set(p5) and len(p2) > 0
+    for s in p2:
+        assert p5[s]["n_docs"] == p2[s]["n_docs"]
+        assert p5[s]["n_tokens"] <= p2[s]["n_tokens"]
 
 
 # ---------------------------------------------------------------- dd13
