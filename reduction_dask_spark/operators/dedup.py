@@ -1988,22 +1988,26 @@ def _lce_extend(j: DataFrame, keep: list) -> DataFrame:
     )
 
 
-def lce_sql_from(ta_src: str, tb_src: str) -> str:
+def lce_sql_from(ta_src: str, tb_src: str, prefix: str = "") -> str:
     """The ext→pos0→lce→spans CTE chain shared by dd11 and dc3:
     longest-common-extension folds around a preceding
-    ``cand(doc_a, pa, doc_b, pb)`` relation, parameterized on the two
-    (doc_id, toks) token relations — the SQL twin of the factored
-    Spark-side :func:`_lce_extend` (shingle_sql_from's convention)."""
-    return f"""ext AS (
+    ``{prefix}cand(doc_a, pa, doc_b, pb)`` relation, parameterized on
+    the two (doc_id, toks) token relations — the SQL twin of the
+    factored Spark-side :func:`_lce_extend` (shingle_sql_from's
+    convention). ``prefix`` renames EVERY emitted CTE (incl. the
+    final ``{prefix}spans``) so two chains can share one WITH
+    block."""
+    p = prefix
+    return f"""{p}ext AS (
             SELECT c.doc_a, c.doc_b, c.pa, c.pb,
                    least(len(ta.toks) - c.pa, len(tb.toks) - c.pb) AS maxr,
                    least(c.pa, c.pb) AS minl,
                    ta.toks AS ta, tb.toks AS tb
-            FROM cand c
+            FROM {p}cand c
             JOIN {ta_src} ta ON ta.doc_id = c.doc_a
             JOIN {tb_src} tb ON tb.doc_id = c.doc_b
         ),
-        pos0 AS (
+        {p}pos0 AS (
             SELECT doc_a, doc_b, pa, pb, maxr, minl,
                    list_position(
                        [ta[pa + k] = tb[pb + k] for k in range(1, CAST(maxr AS BIGINT) + 1)],
@@ -2011,21 +2015,21 @@ def lce_sql_from(ta_src: str, tb_src: str) -> str:
                    list_position(
                        [ta[pa - k + 1] = tb[pb - k + 1] for k in range(1, CAST(minl AS BIGINT) + 1)],
                        false) AS lp
-            FROM ext
+            FROM {p}ext
         ),
-        lce AS (
+        {p}lce AS (
             -- list_position returns 0 for "no mismatch found" (full run)
             SELECT doc_a, doc_b, pa, pb,
                    CASE WHEN rp IS NULL OR rp = 0 THEN maxr ELSE rp - 1 END AS r,
                    CASE WHEN lp IS NULL OR lp = 0 THEN minl ELSE lp - 1 END AS l
-            FROM pos0
+            FROM {p}pos0
         ),
-        spans AS (
+        {p}spans AS (
             SELECT DISTINCT doc_a, doc_b,
                CAST(pa - l AS BIGINT) AS start_a,
                CAST(pb - l AS BIGINT) AS start_b,
                CAST(l + r AS BIGINT) AS match_len
-            FROM lce
+            FROM {p}lce
             WHERE l + r >= {ES_MIN_LEN}
         )"""
 
@@ -2036,6 +2040,7 @@ def excise_sql(
     toked_body: str,
     affected_only: bool = True,
     as_cte: str | None = None,
+    spans_src: str = "spans",
 ) -> str:
     """SQL twin of :func:`excise_intervals`: the iv→ivs interval-merge
     CTE chain over a preceding ``spans`` relation (taking the
@@ -2055,7 +2060,7 @@ def excise_sql(
             -- split one island in two (double-counting n_removed)
             SELECT DISTINCT {doc_col} AS doc_id, {start_col} AS s,
                             {start_col} + match_len AS e
-            FROM spans
+            FROM {spans_src}
         ),
         marked AS (
             SELECT doc_id, s, e,
@@ -2415,9 +2420,10 @@ def span_sql_between(ctoked: str, btoked: str, prefix: str = "") -> str:
     :func:`span_spans_between` (grid/dense asymmetric index,
     hot-anchor cap with benchmark exemption, LCE extension), shared
     by the dc3 oracle and pipe3's funnel oracle. ``prefix`` renames
-    the seed-side CTEs so the chain composes into a WITH block that
-    already defines ``hot`` (pipe3 appends this to the funnel SQL,
-    whose shingle index has its own hot list)."""
+    EVERY CTE the chain emits (seed side, cand, and the lce chain
+    through ``{prefix}spans``) so it composes into a WITH block that
+    already defines ``hot`` (pipe3's funnel shingle index) and so two
+    span chains can coexist in one block."""
     A = ES_ANCHOR
     p = prefix
     h_aligned = md5h60_sql(f"array_to_string(toks[i * {A} + 1 : i * {A} + {A}], ' ')")
@@ -2452,12 +2458,12 @@ def span_sql_between(ctoked: str, btoked: str, prefix: str = "") -> str:
             ) WHERE rn <= {ES_EXEMPT_CAP}
         ),
         {p}probes AS (SELECT * FROM {p}idx_b ANTI JOIN {p}hot_drop USING (h)),
-        cand AS (
+        {p}cand AS (
             SELECT DISTINCT c.doc_id AS doc_a, c.pos AS pa,
                             b.doc_id AS doc_b, b.pos AS pb
             FROM {p}seeds c JOIN {p}probes b ON c.h = b.h
         ),
-        {lce_sql_from(ctoked, btoked)}"""
+        {lce_sql_from(ctoked, btoked, prefix=p)}"""
 
 
 _DC3_CTE = f"""corpus AS (
@@ -2529,6 +2535,58 @@ DELTA_MOD = 5  # doc_id % 5 == DELTA_REM ⇒ today's "delta" snapshot
 DELTA_REM = 3
 
 
+def near_hist_ids(sh: DataFrame, delta_sh: DataFrame, hist_sh: DataFrame) -> DataFrame:
+    """Delta-vs-history near-dup verdict over the df-capped shingle
+    inverted index: (doc_id, _near=true) for every delta doc with
+    exact shingle-Jaccard ≥ JACCARD_TAU against some history doc.
+    Sizes come from the FULL index ``sh`` (exact-quotient rule);
+    ``delta_sh``/``hist_sh`` are its two narrowed sides. Factored
+    (r10 reviewer) so dd12 and dd13 share ONE copy of the candidate
+    join + tie-rounded Jaccard instead of drifting apart."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        delta_sh.select(F.col("doc_id").alias("d_id"), "shingle")
+        .join(hist_sh.select(F.col("doc_id").alias("h_id"), "shingle"), "shingle")
+        .groupBy("d_id", "h_id")
+        .agg(F.count("*").alias("ninter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("d_id"), F.col("n").alias("na")), "d_id")
+        .join(sizes.select(F.col("doc_id").alias("h_id"), F.col("n").alias("nb")), "h_id")
+        .filter(
+            F.round(
+                F.col("ninter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("ninter")),
+                6,
+            )
+            >= JACCARD_TAU
+        )
+        .select(F.col("d_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_near", F.lit(True))
+    )
+
+
+def near_hist_sql(delta_src: str) -> str:
+    """SQL twin of :func:`near_hist_ids` — sizes/inter/nearh CTEs over
+    a preceding ``sh`` index, with the delta side given as a
+    subquery/CTE name and the history side the % filter."""
+    return f"""sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS d_id, b.doc_id AS h_id, count(*) AS ninter
+            FROM {delta_src} a JOIN sh b ON a.shingle = b.shingle
+            WHERE b.doc_id % {DELTA_MOD} <> {DELTA_REM}
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        nearh AS (
+            SELECT DISTINCT i.d_id AS doc_id
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.d_id
+            JOIN sizes sb ON sb.doc_id = i.h_id
+            WHERE round(i.ninter::DOUBLE / (sa.n + sb.n - i.ninter), 6) >= {JACCARD_TAU}
+        )"""
+
+
 def incremental_dedup_of(d: DataFrame) -> DataFrame:
     """dd12's pipeline over an arbitrary (doc_id, text) relation — the
     parameterization exists so the planted-fixture pytest can assert
@@ -2547,32 +2605,10 @@ def incremental_dedup_of(d: DataFrame) -> DataFrame:
     # artifact a production incremental run maintains; both sides of
     # the candidate join read it
     sh = pin(shingle_table_of(d.select("doc_id", "text")))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = (
-        sh.filter(F.col("doc_id") % DELTA_MOD == DELTA_REM)
-        .select(F.col("doc_id").alias("d_id"), "shingle")
-        .join(
-            sh.filter(F.col("doc_id") % DELTA_MOD != DELTA_REM)
-            .select(F.col("doc_id").alias("h_id"), "shingle"),
-            "shingle",
-        )
-        .groupBy("d_id", "h_id")
-        .agg(F.count("*").alias("ninter"))
-    )
-    near_hist = (
-        inter.join(sizes.select(F.col("doc_id").alias("d_id"), F.col("n").alias("na")), "d_id")
-        .join(sizes.select(F.col("doc_id").alias("h_id"), F.col("n").alias("nb")), "h_id")
-        .filter(
-            F.round(
-                F.col("ninter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("ninter")),
-                6,
-            )
-            >= JACCARD_TAU
-        )
-        .select(F.col("d_id").alias("doc_id"))
-        .distinct()
-        .withColumn("_near", F.lit(True))
+    near_hist = near_hist_ids(
+        sh,
+        sh.filter(F.col("doc_id") % DELTA_MOD == DELTA_REM),
+        sh.filter(F.col("doc_id") % DELTA_MOD != DELTA_REM),
     )
 
     from pyspark.sql.window import Window
@@ -2609,21 +2645,7 @@ def incremental_dedup_of(d: DataFrame) -> DataFrame:
             FROM documents
         ),
         hist AS (SELECT DISTINCT fp FROM fpx WHERE NOT is_delta),
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS d_id, b.doc_id AS h_id, count(*) AS ninter
-            FROM sh a JOIN sh b ON a.shingle = b.shingle
-            WHERE a.doc_id % {DELTA_MOD} = {DELTA_REM}
-              AND b.doc_id % {DELTA_MOD} <> {DELTA_REM}
-            GROUP BY a.doc_id, b.doc_id
-        ),
-        nearh AS (
-            SELECT DISTINCT i.d_id AS doc_id
-            FROM inter i
-            JOIN sizes sa ON sa.doc_id = i.d_id
-            JOIN sizes sb ON sb.doc_id = i.h_id
-            WHERE round(i.ninter::DOUBLE / (sa.n + sb.n - i.ninter), 6) >= {JACCARD_TAU}
-        ),
+        {near_hist_sql(f'(SELECT * FROM sh WHERE doc_id % {DELTA_MOD} = {DELTA_REM})')},
         flags AS (
             SELECT d.doc_id,
                    d.fp IN (SELECT fp FROM hist) AS exact_hist,
@@ -2694,7 +2716,12 @@ def two_tier_dedup_of(d: DataFrame) -> DataFrame:
         is_delta.alias("is_delta"),
     )
     hist_pfp = pf.filter(~F.col("is_delta")).select("pfp").distinct()
-    t1 = (
+    # pinned: the tier-1 flag relation (doc_id + 2 booleans, KB-scale)
+    # feeds THREE downstream branches — the t2 semi-join, the shingle
+    # candidate semi-join, and the final select; without the pin the
+    # ingest scan + prefix-md5 + window-min subtree re-executes per
+    # branch (same argument as _flags_through_near's pins)
+    t1 = pin(
         pf.filter("is_delta")
         .join(hist_pfp.withColumn("_ih", F.lit(True)), "pfp", "left")
         .withColumn(
@@ -2733,35 +2760,14 @@ def two_tier_dedup_of(d: DataFrame) -> DataFrame:
         )
     )
     # near-dup vs history: dd12's df-capped inverted-index candidate
-    # join, delta side narrowed to tier-1 survivors
+    # join (shared helper — one copy of the Jaccard/rounding/cap
+    # logic), delta side narrowed to tier-1 survivors
     sh = pin(shingle_table_of(d.select("doc_id", "text")))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = (
-        sh.join(surv1, "doc_id", "left_semi")
-        .select(F.col("doc_id").alias("d_id"), "shingle")
-        .join(
-            sh.filter(F.col("doc_id") % DELTA_MOD != DELTA_REM)
-            .select(F.col("doc_id").alias("h_id"), "shingle"),
-            "shingle",
-        )
-        .groupBy("d_id", "h_id")
-        .agg(F.count("*").alias("ninter"))
-    )
-    near = (
-        inter.join(sizes.select(F.col("doc_id").alias("d_id"), F.col("n").alias("na")), "d_id")
-        .join(sizes.select(F.col("doc_id").alias("h_id"), F.col("n").alias("nb")), "h_id")
-        .filter(
-            F.round(
-                F.col("ninter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("ninter")),
-                6,
-            )
-            >= JACCARD_TAU
-        )
-        .select(F.col("d_id").alias("doc_id"))
-        .distinct()
-        .withColumn("_nh", F.lit(True))
-    )
+    near = near_hist_ids(
+        sh,
+        sh.join(surv1, "doc_id", "left_semi"),
+        sh.filter(F.col("doc_id") % DELTA_MOD != DELTA_REM),
+    ).withColumnRenamed("_near", "_nh")
 
     return (
         t1.join(t2, "doc_id", "left")
@@ -2817,21 +2823,7 @@ def two_tier_dedup_of(d: DataFrame) -> DataFrame:
                    doc_id <> min(doc_id) OVER (PARTITION BY fp) AS intra_dup
             FROM fpx SEMI JOIN surv1 USING (doc_id)
         ),
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS d_id, b.doc_id AS h_id, count(*) AS ninter
-            FROM (SELECT * FROM sh SEMI JOIN surv1 USING (doc_id)) a
-            JOIN sh b ON a.shingle = b.shingle
-            WHERE b.doc_id % {DELTA_MOD} <> {DELTA_REM}
-            GROUP BY a.doc_id, b.doc_id
-        ),
-        nearh AS (
-            SELECT DISTINCT i.d_id AS doc_id
-            FROM inter i
-            JOIN sizes sa ON sa.doc_id = i.d_id
-            JOIN sizes sb ON sb.doc_id = i.h_id
-            WHERE round(i.ninter::DOUBLE / (sa.n + sb.n - i.ninter), 6) >= {JACCARD_TAU}
-        )
+        {near_hist_sql('(SELECT * FROM sh SEMI JOIN surv1 USING (doc_id))')}
         SELECT t1.doc_id, t1.ingest_hist, t1.ingest_intra,
                coalesce(t2.exact_hist, false) AS exact_hist,
                coalesce(t2.intra_dup, false) AS intra_dup,

@@ -569,7 +569,7 @@ def span_excision_of(docs: DataFrame, near_ids: DataFrame) -> DataFrame:
     {excise_sql('doc_a', 'start_a',
                 "SELECT d.doc_id, string_split(d.text, ' ') AS toks "
                 "FROM documents d SEMI JOIN neardup USING (doc_id)",
-                affected_only=False)}
+                affected_only=False, spans_src='es_spans')}
     """,
     doc="pipe3 SPAN-EXCISION funnel — dc3's span-level benchmark "
         "decontamination composed INTO the curation funnel (the r9 "
@@ -700,7 +700,7 @@ def pipe4b_trained_gated_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     {excise_sql('doc_a', 'start_a',
                 "SELECT d.doc_id, string_split(d.text, ' ') AS toks "
                 "FROM documents d SEMI JOIN lang USING (doc_id)",
-                affected_only=False, as_cte='manifest')},
+                affected_only=False, as_cte='manifest', spans_src='es_spans')},
     {_export_manifest_sql(f'''
         SELECT m.doc_id, CAST(m.n_tokens - m.n_removed AS BIGINT) AS n_tok,
                (('0x' || substring(md5('0:' || CAST(m.doc_id AS VARCHAR)), 1, 15))::BIGINT) AS skey

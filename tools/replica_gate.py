@@ -36,9 +36,14 @@ def documents_only_queries() -> list[str]:
     load_all_operators()
     out = []
     for n, q in REGISTRY.items():
-        if not q.oracle or not re.search(r"\bdocuments\b", q.oracle):
+        if not q.oracle:
             continue
-        if any(re.search(rf"\b{t}\b", q.oracle) for t in OTHER_TABLES):
+        # classify on comment-stripped SQL so a table name in a `--`
+        # remark can't silently add/drop a query from the gate
+        sql = re.sub(r"--[^\n]*", "", q.oracle)
+        if not re.search(r"\bdocuments\b", sql):
+            continue
+        if any(re.search(rf"\b{t}\b", sql) for t in OTHER_TABLES):
             continue
         out.append(n)
     return sorted(out)
