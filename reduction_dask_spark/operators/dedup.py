@@ -2041,6 +2041,7 @@ def excise_sql(
     affected_only: bool = True,
     as_cte: str | None = None,
     spans_src: str = "spans",
+    prefix: str = "",
 ) -> str:
     """SQL twin of :func:`excise_intervals`: the iv→ivs interval-merge
     CTE chain over a preceding ``spans`` relation (taking the
@@ -2049,10 +2050,15 @@ def excise_sql(
     query. Shared by dd11b's oracle and pipe3's funnel oracle
     (``affected_only=False`` — every toked2 doc emits a row).
     ``as_cte`` wraps the final SELECT in a named CTE instead so a
-    caller (pipe5) can keep composing past the manifest."""
+    caller (pipe5) can keep composing past the manifest.
+    ``prefix`` namespaces the internal CTE names
+    (iv/marked/isl/merged/ivs/toked2) like :func:`span_sql_between` /
+    :func:`lce_sql_from` do, so two excision chains can coexist in
+    one WITH block without a silent name collision."""
+    p = prefix
     head = f"{as_cte} AS (\n        " if as_cte else ""
     tail = "\n        )" if as_cte else ""
-    return f"""iv AS (
+    return f"""{p}iv AS (
             -- DISTINCT makes (doc_id, s, e) unique, so ORDER BY (s, e)
             -- is a TOTAL order within each doc: without it, the same
             -- interval arriving from two partner docs can tie-break
@@ -2062,31 +2068,31 @@ def excise_sql(
                             {start_col} + match_len AS e
             FROM {spans_src}
         ),
-        marked AS (
+        {p}marked AS (
             SELECT doc_id, s, e,
                    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                        AS prevmax
-            FROM iv
+            FROM {p}iv
         ),
-        isl AS (
+        {p}isl AS (
             SELECT doc_id, s, e,
                    sum(CASE WHEN prevmax IS NULL OR s > prevmax THEN 1 ELSE 0 END)
                        OVER (PARTITION BY doc_id ORDER BY s, e
                              ROWS UNBOUNDED PRECEDING) AS isl
-            FROM marked
+            FROM {p}marked
         ),
-        merged AS (
+        {p}merged AS (
             SELECT doc_id, isl, min(s) AS s, max(e) AS e
-            FROM isl GROUP BY doc_id, isl
+            FROM {p}isl GROUP BY doc_id, isl
         ),
-        ivs AS (
+        {p}ivs AS (
             SELECT doc_id,
                    list(struct_pack(s := s, e := e) ORDER BY s, e) AS ivs,
                    sum(e - s) AS n_removed
-            FROM merged GROUP BY doc_id
+            FROM {p}merged GROUP BY doc_id
         ),
-        toked2 AS ({toked_body}){',' if as_cte else ''}
+        {p}toked2 AS ({toked_body}){',' if as_cte else ''}
         {head}SELECT t.doc_id,
                CAST(len(t.toks) AS BIGINT) AS n_tokens,
                CAST(coalesce(v.n_removed, 0) AS BIGINT) AS n_removed,
@@ -2099,7 +2105,7 @@ def excise_sql(
                     if len(list_filter(coalesce(v.ivs, []),
                           iv -> (i - 1) >= iv.s AND (i - 1) < iv.e)) = 0],
                    ' '), '')) AS clean_fp
-        FROM toked2 t {'JOIN' if affected_only else 'LEFT JOIN'} ivs v USING (doc_id){tail}"""
+        FROM {p}toked2 t {'JOIN' if affected_only else 'LEFT JOIN'} {p}ivs v USING (doc_id){tail}"""
 
 
 _DD11_CTE = f"""d0 AS (SELECT doc_id, md5(text) AS fp FROM documents),

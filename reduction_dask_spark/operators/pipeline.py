@@ -102,9 +102,14 @@ def _flags_through_near(
         # co-partitioned left join on the key (the gate relation is
         # corpus-sized — never broadcast); docs the gate never scored
         # FAIL CLOSED (coalesce false), the only safe default for a
-        # quality filter
-        gate = quality_gate.select(
-            "doc_id", F.col("cls_ok").cast("boolean").alias("_cls_ok")
+        # quality filter. The join requires ≤1 gate row per doc_id —
+        # a duplicated gate row would fan every downstream stage out
+        # per duplicate and inflate all funnel counts — so enforce it
+        # with a max-aggregate (bool_or semantics: any passing score
+        # row admits the doc); for an already-unique gate this folds
+        # into the same single shuffle the join needs anyway.
+        gate = quality_gate.groupBy("doc_id").agg(
+            F.max(F.col("cls_ok").cast("boolean")).alias("_cls_ok")
         )
         base = d.join(gate, "doc_id", "left")
         q_ok = F.coalesce(F.col("_cls_ok"), F.lit(False))
