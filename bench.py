@@ -43,6 +43,18 @@ HEADLINE = [
     "dd1_exact_dedup",
     "t3_lang_id_naive_bayes",
     "ss4_cosine_topk_ivf",
+    # r11: the round-9/10 funnel compositions and incremental-dedup
+    # flagships — the heaviest queries in the repo — get a per-round
+    # regression tripwire in the driver's BENCH artifact (r10 verdict
+    # item 1). Expect the headline total to jump ~45-60 s over r10's
+    # 24.5 s: that is ADDED SCOPE, not a regression (per-query
+    # attribution in ROADMAP.md).
+    "pipe2_export_manifest",
+    "pipe3_span_excision",
+    "pipe4_gated_funnel",
+    "pipe5_clean_export",
+    "dd12_incremental_dedup",
+    "dd13_two_tier_dedup",
 ]
 
 

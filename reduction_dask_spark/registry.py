@@ -50,7 +50,13 @@ def query(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, 
 # trivial ops green in every driver sample since round 1 — rotated out for
 # the round-10 funnel compositions pipe3/pipe4/dd13 so the new flagships
 # get driver-checked; the rotated-out ops stay under the full local gate
-# and pytest.)  Registration order is an import-order artifact, so we
+# and pytest.  r11: ten more long-green trivial slots — p8/p9/f1/f5/f6/
+# f7/j2/j3/a2/o3 — rotated out for ten never-driver-sampled oracle
+# queries per the r10 verdict item 5: dc3/dd11b/pipe2/pipe5/sk2/f17/
+# ts4/scd2/mw4/wsamp1.  Every family keeps a pinned representative:
+# p3/p6 projection-filter, f4/f8 feature math, j1/j4/j5/j6/j7 joins,
+# a3/a6 aggregates, o2 ordering.)  Registration order is an import-order
+# artifact, so we
 # pin an explicit priority window: every SURVEY.md §2-mandated oracle query
 # (projection/feature/join/agg/window/order/set/cv/metric families, the
 # distance kernels, the dedup/similarity/text flagships, the curation
@@ -63,30 +69,20 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "pipe3_span_excision",
     "pipe4_gated_funnel",
     "p6_sample_hash",
-    "p8_union",
-    "p9_permute_column",
-    "f1_strip_prefix_cast",
     "f2_onehot_pivot",
     "f4_pearson_corr",
-    "f5_quantile",
-    "f6_histogram",
-    "f7_entropy",
     "f8_mutual_info",
     "f9_math_scalars",
     "j1_index_align_join",
-    "j2_semi_join",
-    "j3_anti_join",
     "j4_star_broadcast",
     "j5_range_join",
     "j6_zip_join_task_table",
     "j7_asof_join",
-    "a2_distinct",
     "a3_grouped_mean",
     "a6_collect_group_members",
     "w1_pct_rank_by_era",
     "w2_rank_importance",
     "o2_topk_per_group",
-    "o3_argmax",
     "dd13_two_tier_dedup",
     "c1_kfold_era_assignment",
     "c3_fraction_resource",
@@ -108,6 +104,16 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "pipe1_corpus_curation",
     "st2_stream_sessionization",
     "q1_pricing_summary",
+    "dc3_span_decontam",
+    "dd11b_substring_removal",
+    "pipe2_export_manifest",
+    "pipe5_clean_export",
+    "sk2_salted_join",
+    "f17_target_encode_oof",
+    "ts4_seasonal_decompose",
+    "scd2_type2_history",
+    "mw4_doremi_mixture",
+    "wsamp1_weighted_sample",
 )
 
 
