@@ -36,6 +36,7 @@ import threading
 from pyspark.sql import DataFrame
 
 _PINNED: list[DataFrame] = []
+_BARRIERED: list[DataFrame] = []
 _LOCK = threading.Lock()
 
 
@@ -44,6 +45,44 @@ def pin(df: DataFrame) -> DataFrame:
     df.persist()
     with _LOCK:
         _PINNED.append(df)
+    return df
+
+
+def barrier(df: DataFrame) -> DataFrame:
+    """Eager ``localCheckpoint``: materialize ``df`` NOW and return a
+    DataFrame whose logical plan is a leaf over the stored blocks.
+
+    Use this instead of :func:`pin` at the reuse hubs of DEEP
+    compositions (the curation funnels). pin() dedupes *execution*
+    but leaves the full lineage in every downstream plan, and the
+    cost of that is driver-side: Spark re-analyzes the whole tree on
+    every DataFrame op and canonicalizes it against the cache
+    registry, so a funnel composition spends seconds in plan
+    construction before a single task runs — the r11 profile of
+    pipe3 measured 6-9 s of build + a 10 s no-stage-running gap at
+    the head of a ~20 s query, FLAT across sf because plan size
+    doesn't scale with data. Truncating lineage at the hub collapsed
+    pipe3 to ~7 s at sf0.1 (build 0.6 s). A second effect: pinned-
+    but-not-yet-materialized caches RACE under AQE's concurrent
+    stage execution (both branches miss and both compute the
+    subtree); an eager barrier cannot race.
+
+    Tradeoffs, deliberately accepted and bounded:
+    - storage is executor-local and NOT released by
+      :func:`release_pinned` (a truncated lineage cannot recompute);
+      blocks are reclaimed by Spark's ContextCleaner once the
+      DataFrame is unreferenced. Barrier only narrow, bounded
+      relations (id lists, flag relations, anchor indexes).
+    - on a real cluster, localCheckpoint does not survive executor
+      loss; a 100 TB job that needs fault tolerance should flip
+      these sites to reliable ``checkpoint()`` with
+      ``spark.sparkContext.setCheckpointDir`` — the call site
+      contract (eager materialization + lineage truncation) is
+      identical.
+    """
+    df = df.localCheckpoint()
+    with _LOCK:
+        _BARRIERED.append(df)
     return df
 
 
@@ -58,6 +97,11 @@ def release_pinned() -> int:
     with _LOCK:
         drained = list(_PINNED)
         _PINNED.clear()
+        # drop OUR references to barriered relations so the
+        # ContextCleaner can reclaim their blocks once callers drop
+        # theirs; the blocks themselves are never unpersisted here
+        # (truncated lineage cannot recompute)
+        _BARRIERED.clear()
     for df in drained:
         df.unpersist()
     return len(drained)

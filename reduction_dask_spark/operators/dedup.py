@@ -2211,15 +2211,15 @@ def dd11b_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def substring_removal_of(d: DataFrame) -> DataFrame:
     spans = exact_substring_spans_of(d)
-    # DISTINCT makes (doc_id, s, e) unique so the window ORDER BY is a
-    # total order — duplicate intervals (same span found via different
-    # doc_a partners) would otherwise tie-break differently across the
-    # prevmax and island-sum window passes and double-count n_removed
+    # no distinct needed: duplicate intervals (same span found via
+    # different doc_a partners) are absorbed by excise_intervals'
+    # collect_set inside its one groupBy exchange (r11 — the old
+    # window formulation needed a pre-distinct for a total ORDER BY)
     iv = spans.select(
         F.col("doc_b").alias("doc_id"),
         F.col("start_b").alias("s"),
         (F.col("start_b") + F.col("match_len")).alias("e"),
-    ).distinct()
+    )
     return excise_intervals(d, iv)
 
 
@@ -2235,31 +2235,55 @@ def excise_intervals(
     ``affected_only=False`` — per EVERY doc in ``d`` (pipe3's cleaned
     manifest: untouched docs carry n_removed=0 and the hash of their
     full token stream, so the oracle pins the whole export, not just
-    the edits). Callers must hand in distinct intervals (see
-    substring_removal_of's tie-break note)."""
-    wprev = (
-        Window.partitionBy("doc_id").orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    the edits). Duplicate (doc_id, s, e) rows in ``iv`` are absorbed
+    by the collect_set — callers need NOT pre-distinct (pipe3 used to
+    pay a full extra exchange for that; see substring_removal_of's
+    tie-break note for why inputs are id-deterministic regardless).
+
+    Interval merge: ONE groupBy-doc_id shuffle + a sorted array fold,
+    not the prevmax/island window chain (the SQL twin keeps the
+    window formulation — same verdict, DuckDB plans it fine). The
+    fold is the classic sorted-starts invariant: within one pass over
+    intervals sorted by (s, e), a new island starts iff s exceeds the
+    running max end, which after the previous island closed equals
+    the LAST island's max end (every earlier island's max end is
+    below some later interval's start by the island-boundary
+    definition). Cutting the window chain removes two shuffles and
+    two stage barriers from pipe3's critical path — its sf0.1 wall
+    cost is DAG depth, not data volume (SCALING.md: flat ~20 s across
+    three decades of sf before this rewrite). Per-doc interval lists
+    are bounded (spans against a tiny benchmark set), so the
+    collect_list is not a skew hazard at 100 TB."""
+    raw = iv.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set(F.struct("s", "e"))).alias("raw")
     )
-    wrun = (
-        Window.partitionBy("doc_id").orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    marked = iv.withColumn("prevmax", F.max("e").over(wprev))
-    isl = marked.withColumn(
-        "isl",
-        F.sum(
+    merged = F.aggregate(
+        F.col("raw"),
+        F.slice(F.col("raw"), 1, 0),  # empty array of the element type
+        lambda acc, v: F.when(F.size(acc) == 0, F.array(v)).otherwise(
             F.when(
-                F.col("prevmax").isNull() | (F.col("s") > F.col("prevmax")), 1
-            ).otherwise(0)
-        ).over(wrun),
+                v["s"] > F.element_at(acc, -1)["e"],
+                F.concat(acc, F.array(v)),
+            ).otherwise(
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            F.element_at(acc, -1)["s"].alias("s"),
+                            F.greatest(
+                                F.element_at(acc, -1)["e"], v["e"]
+                            ).alias("e"),
+                        )
+                    ),
+                )
+            )
+        ),
     )
-    merged = isl.groupBy("doc_id", "isl").agg(
-        F.min("s").alias("s"), F.max("e").alias("e")
-    )
-    ivs = merged.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("ivs"),
-        F.sum(F.col("e") - F.col("s")).alias("n_removed"),
+    ivs = raw.select("doc_id", merged.alias("ivs")).withColumn(
+        "n_removed",
+        F.aggregate(
+            "ivs", F.lit(0).cast("bigint"), lambda a, v: a + (v["e"] - v["s"])
+        ),
     )
     toked = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
     cut = F.filter(
@@ -2281,7 +2305,9 @@ def excise_intervals(
 # ---------------------------------------------------------------- dc3
 
 
-def span_spans_between(corpus: DataFrame, bench: DataFrame) -> DataFrame:
+def span_spans_between(
+    corpus: DataFrame, bench: DataFrame, dedup_spans: bool = True
+) -> DataFrame:
     """dc3's core: exact shared-token spans (length ≥ ES_MIN_LEN)
     between an arbitrary corpus relation and a tiny benchmark
     relation, both (doc_id, text) — factored out (r9) so pipe3's
@@ -2290,7 +2316,14 @@ def span_spans_between(corpus: DataFrame, bench: DataFrame) -> DataFrame:
     start_b, match_len). Callers own any exact-duplicate collapse of
     the corpus side; the asymmetric grid/dense indexing, the
     hot-anchor cap with benchmark exemption, and the LCE extension
-    live here (one implementation, one SQL twin)."""
+    live here (one implementation, one SQL twin).
+
+    ``dedup_spans=False`` skips the trailing DISTINCT (several
+    anchors inside one maximal span all extend to the SAME span row):
+    a caller that immediately re-aggregates on a projection of the
+    output — pipe3's excision distincts (doc_a, start_a, end) —
+    would otherwise pay two back-to-back full-relation shuffles on
+    the critical path for one deduplication's worth of semantics."""
     from ..functions import md5h60
 
     A = ES_ANCHOR
@@ -2372,6 +2405,13 @@ def span_spans_between(corpus: DataFrame, bench: DataFrame) -> DataFrame:
     )
     seeds = seeds_norm.unionByName(seeds_ex)
     probes = idx_b.join(F.broadcast(hot_drop), "h", "left_anti")
+    # no DISTINCT on the candidate relation: each side has unique
+    # (doc_id, pos) — one A-gram per position — and seeds_norm /
+    # seeds_ex are disjoint by construction (anti-hot vs semi-exempt
+    # with exempt ⊆ hot), so the equi-join on h cannot produce a
+    # duplicate (doc_a, pa, doc_b, pb); the old distinct was a full
+    # shuffle of the widest relation in the chain for nothing (r11
+    # critical-path audit — pipe3's wall cost is DAG depth, not data)
     cand = (
         seeds.alias("c")
         .join(probes.alias("b"), F.col("c.h") == F.col("b.h"))
@@ -2379,16 +2419,14 @@ def span_spans_between(corpus: DataFrame, bench: DataFrame) -> DataFrame:
             F.col("c.doc_id").alias("doc_a"), F.col("c.pos").alias("pa"),
             F.col("b.doc_id").alias("doc_b"), F.col("b.pos").alias("pb"),
         )
-        .distinct()
     )
     ta = ctoked.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
     tb = btoked.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
     j = cand.join(ta, "doc_a").join(tb, "doc_b")
-    return (
-        _lce_extend(j, ["doc_a", "doc_b"])
-        .filter(F.col("match_len") >= ES_MIN_LEN)
-        .distinct()
+    spans = _lce_extend(j, ["doc_a", "doc_b"]).filter(
+        F.col("match_len") >= ES_MIN_LEN
     )
+    return spans.distinct() if dedup_spans else spans
 
 
 def span_decontam_of(d: DataFrame) -> DataFrame:

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from ..caching import pin
+from ..caching import barrier
 from ..registry import query
 from ..sources import load_table
 from .dedup import (
@@ -114,12 +114,15 @@ def _flags_through_near(
         base = d.join(gate, "doc_id", "left")
         q_ok = F.coalesce(F.col("_cls_ok"), F.lit(False))
 
-    # pinned: the token-expression scan is the funnel's most expensive
-    # per-row work and THREE later branches (rep survivor semi-join,
-    # keeper window, exact-survivor shingle source) read it — without
-    # the pin Catalyst re-executes the scan per branch (measured 15.2 s
-    # vs 6 s at sf0.1 for the whole funnel)
-    staged = pin(
+    # barriered (eager localCheckpoint — see caching.barrier): the
+    # token-expression scan is the funnel's most expensive per-row
+    # work and THREE later branches (rep survivor semi-join, keeper
+    # window, exact-survivor shingle source) read it; a lazy pin
+    # dedup'd execution (15.2 s -> 6 s at sf0.1) but left the full
+    # lineage in every downstream plan — the r11 profile showed the
+    # funnel compositions paying 6-9 s of DRIVER plan-building on
+    # those embedded trees, flat across sf
+    staged = barrier(
         base.select(
             "doc_id", "lang",
             normalized_fingerprint(F.col("text")).alias("fp"),
@@ -158,10 +161,10 @@ def _flags_through_near(
             )
         ),
     )
-    # pinned: doc_id + boolean flags only (KB-scale); the near-dup,
+    # barriered: doc_id + boolean flags only (KB-scale); the near-dup,
     # decontamination, and final-select branches each read it, and the
     # upstream side embeds the whole repetition gram stream
-    flagged = pin(
+    flagged = barrier(
         flagged.select(
             "doc_id", "lang", "q_ok", "gopher_ok", "rep_ok", "exact_ok"
         )
@@ -178,7 +181,9 @@ def _flags_through_near(
     surv = d.join(flagged.filter("exact_ok").select("doc_id"), "doc_id").select(
         "doc_id", "text"
     )
-    sh_surv = pin(shingle_table_of(surv))
+    # barriered: candidate generation and pipe1's decontam branch both
+    # read the survivor shingle index
+    sh_surv = barrier(shingle_table_of(surv))
     pairs = jaccard_pairs(sh_surv, tau=JACCARD_TAU)
     drop = pairs.select(F.col("doc_b").alias("doc_id"), F.lit(True).alias("is_dup")).distinct()
     flagged = flagged.join(drop, "doc_id", "left").select(
@@ -543,15 +548,26 @@ def span_excision_of(docs: DataFrame, near_ids: DataFrame) -> DataFrame:
     n_removed, clean_fp), with untouched docs at n_removed=0 and the
     hash of their full token stream, so the oracle pins the entire
     exported corpus, not only the edited rows."""
+    # barriered: the id relation is KB-scale but its upstream is the
+    # ENTIRE funnel (incl. the Jaccard pair join); two branches read
+    # it (the span chain's corpus side and the excision's toked
+    # side), and each would otherwise carry — and under AQE's
+    # concurrent stage start, re-execute — the whole funnel tree
+    near_ids = barrier(near_ids.select("doc_id"))
     surv_docs = docs.join(near_ids, "doc_id", "left_semi").select("doc_id", "text")
     corpus = surv_docs.filter(F.col("doc_id") % BENCH_MOD != 0)
     bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0).select("doc_id", "text")
-    spans = span_spans_between(corpus, bench)
+    # dedup_spans=False: excise_intervals' collect_set dedups the
+    # projected intervals anyway — one dedup's worth of semantics,
+    # zero extra exchanges
+    spans = span_spans_between(corpus, bench, dedup_spans=False)
+    # no distinct: excise_intervals' collect_set absorbs duplicate
+    # intervals inside its one groupBy exchange
     iv = spans.select(
         F.col("doc_a").alias("doc_id"),
         F.col("start_a").alias("s"),
         (F.col("start_a") + F.col("match_len")).alias("e"),
-    ).distinct()
+    )
     return excise_intervals(surv_docs, iv, affected_only=False)
 
 
