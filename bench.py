@@ -46,9 +46,11 @@ HEADLINE = [
     # r11: the round-9/10 funnel compositions and incremental-dedup
     # flagships — the heaviest queries in the repo — get a per-round
     # regression tripwire in the driver's BENCH artifact (r10 verdict
-    # item 1). Expect the headline total to jump ~45-60 s over r10's
-    # 24.5 s: that is ADDED SCOPE, not a regression (per-query
-    # attribution in ROADMAP.md).
+    # item 1). Expect the headline total to rise ~25-30 s over r10's
+    # 24.5 s: ADDED SCOPE, not a regression (per-query attribution in
+    # ROADMAP.md; after the r11 lineage-barrier fix the six rows cost
+    # pipe2 ~4.9 + pipe3 ~6.3 + pipe4 ~3.8 + pipe5 ~6.4 + dd12 ~2.4
+    # + dd13 ~3.2 ≈ 27 s at sf0.1 — before it they'd have been ~80 s).
     "pipe2_export_manifest",
     "pipe3_span_excision",
     "pipe4_gated_funnel",

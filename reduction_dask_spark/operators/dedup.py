@@ -2192,9 +2192,10 @@ def dd11_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="dd11b exact-substring REMOVAL — the action Lee et al. 2022 "
         "take on dd11's spans: every duplicated span is cut from the "
         "HIGHER-id document of each pair (the earlier copy survives "
-        "intact), overlapping spans first merged per document with "
-        "the gaps-and-islands window (running max(end) over the "
-        "start-sorted intervals — one per-doc window, no recursion). "
+        "intact), overlapping spans first merged per document in ONE "
+        "groupBy + sorted array fold (r11 — replaces the two-window "
+        "gaps-and-islands chain; the SQL oracle keeps the window "
+        "formulation, same verdict). "
         "Tokens are dropped by positional interval test as a pure "
         "filter-with-index lambda over the token array (the interval "
         "list per doc is tiny); output per affected document: token "

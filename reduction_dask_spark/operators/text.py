@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..functions import md5i_sql, phash_sql
-from ..caching import pin
+from ..caching import barrier, pin
 from ..registry import query
 from ..sources import load_table
 
@@ -1916,7 +1916,13 @@ def cls2_trained_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml import logistic_irls
 
     feats, feat_cols = cls2_features(spark, sf_dir)
-    feats = pin(feats)
+    # barriered, not pinned: the IRLS loop triggers CLS2_ITERS
+    # separate actions and the scoring pass builds a 129-term
+    # expression on top — with a lazy pin each of those plans carries
+    # (and re-analyzes) the full 128-column pivot tree; the barrier
+    # makes every per-iteration plan a leaf + mapInPandas
+    # (caching.barrier: plan-size rationale, r11)
+    feats = barrier(feats)
     beta = logistic_irls(
         feats.filter(F.col("is_train")),
         feat_cols,
