@@ -35,7 +35,13 @@ STEPS: dict[str, list[str]] = {
     "sf0.1": [sys.executable, "tools/compare.py", "/root/testdata/sf0.1"],
     "docs": [sys.executable, "tools/replica_gate.py", "12", "--family", "docs"],
     "tpch": [sys.executable, "tools/replica_gate.py", "12", "--family", "tpch"],
-    "audit": [sys.executable, "tools/plan_audit.py", "/root/testdata/sf0.001"],
+    "audit": [
+        sys.executable,
+        "tools/plan_audit.py",
+        "/root/testdata/sf0.001",
+        "--write",
+        "PLAN_AUDIT.md",
+    ],
 }
 
 SUMMARY_RE = re.compile(r"(\d+) pass, (\d+) fail, (\d+) rows-only")
