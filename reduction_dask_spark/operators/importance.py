@@ -42,7 +42,7 @@ from ..ml import (
     supervised_frame,
     with_prediction,
 )
-from ..caching import pin
+from ..caching import barrier
 from ..registry import query
 from .cv import kfold_era
 
@@ -168,7 +168,10 @@ def mda_importance_gbt(
 ) -> DataFrame:
     from ..ml import fit_gbt_fold_models
 
-    df = pin(kfold_era(supervised_frame(spark, sf_dir), "era", k=k, eras=list(ERA_DOMAIN)))
+    # barriered (r11): the boosting fit fires GBT_ROUNDS+2 separate
+    # actions over this relation — with a lazy pin each carries the
+    # full kfold/supervised-frame tree per plan (caching.barrier)
+    df = barrier(kfold_era(supervised_frame(spark, sf_dir), "era", k=k, eras=list(ERA_DOMAIN)))
     models = fit_gbt_fold_models(df, k=k)
     preds = df.groupBy("fold", "era").applyInPandas(
         _mda_gbt_mapper(models, seed),
@@ -282,7 +285,7 @@ def tree_shap_scores(
     domain."""
     from ..ml import fit_gbt_fold_models
 
-    df = pin(kfold_era(
+    df = barrier(kfold_era(
         supervised_frame(spark, sf_dir), "era", k=k, eras=list(ERA_DOMAIN)
     ))
     models = fit_gbt_fold_models(df, k=k)

@@ -657,6 +657,13 @@ def reduction_sweep(
                 Lm, dmean, pseudo = fit_lmds(spark, sf_dir, nc)
                 cols = [f"mc{i + 1}" for i in range(nc)]
                 reduced_wide = lmds_transform(base, Lm, dmean, pseudo)
+            # barriered (r11): three actions read the transformed
+            # relation per config (suffstats pass, CV score collect,
+            # coranking trust) — materialize the transform once
+            # instead of re-running it per action (caching.barrier)
+            from ..caching import barrier
+
+            reduced_wide = barrier(reduced_wide.select("vec_id", "era", "y", *cols))
             reduced = reduced_wide.select(
                 "vec_id",
                 "era",

@@ -24,7 +24,7 @@ from ..ml import (
     supervised_frame,
     with_prediction,
 )
-from ..caching import pin
+from ..caching import barrier
 from ..registry import query
 from .cv import kfold_era
 
@@ -70,7 +70,9 @@ def kfold_cv_gbt(spark: SparkSession, sf_dir: str, k: int = K_FOLDS) -> DataFram
     Python in the inference path."""
     from ..ml import fit_gbt_fold_models, stump_frame, with_gbt_prediction
 
-    df = pin(kfold_era(supervised_frame(spark, sf_dir), "era", k=k, eras=list(ERA_DOMAIN)))
+    # barriered (r11): the boosting fit fires GBT_ROUNDS+2 actions
+    # over this relation (caching.barrier — plan-size rationale)
+    df = barrier(kfold_era(supervised_frame(spark, sf_dir), "era", k=k, eras=list(ERA_DOMAIN)))
     models = fit_gbt_fold_models(df, k=k)
     stumps = stump_frame(spark, models)
     scored = with_gbt_prediction(df, stumps)  # fold col = held-out fold
@@ -161,7 +163,10 @@ def hyperband(
     kept)."""
     s_max = int(math.log(max_ratio, eta))
     base = supervised_frame(spark, sf_dir)
-    df_all = kfold_era(base, "era", k=k)
+    # barriered (r11): every rung fires two actions (suffstats pass +
+    # score collect) over this relation — with a lazy plan each
+    # carries the full kfold/supervised-frame tree (caching.barrier)
+    df_all = barrier(kfold_era(base, "era", k=k))
     stats_cache: dict[int, dict] = {}
     trace = []
     for s in range(s_max, -1, -1):
