@@ -68,11 +68,17 @@ def barrier(df: DataFrame) -> DataFrame:
     subtree); an eager barrier cannot race.
 
     Tradeoffs, deliberately accepted and bounded:
-    - storage is executor-local and NOT released by
-      :func:`release_pinned` (a truncated lineage cannot recompute);
-      blocks are reclaimed by Spark's ContextCleaner once the
-      DataFrame is unreferenced. Barrier only narrow, bounded
-      relations (id lists, flag relations, anchor indexes).
+    - storage is executor-local. :func:`release_pinned` DOES free it
+      (via the LogicalRDD handle) so barrier blocks cannot pile up
+      across a multi-hundred-query sweep and evict later queries'
+      caches — but unlike a pin, a RELEASED barrier cannot
+      recompute: re-executing a result plan that references it
+      fails. Batch runners release only after full materialization;
+      in-session users who keep result DataFrames across
+      release_pinned() must re-run the operator, same as the
+      documented pin contract but fail-loud instead of
+      silent-recompute. Barrier only narrow, bounded relations
+      (id lists, flag relations, anchor indexes).
     - on a real cluster, localCheckpoint does not survive executor
       loss; a 100 TB job that needs fault tolerance should flip
       these sites to reliable ``checkpoint()`` with
@@ -86,6 +92,16 @@ def barrier(df: DataFrame) -> DataFrame:
     return df
 
 
+def _barrier_rdd(df: DataFrame):
+    """The checkpointed JVM RDD behind a barrier()ed DataFrame (its
+    analyzed plan is a LogicalRDD leaf). Returns None if the plan
+    shape is unexpected — caller skips, ContextCleaner reclaims."""
+    try:
+        return df._jdf.queryExecution().analyzed().rdd()
+    except Exception:
+        return None
+
+
 def release_pinned() -> int:
     """Unpersist every pinned relation; returns how many were
     released. Safe to call at any query boundary: results already
@@ -97,14 +113,28 @@ def release_pinned() -> int:
     with _LOCK:
         drained = list(_PINNED)
         _PINNED.clear()
-        # drop OUR references to barriered relations so the
-        # ContextCleaner can reclaim their blocks once callers drop
-        # theirs; the blocks themselves are never unpersisted here
-        # (truncated lineage cannot recompute)
+        barriered = list(_BARRIERED)
         _BARRIERED.clear()
     for df in drained:
         df.unpersist()
-    return len(drained)
+    # ALSO free barrier() checkpoint blocks: at a query boundary the
+    # query's result has been materialized, so the storage can go.
+    # Contract difference vs pins, documented in barrier(): a pinned
+    # result re-executed after release silently recomputes; a
+    # barriered result re-executed after release FAILS (truncated
+    # lineage cannot recompute) — batch runners (bench/compare/sweep)
+    # never re-execute released results, and r11's bench showed why
+    # freeing matters: six funnel queries' barrier blocks otherwise
+    # accumulate and evict the NEXT query's caches (dd3's min-of-5
+    # read 3.25 s in-bench vs 1.95 s fresh-session before this).
+    for df in barriered:
+        rdd = _barrier_rdd(df)
+        if rdd is not None:
+            try:
+                rdd.unpersist(False)
+            except Exception:
+                pass  # session already stopped — nothing to free
+    return len(drained) + len(barriered)
 
 
 def pinned_count() -> int:
