@@ -375,7 +375,9 @@ def forward_selection(
     tree-SHAP of the GBT stump ensemble."""
     rank_pdf = (rank_fn or linear_shap_scores)(spark, sf_dir).toPandas()
     order = rank_pdf["feature"].to_list()
-    df = kfold_era(supervised_frame(spark, sf_dir), "era", k=K_FOLDS, eras=list(ERA_DOMAIN))
+    # barriered (r11): one scoring collect per size plus the stats
+    # pass all read this relation (caching.barrier)
+    df = barrier(kfold_era(supervised_frame(spark, sf_dir), "era", k=K_FOLDS, eras=list(ERA_DOMAIN)))
     stats = fold_suffstats(df)
     results = []
     for n in sizes:
