@@ -1,0 +1,65 @@
+"""caching.barrier() semantics — the r11 lineage-truncation seam.
+
+barrier() is relied on by every funnel composition and the iterative
+ML fits; these tests pin its three contract points: (1) the returned
+plan is a leaf (lineage actually truncated), (2) values are identical
+to the un-barriered relation, (3) release_pinned() frees the
+checkpoint storage so a multi-hundred-query sweep cannot accumulate
+blocks (the r11 bench showed leftover blocks evicting later queries'
+caches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reduction_dask_spark.caching import barrier, pin, pinned_count, release_pinned
+
+
+def _persistent_rdd_count(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_barrier_truncates_lineage_and_preserves_values(spark):
+    base = spark.range(500).select(
+        "id", (F.col("id") % 7).alias("k"), (F.col("id") * 3).alias("v")
+    )
+    deep = (
+        base.groupBy("k")
+        .agg(F.sum("v").alias("s"))
+        .join(base, "k")
+        .filter(F.col("s") > 0)
+    )
+    want = sorted(deep.collect())
+    b = barrier(deep)
+    # leaf plan: the analyzed tree is a single scan-of-existing-RDD
+    # node — no Range/Aggregate/Join operators survive
+    plan = b._jdf.queryExecution().analyzed().toString()
+    assert "Join" not in plan and "Aggregate" not in plan, plan
+    assert sorted(b.collect()) == want
+    release_pinned()
+
+
+def test_release_pinned_frees_barrier_blocks(spark):
+    release_pinned()
+    spark.catalog.clearCache()
+    before = _persistent_rdd_count(spark)
+    b = barrier(spark.range(100).select("id"))
+    assert b.count() == 100
+    assert _persistent_rdd_count(spark) == before + 1
+    released = release_pinned()
+    assert released >= 1
+    assert _persistent_rdd_count(spark) == before
+
+
+def test_release_counts_pins_and_barriers(spark):
+    release_pinned()
+    p = pin(spark.range(10))
+    p.count()
+    b = barrier(spark.range(10))
+    b.count()
+    assert pinned_count() == 1
+    assert release_pinned() == 2
+    assert pinned_count() == 0
+    # a released PIN recomputes silently (documented contract)
+    assert p.count() == 10
