@@ -8,7 +8,10 @@ that produces the round's correctness/scale evidence —
   3. tools/replica_gate.py --family tpch  (×12 FK-preserving clones
      of customer/orders/lineitem: join fan-out/group sizes ×12,
      value equality held);
-  4. tools/plan_audit.py  (whole-registry physical-plan red flags).
+  4. tools/replica_gate.py --family events  (×12 disjoint user
+     populations with identical histories: the window/sessionization/
+     temporal/streaming family under volume stress);
+  5. tools/plan_audit.py  (whole-registry physical-plan red flags).
 
 Each step runs as a subprocess (own Spark session, own log under
 LOGDIR) and the tool prints one PASS/FAIL summary line per step plus
@@ -16,7 +19,7 @@ a final markdown block ready to paste into ROADMAP's state section.
 
 Usage: python tools/certify.py [--logdir DIR] [--skip STEP,STEP]
        [--only STEP,STEP]
-steps: sf0.001 sf0.01 sf0.1 docs tpch audit
+steps: sf0.001 sf0.01 sf0.1 docs tpch events audit
 """
 
 from __future__ import annotations
@@ -35,6 +38,7 @@ STEPS: dict[str, list[str]] = {
     "sf0.1": [sys.executable, "tools/compare.py", "/root/testdata/sf0.1"],
     "docs": [sys.executable, "tools/replica_gate.py", "12", "--family", "docs"],
     "tpch": [sys.executable, "tools/replica_gate.py", "12", "--family", "tpch"],
+    "events": [sys.executable, "tools/replica_gate.py", "12", "--family", "events"],
     "audit": [
         sys.executable,
         "tools/plan_audit.py",

@@ -16,13 +16,19 @@ registered oracle query in the selected family:
   lineitem): the FK-linked family the r10 verdict asked to put under
   duplication stress (every customer gets N× the orders, every order
   key appears once — join fan-outs and group sizes scale by N).
+- ``events`` — queries whose oracle reads ONLY the events table (the
+  window/sessionization/temporal/streaming/analytics family, ~100
+  queries): replica k is a disjoint population of users with
+  identical histories under shifted event/user ids — per-user group
+  sizes and session shapes stay constant while volume, per-window
+  row counts and distinct-user counts scale by N.
 
 Family membership is derived from the oracle SQL with alias/CTE-aware
 matching (a CTE or column alias named like a table no longer
 misclassifies, the r10 ADVICE item) and then asserted against a floor
 count so a parser regression that silently drops queries fails loudly.
 
-Usage: python tools/replica_gate.py [N] [workdir] [--family docs|tpch]
+Usage: python tools/replica_gate.py [N] [workdir] [--family docs|tpch|events]
                                     [--base SF_DIR]
        (defaults: N=12, workdir=/tmp/rds_replica_{family}{N},
         base=$SPARK_GRAFT_REPLICA_BASE or /root/testdata/sf0.001)
@@ -63,7 +69,7 @@ KEY_COLS = {
 # floor counts: if alias-aware classification ever yields fewer
 # queries than the last audited membership, refuse to certify —
 # a silent drop is exactly the failure mode the r10 advice flagged
-FAMILY_FLOOR = {"docs": 68, "tpch": 25}
+FAMILY_FLOOR = {"docs": 68, "tpch": 25, "events": 90}
 
 
 def referenced_tables(sql: str) -> set[str]:
@@ -93,6 +99,8 @@ def family_queries(family: str) -> list[str]:
         tabs = referenced_tables(q.oracle)
         if family == "docs":
             keep = tabs == {"documents"}
+        elif family == "events":
+            keep = tabs == {"events"}
         elif family == "tpch":
             keep = bool(tabs) and tabs <= TPCH_TABLES and bool(tabs & TPCH_REPLICATED)
         else:
@@ -149,7 +157,11 @@ def main() -> None:
     n = int(argv[0]) if argv else 12
     assert 1 <= n <= 16
     workdir = argv[1] if len(argv) > 1 else f"/tmp/rds_replica_{family}{n}"
-    replicated = {"documents"} if family == "docs" else set(TPCH_REPLICATED)
+    replicated = (
+        {"documents"} if family == "docs"
+        else {"events"} if family == "events"
+        else set(TPCH_REPLICATED)
+    )
     build_replica_dir(n, workdir, base, replicated)
     names = family_queries(family)
     print(f"replica gate: family={family}, N={n}, base={base}, {len(names)} oracle queries")
