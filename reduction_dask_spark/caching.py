@@ -31,6 +31,7 @@ exit instead and never appear here.
 
 from __future__ import annotations
 
+import os
 import threading
 
 from pyspark.sql import DataFrame
@@ -38,6 +39,30 @@ from pyspark.sql import DataFrame
 _PINNED: list[DataFrame] = []
 _BARRIERED: list[DataFrame] = []
 _LOCK = threading.Lock()
+
+# barrier() routing, read PER CALL so tools can flip it without a
+# re-import:
+#   local    (default) eager localCheckpoint — fastest, but blocks are
+#            executor-local and do not survive executor loss;
+#   reliable eager checkpoint() to SPARK_GRAFT_CHECKPOINT_DIR (default
+#            /tmp/rds_checkpoints) — the 100 TB fault-tolerant mode: a
+#            lost executor recomputes from the checkpoint files instead
+#            of failing the job. Same call-site contract (eager
+#            materialization + lineage truncation), higher write cost.
+#   noop     return df unchanged — NO materialization and NO lineage
+#            truncation. Used by tools/plan_audit.py so the physical-
+#            plan red-flag scan sees the FULL plan upstream of every
+#            barrier hub (the r11 ADVICE item: a LogicalRDD leaf hid
+#            the funnel interiors) and so "building" plans never
+#            executes them.
+_BARRIER_ENV = "SPARK_GRAFT_BARRIER"
+
+
+def barrier_mode() -> str:
+    mode = os.environ.get(_BARRIER_ENV, "local")
+    if mode not in ("local", "reliable", "noop"):
+        raise ValueError(f"{_BARRIER_ENV} must be local|reliable|noop, got {mode!r}")
+    return mode
 
 
 def pin(df: DataFrame) -> DataFrame:
@@ -80,13 +105,25 @@ def barrier(df: DataFrame) -> DataFrame:
       silent-recompute. Barrier only narrow, bounded relations
       (id lists, flag relations, anchor indexes).
     - on a real cluster, localCheckpoint does not survive executor
-      loss; a 100 TB job that needs fault tolerance should flip
-      these sites to reliable ``checkpoint()`` with
-      ``spark.sparkContext.setCheckpointDir`` — the call site
-      contract (eager materialization + lineage truncation) is
-      identical.
+      loss; a 100 TB job that needs fault tolerance flips every
+      barrier site at once with ``SPARK_GRAFT_BARRIER=reliable``
+      (checkpoint() files under SPARK_GRAFT_CHECKPOINT_DIR) — the
+      call-site contract (eager materialization + lineage
+      truncation) is identical, verified by
+      tests/test_caching.py::test_barrier_reliable_mode_value_equality.
     """
-    df = df.localCheckpoint()
+    mode = barrier_mode()
+    if mode == "noop":
+        return df
+    if mode == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            sc.setCheckpointDir(
+                os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR", "/tmp/rds_checkpoints")
+            )
+        df = df.checkpoint()
+    else:
+        df = df.localCheckpoint()
     with _LOCK:
         _BARRIERED.append(df)
     return df
@@ -103,13 +140,19 @@ def _barrier_rdd(df: DataFrame):
 
 
 def release_pinned() -> int:
-    """Unpersist every pinned relation; returns how many were
-    released. Safe to call at any query boundary: results already
-    materialized stay valid, and re-running an operator simply
-    re-pins (and re-materializes) its relations. Batch runners call
-    this alongside spark.catalog.clearCache() between queries so the
-    registry (and the JVM logical plans it references) stays bounded
-    across a multi-hundred-query sweep."""
+    """Unpersist every pinned relation AND free every barrier()
+    checkpoint block; returns how many were released. Results already
+    materialized (collected/written) stay valid either way, but the
+    two families differ on RE-EXECUTION after release: a PINNED
+    result re-executed silently recomputes (cache miss), while a
+    BARRIERED result re-executed FAILS LOUDLY — its lineage was
+    truncated at the checkpoint, so the freed blocks cannot be
+    recomputed. Batch runners (bench/compare/sweep) call this between
+    queries and never re-execute released results; in-session callers
+    holding a barriered result DataFrame across this call must re-run
+    the operator (same contract as pins, fail-loud instead of
+    silent-recompute). Keeps the registry (and the JVM logical plans
+    it references) bounded across a multi-hundred-query sweep."""
     with _LOCK:
         drained = list(_PINNED)
         _PINNED.clear()

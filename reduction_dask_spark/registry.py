@@ -53,10 +53,14 @@ def query(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, 
 # and pytest.  r11: ten more long-green trivial slots — p8/p9/f1/f5/f6/
 # f7/j2/j3/a2/o3 — rotated out for ten never-driver-sampled oracle
 # queries per the r10 verdict item 5: dc3/dd11b/pipe2/pipe5/sk2/f17/
-# ts4/scd2/mw4/wsamp1.  Every family keeps a pinned representative:
-# p3/p6 projection-filter, f4/f8 feature math, j1/j4/j5/j6/j7 joins,
-# a3/a6 aggregates, o2 ordering.)  Registration order is an import-order
-# artifact, so we
+# ts4/scd2/mw4/wsamp1.  r12: ten more long-green slots rotated out —
+# f9/j5/j6/a6/w2/c3/m2/m4/t4/t5 — for the ten never-driver-sampled
+# oracle queries the r11 judge pre-verified locally (verdict item 1):
+# q9/q21/gr4/sem1/an2/pit1/ndcg1/kll1/auc1/rec1.  Every family keeps a
+# pinned representative: p3/p6 projection-filter, f2/f4/f8 feature
+# math, j1/j4/j7 joins (+pit1 as-of), a3 aggregates, w1 windows,
+# c1 cv, m1 metrics, t1/t2/t3 text, o2 ordering.)  Registration order
+# is an import-order artifact, so we
 # pin an explicit priority window: every SURVEY.md §2-mandated oracle query
 # (projection/feature/join/agg/window/order/set/cv/metric families, the
 # distance kernels, the dedup/similarity/text flagships, the curation
@@ -72,23 +76,23 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "f2_onehot_pivot",
     "f4_pearson_corr",
     "f8_mutual_info",
-    "f9_math_scalars",
+    "q9_product_type_profit",
     "j1_index_align_join",
     "j4_star_broadcast",
-    "j5_range_join",
-    "j6_zip_join_task_table",
+    "q21_suppliers_kept_waiting",
+    "gr4_star_components",
     "j7_asof_join",
     "a3_grouped_mean",
-    "a6_collect_group_members",
+    "sem1_semantic_dedup",
     "w1_pct_rank_by_era",
-    "w2_rank_importance",
+    "an2_funnel_conversion",
     "o2_topk_per_group",
     "dd13_two_tier_dedup",
     "c1_kfold_era_assignment",
-    "c3_fraction_resource",
+    "pit1_point_in_time_join",
     "m1_spearman_by_era",
-    "m2_quartic_error",
-    "m4_payout_clip",
+    "ndcg1_ann_quality",
+    "kll1_quantile_sketch_rollup",
     "d1_variation_of_information",
     "d2_pairwise_spearman",
     "d4_pairwise_corr_matrix",
@@ -99,8 +103,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "t1_token_stats",
     "t2_quality_score",
     "t3_lang_id_naive_bayes",
-    "t4_fingerprint",
-    "t5_vocab_oov",
+    "auc1_roc_auc",
+    "rec1_hierarchy_closure",
     "pipe1_corpus_curation",
     "st2_stream_sessionization",
     "q1_pricing_summary",

@@ -63,3 +63,47 @@ def test_release_counts_pins_and_barriers(spark):
     assert pinned_count() == 0
     # a released PIN recomputes silently (documented contract)
     assert p.count() == 10
+
+
+def test_barrier_noop_mode_keeps_full_plan(spark, monkeypatch):
+    """SPARK_GRAFT_BARRIER=noop makes barrier() the identity: nothing
+    materializes and the FULL lineage stays visible — the mode
+    tools/plan_audit.py uses so its red-flag scan sees upstream of
+    every funnel hub (r11 ADVICE item)."""
+    monkeypatch.setenv("SPARK_GRAFT_BARRIER", "noop")
+    deep = (
+        spark.range(100)
+        .select("id", (F.col("id") % 5).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("c"))
+    )
+    b = barrier(deep)
+    assert b is deep  # no checkpoint, no registration
+    assert release_pinned() == 0
+
+
+def test_barrier_reliable_mode_value_equality(spark, monkeypatch, tmp_path):
+    """SPARK_GRAFT_BARRIER=reliable routes every barrier site through
+    reliable checkpoint() files — the 100 TB fault-tolerance mode
+    (blocks survive executor loss). A funnel composition (pipe4: the
+    fail-closed gated funnel, 2 barrier hubs via pipe1's interior)
+    must produce IDENTICAL values to the default localCheckpoint
+    mode, and the checkpoint dir must actually hold files."""
+    from reduction_dask_spark.registry import REGISTRY, load_all_operators
+
+    load_all_operators()
+    fn = REGISTRY["pipe4_gated_funnel"].fn
+    sf = "/root/testdata/sf0.001"
+
+    want = sorted(map(tuple, fn(spark, sf).collect()))
+    release_pinned()
+    spark.catalog.clearCache()
+
+    ckpt = tmp_path / "ckpt"
+    monkeypatch.setenv("SPARK_GRAFT_BARRIER", "reliable")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(ckpt))
+    got = sorted(map(tuple, fn(spark, sf).collect()))
+    assert got == want
+    assert any(ckpt.rglob("part-*")), "reliable mode wrote no checkpoint files"
+    release_pinned()
+    spark.catalog.clearCache()

@@ -59,14 +59,26 @@ def run_step(name: str, cmd: list[str], logdir: Path) -> tuple[bool, str]:
         rc = subprocess.run(cmd, cwd=REPO, stdout=fh, stderr=subprocess.STDOUT).returncode
     text = log.read_text()
     dt = time.time() - t0
-    m = SUMMARY_RE.search(text)
-    if m:
+    # LAST regex match in the log: a step that restarts or echoes an
+    # earlier summary must be judged by its final line, not the first
+    # string that happens to match (r11 ADVICE item).
+    summaries = list(SUMMARY_RE.finditer(text))
+    if name == "audit":
+        # the audit emits "N flagged", never the compare summary; its
+        # PASS requires BOTH rc==0 AND an explicit "0 flagged" line —
+        # a format change or truncated log is a FAIL, not a pass.
+        audits = list(AUDIT_RE.finditer(text))
+        if audits:
+            a = audits[-1]
+            detail = f"{a.group(1)} flagged"
+            ok = rc == 0 and a.group(1) == "0"
+        else:
+            detail = f"rc={rc}, no '<n> flagged' summary line"
+            ok = False
+    elif summaries:
+        m = summaries[-1]
         detail = f"{m.group(1)} pass / {m.group(2)} fail / {m.group(3)} rows-only"
         ok = rc == 0 and m.group(2) == "0"
-    elif name == "audit":
-        a = AUDIT_RE.search(text)
-        detail = f"{a.group(1)} flagged" if a else f"rc={rc}"
-        ok = rc == 0 and (a is None or a.group(1) == "0")
     else:
         detail = f"rc={rc}, no summary line"
         ok = False

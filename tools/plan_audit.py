@@ -16,11 +16,21 @@ Some queries legitimately cross-join a BROADCAST side (probe tables,
 centroid lists, k×k band matrices, 1-row aggregates); those names are
 allowlisted with the reason inline.
 
+The audit runs with SPARK_GRAFT_BARRIER=noop (r11 ADVICE item): with
+the default eager barrier, every funnel hub (1) EXECUTES during what
+claims to be a build-only scan and (2) truncates the plan to a
+LogicalRDD leaf, hiding everything upstream — the funnel interiors,
+the kfold/GBT frames — from the red-flag grep. noop makes barrier()
+the identity, so plans here are the FULL untruncated trees and
+nothing materializes. release_pinned() runs per query so lazily
+registered pins don't accumulate across the 296-query session.
+
 Usage: python tools/plan_audit.py [sf_dir] [--write PLAN_AUDIT.md]
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 import traceback
@@ -140,6 +150,10 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     write = "--write" in sys.argv
 
+    # build-only + full visibility: see module docstring
+    os.environ["SPARK_GRAFT_BARRIER"] = "noop"
+
+    from reduction_dask_spark.caching import release_pinned
     from reduction_dask_spark.plans import empty_partition_windows, simple_plan
     from reduction_dask_spark.session import get_spark
 
@@ -157,6 +171,8 @@ def main() -> None:
         except Exception:
             errors.append((name, traceback.format_exc(limit=1)))
             continue
+        finally:
+            release_pinned()
         flags = []
         if "CartesianProduct" in plan:
             flags.append("CARTESIAN")

@@ -120,10 +120,38 @@ def family_queries(family: str) -> list[str]:
 def build_replica_dir(n: int, workdir: str, base: str, tables: set[str]) -> None:
     """Write ×n key-shifted replicas of ``tables`` into ``workdir``;
     symlink every other table unchanged (compare.py registers views
-    for all ten)."""
+    for all ten).
+
+    A marker file records (base, n, OFFSET, replicated tables, base
+    parquet mtimes); any mismatch — a different --base, a different N,
+    regenerated base data — triggers a full rebuild instead of
+    silently reusing stale replicas (r11 ADVICE item: the old
+    exists-check would certify against an outdated workdir)."""
+    import json
+
     import pandas as pd
 
+    marker = {
+        "base": os.path.realpath(base),
+        "n": n,
+        "offset": OFFSET,
+        "replicated": sorted(tables),
+        "base_mtimes": {
+            t: round(os.path.getmtime(f"{base}/{t}.parquet"), 3) for t in ALL_TABLES
+        },
+    }
+    marker_path = f"{workdir}/REPLICA_MARKER.json"
     os.makedirs(workdir, exist_ok=True)
+    try:
+        with open(marker_path) as fh:
+            fresh = json.load(fh) == marker
+    except (OSError, ValueError):
+        fresh = False
+    if not fresh:
+        for t in ALL_TABLES:
+            dst = f"{workdir}/{t}.parquet"
+            if os.path.lexists(dst):
+                os.remove(dst)
     for t in ALL_TABLES:
         dst = f"{workdir}/{t}.parquet"
         if os.path.lexists(dst):
@@ -139,6 +167,8 @@ def build_replica_dir(n: int, workdir: str, base: str, tables: set[str]) -> None
                 r[col] = r[col] + k * OFFSET
             reps.append(r)
         pd.concat(reps, ignore_index=True).to_parquet(dst, index=False)
+    with open(marker_path, "w") as fh:
+        json.dump(marker, fh, indent=1)
 
 
 def main() -> None:
@@ -165,6 +195,10 @@ def main() -> None:
     build_replica_dir(n, workdir, base, replicated)
     names = family_queries(family)
     print(f"replica gate: family={family}, N={n}, base={base}, {len(names)} oracle queries")
+    # full classified membership into the log so a single query
+    # silently falling out of a family (while the count stays above
+    # FAMILY_FLOOR) is reviewable as a diff (r11 ADVICE item)
+    print(f"replica gate members ({family}): {' '.join(names)}")
     from tools.compare import main as compare_main  # type: ignore
 
     sys.argv = ["compare.py", workdir, *names]
