@@ -122,6 +122,7 @@ def main() -> None:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     timings: dict[str, float] = {}
+    rep_samples: dict[str, list[float]] = {}
     for name in names:
         samples = []
         for _ in range(reps):
@@ -144,8 +145,20 @@ def main() -> None:
         # mid-run that never reproduces in isolation)
         spark._jvm.System.gc()
         timings[name] = round(min(samples), 3)
+        rep_samples[name] = sorted(samples)
 
     total = round(sum(timings.values()), 3)
+    # variance band (r11 verdict item 7): min/median/max totals across
+    # the per-query rep samples, so a future reader gets the noise
+    # band from the artifact itself instead of ROADMAP's hand-recorded
+    # three-run numbers. min-of-reps stays the headline value.
+    import statistics
+
+    band = {
+        "min": total,
+        "median": round(sum(statistics.median(s) for s in rep_samples.values()), 3),
+        "max": round(sum(s[-1] for s in rep_samples.values()), 3),
+    }
     print(
         json.dumps(
             {
@@ -153,6 +166,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "band": band,
                 "sf": sf,
                 "reps": reps,
                 "load_1min_at_start": round(load_at_start, 2),

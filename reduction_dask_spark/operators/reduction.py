@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 
 from ..ml import (
     DIM,
+    ERA_DOMAIN,
     fit_fold_models,
     fold_suffstats,
     score_by_group,
@@ -40,14 +41,8 @@ N_COMPONENTS = 2
 SEED = 42
 
 
-def fit_pca(spark: SparkSession, sf_dir: str, n_components: int, fit_rows: int = FIT_ROWS):
-    """T7 phase 1: fit on a pinned head subsample, driver-side
-    (utils.py:151 `train_x[:num_fit_rows]`). Returns (mean, components)."""
-    df = supervised_frame(spark, sf_dir)
-    # pinned head via orderBy+limit → TakeOrderedAndProject (partial
-    # per-partition top-k), not a single-partition global row_number
-    head = df.orderBy("vec_id").limit(fit_rows).select("features").toPandas()
-    X = np.stack(head["features"].to_numpy()).astype(np.float64)
+def _fit_pca_math(X: np.ndarray, n_components: int):
+    """Driver-side PCA fit math on an already-collected subsample."""
     mu = X.mean(axis=0)
     _, _, vt = np.linalg.svd(X - mu, full_matrices=False)
     comps = vt[:n_components]
@@ -57,6 +52,36 @@ def fit_pca(spark: SparkSession, sf_dir: str, n_components: int, fit_rows: int =
         if comps[i, j] < 0:
             comps[i] = -comps[i]
     return mu, comps
+
+
+def fit_pca(spark: SparkSession, sf_dir: str, n_components: int, fit_rows: int = FIT_ROWS):
+    """T7 phase 1: fit on a pinned head subsample, driver-side
+    (utils.py:151 `train_x[:num_fit_rows]`). Returns (mean, components)."""
+    df = supervised_frame(spark, sf_dir)
+    # pinned head via orderBy+limit → TakeOrderedAndProject (partial
+    # per-partition top-k), not a single-partition global row_number
+    head = df.orderBy("vec_id").limit(fit_rows).select("features").toPandas()
+    X = np.stack(head["features"].to_numpy()).astype(np.float64)
+    return _fit_pca_math(X, n_components)
+
+
+def pca_embed_fn(mu: np.ndarray, comps: np.ndarray):
+    """Numpy PCA embed for the _oos_transform shell. Accumulates the
+    projection LEFT-TO-RIGHT per feature — the identical IEEE-double
+    op sequence as pca_transform's zip_with/aggregate fold — so the
+    sweep's batched and looped paths agree bit-for-bit."""
+    biases = np.array([float(mu @ c) for c in comps])
+
+    def embed(X: np.ndarray) -> np.ndarray:
+        Y = np.empty((len(X), len(comps)))
+        for i, c in enumerate(comps):
+            acc = np.zeros(len(X))
+            for d in range(X.shape[1]):
+                acc = acc + X[:, d] * c[d]
+            Y[:, i] = acc - biases[i]
+        return Y
+
+    return embed
 
 
 def pca_transform(df: DataFrame, mu: np.ndarray, comps: np.ndarray) -> DataFrame:
@@ -134,7 +159,14 @@ def fit_lmds(
     head = df.orderBy("vec_id").limit(n_landmarks).select("features").toPandas()
     L = np.stack(head["features"].to_numpy()).astype(np.float64)
     D = _pairwise_sq(metric, L, L)
-    n = len(L)
+    return L, *(_cmds_from_sq(D, n_components))
+
+
+def _cmds_from_sq(D: np.ndarray, n_components: int):
+    """Classical-MDS eigenblock shared by fit_lmds / fit_lisomap:
+    double-center the squared-distance matrix, top eigenpairs,
+    deterministic sign, VΛ^(-1/2). Returns (δ̄ column means, pseudo)."""
+    n = len(D)
     J = np.eye(n) - np.full((n, n), 1.0 / n)
     B = -0.5 * J @ D @ J
     vals, vecs = np.linalg.eigh(B)
@@ -147,7 +179,21 @@ def fit_lmds(
         if vecs[j, i] < 0:
             vecs[:, i] = -vecs[:, i]
     pseudo = vecs / np.sqrt(vals)  # L×k, the VΛ^(-1/2) out-of-sample map
-    return L, D.mean(axis=0), pseudo
+    return D.mean(axis=0), pseudo
+
+
+def lmds_embed_fn(
+    landmarks: np.ndarray, delta_mean: np.ndarray, pseudo: np.ndarray,
+    metric: str = "l1", delta_fn=None,
+):
+    """Numpy Nyström out-of-sample embed (lmds_transform's kernel) as
+    a standalone fn for the batched sweep."""
+
+    def embed(X: np.ndarray) -> np.ndarray:
+        delta = delta_fn(X) if delta_fn is not None else _pairwise_sq(metric, X, landmarks)
+        return 0.5 * (delta_mean[None, :] - delta) @ pseudo
+
+    return embed
 
 
 def lmds_transform(
@@ -160,12 +206,9 @@ def lmds_transform(
     overrides the squared-distance computation (t9b passes the
     graph-geodesic version); default is _pairwise_sq(metric). Routed
     through the shared _oos_transform mapInPandas shell."""
-
-    def embed(X: np.ndarray) -> np.ndarray:
-        delta = delta_fn(X) if delta_fn is not None else _pairwise_sq(metric, X, landmarks)
-        return 0.5 * (delta_mean[None, :] - delta) @ pseudo
-
-    return _oos_transform(df, embed, pseudo.shape[1])
+    return _oos_transform(
+        df, lmds_embed_fn(landmarks, delta_mean, pseudo, metric, delta_fn), pseudo.shape[1]
+    )
 
 
 @query(
@@ -230,20 +273,7 @@ def fit_lisomap(
     head = df.orderBy("vec_id").limit(n_landmarks).select("features").toPandas()
     L = np.stack(head["features"].to_numpy()).astype(np.float64)
     G = _geodesic_matrix(L, knn)
-    D = G * G
-    n = len(L)
-    J = np.eye(n) - np.full((n, n), 1.0 / n)
-    B = -0.5 * J @ D @ J
-    vals, vecs = np.linalg.eigh(B)
-    order = np.argsort(vals)[::-1][:n_components]
-    vals, vecs = vals[order], vecs[:, order]
-    vals = np.maximum(vals, 1e-12)
-    for i in range(vecs.shape[1]):
-        j = int(np.argmax(np.abs(vecs[:, i])))
-        if vecs[j, i] < 0:
-            vecs[:, i] = -vecs[:, i]
-    pseudo = vecs / np.sqrt(vals)
-    return L, G, D.mean(axis=0), pseudo
+    return L, G, *(_cmds_from_sq(G * G, n_components))
 
 
 def geodesic_delta_fn(landmarks: np.ndarray, G: np.ndarray):
@@ -319,6 +349,11 @@ def fit_llle(
     df = supervised_frame(spark, sf_dir)
     head = df.orderBy("vec_id").limit(n_landmarks).select("features").toPandas()
     L = np.stack(head["features"].to_numpy()).astype(np.float64)
+    return L, _fit_llle_math(L, n_components, knn)
+
+
+def _fit_llle_math(L: np.ndarray, n_components: int, knn: int) -> np.ndarray:
+    """Driver-side landmark-LLE fit math on a collected landmark set."""
     n = len(L)
     d = np.sqrt(_pairwise_sq("l2", L, L))
     nn = np.argsort(d, axis=1)[:, 1 : knn + 1]
@@ -336,7 +371,7 @@ def fit_llle(
         j = int(np.argmax(np.abs(Y[:, i])))
         if Y[j, i] < 0:
             Y[:, i] = -Y[:, i]
-    return L, Y
+    return Y
 
 
 def lle_transform(
@@ -350,6 +385,12 @@ def lle_transform(
     to executors; per-row cost is one k×k solve, nothing scales with
     corpus size but the scan. Routed through the shared
     _oos_transform mapInPandas shell."""
+    return _oos_transform(df, lle_embed_fn(landmarks, Y, knn), Y.shape[1])
+
+
+def lle_embed_fn(landmarks: np.ndarray, Y: np.ndarray, knn: int = LLE_KNN):
+    """Numpy LLE out-of-sample embed (lle_transform's kernel) as a
+    standalone fn for the batched sweep."""
     k = Y.shape[1]
 
     def embed(X: np.ndarray) -> np.ndarray:
@@ -361,7 +402,7 @@ def lle_transform(
             out_y[r] = w @ Y[idx[r]]
         return out_y
 
-    return _oos_transform(df, embed, k)
+    return embed
 
 
 @query(
@@ -451,6 +492,11 @@ def fit_lkpca(
     df = supervised_frame(spark, sf_dir)
     head = df.orderBy("vec_id").limit(n_landmarks).select("features").toPandas()
     L = np.stack(head["features"].to_numpy()).astype(np.float64)
+    return L, *(_fit_lkpca_math(L, n_components))
+
+
+def _fit_lkpca_math(L: np.ndarray, n_components: int):
+    """Driver-side Nyström-KPCA fit math on a collected landmark set."""
     gamma = _rbf_gamma(L)
     K = np.exp(-gamma * _pairwise_sq("l2", L, L))
     n = len(L)
@@ -465,7 +511,7 @@ def fit_lkpca(
         if vecs[j, i] < 0:
             vecs[:, i] = -vecs[:, i]
     alpha = vecs / np.sqrt(vals)
-    return L, gamma, K.mean(axis=0), float(K.mean()), alpha
+    return gamma, K.mean(axis=0), float(K.mean()), alpha
 
 
 def kpca_embed_fn(
@@ -536,6 +582,12 @@ def fit_lspectral(
     df = supervised_frame(spark, sf_dir)
     head = df.orderBy("vec_id").limit(n_landmarks).select("features").toPandas()
     L = np.stack(head["features"].to_numpy()).astype(np.float64)
+    return L, *(_fit_lspectral_math(L, n_components, knn))
+
+
+def _fit_lspectral_math(L: np.ndarray, n_components: int, knn: int = SPEC_KNN):
+    """Driver-side landmark-spectral fit math on a collected landmark
+    set; returns (σ, Y landmark embedding)."""
     n = len(L)
     d = np.sqrt(_pairwise_sq("l2", L, L))
     nn = np.argsort(d, axis=1)[:, 1 : knn + 1]
@@ -559,7 +611,7 @@ def fit_lspectral(
         j = int(np.argmax(np.abs(U[:, i])))
         if U[j, i] < 0:
             U[:, i] = -U[:, i]
-    return L, sigma, U
+    return sigma, U
 
 
 def spectral_embed_fn(
@@ -629,8 +681,12 @@ def reduction_sweep(
             base = supervised_frame(spark, sf_dir)
             if kernel == "pca":
                 mu, comps = fit_pca(spark, sf_dir, nc)
-                cols = [f"pc{i + 1}" for i in range(nc)]
-                reduced_wide = pca_transform(base, mu, comps)
+                cols = [f"mc{i + 1}" for i in range(nc)]
+                # numpy embed (left-fold op order = pca_transform's
+                # zip_with fold) through the shared shell, so the
+                # looped and batched sweeps agree bit-for-bit; the
+                # JVM-expression path stays t7's
+                reduced_wide = _oos_transform(base, pca_embed_fn(mu, comps), nc)
             elif kernel == "lisomap_l2":
                 Lm, G, dmean, pseudo = fit_lisomap(spark, sf_dir, nc)
                 cols = [f"mc{i + 1}" for i in range(nc)]
@@ -698,6 +754,327 @@ def reduction_sweep(
     )
 
 
+def _sweep_embedder(H: np.ndarray, kernel: str, nc: int):
+    """Driver-side fit for one sweep config from ONE pre-collected
+    head subsample H (first max(FIT_ROWS, LMDS_LANDMARKS) rows by
+    vec_id — the same pinned heads every fit_* collects itself, so
+    the fitted state is identical). Returns a numpy embed fn
+    (n×d → n×nc) closing over only KB-sized fitted state."""
+    L = H[:LMDS_LANDMARKS]
+    if kernel == "pca":
+        return pca_embed_fn(*_fit_pca_math(H[:FIT_ROWS], nc))
+    if kernel == "lmds_l1":
+        dm, pseudo = _cmds_from_sq(_pairwise_sq("l1", L, L), nc)
+        return lmds_embed_fn(L, dm, pseudo, metric="l1")
+    if kernel == "lisomap_l2":
+        G = _geodesic_matrix(L, ISOMAP_KNN)
+        dm, pseudo = _cmds_from_sq(G * G, nc)
+        return lmds_embed_fn(L, dm, pseudo, delta_fn=geodesic_delta_fn(L, G))
+    if kernel == "llle_l2":
+        return lle_embed_fn(L, _fit_llle_math(L, nc, LLE_KNN))
+    if kernel == "lkpca_rbf":
+        gamma, cm, gm, alpha = _fit_lkpca_math(L, nc)
+        return kpca_embed_fn(L, gamma, cm, gm, alpha)
+    if kernel == "lspec_l2":
+        sigma, U = _fit_lspectral_math(L, nc, SPEC_KNN)
+        return spectral_embed_fn(L, sigma, U)
+    raise ValueError(f"unknown sweep kernel: {kernel}")
+
+
+def reduction_sweep_batched(
+    spark: SparkSession,
+    sf_dir: str,
+    configs=(
+        ("pca", 2), ("pca", 4), ("pca", 8), ("pca", 16),
+        ("lmds_l1", 2), ("lmds_l1", 4),
+        ("lisomap_l2", 2), ("lisomap_l2", 4),
+        ("llle_l2", 2), ("llle_l2", 4),
+        ("lkpca_rbf", 2), ("lkpca_rbf", 4),
+        ("lspec_l2", 2), ("lspec_l2", 4),
+    ),
+    lam: float = 1.0,
+    k: int = 5,
+    trust_k: int = 5,
+) -> DataFrame:
+    """reduction_sweep re-planned as ~6 Spark jobs instead of a
+    14-config driver loop of ~70 (r11 verdict item 5: t3 was the
+    heaviest registered query, 20.3 s at sf0.1, flat-in-sf — i.e.
+    driver/job-count bound, the pipe3 syndrome). Value-identical to
+    the loop (tests/test_ml.py::test_sweep_batched_matches_loop);
+    the batching:
+
+    1. ONE head collect serves every fit — all 14 fits are driver
+       math on slices of the same pinned 200-row head the individual
+       fit_* functions collect themselves (14 TakeOrdered scans → 1).
+    2. ONE mapInPandas pass computes ALL embeddings (wide: one
+       array<double> column per config, np.round(·,6) exactly like
+       _oos_transform), fold column attached by the broadcast
+       era→fold map, then ONE barrier() materialization — 14
+       transform scans → 1, and downstream consumers read the
+       checkpointed blocks.
+    3. ONE suffstats pass accumulates every (config, fold) ridge
+       XtX/Xty partial per partition (cfg-varying widths, merged
+       driver-side: ≤ partitions × configs × folds tiny array rows).
+    4. ONE scoring job: union the per-config embedding slices off the
+       barrier leaf into long format, broadcast-join the (cfg, fold)
+       LOFO coefficients, rank/score per (cfg, fold, era) in one
+       window — identical float path to score_by_group per config.
+    5. ONE trust job: the ORIGINAL-space anchor ranking (the
+       dominant cost — 64-d distances over anchors×corpus + a full
+       rank window) is computed ONCE and shared by all configs
+       (the loop recomputed it 14×); embedded ranks use the
+       rank<=k filter Spark rewrites into WindowGroupLimit (map-side
+       top-k, no full sort), and only the ~configs×anchors×k
+       surviving intrusion candidates broadcast-join back onto the
+       original ranking. Penalty/denominator arithmetic identical to
+       coranking_trust_nd.
+
+    100 TB shape: nothing new materializes per config — one corpus
+    scan feeds everything; the barrier stores (ids, fold, y, Σnc≈60
+    doubles); trust stays O(anchors·n) with a fixed anchor cap."""
+    import pandas as pd
+
+    from ..caching import barrier
+    from .similarity import QUERY_CAP, QUERY_MOD
+    from .similarity import dot as vdot
+
+    base = supervised_frame(spark, sf_dir)
+    head = (
+        base.orderBy("vec_id")
+        .limit(max(FIT_ROWS, LMDS_LANDMARKS))
+        .select("features")
+        .toPandas()
+    )
+    H = np.stack(head["features"].to_numpy()).astype(np.float64)
+
+    embedders: list[tuple[int, str, int]] = []  # (cfg_idx, kernel, nc)
+    fns: dict[int, object] = {}
+    status: dict[int, str] = {}
+    for i, (kernel, nc) in enumerate(configs):
+        try:
+            fns[i] = _sweep_embedder(H, kernel, nc)
+            embedders.append((i, kernel, nc))
+        except Exception as e:  # status column instead of dropped index
+            status[i] = f"error: {type(e).__name__}"
+
+    schema_rs = (
+        "kernel string, n_components int, spearman_mean double, "
+        "quartic_mean double, trust_mean double, status string"
+    )
+    if not embedders:
+        return spark.createDataFrame(
+            [(kern, int(nc), None, None, None, status[i])
+             for i, (kern, nc) in enumerate(configs)],
+            schema_rs,
+        )
+
+    # ---- 2. one transform pass → wide frame, one barrier
+    live = list(embedders)
+    live_fns = {i: fns[i] for i, _, _ in live}
+
+    def transform_mapper(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["features"].to_numpy()).astype(np.float64)
+            out = pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "era": pdf["era"].to_numpy(),
+                    "y": pdf["y"].to_numpy(),
+                }
+            )
+            for i, _, _ in live:
+                out[f"e{i}"] = list(np.round(live_fns[i](X), 6))
+            yield out
+
+    wide_schema = "vec_id long, era int, y double, " + ", ".join(
+        f"e{i} array<double>" for i, _, _ in live
+    )
+    wide = base.mapInPandas(transform_mapper, schema=wide_schema)
+    # era domain is static metadata (era = vec_id % 20, ml.py) — the
+    # same map kfold_era derives from its distinct scan in the loop
+    wide = kfold_era(wide, "era", k=k, eras=list(ERA_DOMAIN))
+    wide = barrier(wide)
+
+    # ---- 3. one suffstats pass, driver-side merge
+    widths = {i: (nc + 1) * (nc + 1) + (nc + 1) + 1 for i, _, nc in live}
+
+    def suff_mapper(batches):
+        acc: dict[tuple[int, int], np.ndarray] = {}
+        for pdf in batches:
+            for fold, sub in pdf.groupby("fold"):
+                y = sub["y"].to_numpy(dtype=np.float64)
+                ones = np.ones((len(sub), 1))
+                for i, _, nc in live:
+                    E = np.stack(sub[f"e{i}"].to_numpy()).astype(np.float64)
+                    X1 = np.hstack([ones, E])
+                    flat = acc.setdefault((i, int(fold)), np.zeros(widths[i]))
+                    d1 = nc + 1
+                    flat[: d1 * d1] += (X1.T @ X1).ravel()
+                    flat[d1 * d1 : -1] += X1.T @ y
+                    flat[-1] += len(sub)
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "cfg": [c for c, _ in acc],
+                    "fold": [f for _, f in acc],
+                    "vals": [v.tolist() for v in acc.values()],
+                }
+            )
+
+    partials = wide.mapInPandas(
+        suff_mapper, schema="cfg int, fold int, vals array<double>"
+    ).toPandas()
+    stats: dict[int, dict[int, tuple[np.ndarray, np.ndarray, float]]] = {
+        i: {} for i, _, _ in live
+    }
+    merged: dict[tuple[int, int], np.ndarray] = {}
+    for _, r in partials.iterrows():
+        key = (int(r["cfg"]), int(r["fold"]))
+        flat = np.asarray(r["vals"])
+        if key in merged:
+            merged[key] += flat
+        else:
+            merged[key] = flat
+    for (i, fold), flat in merged.items():
+        nc = next(n for j, _, n in live if j == i)
+        d1 = nc + 1
+        stats[i][fold] = (
+            flat[: d1 * d1].reshape(d1, d1),
+            flat[d1 * d1 : -1],
+            float(flat[-1]),
+        )
+
+    coef_rows = []
+    for i, _, _ in live:
+        for fold, c in fit_fold_models(stats[i], lam).items():
+            coef_rows.append(
+                (i, int(fold), float(c[0]), [float(w) for w in c[1:]])
+            )
+    coefs = spark.createDataFrame(
+        coef_rows, "cfg int, fold int, intercept double, weights array<double>"
+    )
+
+    # ---- 4. one scoring job over the long view of the barrier leaf
+    from functools import reduce as _reduce
+
+    from ..ml import dot_expr
+
+    long = _reduce(
+        DataFrame.unionByName,
+        [
+            wide.select(
+                F.lit(i).alias("cfg"), "vec_id", "era", "fold", "y",
+                F.col(f"e{i}").alias("features"),
+            )
+            for i, _, _ in live
+        ],
+    )
+    scored = long.join(F.broadcast(coefs), ["cfg", "fold"]).withColumn(
+        "pred", F.col("intercept") + dot_expr(F.col("features"), F.col("weights"))
+    )
+    cv = {
+        int(r["cfg"]): (r["s"], r["q"])
+        for r in score_by_group(scored, ["cfg", "fold"])
+        .groupBy("cfg")
+        .agg(
+            F.round(F.avg("spearman"), 6).alias("s"),
+            F.round(F.avg("quartic"), 6).alias("q"),
+        )
+        .collect()
+    }
+
+    # ---- 5. one trust job; original-space ranking shared by configs
+    n = wide.count()
+    anchor = (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
+    feat0 = base.select(
+        "vec_id",
+        F.col("features").alias("vv"),
+        vdot(F.col("features"), F.col("features")).alias("n2"),
+    )
+    q0 = feat0.filter(anchor).select(
+        F.col("vec_id").alias("qid"),
+        F.col("vv").alias("qv"),
+        F.col("n2").alias("qn2"),
+    )
+    oranked = (
+        F.broadcast(q0)
+        .join(feat0, F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(F.col("qn2") + F.col("n2") - 2 * vdot("qv", "vv"), 5).alias("do2"),
+        )
+        .withColumn(
+            "ro",
+            F.row_number().over(Window.partitionBy("qid").orderBy("do2", "vec_id")),
+        )
+    )
+    elong = _reduce(
+        DataFrame.unionByName,
+        [
+            wide.select(F.lit(i).alias("cfg"), "vec_id", F.col(f"e{i}").alias("pv"))
+            for i, _, _ in live
+        ],
+    ).withColumn("pn2", vdot(F.col("pv"), F.col("pv")))
+    qe = elong.filter(anchor).select(
+        "cfg",
+        F.col("vec_id").alias("qid"),
+        F.col("pv").alias("qp"),
+        F.col("pn2").alias("qpn2"),
+    )
+    epairs = (
+        elong.join(F.broadcast(qe), "cfg")
+        .where(F.col("qid") != F.col("vec_id"))
+        .select(
+            "cfg", "qid", "vec_id",
+            F.round(
+                F.col("qpn2") + F.col("pn2") - 2 * vdot("qp", "pv"), 5
+            ).alias("de2"),
+        )
+    )
+    # rank<=k on row_number → InferWindowGroupLimit: per-partition
+    # top-k before the shuffle, never a full sort of the pair relation
+    topk = (
+        epairs.withColumn(
+            "re",
+            F.row_number().over(
+                Window.partitionBy("cfg", "qid").orderBy("de2", "vec_id")
+            ),
+        )
+        .filter(F.col("re") <= trust_k)
+        .select("cfg", "qid", "vec_id")
+    )
+    denom = float(trust_k) * (2.0 * n - 3.0 * trust_k - 1.0)
+    # every (cfg, qid) keeps exactly trust_k rows in topk, so the
+    # per-anchor groupBy below loses no anchors (zero-intrusion
+    # anchors aggregate a zero penalty rather than vanishing)
+    trust = {
+        int(r["cfg"]): round(float(r["t"]), 6)
+        for r in F.broadcast(topk)
+        .join(oranked, ["qid", "vec_id"])
+        .groupBy("cfg", "qid")
+        .agg(
+            F.sum(
+                F.when(F.col("ro") > trust_k, F.col("ro") - trust_k).otherwise(0)
+            ).alias("tpen")
+        )
+        .groupBy("cfg")
+        .agg(F.avg(1.0 - 2.0 * F.col("tpen") / denom).alias("t"))
+        .collect()
+    }
+
+    results = []
+    for i, (kernel, nc) in enumerate(configs):
+        if i in status:
+            results.append((kernel, int(nc), None, None, None, status[i]))
+        else:
+            s, qv = cv.get(i, (None, None))
+            results.append((kernel, int(nc), s, qv, trust.get(i), "ok"))
+    return spark.createDataFrame(results, schema_rs)
+
+
 @query(
     "t3_reduction_sweep",
     oracle=None,
@@ -709,11 +1086,15 @@ def reduction_sweep(
         "carrying trust_mean — the mean coranking trustworthiness of "
         "the produced embedding vs the original feature space (the "
         "quality judgment the reference imports for its sweeps, nb "
-        "cell 2; tw1's n-D sibling on a fixed anchor batch).",
+        "cell 2; tw1's n-D sibling on a fixed anchor batch). r12: "
+        "runs the BATCHED plan (one transform pass / one suffstats "
+        "pass / one scoring job / one shared-ranking trust job — see "
+        "reduction_sweep_batched) — value-identical to the per-config "
+        "loop kept as reduction_sweep for the parity test.",
     tags=("reduction", "ml"),
 )
 def t3_reduction_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return reduction_sweep(spark, sf_dir)
+    return reduction_sweep_batched(spark, sf_dir)
 
 
 def _cov_suffstats(df: DataFrame, dim: int):

@@ -951,3 +951,42 @@ def test_cls2b_eval_auc_and_reliability(spark):
         assert abs(r["frac_pos"] - round(float(y[m].mean()), 6)) < 1e-9
         ece_c = abs(s[m].mean() - y[m].mean()) * m.sum() / len(s)
         assert abs(r["ece_contrib"] - round(ece_c, 6)) < 2e-6
+
+
+def test_sweep_batched_matches_loop(spark):
+    """The r12 batched sweep (one transform pass / one suffstats pass /
+    one scoring job / one shared-ranking trust job) must reproduce the
+    per-config loop's result table: same rows, same statuses, CV
+    scores and trust equal to the 6-dp rounding both paths apply
+    (tiny tolerance absorbs aggregation-merge-order float noise in
+    corr/avg, which is not deterministic across plans)."""
+    from reduction_dask_spark.operators.reduction import (
+        reduction_sweep,
+        reduction_sweep_batched,
+    )
+
+    configs = (
+        ("pca", 2), ("pca", 16),
+        ("lmds_l1", 2),
+        ("lisomap_l2", 2),
+        ("llle_l2", 2),
+        ("lkpca_rbf", 4),
+        ("lspec_l2", 2),
+    )
+    loop = (
+        reduction_sweep(spark, SF_SMALL, configs=configs)
+        .toPandas()
+        .set_index(["kernel", "n_components"])
+        .sort_index()
+    )
+    bat = (
+        reduction_sweep_batched(spark, SF_SMALL, configs=configs)
+        .toPandas()
+        .set_index(["kernel", "n_components"])
+        .sort_index()
+    )
+    assert list(loop.index) == list(bat.index)
+    assert (loop["status"] == bat["status"]).all()
+    for col in ("spearman_mean", "quartic_mean", "trust_mean"):
+        d = (loop[col] - bat[col]).abs().max()
+        assert d <= 2e-6, f"{col} diverges: {d}\n{loop[col]}\n{bat[col]}"

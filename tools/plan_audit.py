@@ -97,7 +97,7 @@ CROSS_OK = {
     "mw2_mixture_sample": "lang-count rate table broadcast",
     "t9_landmark_mds": "landmark distance matrix broadcast",
     "d5_optimal_clusters": "p×p distance matrix (feature count) broadcast",
-    "t3_reduction_sweep": "param grid broadcast",
+    "t3_reduction_sweep": "fixed 40-anchor trust batch broadcast (tw1's shape) + (cfg,fold) coef table broadcast",
     "t1_lhs_kfold_search": "LHS param table broadcast",
     "t5_hyperband": "rung table broadcast",
     "c2_lhs_param_table": "param axes broadcast",
