@@ -11,7 +11,10 @@ that produces the round's correctness/scale evidence —
   4. tools/replica_gate.py --family events  (×12 disjoint user
      populations with identical histories: the window/sessionization/
      temporal/streaming family under volume stress);
-  5. tools/plan_audit.py  (whole-registry physical-plan red flags).
+  5. tools/replica_gate.py --family emb  (×12 embeddings+documents:
+     the ANN/similarity family — fixed probe batch, ×12 searched
+     corpus; closes the r11 verdict's 249/249 accounting item);
+  6. tools/plan_audit.py  (whole-registry physical-plan red flags).
 
 Each step runs as a subprocess (own Spark session, own log under
 LOGDIR) and the tool prints one PASS/FAIL summary line per step plus
@@ -19,7 +22,7 @@ a final markdown block ready to paste into ROADMAP's state section.
 
 Usage: python tools/certify.py [--logdir DIR] [--skip STEP,STEP]
        [--only STEP,STEP]
-steps: sf0.001 sf0.01 sf0.1 docs tpch events audit
+steps: sf0.001 sf0.01 sf0.1 docs tpch events emb audit
 """
 
 from __future__ import annotations
@@ -39,6 +42,7 @@ STEPS: dict[str, list[str]] = {
     "docs": [sys.executable, "tools/replica_gate.py", "12", "--family", "docs"],
     "tpch": [sys.executable, "tools/replica_gate.py", "12", "--family", "tpch"],
     "events": [sys.executable, "tools/replica_gate.py", "12", "--family", "events"],
+    "emb": [sys.executable, "tools/replica_gate.py", "12", "--family", "emb"],
     "audit": [
         sys.executable,
         "tools/plan_audit.py",

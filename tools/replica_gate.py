@@ -22,13 +22,23 @@ registered oracle query in the selected family:
   identical histories under shifted event/user ids — per-user group
   sizes and session shapes stay constant while volume, per-window
   row counts and distinct-user counts scale by N.
+- ``emb``   — queries whose oracle reads the embeddings table (plus
+  optionally documents — rrf1's hybrid retrieval): the ANN/similarity
+  family (r12, closing the r11 verdict's 249/249 accounting item).
+  BOTH embeddings and documents replicate under the same OFFSET so
+  the doc_id↔vec_id link is preserved; OFFSET % 20 == 0 preserves
+  era = vec_id % 20 and the vec_id%1000 noise term, so replica rows
+  carry identical supervised targets. The fixed probe/anchor batch
+  (vec_id < QUERY_CAP) stays base-only by construction — the gate
+  stresses exactly the 100 TB shape: bounded query set, ×N searched
+  corpus, ×N LSH/IVF bucket occupancy.
 
 Family membership is derived from the oracle SQL with alias/CTE-aware
 matching (a CTE or column alias named like a table no longer
 misclassifies, the r10 ADVICE item) and then asserted against a floor
 count so a parser regression that silently drops queries fails loudly.
 
-Usage: python tools/replica_gate.py [N] [workdir] [--family docs|tpch|events]
+Usage: python tools/replica_gate.py [N] [workdir] [--family docs|tpch|events|emb]
                                     [--base SF_DIR]
        (defaults: N=12, workdir=/tmp/rds_replica_{family}{N},
         base=$SPARK_GRAFT_REPLICA_BASE or /root/testdata/sf0.001)
@@ -69,7 +79,7 @@ KEY_COLS = {
 # floor counts: if alias-aware classification ever yields fewer
 # queries than the last audited membership, refuse to certify —
 # a silent drop is exactly the failure mode the r10 advice flagged
-FAMILY_FLOOR = {"docs": 68, "tpch": 25, "events": 90}
+FAMILY_FLOOR = {"docs": 68, "tpch": 25, "events": 90, "emb": 22}
 
 
 def referenced_tables(sql: str) -> set[str]:
@@ -103,6 +113,8 @@ def family_queries(family: str) -> list[str]:
             keep = tabs == {"events"}
         elif family == "tpch":
             keep = bool(tabs) and tabs <= TPCH_TABLES and bool(tabs & TPCH_REPLICATED)
+        elif family == "emb":
+            keep = "embeddings" in tabs and tabs <= {"embeddings", "documents"}
         else:
             raise ValueError(f"unknown family: {family}")
         if keep:
@@ -190,6 +202,7 @@ def main() -> None:
     replicated = (
         {"documents"} if family == "docs"
         else {"events"} if family == "events"
+        else {"embeddings", "documents"} if family == "emb"
         else set(TPCH_REPLICATED)
     )
     build_replica_dir(n, workdir, base, replicated)
