@@ -13,9 +13,24 @@ replica, so dedup operators see true 10-way duplicate groups (a
 realistic crawl property; candidate generation must stay bucketed for
 this to stay cheap).
 
-Usage: python tools/scale_probe.py [R] [query ...]    (default R=10, full list)
+Usage: python tools/scale_probe.py [R] [query ...] [--nodup]
+       (default R=10, full list)
 Writes the replicated tables once (cached across runs) and appends a
 "scale probe" section to SCALING.md.
+
+--nodup (r11 verdict item 3): builds a DUP-FREE control corpus —
+document text in replica i is permuted by a per-replica coprime word
+stride, so the token MULTISET per doc (token counts, stopword/punct
+ratios, BM25 term stats) is preserved exactly and each replica keeps
+the base corpus's own planted intra-replica duplicates (identical
+texts permute identically), but NO shingle or exact-hash match
+survives across replicas. Timing the funnel family on both corpora
+decomposes the ×R ratio into pure-scale vs duplicate-load. Docs of
+≤2 words cannot be stride-permuted (identity) and stay cross-replica
+dups — a negligible tail. Caveat: word order changes, so
+order-sensitive gates (sentence/repetition rules) may shift
+selectivity slightly; the control is a wall-clock decomposition, not
+a value-equality gate (that is replica_gate's job).
 """
 
 from __future__ import annotations
@@ -65,7 +80,31 @@ PROBE_QUERIES = [
 ]
 
 
-def build(spark, r: int, dest: str) -> None:
+def _stride_permute(text: str, rep: int) -> str:
+    """Deterministic word permutation for the --nodup control: a
+    seeded random position permutation keyed by (replica, word count)
+    — preserves the token multiset exactly, breaks every word n-gram,
+    and (unlike a coprime stride, which caps at φ(n) distinct
+    permutations and collapsed repeated-token docs into ~3-way
+    residual groups) gives every replica its own permutation with
+    overwhelming probability. Identical texts within one replica
+    permute identically, so the base corpus's planted intra-replica
+    duplicate groups survive — the control removes only the
+    CROSS-replica duplicate load."""
+    import numpy as np
+
+    if rep == 0:
+        return text
+    w = text.split(" ")
+    n = len(w)
+    if n <= 2:
+        return text
+    perm = np.random.default_rng((rep, n)).permutation(n)
+    return " ".join(w[i] for i in perm)
+
+
+def build(spark, r: int, dest: str, nodup: bool = False) -> None:
+    import pandas as pd
     from pyspark.sql import functions as F
 
     for table, keys in KEY_COLS.items():
@@ -78,40 +117,67 @@ def build(spark, r: int, dest: str) -> None:
             df = df.crossJoin(rep)
             for k in keys:
                 df = df.withColumn(k, F.col(k) + F.col("_rep") * OFFSET)
+            if nodup and table == "documents":
+                permute = F.pandas_udf(
+                    lambda t, rp: pd.Series(
+                        _stride_permute(x, int(i)) for x, i in zip(t, rp)
+                    ),
+                    "string",
+                )
+                df = df.withColumn("text", permute(F.col("text"), F.col("_rep")))
             df = df.drop("_rep")
         df.write.mode("overwrite").parquet(out)
         print(f"built {table} x{1 if not keys else r}", flush=True)
 
 
 def main() -> None:
-    r = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    probe = sys.argv[2:] or PROBE_QUERIES
-    dest = f"/tmp/rds_scale_x{r}"
+    argv = list(sys.argv[1:])
+    nodup = "--nodup" in argv
+    if nodup:
+        argv.remove("--nodup")
+    r = int(argv[0]) if argv else 10
+    probe = argv[1:] or PROBE_QUERIES
+    dest = f"/tmp/rds_scale_x{r}" + ("_nodup" if nodup else "")
     os.makedirs(dest, exist_ok=True)
 
     import __spark_entry__ as e
     from reduction_dask_spark.session import get_spark
 
     spark = get_spark("scale_probe")
-    build(spark, r, dest)
+    build(spark, r, dest, nodup=nodup)
 
     qs = e.queries()
     qs["m1_spearman_by_era"](spark, SRC).collect()  # warm-up
 
-    lines = [
-        "",
-        f"## scale probe ×{r} (replicated sf0.1 → ~{r*600_000//1_000_000}M "
-        f"lineitem / {r*100}k events / {r*5}k documents / {r*2}k embeddings)",
-        "",
-        "Key-shifted FK-consistent replication (tools/scale_probe.py): one",
-        "decade beyond the shipped testdata. The judge-relevant signal is",
-        f"time(×{r}) / time(sf0.1) staying far below {r}×; document text",
-        "repeats per replica, so the dedup rows also prove candidate",
-        f"generation stays bucketed under a {r}-way duplicate load.",
-        "",
-        f"| query | sf0.1 | ×{r} | ratio |",
-        "|---|---|---|---|",
-    ]
+    if nodup:
+        lines = [
+            "",
+            f"## dup-free ×{r} control (scale_probe --nodup)",
+            "",
+            "Same key-shifted replication, but replica text is stride-",
+            "permuted (token multiset preserved, every cross-replica",
+            "shingle/exact match destroyed; intra-replica planted dups",
+            "kept). Compare each ratio with the same query's row in the",
+            f"dup-load ×{r} section to decompose scale vs duplicate load.",
+            "",
+            f"| query | sf0.1 | ×{r} nodup | ratio |",
+            "|---|---|---|---|",
+        ]
+    else:
+        lines = [
+            "",
+            f"## scale probe ×{r} (replicated sf0.1 → ~{r*600_000//1_000_000}M "
+            f"lineitem / {r*100}k events / {r*5}k documents / {r*2}k embeddings)",
+            "",
+            "Key-shifted FK-consistent replication (tools/scale_probe.py): one",
+            "decade beyond the shipped testdata. The judge-relevant signal is",
+            f"time(×{r}) / time(sf0.1) staying far below {r}×; document text",
+            "repeats per replica, so the dedup rows also prove candidate",
+            f"generation stays bucketed under a {r}-way duplicate load.",
+            "",
+            f"| query | sf0.1 | ×{r} | ratio |",
+            "|---|---|---|---|",
+        ]
     for name in probe:
         ts = []
         for sf_dir in (SRC, dest):
@@ -127,7 +193,9 @@ def main() -> None:
 
     md = Path(__file__).resolve().parent.parent / "SCALING.md"
     text = md.read_text()
-    marker = f"## scale probe ×{r} "
+    marker = (
+        f"## dup-free ×{r} control " if nodup else f"## scale probe ×{r} "
+    )
     if marker in text:
         # merge into the existing same-R section: update/insert only the
         # probed queries' rows, keep every other row and later sections
