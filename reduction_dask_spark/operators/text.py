@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from ..functions import md5i_sql, phash_sql
+from ..functions import md5i, md5i_sql, phash_sql
 from ..caching import barrier, pin
 from ..registry import query
 from ..sources import load_table
@@ -2048,4 +2048,185 @@ def classifier_readout_of(scored: DataFrame) -> DataFrame:
             "nneg",
             "auc",
         )
+    )
+
+
+# ---------------------------------------------------------------- dsir1
+
+DSIR_BUCKETS = 2048   # hashed n-gram feature space (paper uses 10^4)
+DSIR_K = 200          # selection budget — fixed, corpus-independent
+DSIR_SCALE = 1_000_000  # log-ratios fixed to micro-units (exact int sums)
+
+
+@query(
+    "dsir1_importance_resample",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+        ),
+        feats AS (
+            SELECT doc_id, lang,
+                   unnest(list_concat(
+                       w,
+                       list_transform(range(1, len(w)),
+                                      i -> w[i] || ' ' || w[i + 1])
+                   )) AS f
+            FROM toks
+        ),
+        fb AS (
+            SELECT doc_id, lang,
+                   {md5i_sql('f')} % {DSIR_BUCKETS} AS bucket
+            FROM feats
+        ),
+        bs AS (
+            SELECT bucket,
+                   CAST(count(*) AS BIGINT) AS rc,
+                   CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS tc
+            FROM fb GROUP BY bucket
+        ),
+        tot AS (
+            SELECT CAST(sum(rc) AS BIGINT) AS tr, CAST(sum(tc) AS BIGINT) AS tt
+            FROM bs
+        ),
+        lam AS (
+            SELECT bucket,
+                   CAST(round((ln((tc + 1.0) / (tt + {DSIR_BUCKETS}.0))
+                             - ln((rc + 1.0) / (tr + {DSIR_BUCKETS}.0)))
+                             * {DSIR_SCALE}) AS BIGINT) AS lam
+            FROM bs CROSS JOIN tot
+        ),
+        sc AS (
+            SELECT fb.doc_id, CAST(sum(lam) AS BIGINT) AS score
+            FROM fb JOIN lam USING (bucket) GROUP BY fb.doc_id
+        ),
+        keyed AS (
+            SELECT doc_id, score,
+                   score + CAST(round(-ln(-ln(
+                       ({md5i_sql('doc_id')} % {DSIR_SCALE} + 0.5)
+                       / {DSIR_SCALE}.0))
+                       * {DSIR_SCALE}) AS BIGINT) AS gkey
+            FROM sc
+        )
+        SELECT k.doc_id, d.lang,
+               k.score AS dsir_score_micro, k.gkey AS gumbel_key_micro
+        FROM keyed k JOIN documents d USING (doc_id)
+        ORDER BY k.gkey DESC, k.doc_id LIMIT {DSIR_K}
+    """,
+    doc=f"dsir1 Data Selection via Importance Resampling (Xie et al. "
+        "2023, NeurIPS — the LLM-pretraining data-selection method): "
+        "score every raw document by the log importance weight of a "
+        "hashed-n-gram bag-of-features model between the TARGET "
+        "distribution (here the lang='en' slice) and the RAW corpus, "
+        "then Gumbel-top-k sample the selection (deterministic "
+        f"portable-hash Gumbel noise). {DSIR_BUCKETS} hash buckets "
+        "over unigrams+bigrams; add-one smoothing on both sides. "
+        "Determinism contract (FIXTURES §4): each bucket's log-ratio "
+        "is fixed to INTEGER micro-units once per bucket, so per-doc "
+        "scores are exact integer sums — no float-summation-order "
+        "drift between engines. Plan/scale: two corpus-linear scans "
+        "(bucket stats: map-side-combined groupBy to a bounded "
+        f"{DSIR_BUCKETS}-row relation + two 1-row totals; doc scores: "
+        "explode → broadcast-join the λ table → integer sum per doc); "
+        f"selection is TakeOrdered {DSIR_K} — no global sort, driver "
+        "state is the fixed-size result. At 100 TB the λ table is "
+        "still KBs; the only shuffle is the per-doc partial-agg sum.",
+    tags=("text", "pipeline", "ml"),
+)
+def dsir1_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    n = F.size(w)
+    bigrams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice(w, 1, n - 1),
+            F.slice(w, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+    fb = d.select(
+        "doc_id", "lang", F.explode(F.concat(w, bigrams)).alias("f")
+    ).select("doc_id", "lang", (md5i(F.col("f")) % DSIR_BUCKETS).alias("bucket"))
+    bs = fb.groupBy("bucket").agg(
+        F.count("*").alias("rc"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tc"),
+    )
+    tot = bs.agg(F.sum("rc").alias("tr"), F.sum("tc").alias("tt"))
+    lam = bs.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            (
+                F.log((F.col("tc") + 1.0) / (F.col("tt") + float(DSIR_BUCKETS)))
+                - F.log((F.col("rc") + 1.0) / (F.col("tr") + float(DSIR_BUCKETS)))
+            )
+            * DSIR_SCALE
+        )
+        .cast("bigint")
+        .alias("lam"),
+    )
+    sc = (
+        fb.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("lam").alias("score"))
+    )
+    gumbel = F.round(
+        -F.log(
+            -F.log((md5i(F.col("doc_id")) % DSIR_SCALE + 0.5) / float(DSIR_SCALE))
+        )
+        * DSIR_SCALE
+    ).cast("bigint")
+    keyed = sc.select("doc_id", "score", (F.col("score") + gumbel).alias("gkey"))
+    return (
+        keyed.join(d.select("doc_id", "lang"), "doc_id")
+        .orderBy(F.desc("gkey"), F.asc("doc_id"))
+        .limit(DSIR_K)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("score").alias("dsir_score_micro"),
+            F.col("gkey").alias("gumbel_key_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- lsplit1
+
+
+@query(
+    "lsplit1_leakage_safe_split",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id, lang,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS group_rep
+            FROM documents
+        )
+        SELECT doc_id, lang, group_rep,
+               CASE WHEN {md5i_sql('group_rep')} % 10 < 8
+                    THEN 'train' ELSE 'val' END AS split
+        FROM g
+    """,
+    doc="lsplit1 leakage-safe train/val split: assign every document "
+        "to a split by its exact-duplicate GROUP (min doc_id over the "
+        "md5(text) partition), hashed 80/20 — duplicates can never "
+        "straddle train and eval, the standard contamination guard "
+        "when holding out eval data from a crawled corpus (same "
+        "motivation as dc1's benchmark decontamination, applied to "
+        "the split boundary itself). Deterministic portable-hash "
+        "assignment, no RNG. Plan/scale: ONE shuffle on the text "
+        "hash (exact-dup groups are bounded; the window computes a "
+        "per-group min, i.e. a partial-aggregable shape), then a "
+        "stateless hash projection — corpus-linear, no driver state. "
+        "tests/test_curation_ops.py pins the no-straddle invariant "
+        "and the ~80/20 group-level rate.",
+    tags=("text", "pipeline"),
+)
+def lsplit1_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    grp = F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text"))))
+    return d.select(
+        "doc_id", "lang", grp.alias("group_rep")
+    ).withColumn(
+        "split",
+        F.when(md5i(F.col("group_rep")) % 10 < 8, F.lit("train")).otherwise(
+            F.lit("val")
+        ),
     )

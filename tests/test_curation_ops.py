@@ -576,3 +576,38 @@ def test_dc3_planted_span_contamination_detected(spark):
         "doc_id bigint, text string",
     )
     assert span_decontam_of(d2).count() == 0
+
+
+def test_lsplit1_no_straddle_and_rate(spark):
+    """Leakage guard: every exact-duplicate group lands wholly in one
+    split, and the group-level split rate is ~80/20."""
+    from reduction_dask_spark.operators.text import lsplit1_leakage_safe_split
+
+    pdf = lsplit1_leakage_safe_split(spark, SF_SMALL).toPandas()
+    per_group = pdf.groupby("group_rep")["split"].nunique()
+    assert (per_group == 1).all()
+    rate = (
+        pdf.drop_duplicates("group_rep")["split"].eq("train").mean()
+    )
+    assert 0.65 <= rate <= 0.92, rate
+
+
+def test_dsir1_selects_toward_target(spark):
+    """DSIR importance weights are fit for the lang='en' target: the
+    selected set must be enriched in 'en' relative to the raw corpus,
+    and the selection is deterministic."""
+    from reduction_dask_spark.operators.text import (
+        DSIR_K,
+        dsir1_importance_resample,
+    )
+
+    a = dsir1_importance_resample(spark, SF_SMALL).toPandas()
+    assert len(a) == DSIR_K
+    import pandas as pd
+
+    corpus = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    base_en = (corpus["lang"] == "en").mean()
+    sel_en = (a["lang"] == "en").mean()
+    assert sel_en > base_en, (sel_en, base_en)
+    b = dsir1_importance_resample(spark, SF_SMALL).toPandas()
+    assert a.equals(b)

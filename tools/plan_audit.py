@@ -48,6 +48,7 @@ CROSS_OK = {
     "calib1_reliability_table": "1-row total-count aggregate broadcast",
     "cur1_curriculum_sample": "1-row count + decile×phase rate table broadcast",
     "zipf1_token_zipf": "1-row corpus-total broadcast",
+    "dsir1_importance_resample": "1-row feature-totals broadcast over the bounded bucket relation",
     "deval1_dedup_quality": "1-row weighted pair-count aggregates broadcast (quotient eval)",
     "ndcg1_ann_quality": "fixed 40-query anchor batch (ss1/ss4's bounded probe shape)",
     "tw1_dr_trustworthiness": "fixed 40-anchor non-equi pair batch (O(anchors·n)) + 1-row corpus count",
