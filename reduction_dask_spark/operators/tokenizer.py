@@ -25,6 +25,29 @@ No oracle: k-round iterative training is not ANSI-SQL-expressible
 (the driver records a rows-only check); correctness is pinned by a
 pure-Python BPE parity test on the same corpus
 (tests/test_round3_ops.py::TestBPE).
+
+Driver-loop BUDGET (r11 verdict item 6). Total cost decomposes as
+
+    T ≈ scan(corpus)                       # once: explode + groupBy
+      + R × round(|vocab|)                 # R = BPE_MERGES rounds
+
+where round(|vocab|) = one pair-count aggregation over the vocab
+relation (explode of per-word symbol pairs, map-side combined to
+≤ |pairs| rows) + a 1-row TakeOrdered + the merge-fold projection +
+an eager localCheckpoint of the vocab. Nothing in the round term
+scales with the corpus — only with the DISTINCT-WORD count, which
+grows sublinearly (Heaps' law; and is CONSTANT under replica
+corpora). Measured: ×10 replicas 0.91×, ×100 replicas 0.60×
+(SCALING.md probe tables — the scan is a small fraction, rounds
+dominate and are flat, so the ratio FALLS as the corpus grows).
+R itself is the knob that does not scale: at a production merge
+count (30-50k, vs BPE_MERGES=8 here) a per-merge driver round is
+30k sequential jobs — the correct 100 TB path is (a) train on a
+bounded word-count SAMPLE (tokenizer induction needs ~10⁷-10⁸
+words, not the corpus: exactly the subsample-fit pattern of
+reduction.fit_pca) and/or (b) batch B merges per round by applying
+all pairwise-non-overlapping top-B merges at once — both preserve
+this module's relations; neither is needed at the demo's R=8.
 """
 
 from __future__ import annotations
