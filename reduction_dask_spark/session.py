@@ -44,6 +44,12 @@ def get_spark(app: str = "reduction_dask_spark", cpus: int | None = None) -> Spa
         .config("spark.ui.enabled", "false")
         .config(NANOS_CONF, "true")
         .config(NTZ_CONF, "false")
+        # reliable-barrier hygiene (SPARK_GRAFT_BARRIER=reliable routes
+        # caching.barrier through checkpoint()): let ContextCleaner
+        # delete checkpoint FILES once their RDD is GC'd, so a long
+        # sweep in reliable mode cannot fill the checkpoint dir
+        # (static conf — harmless when no checkpoint is ever taken)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         # static conf: bucketed tables (saveAsTable) land here
         .config(
             "spark.sql.warehouse.dir",
