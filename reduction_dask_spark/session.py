@@ -44,18 +44,24 @@ def get_spark(app: str = "reduction_dask_spark", cpus: int | None = None) -> Spa
         .config("spark.ui.enabled", "false")
         .config(NANOS_CONF, "true")
         .config(NTZ_CONF, "false")
-        # reliable-barrier hygiene (SPARK_GRAFT_BARRIER=reliable routes
-        # caching.barrier through checkpoint()): let ContextCleaner
-        # delete checkpoint FILES once their RDD is GC'd, so a long
-        # sweep in reliable mode cannot fill the checkpoint dir
-        # (static conf — harmless when no checkpoint is ever taken)
-        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         # static conf: bucketed tables (saveAsTable) land here
         .config(
             "spark.sql.warehouse.dir",
             os.path.join(tempfile.gettempdir(), "rds_warehouse"),
         )
     )
+    # reliable-barrier hygiene, ONLY when that mode is active at
+    # session build (SPARK_GRAFT_BARRIER=reliable routes
+    # caching.barrier through checkpoint()): let ContextCleaner delete
+    # checkpoint FILES once their RDD is GC'd so a long sweep cannot
+    # fill the checkpoint dir. Deliberately NOT a default: the
+    # cleaner's checkpoint tracking costs ~20% on barrier-heavy
+    # queries (pipe3 fresh-session A/B: 6.15 s without vs 7.47 s
+    # with), and the default local mode has nothing to clean.
+    if os.environ.get("SPARK_GRAFT_BARRIER") == "reliable":
+        builder = builder.config(
+            "spark.cleaner.referenceTracking.cleanCheckpoints", "true"
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
