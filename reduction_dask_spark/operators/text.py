@@ -2123,13 +2123,14 @@ DSIR_SCALE = 1_000_000  # log-ratios fixed to micro-units (exact int sums)
         "Determinism contract (FIXTURES §4): each bucket's log-ratio "
         "is fixed to INTEGER micro-units once per bucket, so per-doc "
         "scores are exact integer sums — no float-summation-order "
-        "drift between engines. Plan/scale: two corpus-linear scans "
-        "(bucket stats: map-side-combined groupBy to a bounded "
-        f"{DSIR_BUCKETS}-row relation + two 1-row totals; doc scores: "
-        "explode → broadcast-join the λ table → integer sum per doc); "
-        f"selection is TakeOrdered {DSIR_K} — no global sort, driver "
-        "state is the fixed-size result. At 100 TB the λ table is "
-        "still KBs; the only shuffle is the per-doc partial-agg sum.",
+        "drift between engines. Plan/scale: ONE corpus-linear scan "
+        "reduces the feature stream to pinned per-(doc, bucket) "
+        "counts (map-side combined — the only corpus-sized shuffle); "
+        f"the λ fit is a second-level aggregation to {DSIR_BUCKETS} "
+        "rows + two 1-row totals, and doc scores broadcast-join λ "
+        "onto the same counts for an integer weighted sum; selection "
+        f"is TakeOrdered {DSIR_K} — no global sort, driver state is "
+        "the fixed-size result. At 100 TB the λ table is still KBs.",
     tags=("text", "pipeline", "ml"),
 )
 def dsir1_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2143,12 +2144,23 @@ def dsir1_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
     )
-    fb = d.select(
-        "doc_id", "lang", F.explode(F.concat(w, bigrams)).alias("f")
-    ).select("doc_id", "lang", (md5i(F.col("f")) % DSIR_BUCKETS).alias("bucket"))
-    bs = fb.groupBy("bucket").agg(
-        F.count("*").alias("rc"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tc"),
+    # ONE corpus scan: reduce the exploded feature stream to per-
+    # (doc, bucket) integer counts immediately (map-side combined; at
+    # most docs×BUCKETS rows survive the shuffle), then BOTH the
+    # bucket-stats branch and the doc-score branch read that pinned
+    # aggregate — the λ fit costs a second-level aggregation of the
+    # counts, not a second pass over the corpus.
+    from ..caching import pin
+
+    counts = pin(
+        d.select("doc_id", "lang", F.explode(F.concat(w, bigrams)).alias("f"))
+        .select("doc_id", "lang", (md5i(F.col("f")) % DSIR_BUCKETS).alias("bucket"))
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count("*").alias("nf"))
+    )
+    bs = counts.groupBy("bucket").agg(
+        F.sum("nf").alias("rc"),
+        F.sum(F.when(F.col("lang") == "en", F.col("nf")).otherwise(0)).alias("tc"),
     )
     tot = bs.agg(F.sum("rc").alias("tr"), F.sum("tc").alias("tt"))
     lam = bs.crossJoin(F.broadcast(tot)).select(
@@ -2164,9 +2176,9 @@ def dsir1_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lam"),
     )
     sc = (
-        fb.join(F.broadcast(lam), "bucket")
+        counts.join(F.broadcast(lam), "bucket")
         .groupBy("doc_id")
-        .agg(F.sum("lam").alias("score"))
+        .agg(F.sum(F.col("nf") * F.col("lam")).alias("score"))
     )
     gumbel = F.round(
         -F.log(
