@@ -355,25 +355,85 @@ def ss3_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="dd5 embedding-cosine near-dup pairs: LSH bucket candidates + "
         "exact cosine ≥ τ. Same banded-candidates shape as dd3/dd4 — "
-        "cost scales with bucket collisions, not n².",
+        "cost scales with bucket collisions, not n². r12: EXACT-"
+        "duplicate vectors collapse to their min-id representative "
+        "BEFORE candidate generation (the text family's exact-before-"
+        "fuzzy move, sem1's quotient, applied to the pair op itself): "
+        "bit-identical vectors share every LSH bucket and every "
+        "cosine, so the bucket self-join and the cosine evaluations "
+        "run on DISTINCT vectors only, then qualifying representative "
+        "pairs EXPAND back to member pairs (cross groups via "
+        "least/greatest ordering; intra-group pairs carry the "
+        "vector's self-cosine through the same ≥ τ filter, which "
+        "also excludes zero vectors exactly like the direct plan). "
+        "Output is pair-for-pair identical to the uncollapsed oracle; "
+        "under a k-way duplicated corpus the candidate/cosine mass "
+        "drops ~k² while only the unavoidable output expansion "
+        "remains (×10 sweep row: 69.6 s → see SCALING.md).",
     tags=("dedup", "similarity"),
 )
 def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import pin
+
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", as_double(F.col("embedding")).alias("ev"))
-    buckets = lsh_buckets(spark, sf_dir)
-    a = buckets.select(F.col("vec_id").alias("id_a"), "bucket")
-    b = buckets.select(F.col("vec_id").alias("id_b"), "bucket")
-    cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-    va = v.select(F.col("vec_id").alias("id_a"), F.col("ev").alias("ea"))
-    vb = v.select(F.col("vec_id").alias("id_b"), F.col("ev").alias("eb"))
-    cos = cosine(F.col("ea"), F.col("eb"))
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .filter(cos >= NEARDUP_TAU)
-        .select("id_a", "id_b", F.round(cos, 5).alias("cos"))
+    # portable value fingerprint (sem1's) → member→representative map
+    fp = F.md5(
+        F.concat_ws(",", F.transform("embedding", lambda x: x.cast("string")))
     )
+    m = pin(
+        emb.select("vec_id", fp.alias("gk"))
+        .withColumn("rid", F.min("vec_id").over(Window.partitionBy("gk")))
+        .select("vec_id", "rid")
+    )
+    rep_ids = m.filter(F.col("vec_id") == F.col("rid")).select("vec_id")
+    rv = (
+        emb.join(rep_ids, "vec_id", "left_semi")
+        .select("vec_id", as_double(F.col("embedding")).alias("ev"))
+    )
+    rbuckets = lsh_buckets(spark, sf_dir).join(rep_ids, "vec_id", "left_semi")
+    a = rbuckets.select(F.col("vec_id").alias("rid_a"), "bucket")
+    b = rbuckets.select(F.col("vec_id").alias("rid_b"), "bucket")
+    cand = (
+        a.join(b, "bucket").filter(F.col("rid_a") < F.col("rid_b"))
+        .select("rid_a", "rid_b")
+    )
+    va = rv.select(F.col("vec_id").alias("rid_a"), F.col("ev").alias("ea"))
+    vb = rv.select(F.col("vec_id").alias("rid_b"), F.col("ev").alias("eb"))
+    cos = cosine(F.col("ea"), F.col("eb"))
+    rp = (
+        cand.join(va, "rid_a")
+        .join(vb, "rid_b")
+        .filter(cos >= NEARDUP_TAU)
+        .select("rid_a", "rid_b", F.round(cos, 5).alias("cos"))
+    )
+    # expand cross-group representative pairs to member pairs
+    pa = m.select(F.col("rid").alias("rid_a"), F.col("vec_id").alias("ma"))
+    pb = m.select(F.col("rid").alias("rid_b"), F.col("vec_id").alias("mb"))
+    cross = (
+        rp.join(pa, "rid_a")
+        .join(pb, "rid_b")
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "cos",
+        )
+    )
+    # intra-group pairs: every two copies of the same vector, carrying
+    # the vector's self-cosine through the SAME ≥ τ filter (zero
+    # vectors self-cos to NaN/NULL in both engines and drop out)
+    selfcos = cosine(F.col("ev"), F.col("ev"))
+    grp_ok = rv.filter(selfcos >= NEARDUP_TAU).select(
+        F.col("vec_id").alias("rid"), F.round(selfcos, 5).alias("cos")
+    )
+    ia = m.select("rid", F.col("vec_id").alias("id_a"))
+    ib = m.select("rid", F.col("vec_id").alias("id_b"))
+    intra = (
+        ia.join(ib, "rid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(grp_ok, "rid")
+        .select("id_a", "id_b", "cos")
+    )
+    return cross.unionByName(intra)
 
 
 # ---------------------------------------------------------------- ss4
