@@ -171,6 +171,82 @@ def jaccard_sql_from(src: str) -> str:
 _JACCARD_SQL = jaccard_sql_from("sh")
 
 
+def jaccard_pairs_collapsed(d: DataFrame, tau: float) -> DataFrame:
+    """Full-contract Jaccard pairs — output identical to
+    ``jaccard_pairs(shingle_table_of(d), tau)`` — computed through the
+    exact-duplicate quotient (r12; dd5's collapse applied to the
+    text-pair kernel): byte-identical texts have identical shingle
+    sets, so the Σdf² pair join and the Jaccard arithmetic run on one
+    REPRESENTATIVE per exact-dup group and qualifying representative
+    pairs expand back to member pairs afterwards.
+
+    The df-cap stays a FULL-CORPUS cap (the subtle part): a shingle's
+    true document frequency is Σ group-size over the rep groups that
+    contain it, so the hot list is computed from the REP index joined
+    with group sizes — no full-corpus explode anywhere, yet exactly
+    the shingles the uncollapsed plan drops are dropped. Sizes for
+    the Jaccard denominator come from the capped rep index, which
+    every member shares, so pair values are bit-identical. Intra-group
+    pairs (identical texts) carry jaccard = 1.0 — exactly
+    round(n/(n+n−n), 6) — and exist iff the text has ≥ K_SHINGLE
+    tokens and ≥ 1 surviving (post-cap) shingle, the same membership
+    rule the direct plan applies. Under a k-way duplicated corpus the
+    join/compute mass drops ~k² while only the unavoidable
+    output-sized expansion remains."""
+    m = pin(
+        d.select("doc_id", F.md5(F.col("text")).alias("gk"))
+        .withColumn("rid", F.min("doc_id").over(Window.partitionBy("gk")))
+        .select("doc_id", "rid")
+    )
+    gn = m.groupBy("rid").agg(F.count("*").alias("gn"))
+    rep_docs = d.join(
+        m.filter(F.col("doc_id") == F.col("rid")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    toked = rep_docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).filter(F.size("toks") >= K_SHINGLE)
+    sh_r = pin(
+        toked.select(
+            "doc_id",
+            F.explode(
+                F.transform(shingles_of_tokens(F.col("toks")), lambda s: md5h60(s))
+            ).alias("shingle"),
+        )
+    )
+    hot = (
+        sh_r.join(gn.withColumnRenamed("rid", "doc_id"), "doc_id")
+        .groupBy("shingle")
+        .agg(F.sum("gn").alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("shingle")
+    )
+    sh_capped = pin(sh_r.join(F.broadcast(hot), "shingle", "left_anti"))
+    rp = jaccard_pairs(sh_capped, tau)
+    pa = m.select(F.col("rid").alias("doc_a"), F.col("doc_id").alias("ma"))
+    pb = m.select(F.col("rid").alias("doc_b"), F.col("doc_id").alias("mb"))
+    cross = (
+        rp.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    alive = sh_capped.select(F.col("doc_id").alias("rid")).distinct()
+    members_alive = m.join(alive, "rid")
+    ia = members_alive.select("rid", F.col("doc_id").alias("doc_a"))
+    ib = members_alive.select("rid", F.col("doc_id").alias("doc_b"))
+    intra = (
+        ia.join(ib, "rid")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(intra)
+
+
 def jaccard_pairs(sh: DataFrame, tau: float) -> DataFrame:
     """Exact shingle-Jaccard for all pairs sharing a shingle, ≥ tau."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -234,8 +310,9 @@ def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dd2_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # sizes + both sides of the pair join reuse the index → persist
-    return jaccard_pairs(pin(shingle_table(spark, sf_dir)), tau=0.5)
+    # exact-duplicate quotient with the full-corpus df-cap preserved —
+    # see jaccard_pairs_collapsed (output identical to the direct plan)
+    return jaccard_pairs_collapsed(load_table(spark, sf_dir, "documents"), tau=0.5)
 
 
 # ---------------------------------------------------------------- dd3
@@ -763,7 +840,7 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
     tags=("dedup",),
 )
 def dd7_domain_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = jaccard_pairs(pin(shingle_table(spark, sf_dir)), tau=0.5)
+    pairs = jaccard_pairs_collapsed(load_table(spark, sf_dir, "documents"), tau=0.5)
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
     sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
