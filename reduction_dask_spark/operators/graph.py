@@ -142,10 +142,47 @@ def gr1_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "dedup"),
 )
 def gr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import JACCARD_TAU, jaccard_pairs, shingle_table
+    """r12: computed through the exact-duplicate quotient. A k-way
+    group of byte-identical texts is a k-clique (intra jaccard = 1)
+    sharing one external neighborhood, so every member of a rep group
+    has the SAME triangle participation, decomposable exactly as
 
-    pairs = jaccard_pairs(pin(shingle_table(spark, sf_dir)), tau=JACCARD_TAU)
-    e = pin(pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")))
+        n(x ∈ A) = C(m_A−1, 2)                       [A alive, 3+ dups]
+                 + Σ_{B ∈ N(A)} ((m_A−1)·m_B + C(m_B, 2))   [per edge]
+                 + Σ_{B<C ∈ N(A), edge(B,C)} m_B·m_C   [rep triangles]
+
+    — triangle enumeration (the ~k³ blow-up under duplication) runs
+    only on the COLLAPSED graph; member counts come from integer
+    multiplicity arithmetic and one expansion join. Verified exact vs
+    the uncollapsed oracle incl. the ×12-replica docs corpus (12-way
+    cliques). Zero-count nodes stay absent, matching the direct plan."""
+    from .dedup import JACCARD_TAU, _exact_dup_parts
+
+    d = load_table(spark, sf_dir, "documents")
+    m, gn, rp, alive = _exact_dup_parts(d, JACCARD_TAU)
+    e = pin(rp.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")))
+
+    # per-edge corner contributions over the symmetric neighbor view
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    gu = gn.select(F.col("rid").alias("u"), F.col("gn").alias("mu"))
+    gv = gn.select(F.col("rid").alias("v"), F.col("gn").alias("mv"))
+    edge_part = (
+        sym.join(gu, "u")
+        .join(gv, "v")
+        .groupBy(F.col("u").alias("rid"))
+        .agg(
+            F.sum(
+                (F.col("mu") - 1) * F.col("mv")
+                + F.expr("mv * (mv - 1) DIV 2")
+            ).alias("c")
+        )
+    )
+
+    # rep-graph triangles (oriented a<b, the standard enumeration —
+    # tiny after the collapse), each corner weighted by the product of
+    # the OTHER two corners' multiplicities
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(
         F.col("e1.a").alias("wa"), F.col("e1.b").alias("wb"), F.col("e2.b").alias("wc")
@@ -153,12 +190,35 @@ def gr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = wedges.join(
         e3, (F.col("e3.a") == F.col("wa")) & (F.col("e3.b") == F.col("wc"))
     ).select("wa", "wb", "wc")
-    nodes = (
-        tri.select(F.col("wa").alias("doc_id"))
-        .unionAll(tri.select(F.col("wb").alias("doc_id")))
-        .unionAll(tri.select(F.col("wc").alias("doc_id")))
+    g_of = {c: gn.select(F.col("rid").alias(c), F.col("gn").alias(f"m_{c}")) for c in ("wa", "wb", "wc")}
+    tri_m = tri.join(g_of["wa"], "wa").join(g_of["wb"], "wb").join(g_of["wc"], "wc")
+    tri_part = (
+        tri_m.select(F.col("wa").alias("rid"), (F.col("m_wb") * F.col("m_wc")).alias("c"))
+        .unionAll(tri_m.select(F.col("wb").alias("rid"), (F.col("m_wa") * F.col("m_wc")).alias("c")))
+        .unionAll(tri_m.select(F.col("wc").alias("rid"), (F.col("m_wa") * F.col("m_wb")).alias("c")))
+        .groupBy("rid")
+        .agg(F.sum("c").alias("c"))
     )
-    return nodes.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_triangles"))
+
+    # intra-clique triangles: every member of an alive 3+ group sits in
+    # C(gn−1, 2) triangles formed by its own duplicates
+    intra_part = (
+        gn.join(alive, "rid")
+        .filter(F.col("gn") >= 3)
+        .select("rid", F.expr("(gn - 1) * (gn - 2) DIV 2").alias("c"))
+    )
+
+    total = (
+        edge_part.unionByName(tri_part)
+        .unionByName(intra_part)
+        .groupBy("rid")
+        .agg(F.sum("c").alias("n_triangles"))
+        .filter(F.col("n_triangles") > 0)
+    )
+    return (
+        m.join(total, "rid")
+        .select("doc_id", F.col("n_triangles").cast("bigint").alias("n_triangles"))
+    )
 
 
 def _gr2_oracle() -> str:
