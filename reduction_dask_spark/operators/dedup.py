@@ -171,28 +171,16 @@ def jaccard_sql_from(src: str) -> str:
 _JACCARD_SQL = jaccard_sql_from("sh")
 
 
-def jaccard_pairs_collapsed(d: DataFrame, tau: float) -> DataFrame:
-    """Full-contract Jaccard pairs — output identical to
-    ``jaccard_pairs(shingle_table_of(d), tau)`` — computed through the
-    exact-duplicate quotient (r12; dd5's collapse applied to the
-    text-pair kernel): byte-identical texts have identical shingle
-    sets, so the Σdf² pair join and the Jaccard arithmetic run on one
-    REPRESENTATIVE per exact-dup group and qualifying representative
-    pairs expand back to member pairs afterwards.
-
-    The df-cap stays a FULL-CORPUS cap (the subtle part): a shingle's
-    true document frequency is Σ group-size over the rep groups that
-    contain it, so the hot list is computed from the REP index joined
-    with group sizes — no full-corpus explode anywhere, yet exactly
-    the shingles the uncollapsed plan drops are dropped. Sizes for
-    the Jaccard denominator come from the capped rep index, which
-    every member shares, so pair values are bit-identical. Intra-group
-    pairs (identical texts) carry jaccard = 1.0 — exactly
-    round(n/(n+n−n), 6) — and exist iff the text has ≥ K_SHINGLE
-    tokens and ≥ 1 surviving (post-cap) shingle, the same membership
-    rule the direct plan applies. Under a k-way duplicated corpus the
-    join/compute mass drops ~k² while only the unavoidable
-    output-sized expansion remains."""
+def _exact_dup_parts(d: DataFrame, tau: float):
+    """Shared machinery of the exact-duplicate quotient (r12): returns
+    ``(m, gn, rp, alive)`` where ``m`` = (doc_id, rid) member→rep map
+    over byte-identical texts, ``gn`` = (rid, gn) group sizes, ``rp``
+    = REPRESENTATIVE-level Jaccard pairs ≥ tau over the rep shingle
+    index — capped with the FULL-corpus df (each shingle's true df is
+    Σ group-size over the rep index, so exactly the shingles the
+    uncollapsed plan drops are dropped) — and ``alive`` = (rid) reps
+    with ≥ 1 surviving post-cap shingle (the membership rule for
+    intra-group jaccard-1 edges)."""
     m = pin(
         d.select("doc_id", F.md5(F.col("text")).alias("gk"))
         .withColumn("rid", F.min("doc_id").over(Window.partitionBy("gk")))
@@ -224,6 +212,33 @@ def jaccard_pairs_collapsed(d: DataFrame, tau: float) -> DataFrame:
     )
     sh_capped = pin(sh_r.join(F.broadcast(hot), "shingle", "left_anti"))
     rp = jaccard_pairs(sh_capped, tau)
+    alive = sh_capped.select(F.col("doc_id").alias("rid")).distinct()
+    return m, gn, rp, alive
+
+
+def jaccard_pairs_collapsed(d: DataFrame, tau: float) -> DataFrame:
+    """Full-contract Jaccard pairs — output identical to
+    ``jaccard_pairs(shingle_table_of(d), tau)`` — computed through the
+    exact-duplicate quotient (r12; dd5's collapse applied to the
+    text-pair kernel): byte-identical texts have identical shingle
+    sets, so the Σdf² pair join and the Jaccard arithmetic run on one
+    REPRESENTATIVE per exact-dup group and qualifying representative
+    pairs expand back to member pairs afterwards.
+
+    The df-cap stays a FULL-CORPUS cap (the subtle part): a shingle's
+    true document frequency is Σ group-size over the rep groups that
+    contain it, so the hot list is computed from the REP index joined
+    with group sizes — no full-corpus explode anywhere, yet exactly
+    the shingles the uncollapsed plan drops are dropped. Sizes for
+    the Jaccard denominator come from the capped rep index, which
+    every member shares, so pair values are bit-identical. Intra-group
+    pairs (identical texts) carry jaccard = 1.0 — exactly
+    round(n/(n+n−n), 6) — and exist iff the text has ≥ K_SHINGLE
+    tokens and ≥ 1 surviving (post-cap) shingle, the same membership
+    rule the direct plan applies. Under a k-way duplicated corpus the
+    join/compute mass drops ~k² while only the unavoidable
+    output-sized expansion remains."""
+    m, _, rp, alive = _exact_dup_parts(d, tau)
     pa = m.select(F.col("rid").alias("doc_a"), F.col("doc_id").alias("ma"))
     pb = m.select(F.col("rid").alias("doc_b"), F.col("doc_id").alias("mb"))
     cross = (
@@ -235,7 +250,6 @@ def jaccard_pairs_collapsed(d: DataFrame, tau: float) -> DataFrame:
             "jaccard",
         )
     )
-    alive = sh_capped.select(F.col("doc_id").alias("rid")).distinct()
     members_alive = m.join(alive, "rid")
     ia = members_alive.select("rid", F.col("doc_id").alias("doc_a"))
     ib = members_alive.select("rid", F.col("doc_id").alias("doc_b"))
