@@ -56,10 +56,14 @@ def query(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, 
 # ts4/scd2/mw4/wsamp1.  r12: ten more long-green slots rotated out —
 # f9/j5/j6/a6/w2/c3/m2/m4/t4/t5 — for the ten never-driver-sampled
 # oracle queries the r11 judge pre-verified locally (verdict item 1):
-# q9/q21/gr4/sem1/an2/pit1/ndcg1/kll1/auc1/rec1.  Every family keeps a
-# pinned representative: p3/p6 projection-filter, f2/f4/f8 feature
-# math, j1/j4/j7 joins (+pit1 as-of), a3 aggregates, w1 windows,
-# c1 cv, m1 metrics, t1/t2/t3 text, o2 ordering.)  Registration order
+# q9/q21/gr4/sem1/an2/pit1/ndcg1/kll1/auc1/rec1; plus x3/d4 (both
+# r1-green, P2/D4 families still covered by x-selector, d1/d2) out for
+# the two operators ADDED this round — dsir1 importance resampling and
+# lsplit1 leakage-safe split — so new ops are driver-checked the first
+# round they exist.  Every family keeps a pinned representative:
+# p3/p6 projection-filter, f2/f4/f8 feature math, j1/j4/j7 joins
+# (+pit1 as-of), a3 aggregates, w1 windows, c1 cv, m1 metrics,
+# t1/t2/t3 text, o2 ordering.)  Registration order
 # is an import-order artifact, so we
 # pin an explicit priority window: every SURVEY.md §2-mandated oracle query
 # (projection/feature/join/agg/window/order/set/cv/metric families, the
@@ -95,8 +99,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "kll1_quantile_sketch_rollup",
     "d1_variation_of_information",
     "d2_pairwise_spearman",
-    "d4_pairwise_corr_matrix",
-    "x3_projection_by_rank",
+    "lsplit1_leakage_safe_split",
+    "dsir1_importance_resample",
     "dd1_exact_dedup",
     "dd3_minhash_lsh_dedup",
     "ss1_cosine_topk_brute",
