@@ -156,10 +156,18 @@ def gr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplicity arithmetic and one expansion join. Verified exact vs
     the uncollapsed oracle incl. the ×12-replica docs corpus (12-way
     cliques). Zero-count nodes stay absent, matching the direct plan."""
-    from .dedup import JACCARD_TAU, _exact_dup_parts
+    from .dedup import JACCARD_TAU
 
-    d = load_table(spark, sf_dir, "documents")
-    m, gn, rp, alive = _exact_dup_parts(d, JACCARD_TAU)
+    return triangle_counts_of(load_table(spark, sf_dir, "documents"), JACCARD_TAU)
+
+
+def triangle_counts_of(d: DataFrame, tau: float) -> DataFrame:
+    """gr2's quotient core over an arbitrary (doc_id, text) relation —
+    factored out so the parity test can pit it against a direct
+    enumeration on synthetic dup-heavy corpora."""
+    from .dedup import _exact_dup_parts
+
+    m, gn, rp, alive = _exact_dup_parts(d, tau)
     e = pin(rp.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")))
 
     # per-edge corner contributions over the symmetric neighbor view
