@@ -177,6 +177,27 @@ def release_pinned() -> int:
                 rdd.unpersist(False)
             except Exception:
                 pass  # session already stopped — nothing to free
+            # reliable-mode barriers write checkpoint FILES that
+            # unpersist does not touch; the ContextCleaner conf that
+            # would reap them (cleanCheckpoints) is only set when the
+            # SESSION was built in reliable mode, but barrier_mode()
+            # is read per call — a mid-session flip to reliable would
+            # otherwise leak files under SPARK_GRAFT_CHECKPOINT_DIR
+            # for the rest of a multi-hundred-query sweep (r12 ADVICE
+            # item). Delete the file directory directly; local
+            # checkpoints have no file (getCheckpointFile is empty)
+            # and skip this branch.
+            try:
+                opt = rdd.getCheckpointFile()
+                if opt is not None and opt.isDefined():
+                    jvm = df.sparkSession._jvm
+                    hpath = jvm.org.apache.hadoop.fs.Path(opt.get())
+                    fs = hpath.getFileSystem(
+                        df.sparkSession.sparkContext._jsc.hadoopConfiguration()
+                    )
+                    fs.delete(hpath, True)
+            except Exception:
+                pass  # best-effort: cleaner conf still covers built-reliable sessions
     return len(drained) + len(barriered)
 
 

@@ -726,7 +726,12 @@ def reduction_sweep(
                 F.array(*[F.col(c) for c in cols]).alias("features"),
                 "y",
             )
-            folded = kfold_era(reduced, "era", k=k)
+            # static era domain, IDENTICAL to the batched path's
+            # kfold_era call (r12 ADVICE: on a corpus missing an era
+            # a distinct-scan-derived domain would split folds
+            # differently between the two paths, silently breaking
+            # the loop≡batched value contract the parity test pins)
+            folded = kfold_era(reduced, "era", k=k, eras=list(ERA_DOMAIN))
             stats = fold_suffstats(folded, dim=nc)
             models = fit_fold_models(stats, lam)
             coefs = coef_frame(spark, models)
@@ -873,6 +878,14 @@ def reduction_sweep_batched(
     live_fns = {i: fns[i] for i, _, _ in live}
 
     def transform_mapper(batches):
+        # EXECUTOR-side failures are isolated PER CONFIG (r12 ADVICE,
+        # medium): all embed fns share this one mapInPandas job, so
+        # without the try/except a single bad config would abort the
+        # whole batch — the loop this replaces caught per-config
+        # runtime errors and emitted 'error:' status rows instead.
+        # On failure the config's embedding column goes null and its
+        # err{i} column carries the type name; a post-barrier agg
+        # demotes the config to a status row.
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -885,17 +898,40 @@ def reduction_sweep_batched(
                 }
             )
             for i, _, _ in live:
-                out[f"e{i}"] = list(np.round(live_fns[i](X), 6))
+                try:
+                    out[f"e{i}"] = list(np.round(live_fns[i](X), 6))
+                    out[f"err{i}"] = None
+                except Exception as e:
+                    out[f"e{i}"] = None
+                    out[f"err{i}"] = f"error: {type(e).__name__}"
             yield out
 
     wide_schema = "vec_id long, era int, y double, " + ", ".join(
-        f"e{i} array<double>" for i, _, _ in live
+        f"e{i} array<double>, err{i} string" for i, _, _ in live
     )
     wide = base.mapInPandas(transform_mapper, schema=wide_schema)
     # era domain is static metadata (era = vec_id % 20, ml.py) — the
     # same map kfold_era derives from its distinct scan in the loop
     wide = kfold_era(wide, "era", k=k, eras=list(ERA_DOMAIN))
     wide = barrier(wide)
+
+    # demote configs whose embed failed on ANY partition (one tiny
+    # agg over the checkpointed barrier blocks); remaining stages run
+    # on the surviving configs only, like the loop path's per-config
+    # except
+    errs = wide.select(
+        *[F.max(f"err{i}").alias(f"err{i}") for i, _, _ in live]
+    ).first()
+    failed = {i: errs[f"err{i}"] for i, _, _ in live if errs[f"err{i}"] is not None}
+    if failed:
+        status.update(failed)
+        live = [(i, kern, nc) for i, kern, nc in live if i not in failed]
+        if not live:
+            return spark.createDataFrame(
+                [(kern, int(nc), None, None, None, status[i])
+                 for i, (kern, nc) in enumerate(configs)],
+                schema_rs,
+            )
 
     # ---- 3. one suffstats pass, driver-side merge
     widths = {i: (nc + 1) * (nc + 1) + (nc + 1) + 1 for i, _, nc in live}

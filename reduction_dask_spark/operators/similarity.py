@@ -42,6 +42,19 @@ DIM = 64
 NEARDUP_TAU = 0.4
 
 
+def _fp_elems(col: str) -> Column:
+    """Array of per-element strings for an exact-value fingerprint,
+    with NULL elements made explicit ('NULL' sentinel) so that
+    concat_ws's null-skipping cannot merge vectors that differ only
+    in a NULL's position ([1.0,NULL,2.0] vs [1.0,2.0,NULL]). A cast
+    float never renders as 'NULL', so no collision with real values
+    is possible. Shared by dd5's and sem1's exact-dup quotients
+    (r12 ADVICE item)."""
+    return F.transform(
+        col, lambda x: F.coalesce(x.cast("string"), F.lit("NULL"))
+    )
+
+
 def ivf_lists_for(n_vectors: int) -> int:
     """IVF list count sized to the corpus: k ≈ √n (the FAISS rule of
     thumb — balances list-scan cost n/k per probe against the k-way
@@ -376,10 +389,14 @@ def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..caching import pin
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # portable value fingerprint (sem1's) → member→representative map
-    fp = F.md5(
-        F.concat_ws(",", F.transform("embedding", lambda x: x.cast("string")))
-    )
+    # portable value fingerprint (sem1's) → member→representative map.
+    # NULL elements are made EXPLICIT (coalesce → 'NULL') because
+    # concat_ws SKIPS nulls: without it [1.0,NULL,2.0] and
+    # [1.0,2.0,NULL] would share a fingerprint and wrongly collapse,
+    # fabricating pairs the direct (oracle) plan never emits. A cast
+    # float never stringifies to 'NULL', so the sentinel cannot
+    # collide with a real value. (r12 ADVICE item.)
+    fp = F.md5(F.concat_ws(",", _fp_elems("embedding")))
     m = pin(
         emb.select("vec_id", fp.alias("gk"))
         .withColumn("rid", F.min("vec_id").over(Window.partitionBy("gk")))
@@ -1643,10 +1660,11 @@ def sem1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import expand_collapsed_labels, min_label_components
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # collapse bit-identical vectors (portable value fingerprint)
+    # collapse bit-identical vectors (portable value fingerprint;
+    # NULL-explicit — see dd5's fingerprint comment)
     fp = emb.select(
         F.col("vec_id").alias("doc_id"),
-        F.md5(F.concat_ws(",", F.transform("embedding", lambda x: x.cast("string")))).alias("fp"),
+        F.md5(F.concat_ws(",", _fp_elems("embedding"))).alias("fp"),
     )
     grp = fp.groupBy("fp").agg(
         F.min("doc_id").alias("rep_id"), F.count("*").alias("m")

@@ -107,3 +107,25 @@ def test_barrier_reliable_mode_value_equality(spark, monkeypatch, tmp_path):
     assert any(ckpt.rglob("part-*")), "reliable mode wrote no checkpoint files"
     release_pinned()
     spark.catalog.clearCache()
+
+
+def test_release_pinned_deletes_reliable_checkpoint_files(spark, monkeypatch, tmp_path):
+    """r12 ADVICE: barrier_mode() is read per call, so a session built
+    WITHOUT spark.cleaner.referenceTracking.cleanCheckpoints can still
+    be flipped to reliable mode mid-run — release_pinned() must then
+    delete the checkpoint FILES itself (unpersist only frees blocks),
+    or a multi-hundred-query sweep leaks files under
+    SPARK_GRAFT_CHECKPOINT_DIR."""
+    ckpt = tmp_path / "ckpt_release"
+    monkeypatch.setenv("SPARK_GRAFT_BARRIER", "reliable")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(ckpt))
+    # force the dir even if an earlier test already set one
+    spark.sparkContext.setCheckpointDir(str(ckpt))
+
+    b = barrier(spark.range(1000).select("id", (F.col("id") * 2).alias("v")))
+    assert b.count() == 1000
+    assert any(ckpt.rglob("part-*")), "reliable barrier wrote no files"
+    assert release_pinned() == 1
+    assert not any(ckpt.rglob("part-*")), (
+        "release_pinned leaked reliable checkpoint files"
+    )

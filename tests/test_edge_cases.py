@@ -149,3 +149,29 @@ def test_ret1_bitmap_negative_and_huge_ids(spark, tmp_path):
     assert out[day0]["n_active"] == len(ids)
     assert out[day0]["n_retained_next"] == 5
     assert out[day0 + 1]["n_active"] == 5
+
+
+def test_embedding_fingerprint_null_position_distinct(spark):
+    """r12 ADVICE: the dd5/sem1 exact-dup fingerprint must NOT collapse
+    embeddings that differ only in a NULL element's position —
+    concat_ws skips nulls, so without an explicit sentinel
+    [1.0,NULL,2.0] and [1.0,2.0,NULL] would share a fingerprint and
+    fabricate duplicate pairs the direct plan never emits."""
+    from reduction_dask_spark.operators.similarity import _fp_elems
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, None, 2.0]),
+            (2, [1.0, 2.0, None]),
+            (3, [1.0, None, 2.0]),   # true duplicate of 1
+            (4, [1.0, 2.0]),         # NULL-free, shorter
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    fp = df.select(
+        "vec_id", F.md5(F.concat_ws(",", _fp_elems("embedding"))).alias("fp")
+    ).collect()
+    fps = {r["vec_id"]: r["fp"] for r in fp}
+    assert fps[1] == fps[3]          # identical vectors still collapse
+    assert fps[1] != fps[2]          # NULL position distinguishes
+    assert fps[1] != fps[4] and fps[2] != fps[4]

@@ -990,3 +990,57 @@ def test_sweep_batched_matches_loop(spark):
     for col in ("spearman_mean", "quartic_mean", "trust_mean"):
         d = (loop[col] - bat[col]).abs().max()
         assert d <= 2e-6, f"{col} diverges: {d}\n{loop[col]}\n{bat[col]}"
+
+
+def test_sweep_batched_isolates_executor_failure(spark, monkeypatch):
+    """r12 ADVICE (medium): all batched-sweep embed fns run inside ONE
+    shared mapInPandas job, so an EXECUTOR-side failure in a single
+    config must demote that config to an 'error:' status row — not
+    abort the whole batch (the per-config loop's contract)."""
+    from reduction_dask_spark.operators import reduction as R
+
+    real = R._sweep_embedder
+
+    def fake(H, kernel, nc):
+        fn = real(H, kernel, nc)
+        if kernel == "lmds_l1":
+            def boom(X):
+                raise RuntimeError("injected executor-side failure")
+            return boom
+        return fn
+
+    monkeypatch.setattr(R, "_sweep_embedder", fake)
+    configs = (("pca", 2), ("lmds_l1", 2), ("lkpca_rbf", 2))
+    out = (
+        R.reduction_sweep_batched(spark, SF_SMALL, configs=configs)
+        .toPandas()
+        .set_index("kernel")
+    )
+    assert out.loc["lmds_l1", "status"] == "error: RuntimeError"
+    assert np.isnan(out.loc["lmds_l1", "spearman_mean"])
+    for kern in ("pca", "lkpca_rbf"):
+        assert out.loc[kern, "status"] == "ok"
+        assert np.isfinite(out.loc[kern, "spearman_mean"])
+        assert np.isfinite(out.loc[kern, "trust_mean"])
+
+
+def test_sweep_batched_all_configs_fail_executor_side(spark, monkeypatch):
+    """Degenerate corner of the same ADVICE item: every config failing
+    executor-side must still return the full status table."""
+    from reduction_dask_spark.operators import reduction as R
+
+    real = R._sweep_embedder
+
+    def fake(H, kernel, nc):
+        real(H, kernel, nc)  # driver fit succeeds; runtime fn fails
+
+        def boom(X):
+            raise ValueError("injected")
+        return boom
+
+    monkeypatch.setattr(R, "_sweep_embedder", fake)
+    configs = (("pca", 2), ("pca", 4))
+    out = R.reduction_sweep_batched(spark, SF_SMALL, configs=configs).toPandas()
+    assert len(out) == 2
+    assert (out["status"] == "error: ValueError").all()
+    assert out["spearman_mean"].isna().all()
