@@ -1018,7 +1018,10 @@ def path1_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SCALABLE form — each interval explodes to the hour buckets "
         "it covers (bounded by session length / bucket width), "
         "candidates equi-join on the bucket key, and the exact "
-        "overlap predicate filters after a distinct — the "
+        "overlap predicate plus a CANONICAL-BUCKET emit (only the "
+        "bucket holding the overlap start greatest(a0,b0) emits the "
+        "pair — both intervals provably cover it, exactly one bucket "
+        "matches, so no post-join distinct shuffle; r13) — the "
         "bucketize-overlap-verify pattern that replaces an O(n^2) "
         "BroadcastNestedLoopJoin with a shuffle on bucket keys. "
         "Interval relations (session tables, ad flights, "
@@ -1064,15 +1067,29 @@ def j9_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t1").alias("b1"),
         "bucket",
     )
+    # canonical-bucket emit (r13): a pair overlapping across k shared
+    # hour buckets would match the bucket equi-join k times; instead
+    # of dedup-by-distinct (a full extra shuffle of the PAIR relation
+    # — the dominant cost of the r12 plan at ×10, 19.5 s), emit each
+    # pair only from the bucket containing the overlap START
+    # greatest(a0,b0). Both intervals always cover that instant
+    # (a0 ≤ g ≤ least(a1,b1) ≤ a1, same for b), and exactly one
+    # exploded bucket equals floor(g/hour), so every qualifying pair
+    # survives exactly once — no shuffle after the bucket join.
     pairs = (
         a.join(b, "bucket")
         .filter(
             (F.col("user_a") < F.col("user_b"))
             & (F.col("a0") <= F.col("b1"))
             & (F.col("b0") <= F.col("a1"))
+            & (
+                F.col("bucket")
+                == F.floor(
+                    F.unix_micros(F.greatest("a0", "b0")) / hour_us
+                )
+            )
         )
         .drop("bucket")
-        .distinct()
     )
     return pairs.select(
         "user_a",

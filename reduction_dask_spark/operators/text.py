@@ -2123,14 +2123,15 @@ DSIR_SCALE = 1_000_000  # log-ratios fixed to micro-units (exact int sums)
         "Determinism contract (FIXTURES §4): each bucket's log-ratio "
         "is fixed to INTEGER micro-units once per bucket, so per-doc "
         "scores are exact integer sums — no float-summation-order "
-        "drift between engines. Plan/scale: ONE corpus-linear scan "
-        "reduces the feature stream to pinned per-(doc, bucket) "
-        "counts (map-side combined — the only corpus-sized shuffle); "
-        f"the λ fit is a second-level aggregation to {DSIR_BUCKETS} "
-        "rows + two 1-row totals, and doc scores broadcast-join λ "
-        "onto the same counts for an integer weighted sum; selection "
-        f"is TakeOrdered {DSIR_K} — no global sort, driver state is "
-        "the fixed-size result. At 100 TB the λ table is still KBs.",
+        "drift between engines. Plan/scale (r13): ONE corpus-linear "
+        "scan pins the raw (doc, lang, bucket) feature stream and "
+        "NOTHING corpus-sized ever shuffles — bucket stats partial-"
+        f"agg to ≤{DSIR_BUCKETS} rows/partition, doc scores "
+        "broadcast-join λ and partial-agg to ~1 row/doc before the "
+        "exchange (a doc's exploded features stay in its partition); "
+        f"selection is TakeOrdered {DSIR_K} — no global sort, driver "
+        "state is the fixed-size result. At 100 TB the λ table is "
+        "still KBs.",
     tags=("text", "pipeline", "ml"),
 )
 def dsir1_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2144,23 +2145,28 @@ def dsir1_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
     )
-    # ONE corpus scan: reduce the exploded feature stream to per-
-    # (doc, bucket) integer counts immediately (map-side combined; at
-    # most docs×BUCKETS rows survive the shuffle), then BOTH the
-    # bucket-stats branch and the doc-score branch read that pinned
-    # aggregate — the λ fit costs a second-level aggregation of the
-    # counts, not a second pass over the corpus.
+    # ONE corpus scan, ZERO corpus-sized shuffle (r13, verdict item
+    # 5): the r12 plan shuffled per-(doc, lang, bucket) counts — but
+    # that key is doc×bucket-grained, so map-side combine could never
+    # shrink it below Σ_docs distinct_buckets(doc) rows, and NEITHER
+    # consumer actually needs (doc, bucket) co-location: bucket stats
+    # are bucket-keyed (partial agg caps at DSIR_BUCKETS rows per
+    # partition) and doc scores are doc-keyed (a doc's exploded
+    # features never leave its input partition, so partial agg emits
+    # ~1 row per doc before the exchange). Pin the UNAGGREGATED
+    # feature-bucket stream instead — both branches read it and each
+    # aggregates straight to its own tiny shuffle. The pin is
+    # modestly larger (per occurrence vs per distinct pair) but it is
+    # STORAGE, not shuffle; ×100 probe rows in SCALING.md.
     from ..caching import pin
 
-    counts = pin(
+    feats = pin(
         d.select("doc_id", "lang", F.explode(F.concat(w, bigrams)).alias("f"))
         .select("doc_id", "lang", (md5i(F.col("f")) % DSIR_BUCKETS).alias("bucket"))
-        .groupBy("doc_id", "lang", "bucket")
-        .agg(F.count("*").alias("nf"))
     )
-    bs = counts.groupBy("bucket").agg(
-        F.sum("nf").alias("rc"),
-        F.sum(F.when(F.col("lang") == "en", F.col("nf")).otherwise(0)).alias("tc"),
+    bs = feats.groupBy("bucket").agg(
+        F.count("*").alias("rc"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tc"),
     )
     tot = bs.agg(F.sum("rc").alias("tr"), F.sum("tc").alias("tt"))
     lam = bs.crossJoin(F.broadcast(tot)).select(
@@ -2175,10 +2181,12 @@ def dsir1_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("lam"),
     )
+    # per-occurrence Σλ ≡ Σ_b nf·λ_b exactly (integers; the count is
+    # folded into row multiplicity)
     sc = (
-        counts.join(F.broadcast(lam), "bucket")
+        feats.join(F.broadcast(lam), "bucket")
         .groupBy("doc_id")
-        .agg(F.sum(F.col("nf") * F.col("lam")).alias("score"))
+        .agg(F.sum("lam").alias("score"))
     )
     gumbel = F.round(
         -F.log(

@@ -83,6 +83,19 @@ def bpe_train(words: DataFrame, n_merges: int = BPE_MERGES) -> list[tuple]:
 
     Returns the merge table [(rank, sym_a, sym_b, merged, pair_count)].
     Ties break by (count desc, sym_a, sym_b) so the table is unique."""
+    merges, _ = bpe_train_full(words, n_merges)
+    return merges
+
+
+def bpe_train_full(
+    words: DataFrame, n_merges: int = BPE_MERGES
+) -> tuple[list[tuple], DataFrame]:
+    """bpe_train, ALSO returning the final (wc, s) vocab relation —
+    the word vocabulary with every merge applied, i.e. each distinct
+    word's trained tokenization. ``size(s)`` is the word's token
+    count and ``array_join(s, '')`` reconstructs the word, so the
+    ENCODE step can ride this relation instead of re-merging every
+    word occurrence (bpe2's vocab quotient)."""
     # localCheckpoint per round: truncates both the growing lineage and
     # the per-round merge-fold expression stack (without it, round k's
     # plan re-carries every earlier round's aggregate fold — see
@@ -118,7 +131,7 @@ def bpe_train(words: DataFrame, n_merges: int = BPE_MERGES) -> list[tuple]:
         vocab = vocab.select(
             "wc", _apply_merge(F.col("s"), a, b).alias("s")
         ).localCheckpoint(eager=True)
-    return merges
+    return merges, vocab
 
 
 @query(
@@ -207,18 +220,70 @@ def bpe_encode(d: DataFrame, merges: list[tuple], text_col: str = "text") -> Dat
     )
 
 
+def bpe_encode_vocab(
+    d: DataFrame, final_vocab: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Encode via the VOCAB QUOTIENT: per-word token counts come from
+    the trained vocab relation itself (``size(s)`` of the final
+    symbol arrays — the merges were already applied there, once per
+    DISTINCT word), and per-doc totals are arithmetic expansion:
+    explode docs to words, equi-join the word→token-count table,
+    sum per doc. Value-identical to :func:`bpe_encode` (pinned by
+    tests/test_round3_ops.py::TestBPEEncode parity) because both
+    paths apply identical merge semantics per word and a word's
+    tokenization is position-independent.
+
+    Scale shape: the Python/JVM merge work is |distinct words|
+    (Heaps-sublinear in corpus size; CONSTANT under replica growth),
+    while the corpus-side work is a JVM explode + broadcast join +
+    map-side-combined sum — scan-bound, zero Python in the corpus
+    pass. The r12 per-occurrence encoder re-merged every word
+    OCCURRENCE (×10 sweep row 18.2 s, ~16 s of it Python re-merge);
+    this is the dedup family's exact-collapse move applied to
+    tokenization. At 100 TB a 10⁸-row vocab outgrows broadcast —
+    flip the hint to a shuffle hash join on ``w``; everything else
+    holds."""
+    wtok = final_vocab.select(
+        F.array_join("s", "").alias("w"), F.size("s").alias("n_tok")
+    )
+    doc_words = d.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    per_doc = (
+        doc_words.join(F.broadcast(wtok), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.length("w")).alias("n_chars"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
+        )
+    )
+
+
 @query(
     "bpe2_encode_corpus",
     oracle=None,  # encoder rides the trained (non-SQL) merge table; invariant tests
     doc="bpe2 BPE ENCODE (bpe1's apply step): train the merge table "
-        "on the corpus word counts, broadcast it (k rows), then one "
-        "Arrow-batched mapInPandas pass tokenizes every document — "
-        "per-doc token/char counts out, zero shuffles after the "
-        "word-count scan. Cross-implementation invariant test: the "
-        "Python encoder's corpus-wide token total equals the JVM "
-        "expression-fold's final vocab symbol total (two independent "
-        "implementations of the merge semantics must agree), and "
-        "concatenating any word's tokens reproduces the word.",
+        "on the corpus word counts, then per-doc token/char counts "
+        "via the VOCAB QUOTIENT (bpe_encode_vocab): the trained "
+        "vocab's final symbol arrays already carry every distinct "
+        "word's token count, so the corpus pass is a pure-JVM "
+        "explode + broadcast join + sum — the per-occurrence Python "
+        "re-merge the r12 encoder ran is gone (×10: 18.2 s → see "
+        "SCALING.md). Value-parity with the direct per-occurrence "
+        "encoder (bpe_encode) is pinned per doc_id by "
+        "TestBPEEncode::test_vocab_quotient_matches_direct_encoder; "
+        "the older cross-implementation invariant (Python encoder "
+        "total == JVM fold vocab total) still runs against "
+        "bpe_encode itself.",
     tags=("text", "pipeline", "udf"),
 )
 def bpe2_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,5 +294,5 @@ def bpe2_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("wc"))
     )
-    merges = bpe_train(words)
-    return bpe_encode(d, merges).orderBy("doc_id")
+    _merges, final_vocab = bpe_train_full(words)
+    return bpe_encode_vocab(d, final_vocab).orderBy("doc_id")

@@ -623,12 +623,15 @@ class TestSnapshotDiff:
 class TestBPEEncode:
     def test_encoder_total_matches_jvm_fold_vocab(self, spark):
         """Two independent implementations of the merge semantics must
-        agree corpus-wide: the Python mapInPandas encoder's token
-        total equals sum(wc × |final symbols|) where the final symbol
-        arrays come from the JVM _apply_merge expression fold."""
+        agree corpus-wide: the PYTHON per-occurrence encoder's
+        (bpe_encode — py_apply_merge) token total equals
+        sum(wc × |final symbols|) where the final symbol arrays come
+        from the JVM _apply_merge expression fold. (r13: targets
+        bpe_encode directly — the registered bpe2 now rides the JVM
+        fold's vocab itself, so testing it here would be circular.)"""
         from reduction_dask_spark.operators.tokenizer import (
             _apply_merge,
-            bpe2_encode_corpus,
+            bpe_encode,
             bpe_train,
         )
 
@@ -649,11 +652,40 @@ class TestBPEEncode:
             F.sum(F.col("wc") * F.size("s")).alias("t")
         ).collect()[0]["t"]
         enc_total = (
-            bpe2_encode_corpus(spark, SF)
+            bpe_encode(d, merges)
             .agg(F.sum("n_tokens").alias("t"))
             .collect()[0]["t"]
         )
         assert enc_total == jvm_total
+
+    def test_vocab_quotient_matches_direct_encoder(self, spark):
+        """r13 perf rewrite pin: the vocab-quotient encoder
+        (bpe_encode_vocab — JVM fold vocab + explode/join/sum) must be
+        value-identical PER DOC to the direct per-occurrence Python
+        encoder (bpe_encode) on the real corpus."""
+        from reduction_dask_spark.operators.tokenizer import (
+            bpe_encode,
+            bpe_encode_vocab,
+            bpe_train_full,
+        )
+
+        d = load_table(spark, SF, "documents")
+        words = (
+            d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+            .filter(F.length("w") > 0)
+            .groupBy("w")
+            .agg(F.count("*").alias("wc"))
+        )
+        merges, final_vocab = bpe_train_full(words)
+        direct = {
+            r["doc_id"]: (r["n_tokens"], r["n_chars"])
+            for r in bpe_encode(d, merges).collect()
+        }
+        quotient = {
+            r["doc_id"]: (r["n_tokens"], r["n_chars"])
+            for r in bpe_encode_vocab(d, final_vocab).collect()
+        }
+        assert direct == quotient
 
     def test_tokens_concatenate_back_to_words(self):
         """py_apply_merge never loses or reorders characters."""
