@@ -60,10 +60,20 @@ def query(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, 
 # r1-green, P2/D4 families still covered by x-selector, d1/d2) out for
 # the two operators ADDED this round — dsir1 importance resampling and
 # lsplit1 leakage-safe split — so new ops are driver-checked the first
-# round they exist.  Every family keeps a pinned representative:
-# p3/p6 projection-filter, f2/f4/f8 feature math, j1/j4/j7 joins
-# (+pit1 as-of), a3 aggregates, w1 windows, c1 cv, m1 metrics,
-# t1/t2/t3 text, o2 ordering.)  Registration order
+# round they exist.  r13: the rotation is now TOOL-GENERATED
+# (tools/rotate_window.py — derives ever-attested names from the
+# CORRECTNESS_r*.json artifacts, enforces the pinned-family map via
+# tags, pre-verifies every rotate-in through compare.py; log
+# committed alongside): twelve >=11-round-green slots out
+# (p6/f4/j1/j4/a3/w1/f8/d1/dd1/dd3/ss1/t1) for the twelve
+# never-driver-sampled oracle queries the r12 judge pre-verified —
+# the rewritten exact-dup-quotient family dd2/dd7/gr2/dd5/dd2b/
+# deval1 (so the r12 rewrites get driver attestation) plus
+# wnw1/rs2/ts5/srv1/cdc2/zo1.  Every family keeps a pinned
+# representative: p3 projection-filter, f2 feature math, q9/q21/j7/
+# pit1/sk2 joins, kll1/an2 aggregates, o2/ts4 windows+ordering,
+# c1 cv, m1/auc1 metrics, t2/t3 text, d2 distance, wsamp1 sampling,
+# dd2/dd5/dd13/sem1 dedup, ndcg1 similarity.)  Registration order
 # is an import-order artifact, so we
 # pin an explicit priority window: every SURVEY.md §2-mandated oracle query
 # (projection/feature/join/agg/window/order/set/cv/metric families, the
@@ -76,19 +86,12 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "p3_filter_isin",
     "pipe3_span_excision",
     "pipe4_gated_funnel",
-    "p6_sample_hash",
     "f2_onehot_pivot",
-    "f4_pearson_corr",
-    "f8_mutual_info",
     "q9_product_type_profit",
-    "j1_index_align_join",
-    "j4_star_broadcast",
     "q21_suppliers_kept_waiting",
     "gr4_star_components",
     "j7_asof_join",
-    "a3_grouped_mean",
     "sem1_semantic_dedup",
-    "w1_pct_rank_by_era",
     "an2_funnel_conversion",
     "o2_topk_per_group",
     "dd13_two_tier_dedup",
@@ -97,14 +100,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "m1_spearman_by_era",
     "ndcg1_ann_quality",
     "kll1_quantile_sketch_rollup",
-    "d1_variation_of_information",
     "d2_pairwise_spearman",
     "lsplit1_leakage_safe_split",
     "dsir1_importance_resample",
-    "dd1_exact_dedup",
-    "dd3_minhash_lsh_dedup",
-    "ss1_cosine_topk_brute",
-    "t1_token_stats",
     "t2_quality_score",
     "t3_lang_id_naive_bayes",
     "auc1_roc_auc",
@@ -122,6 +120,18 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "scd2_type2_history",
     "mw4_doremi_mixture",
     "wsamp1_weighted_sample",
+    "dd2_shingle_jaccard",
+    "dd7_domain_dedup_stats",
+    "gr2_triangle_count",
+    "dd5_embedding_neardup",
+    "dd2b_containment_pairs",
+    "deval1_dedup_quality",
+    "wnw1_winnow_fingerprints",
+    "rs2_kmv_overlap",
+    "ts5_cusum_changepoint",
+    "srv1_kaplan_meier",
+    "cdc2_changelog_apply",
+    "zo1_zorder_curve",
 )
 
 
