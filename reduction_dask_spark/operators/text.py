@@ -2131,7 +2131,10 @@ DSIR_SCALE = 1_000_000  # log-ratios fixed to micro-units (exact int sums)
         "exchange (a doc's exploded features stay in its partition); "
         f"selection is TakeOrdered {DSIR_K} — no global sort, driver "
         "state is the fixed-size result. At 100 TB the λ table is "
-        "still KBs.",
+        "still KBs. The ×100 probe (~21× for 100× data, SCALING.md) "
+        "is the documented FLOOR: the residual cost is the corpus-"
+        "linear per-token explode+hash scan itself, which no shuffle "
+        "restructuring removes — DSIR must read every token once.",
     tags=("text", "pipeline", "ml"),
 )
 def dsir1_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
