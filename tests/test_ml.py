@@ -376,6 +376,13 @@ def test_geodesic_matrix_properties():
     L = rng.normal(size=(40, 5))
     G = _geodesic_matrix(L, knn=6)
     e = np.sqrt(_pairwise_sq("l2", L, L))
+    # the ‖a‖²+‖b‖²−2a·b self-distance is not exactly 0 — float
+    # cancellation leaves ~1e-8 after sqrt, and WHICH entries wobble
+    # depends on the host's BLAS kernel dispatch (this check passed
+    # on the r12 judge's box and failed on the r13 builder's with
+    # identical numpy). The domination property is trivially 0 ≥ 0 on
+    # the diagonal, so pin it exactly.
+    np.fill_diagonal(e, 0.0)
     assert np.allclose(G, G.T)
     assert np.allclose(np.diag(G), 0.0)
     # graph geodesics dominate straight-line distance on connected pairs
