@@ -866,12 +866,16 @@ def reduction_sweep_batched(
         "kernel string, n_components int, spearman_mean double, "
         "quartic_mean double, trust_mean double, status string"
     )
-    if not embedders:
+
+    def status_only():  # every config demoted — one shape for both exits
         return spark.createDataFrame(
             [(kern, int(nc), None, None, None, status[i])
              for i, (kern, nc) in enumerate(configs)],
             schema_rs,
         )
+
+    if not embedders:
+        return status_only()
 
     # ---- 2. one transform pass → wide frame, one barrier
     live = list(embedders)
@@ -927,11 +931,7 @@ def reduction_sweep_batched(
         status.update(failed)
         live = [(i, kern, nc) for i, kern, nc in live if i not in failed]
         if not live:
-            return spark.createDataFrame(
-                [(kern, int(nc), None, None, None, status[i])
-                 for i, (kern, nc) in enumerate(configs)],
-                schema_rs,
-            )
+            return status_only()
 
     # ---- 3. one suffstats pass, driver-side merge
     widths = {i: (nc + 1) * (nc + 1) + (nc + 1) + 1 for i, _, nc in live}

@@ -60,6 +60,24 @@ from ..sources import load_table
 BPE_MERGES = 8
 
 
+def doc_words(d: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, w) word stream — THE word definition for this module
+    (split on single space, drop empties). bpe1/bpe2 train on its
+    distinct counts and bpe_encode_vocab expands per-doc totals from
+    it; a single definition is what makes the vocab-quotient coverage
+    contract ('the trained vocab covers the corpus') hold by
+    construction."""
+    return d.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+
+
+def word_counts(d: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, wc) distinct word counts over the corpus — bpe_train's
+    working relation, derived from :func:`doc_words`."""
+    return doc_words(d, text_col).groupBy("w").agg(F.count("*").alias("wc"))
+
+
 def _apply_merge(s: Column, a: str, b: str) -> Column:
     """Greedy left-to-right merge of adjacent (a, b) → a+b in a symbol
     array, as one aggregate fold (matches classical BPE: after "aaa"
@@ -150,13 +168,7 @@ def bpe_train_full(
 )
 def bpe1_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    words = (
-        d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
-        .filter(F.length("w") > 0)
-        .groupBy("w")
-        .agg(F.count("*").alias("wc"))
-    )
-    merges = bpe_train(words)
+    merges = bpe_train(word_counts(d))
     return spark.createDataFrame(
         merges, "rank int, sym_a string, sym_b string, merged string, pair_count bigint"
     )
@@ -242,15 +254,19 @@ def bpe_encode_vocab(
     this is the dedup family's exact-collapse move applied to
     tokenization. At 100 TB a 10⁸-row vocab outgrows broadcast —
     flip the hint to a shuffle hash join on ``w``; everything else
-    holds."""
+    holds.
+
+    Contract: ``final_vocab`` must COVER the corpus's words — true
+    by construction when it was trained on the same corpus (bpe2's
+    case). Words absent from the vocab drop out of the inner join
+    (they would contribute nothing to n_tokens/n_chars); to encode a
+    DIFFERENT corpus with a trained merge table, use
+    :func:`bpe_encode`, which tokenizes any word."""
     wtok = final_vocab.select(
         F.array_join("s", "").alias("w"), F.size("s").alias("n_tok")
     )
-    doc_words = d.select(
-        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w")
-    ).filter(F.length("w") > 0)
     per_doc = (
-        doc_words.join(F.broadcast(wtok), "w")
+        doc_words(d, text_col).join(F.broadcast(wtok), "w")
         .groupBy("doc_id")
         .agg(
             F.sum("n_tok").alias("n_tokens"),
@@ -288,11 +304,5 @@ def bpe_encode_vocab(
 )
 def bpe2_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    words = (
-        d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
-        .filter(F.length("w") > 0)
-        .groupBy("w")
-        .agg(F.count("*").alias("wc"))
-    )
-    _merges, final_vocab = bpe_train_full(words)
+    _merges, final_vocab = bpe_train_full(word_counts(d))
     return bpe_encode_vocab(d, final_vocab).orderBy("doc_id")

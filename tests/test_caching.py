@@ -116,6 +116,7 @@ def test_release_pinned_deletes_reliable_checkpoint_files(spark, monkeypatch, tm
     delete the checkpoint FILES itself (unpersist only frees blocks),
     or a multi-hundred-query sweep leaks files under
     SPARK_GRAFT_CHECKPOINT_DIR."""
+    release_pinned()  # drain pins/barriers other tests may have leaked
     ckpt = tmp_path / "ckpt_release"
     monkeypatch.setenv("SPARK_GRAFT_BARRIER", "reliable")
     monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(ckpt))

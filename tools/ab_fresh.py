@@ -27,6 +27,14 @@ def main() -> int:
     if not names:
         raise SystemExit("usage: ab_fresh.py REPO_PATH QUERY [QUERY ...]")
     sys.path.insert(0, repo)
+    # Executors must resolve the SAME checkout: sys.path only affects
+    # the driver, while pyspark.daemon workers build their own path
+    # from PYTHONPATH + cwd — so module-level functions pickled BY
+    # REFERENCE into UDFs would otherwise import from whatever
+    # checkout the tool was launched from. (Closures are pickled by
+    # value and JVM-expression queries ship no Python at all, so the
+    # r13 A/B conclusions were unaffected — but pin it anyway.)
+    os.environ["PYTHONPATH"] = repo + os.pathsep + os.environ.get("PYTHONPATH", "")
     from reduction_dask_spark.caching import release_pinned
     from reduction_dask_spark.registry import REGISTRY, load_all_operators
     from reduction_dask_spark.session import get_spark

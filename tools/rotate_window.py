@@ -44,9 +44,11 @@ SF_VERIFY = "/root/testdata/sf0.01"
 
 
 def ever_attested() -> dict[str, int]:
-    """name -> number of driver rounds it appeared in (all green or
-    not — an appearance is an attestation attempt; in practice every
-    recorded row has been green since r1)."""
+    """name -> number of driver rounds it appeared GREEN in (err-free
+    with a non-failing hash). A name the driver checked and failed
+    would NOT count — it stays rotation-eligible so a fixed query
+    gets re-attested. In practice every recorded row has been green
+    since r1."""
     seen: dict[str, int] = {}
     for path in sorted(glob.glob(f"{REPO}/CORRECTNESS_r*.json")):
         with open(path) as f:
@@ -125,6 +127,8 @@ def propose(window, registry, attested, include, n_rotate, min_green):
 
 
 def verify(ins) -> None:
+    if not ins:  # nothing to verify; compare.py with no filter would run the whole suite
+        return
     print(f"pre-verifying {len(ins)} rotate-ins via compare.py at {SF_VERIFY} ...")
     r = subprocess.run(
         [sys.executable, f"{REPO}/tools/compare.py", SF_VERIFY, *ins],
@@ -133,7 +137,9 @@ def verify(ins) -> None:
     )
     tail = "\n".join(r.stdout.strip().splitlines()[-3:])
     print(tail)
-    if r.returncode != 0 or f"{len(ins)} pass, 0 fail" not in r.stdout:
+    # anchored match: '290 pass, 0 fail' must not satisfy '0 pass, 0 fail'
+    ok = re.search(rf"^{len(ins)} pass, 0 fail", r.stdout, re.MULTILINE)
+    if r.returncode != 0 or not ok:
         raise SystemExit("pre-verification FAILED — window not rewritten")
 
 
@@ -182,6 +188,9 @@ def main() -> int:
         print(f"  family of {n} ({','.join(registry[n].tags)}) keeps: "
               f"{' '.join(reps[:4])}{' ...' if len(reps) > 4 else ''}")
 
+    if not ins:
+        print("nothing to rotate — every oracle-backed name is attested")
+        return 0
     if not args.apply:
         print("\n(dry run — pass --apply to verify + rewrite)")
         return 0
