@@ -15,6 +15,13 @@ carried several-second swings round-over-round), and every query is
 measured under the same rule. The rep count and the sampled 1-min
 load are recorded in the output JSON so every committed reading is
 self-describing (r7 verdict item 4).
+
+r14 (r13 verdict item 2): per-QUERY bands too — `query_bands` maps
+each name to {min, median, max} over its reps, because this host has
+shown 4× single-query swings on identical code (pipe5 7.7→30.9 s);
+a total-level band cannot bound noise per row, so each row now
+carries its own. `queries` stays the min (the headline value) for
+artifact continuity.
 """
 
 from __future__ import annotations
@@ -159,6 +166,17 @@ def main() -> None:
         "median": round(sum(statistics.median(s) for s in rep_samples.values()), 3),
         "max": round(sum(s[-1] for s in rep_samples.values()), 3),
     }
+    # per-query bands (r13 verdict item 2): every row self-describes
+    # its rep spread so per-query artifact deltas are interpretable
+    # under this host's multi-x single-query noise.
+    query_bands = {
+        n: {
+            "min": round(s[0], 3),
+            "median": round(statistics.median(s), 3),
+            "max": round(s[-1], 3),
+        }
+        for n, s in rep_samples.items()
+    }
     print(
         json.dumps(
             {
@@ -167,6 +185,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "band": band,
+                "query_bands": query_bands,
                 "sf": sf,
                 "reps": reps,
                 "load_1min_at_start": round(load_at_start, 2),

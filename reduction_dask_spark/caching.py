@@ -196,8 +196,25 @@ def release_pinned() -> int:
                         df.sparkSession.sparkContext._jsc.hadoopConfiguration()
                     )
                     fs.delete(hpath, True)
-            except Exception:
-                pass  # best-effort: cleaner conf still covers built-reliable sessions
+            except Exception as exc:  # noqa: BLE001 - best-effort cleanup
+                # Best-effort: cleaner conf still covers built-reliable
+                # sessions, but a silent swallow on a LIVE session hides
+                # a file leak (r13 ADVICE). Warn once per failure unless
+                # the session is already stopped (teardown races there
+                # are expected and harmless).
+                try:
+                    stopped = df.sparkSession.sparkContext._jsc is None
+                except Exception:  # noqa: BLE001
+                    stopped = True
+                if not stopped:
+                    import warnings
+
+                    warnings.warn(
+                        f"reliable-checkpoint file cleanup failed ({exc!r}); "
+                        "files may linger under SPARK_GRAFT_CHECKPOINT_DIR",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
     return len(drained) + len(barriered)
 
 

@@ -11,6 +11,8 @@ explode→agg; no driver materialization, partition-parallel at any size.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
@@ -2056,6 +2058,10 @@ def classifier_readout_of(scored: DataFrame) -> DataFrame:
 DSIR_BUCKETS = 2048   # hashed n-gram feature space (paper uses 10^4)
 DSIR_K = 200          # selection budget — fixed, corpus-independent
 DSIR_SCALE = 1_000_000  # log-ratios fixed to micro-units (exact int sums)
+# Above this many docs the per-occurrence feature pin (see dsir1 body)
+# downgrades to recompute — the pin scales with token count, and at
+# large corpus sizes the extra scan is cheaper than the cache pressure.
+DSIR_PIN_MAX_DOCS = int(os.environ.get("SPARK_GRAFT_DSIR_PIN_MAX_DOCS", "10000000"))
 
 
 @query(
@@ -2160,13 +2166,20 @@ def dsir1_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feature-bucket stream instead — both branches read it and each
     # aggregates straight to its own tiny shuffle. The pin is
     # modestly larger (per occurrence vs per distinct pair) but it is
-    # STORAGE, not shuffle; ×100 probe rows in SCALING.md.
-    from ..caching import pin
-
-    feats = pin(
+    # STORAGE, not shuffle; ×100 probe rows in SCALING.md. r13
+    # ADVICE: the per-occurrence pin grows with TOKEN count, so past
+    # a corpus-size threshold it would evict other caches / spill —
+    # above DSIR_PIN_MAX_DOCS docs (env SPARK_GRAFT_DSIR_PIN_MAX_DOCS;
+    # one cheap parquet-count to decide) the pin downgrades to
+    # recompute: both consumers re-run the scan-bound explode+hash
+    # pass instead, trading one extra corpus scan for zero cache
+    # pressure — the right trade exactly when the corpus is huge.
+    feats = (
         d.select("doc_id", "lang", F.explode(F.concat(w, bigrams)).alias("f"))
         .select("doc_id", "lang", (md5i(F.col("f")) % DSIR_BUCKETS).alias("bucket"))
     )
+    if d.count() <= DSIR_PIN_MAX_DOCS:
+        feats = pin(feats)
     bs = feats.groupBy("bucket").agg(
         F.count("*").alias("rc"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tc"),

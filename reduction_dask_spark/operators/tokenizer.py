@@ -233,7 +233,10 @@ def bpe_encode(d: DataFrame, merges: list[tuple], text_col: str = "text") -> Dat
 
 
 def bpe_encode_vocab(
-    d: DataFrame, final_vocab: DataFrame, text_col: str = "text"
+    d: DataFrame,
+    final_vocab: DataFrame,
+    text_col: str = "text",
+    check_coverage: bool = False,
 ) -> DataFrame:
     """Encode via the VOCAB QUOTIENT: per-word token counts come from
     the trained vocab relation itself (``size(s)`` of the final
@@ -261,10 +264,30 @@ def bpe_encode_vocab(
     case). Words absent from the vocab drop out of the inner join
     (they would contribute nothing to n_tokens/n_chars); to encode a
     DIFFERENT corpus with a trained merge table, use
-    :func:`bpe_encode`, which tokenizes any word."""
+    :func:`bpe_encode`, which tokenizes any word. Pass
+    ``check_coverage=True`` to enforce the contract (r13 ADVICE): a
+    distinct-word anti-join count runs before the corpus pass and a
+    non-zero miss raises instead of silently undercounting. The
+    check costs one extra distinct-word-sized join, so it is off in
+    the hot path and on in tests."""
     wtok = final_vocab.select(
         F.array_join("s", "").alias("w"), F.size("s").alias("n_tok")
     )
+    if check_coverage:
+        missed = (
+            doc_words(d, text_col)
+            .select("w")
+            .distinct()
+            .join(F.broadcast(wtok.select("w")), "w", "left_anti")
+            .limit(5)
+            .collect()
+        )
+        if missed:
+            raise ValueError(
+                "bpe_encode_vocab coverage contract violated: corpus words "
+                f"absent from final_vocab, e.g. {[r['w'] for r in missed]}; "
+                "train the vocab on this corpus or use bpe_encode()"
+            )
     per_doc = (
         doc_words(d, text_col).join(F.broadcast(wtok), "w")
         .groupBy("doc_id")

@@ -73,7 +73,15 @@ def query(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, 
 # representative: p3 projection-filter, f2 feature math, q9/q21/j7/
 # pit1/sk2 joins, kll1/an2 aggregates, o2/ts4 windows+ordering,
 # c1 cv, m1/auc1 metrics, t2/t3 text, d2 distance, wsamp1 sampling,
-# dd2/dd5/dd13/sem1 dedup, ndcg1 similarity.)  Registration order
+# dd2/dd5/dd13/sem1 dedup, ndcg1 similarity.)  r14: executed per the
+# committed ROADMAP rotation SCHEDULE (r13 verdict item 4): the whole
+# streaming family st4/st6/st6b/st8-st13 + unpivot1/f15 + the
+# never-attested j9 rewrite rotate IN (12/12 compare PASS at sf0.01,
+# ROTATION_r14.log); OUT twelve 3-12-round-green veterans (t2/t3/q1/
+# j7/st2/dd13/dc3/dd11b/pipe2/pipe5/f17/ts4) — pipe3/pipe4, the two
+# heaviest funnel compositions, are PINNED via the tool's new
+# --exclude (the r13 judge asked the funnel family to stay in-window
+# beyond the min-green guard; pipe1 remains too).  Registration order
 # is an import-order artifact, so we
 # pin an explicit priority window: every SURVEY.md §2-mandated oracle query
 # (projection/feature/join/agg/window/order/set/cv/metric families, the
@@ -90,11 +98,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "q9_product_type_profit",
     "q21_suppliers_kept_waiting",
     "gr4_star_components",
-    "j7_asof_join",
     "sem1_semantic_dedup",
     "an2_funnel_conversion",
     "o2_topk_per_group",
-    "dd13_two_tier_dedup",
     "c1_kfold_era_assignment",
     "pit1_point_in_time_join",
     "m1_spearman_by_era",
@@ -103,20 +109,10 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "d2_pairwise_spearman",
     "lsplit1_leakage_safe_split",
     "dsir1_importance_resample",
-    "t2_quality_score",
-    "t3_lang_id_naive_bayes",
     "auc1_roc_auc",
     "rec1_hierarchy_closure",
     "pipe1_corpus_curation",
-    "st2_stream_sessionization",
-    "q1_pricing_summary",
-    "dc3_span_decontam",
-    "dd11b_substring_removal",
-    "pipe2_export_manifest",
-    "pipe5_clean_export",
     "sk2_salted_join",
-    "f17_target_encode_oof",
-    "ts4_seasonal_decompose",
     "scd2_type2_history",
     "mw4_doremi_mixture",
     "wsamp1_weighted_sample",
@@ -132,6 +128,18 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "srv1_kaplan_meier",
     "cdc2_changelog_apply",
     "zo1_zorder_curve",
+    "st4_stateful_user_totals",
+    "st6_transform_with_state",
+    "st6b_tws_list_state",
+    "st8_foreach_batch_sink",
+    "st9_stream_static_enrich",
+    "st10_stream_incremental_dedup",
+    "st11_stream_quantile_sketch",
+    "st12_custom_source_stream",
+    "st13_stream_drift_psi",
+    "unpivot1_melt_measures",
+    "f15_grouped_quantiles",
+    "j9_interval_overlap_join",
 )
 
 

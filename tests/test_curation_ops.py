@@ -611,3 +611,16 @@ def test_dsir1_selects_toward_target(spark):
     assert sel_en > base_en, (sel_en, base_en)
     b = dsir1_importance_resample(spark, SF_SMALL).toPandas()
     assert a.equals(b)
+
+
+def test_dsir1_pin_downgrade_is_value_identical(spark, monkeypatch):
+    """r13 ADVICE pin: above DSIR_PIN_MAX_DOCS the per-occurrence
+    feature pin downgrades to recompute (two scans, zero cache
+    pressure) — the downgraded path must produce the exact same
+    selection."""
+    from reduction_dask_spark.operators import text as text_mod
+
+    pinned = text_mod.dsir1_importance_resample(spark, SF_SMALL).toPandas()
+    monkeypatch.setattr(text_mod, "DSIR_PIN_MAX_DOCS", 0)
+    unpinned = text_mod.dsir1_importance_resample(spark, SF_SMALL).toPandas()
+    assert pinned.equals(unpinned)

@@ -78,6 +78,51 @@ def test_include_rejects_already_attested_names():
         propose(window, reg, attested, ["new_alpha"], 1, 2)
 
 
+def test_exclude_pins_names_against_rotation_out():
+    """r14: --exclude keeps judge-pinned flagships in-window even when
+    their green count clears min-green."""
+    reg = make_registry()
+    window = ["w_alpha1", "w_alpha2", "w_beta", "w_gamma"]
+    attested = {"w_alpha1": 9, "w_alpha2": 9, "w_beta": 9, "w_gamma": 9}
+    ins, outs, new_window, _ = propose(
+        window, reg, attested, ["new_alpha"], 1, 2, exclude=("w_alpha1",)
+    )
+    assert outs == ["w_alpha2"]
+    assert "w_alpha1" in new_window
+
+
+def test_exclude_counts_toward_family_safety():
+    """An excluded name still counts as its family's representative
+    when judging whether ANOTHER name may rotate out."""
+    reg = make_registry()
+    window = ["w_alpha1", "w_alpha2", "w_beta", "w_gamma"]
+    attested = {"w_alpha1": 9, "w_alpha2": 9, "w_beta": 9, "w_gamma": 9}
+    # exclude alpha1; alpha2 may still leave because alpha1 remains
+    ins, outs, new_window, _ = propose(
+        window, reg, attested, ["new_delta"], 1, 2, exclude=("w_alpha1",)
+    )
+    assert outs == ["w_alpha2"]
+
+
+def test_hash_match_true_required_for_attestation(tmp_path, monkeypatch):
+    """r13 ADVICE: a driver row with a null/missing hash_match no
+    longer counts as attestation — only hash_match=true rows do."""
+    import json
+
+    import tools.rotate_window as rw
+
+    art = tmp_path / "CORRECTNESS_r99.json"
+    art.write_text(json.dumps({
+        "full_green": {"err": None, "hash_match": True},
+        "rows_only": {"err": None, "hash_match": None},
+        "no_hash_key": {"err": None},
+        "failed": {"err": "boom", "hash_match": True},
+    }))
+    monkeypatch.setattr(rw, "REPO", str(tmp_path))
+    seen = rw.ever_attested()
+    assert seen == {"full_green": 1}
+
+
 def test_insufficient_family_safe_outs_fails_loudly():
     reg = make_registry()
     window = ["w_beta", "w_gamma"]  # every name is its family's last rep

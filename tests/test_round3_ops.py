@@ -683,9 +683,33 @@ class TestBPEEncode:
         }
         quotient = {
             r["doc_id"]: (r["n_tokens"], r["n_chars"])
-            for r in bpe_encode_vocab(d, final_vocab).collect()
+            for r in bpe_encode_vocab(d, final_vocab, check_coverage=True).collect()
         }
         assert direct == quotient
+
+    def test_vocab_quotient_coverage_guard(self, spark):
+        """r13 ADVICE pin: a vocab that does NOT cover the corpus must
+        raise under check_coverage=True instead of silently
+        undercounting via the inner join (and the default path keeps
+        the documented silent-drop contract)."""
+        from reduction_dask_spark.operators.tokenizer import (
+            bpe_encode_vocab,
+            bpe_train_full,
+            word_counts,
+        )
+
+        d = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha delta zzznovel")],
+            "doc_id bigint, text string",
+        )
+        # train on doc 1 only -> vocab misses doc 2's unseen words
+        _, partial_vocab = bpe_train_full(word_counts(d.filter("doc_id = 1")))
+        with pytest.raises(ValueError, match="coverage contract"):
+            bpe_encode_vocab(d, partial_vocab, check_coverage=True).collect()
+        # matching corpus passes the guard
+        _, full_vocab = bpe_train_full(word_counts(d))
+        out = bpe_encode_vocab(d, full_vocab, check_coverage=True)
+        assert out.count() == d.count()
 
     def test_tokens_concatenate_back_to_words(self):
         """py_apply_merge never loses or reorders characters."""

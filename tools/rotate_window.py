@@ -44,16 +44,19 @@ SF_VERIFY = "/root/testdata/sf0.01"
 
 
 def ever_attested() -> dict[str, int]:
-    """name -> number of driver rounds it appeared GREEN in (err-free
-    with a non-failing hash). A name the driver checked and failed
-    would NOT count — it stays rotation-eligible so a fixed query
-    gets re-attested. In practice every recorded row has been green
-    since r1."""
+    """name -> number of driver rounds it appeared GREEN in: err-free
+    AND hash_match is literally True (r13 ADVICE: a null/missing hash
+    no longer counts — rows-only driver rows are weaker evidence than
+    an oracle hash, so they stay rotation-eligible). A name the driver
+    checked and failed would NOT count either — a fixed query gets
+    re-attested. In practice every recorded row has carried
+    hash_match=true since r1, so this tightening changes no counts
+    today; it guards future rows-only window entries."""
     seen: dict[str, int] = {}
     for path in sorted(glob.glob(f"{REPO}/CORRECTNESS_r*.json")):
         with open(path) as f:
             for name, row in json.load(f).items():
-                if row.get("err") is None and row.get("hash_match") is not False:
+                if row.get("err") is None and row.get("hash_match") is True:
                     seen[name] = seen.get(name, 0) + 1
     return seen
 
@@ -77,7 +80,7 @@ def family_tags(registry, names):
     return tags
 
 
-def propose(window, registry, attested, include, n_rotate, min_green):
+def propose(window, registry, attested, include, n_rotate, min_green, exclude=()):
     oracle_names = [n for n, s in registry.items() if s.oracle is not None]
     never = [n for n in oracle_names if n not in attested and n not in window]
 
@@ -100,7 +103,11 @@ def propose(window, registry, attested, include, n_rotate, min_green):
     # rotate-out candidates: most-attested first (longest green), but
     # never break a tag family's last window representative
     cand = sorted(
-        (n for n in window if attested.get(n, 0) >= min_green),
+        (
+            n
+            for n in window
+            if attested.get(n, 0) >= min_green and n not in set(exclude)
+        ),
         key=lambda n: -attested.get(n, 0),
     )
     outs: list[str] = []
@@ -168,6 +175,10 @@ def main() -> int:
                     help="force-specific rotate-ins (must be never-attested oracle names)")
     ap.add_argument("--min-green", type=int, default=2,
                     help="min attested rounds before a window name may rotate out")
+    ap.add_argument("--exclude", nargs="*", default=[],
+                    help="window names PINNED against rotation-out this round "
+                         "(r14: flagship compositions a judge asked to keep "
+                         "in-window beyond the min-green guard)")
     ap.add_argument("--apply", action="store_true", help="verify + rewrite registry.py")
     ap.add_argument("--no-verify", action="store_true")
     args = ap.parse_args()
@@ -175,7 +186,8 @@ def main() -> int:
     attested = ever_attested()
     window, registry = load_registry()
     ins, outs, new_window, _ = propose(
-        window, registry, attested, args.include, args.n, args.min_green
+        window, registry, attested, args.include, args.n, args.min_green,
+        exclude=args.exclude,
     )
 
     print(f"ever-attested names: {len(attested)} / {len(registry)} registered")
