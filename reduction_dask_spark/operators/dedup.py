@@ -74,6 +74,53 @@ def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_table_of(load_table(spark, sf_dir, "documents"))
 
 
+def _raw_shingles(d: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Uncapped (doc_id, shingle) explode of a (doc_id, text) relation —
+    per-doc DISTINCT 3-gram shingles hashed to 60-bit ints at explode
+    time. ``extra_cols`` are carried through unchanged (used by the
+    rep-quotient cap to keep group multiplicity alongside each row)."""
+    toked = d.select(
+        "doc_id", *extra_cols, F.split(F.col("text"), " ").alias("toks")
+    ).filter(F.size("toks") >= K_SHINGLE)
+    return toked.select(
+        "doc_id",
+        *extra_cols,
+        F.explode(
+            F.transform(shingles_of_tokens(F.col("toks")), lambda s: md5h60(s))
+        ).alias("shingle"),
+    )
+
+
+def rep_capped_shingles(d: DataFrame, grp: DataFrame) -> DataFrame:
+    """FULL-corpus-df-capped shingle index RESTRICTED to exact-group
+    representatives, computed WITHOUT shingling duplicates (r14).
+
+    Value-identical to ``shingle_table_of(d) ⋉ reps`` (pinned by
+    tests/test_quotient_parity.py): members of an exact group carry the
+    literal text, hence the identical per-doc distinct shingle set, so
+    the full-corpus document frequency of a shingle is
+    df(s) = Σ_groups m·[s ∈ rep content] — the cap decision is exact
+    with the shingle explode running over DISTINCT CONTENTS only.
+    Consumers that previously built the corpus-linear full index and
+    then semi-joined it down to reps (deval1/dd2b/dd6/gr3/gr4) paid
+    the whole explode+hash pass just to compute df; under a k-way
+    duplicate load this does 1/k of that work (deval1 profile at ×10:
+    the full-index build was 16.2 s of a 30.3 s query). The rep join
+    broadcasts when grp is small and degrades to a shuffle join at
+    cluster scale — the same join shape the semi-join already had."""
+    reps = grp.select(F.col("rep_id").alias("doc_id"), F.col("m").alias("_m"))
+    sh = pin(_raw_shingles(d.join(reps, "doc_id"), extra_cols=("_m",)))
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.sum("_m").alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti").select(
+        "doc_id", "shingle"
+    )
+
+
 def shingle_table_of(d: DataFrame) -> DataFrame:
     """(doc_id, shingle) inverted-index rows of a (doc_id, text)
     DataFrame, df-capped.
@@ -90,21 +137,12 @@ def shingle_table_of(d: DataFrame) -> DataFrame:
     Σ_shingle df², so collapsing duplicate groups first is the
     difference between linear and quadratic growth under duplication
     (the ×10 scale probe measured 17× superlinear before the reorder)."""
-    toked = d.select("doc_id", F.split(F.col("text"), " ").alias("toks")).filter(
-        F.size("toks") >= K_SHINGLE
-    )
-    sh = toked.select(
-        "doc_id",
-        F.explode(
-            F.transform(shingles_of_tokens(F.col("toks")), lambda s: md5h60(s))
-        ).alias("shingle"),
-    )
     # the raw index feeds BOTH the df-cap aggregate and the anti-join
     # left side; materialize it once (disk-backed at cluster scale —
     # the standard "build the inverted index once per pipeline run"
     # materialization) instead of re-running the shingle+md5 explode
     # per consumer branch
-    sh = pin(sh)
+    sh = pin(_raw_shingles(d))
     # df-cap: broadcast the HOT-shingle list (df > DF_CAP) into a LEFT
     # ANTI join. The hot set is tiny BY CONSTRUCTION — at most
     # |shingle rows| / DF_CAP distinct values, regardless of corpus
@@ -714,12 +752,11 @@ def simhash_pairs_of(d: DataFrame) -> DataFrame:
 def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # df-cap over the FULL corpus (collapsing first would shift document
-    # frequencies and change which shingles survive the cap — gr3's rule)
-    sh_full = pin(shingle_table(spark, sf_dir))
+    # frequencies and change which shingles survive the cap — gr3's
+    # rule), via the r14 weighted-df rep quotient: identical cap,
+    # shingle explode over distinct contents only
     fp, grp = exact_groups(d)
-    rep_sh = pin(sh_full.join(
-        grp.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
-    ))
+    rep_sh = pin(rep_capped_shingles(d, grp))
     pairs = jaccard_pairs(rep_sh, tau=JACCARD_TAU)
     labels = min_label_components(pairs).select(
         F.col("doc_id").alias("rep_id"), F.col("cluster_id").alias("comp")
@@ -1312,12 +1349,11 @@ def containment_pairs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd2b_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    # df-cap over the FULL corpus, then restrict the index to reps
-    sh_full = pin(shingle_table_of(d))
+    # df-cap over the FULL corpus, index restricted to reps — via the
+    # r14 weighted-df rep quotient (identical values, no full-corpus
+    # shingle pass)
     _, grp = exact_groups(d)
-    rsh = pin(sh_full.join(
-        grp.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
-    ))
+    rsh = pin(rep_capped_shingles(d, grp))
     sizes = rsh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = rsh.alias("a"), rsh.alias("b")
     inter = (
@@ -1683,11 +1719,12 @@ def t13_dedup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def deval1_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sh_full = pin(shingle_table_of(d))
     _, grp = exact_groups(d)
     grp = pin(grp)
     reps = grp.select(F.col("rep_id").alias("doc_id"))
-    rep_sh = pin(sh_full.join(reps, "doc_id", "left_semi"))
+    # r14: weighted-df rep quotient — identical capped rep index, no
+    # full-corpus shingle pass (was 16.2 s of 30.3 s at ×10)
+    rep_sh = pin(rep_capped_shingles(d, grp))
     rep_d = d.join(reps, "doc_id", "left_semi")
     truth = (
         pin(jaccard_pairs(rep_sh, tau=JACCARD_TAU).select("doc_a", "doc_b"))

@@ -325,20 +325,18 @@ def kcore_weighted(nodes: DataFrame, edges: DataFrame, k: int) -> DataFrame:
     tags=("graph", "dedup"),
 )
 def gr3_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import JACCARD_TAU, jaccard_pairs, shingle_table
+    from .dedup import JACCARD_TAU, jaccard_pairs, rep_capped_shingles
 
     d = load_table(spark, sf_dir, "documents")
-    # full-corpus capped shingle index: the df-cap hot set must be
-    # computed over ALL docs (collapsing first would shift document
-    # frequencies and change which shingles survive the cap)
-    sh_full = pin(shingle_table(spark, sf_dir))
+    # full-corpus df-cap semantics preserved (collapsing first would
+    # shift document frequencies and change which shingles survive the
+    # cap) via the r14 weighted-df rep quotient: shingle explode runs
+    # over distinct contents only, cap decision is full-corpus exact
     fp = d.select("doc_id", F.md5("text").alias("fp"))
     grp = fp.groupBy("fp").agg(
         F.min("doc_id").alias("rep_id"), F.count("*").cast("bigint").alias("m")
     )
-    rep_sh = pin(sh_full.join(
-        grp.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
-    ))
+    rep_sh = pin(rep_capped_shingles(d, grp))
     pairs = jaccard_pairs(rep_sh, tau=JACCARD_TAU)
     und = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
@@ -455,15 +453,13 @@ def gr4_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_groups,
         expand_collapsed_labels,
         jaccard_pairs,
-        shingle_table,
+        rep_capped_shingles,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    sh_full = pin(shingle_table(spark, sf_dir))
+    # r14 weighted-df rep quotient (see dedup.rep_capped_shingles)
     fp, grp = exact_groups(d)
-    rep_sh = pin(sh_full.join(
-        grp.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
-    ))
+    rep_sh = pin(rep_capped_shingles(d, grp))
     pairs = jaccard_pairs(rep_sh, tau=JACCARD_TAU)
     labels = star_components(pairs).select(
         F.col("doc_id").alias("rep_id"), F.col("cluster_id").alias("comp")

@@ -70,6 +70,37 @@ def test_jaccard_pairs_collapsed_matches_direct(spark):
     spark.catalog.clearCache()
 
 
+def test_rep_capped_shingles_matches_full_restrict(spark):
+    """r14: the weighted-df rep quotient must reproduce the full-pass
+    capped index restricted to representatives EXACTLY — including the
+    >DF_CAP duplicate group, whose shingles reach the cap only through
+    multiplicity weighting (each appears in just one distinct
+    content)."""
+    from reduction_dask_spark.caching import release_pinned
+    from reduction_dask_spark.operators.dedup import (
+        exact_groups,
+        rep_capped_shingles,
+        shingle_table_of,
+    )
+
+    d = _corpus(spark)
+    _, grp = exact_groups(d)
+    reps = grp.select(F.col("rep_id").alias("doc_id"))
+    want = sorted(
+        map(tuple, shingle_table_of(d).join(reps, "doc_id", "left_semi").collect())
+    )
+    got = sorted(map(tuple, rep_capped_shingles(d, grp).collect()))
+    assert want  # non-degenerate
+    assert got == want
+    # the hot group's shingles must be capped away in BOTH plans
+    hot_rep = (
+        grp.orderBy(F.desc("m")).limit(1).collect()[0]["rep_id"]
+    )
+    assert all(r[0] != hot_rep for r in got)
+    release_pinned()
+    spark.catalog.clearCache()
+
+
 def test_triangle_quotient_matches_direct(spark):
     from reduction_dask_spark.caching import release_pinned
     from reduction_dask_spark.operators.graph import triangle_counts_of

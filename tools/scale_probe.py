@@ -13,7 +13,7 @@ replica, so dedup operators see true 10-way duplicate groups (a
 realistic crawl property; candidate generation must stay bucketed for
 this to stay cheap).
 
-Usage: python tools/scale_probe.py [R] [query ...] [--nodup]
+Usage: python tools/scale_probe.py [R] [query ...] [--nodup] [--reps N]
        (default R=10, full list)
 Writes the replicated tables once (cached across runs) and appends a
 "scale probe" section to SCALING.md.
@@ -135,6 +135,15 @@ def main() -> None:
     nodup = "--nodup" in argv
     if nodup:
         argv.remove("--nodup")
+    # --reps N (r14): take the MIN of N runs per (query, side) — the
+    # bench.py protocol. Single readings on this host carry up to ~4×
+    # first-position cold-start/noise swings; min-of-reps makes the
+    # ratio column reflect the plan, not the warm-up order.
+    reps = 1
+    if "--reps" in argv:
+        i = argv.index("--reps")
+        reps = max(1, int(argv[i + 1]))
+        del argv[i:i + 2]
     r = int(argv[0]) if argv else 10
     probe = argv[1:] or PROBE_QUERIES
     dest = f"/tmp/rds_scale_x{r}" + ("_nodup" if nodup else "")
@@ -181,13 +190,16 @@ def main() -> None:
     for name in probe:
         ts = []
         for sf_dir in (SRC, dest):
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            ts.append(time.perf_counter() - t0)
-            from reduction_dask_spark.caching import release_pinned
-            release_pinned()  # drop operator-pinned persists with the SQL caches
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+                from reduction_dask_spark.caching import release_pinned
+                release_pinned()  # drop operator-pinned persists with the SQL caches
 
-            spark.catalog.clearCache()
+                spark.catalog.clearCache()
+            ts.append(best)
         lines.append(f"| {name} | {ts[0]:.2f} | {ts[1]:.2f} | {ts[1]/ts[0]:.2f}× |")
         print(lines[-1], flush=True)
 
