@@ -104,6 +104,16 @@ def test_exclude_counts_toward_family_safety():
     assert outs == ["w_alpha2"]
 
 
+def test_exclude_rejects_names_outside_window():
+    """A typo'd --exclude must fail loudly, not silently un-pin."""
+    reg = make_registry()
+    window = ["w_alpha1", "w_alpha2", "w_beta", "w_gamma"]
+    attested = {n: 9 for n in window}
+    with pytest.raises(SystemExit):
+        propose(window, reg, attested, ["new_alpha"], 1, 2,
+                exclude=("w_alpha1_typo",))
+
+
 def test_hash_match_true_required_for_attestation(tmp_path, monkeypatch):
     """r13 ADVICE: a driver row with a null/missing hash_match no
     longer counts as attestation — only hash_match=true rows do."""

@@ -10,9 +10,16 @@ each query runs in BOTH modes in separate subprocesses (barrier mode
 is read per session), same box back-to-back, and the table goes to
 SCALING.md so the 100 TB fault-tolerance cost is a number, not a mode.
 
-Usage: python tools/barrier_ab.py [sf_dir] [query ...]
+Usage: python tools/barrier_ab.py [sf_dir] [query ...] [--reps N]
        (default /tmp/rds_scale_x10 and the funnel family + the
         heaviest barrier users)
+
+Publish rows taken with --reps >= 2: each (query, mode) pair is a
+fresh subprocess, and this host swings single readings up to ~4× —
+with one rep per side, an overhead column can be pure noise (the r14
+t3 first-pair reading of 1.65× was external load; its idle pair read
+0.64×). --reps N reports the MIN of N subprocess runs per side, the
+bench.py protocol.
 """
 
 from __future__ import annotations
@@ -76,14 +83,22 @@ def run_one(name: str, sf_dir: str, mode: str) -> float:
 
 
 def main() -> None:
-    argv = sys.argv[1:]
+    argv = list(sys.argv[1:])
+    reps = 1
+    if "--reps" in argv:
+        i = argv.index("--reps")
+        try:
+            reps = max(1, int(argv[i + 1]))
+        except (IndexError, ValueError):
+            raise SystemExit("usage: --reps N  (N = positive integer)")
+        del argv[i:i + 2]
     sf_dir = argv[0] if argv else "/tmp/rds_scale_x10"
     queries = argv[1:] or DEFAULT_QUERIES
 
     rows = []
     for name in queries:
-        t_def = run_one(name, sf_dir, "local")
-        t_rel = run_one(name, sf_dir, "reliable")
+        t_def = min(run_one(name, sf_dir, "local") for _ in range(reps))
+        t_rel = min(run_one(name, sf_dir, "reliable") for _ in range(reps))
         rows.append((name, t_def, t_rel))
         print(f"{name:32s} default {t_def:7.2f}s  reliable {t_rel:7.2f}s "
               f"({t_rel / t_def:.2f}x)", flush=True)

@@ -61,11 +61,15 @@ def main() -> None:
     t("OLD rep restrict", old_rep_sh)
     release_pinned()
     spark.catalog.clearCache()
-    # r14 path: weighted-df rep quotient (what deval1 now runs)
+    # r14 path: weighted-df rep quotient (what deval1 now runs).
+    # Timer and `reps` restart here so the sum-of-parts row measures
+    # ONLY the new path (the old-path rows above are for attribution).
     from reduction_dask_spark.operators.dedup import rep_capped_shingles
 
+    total0 = time.perf_counter()
     _, grp = exact_groups(d)
     grp = pin(grp)
+    reps = grp.select(F.col("rep_id").alias("doc_id"))
     rep_sh = pin(rep_capped_shingles(d, grp))
     t("NEW rep_capped_shingles", rep_sh)
     rep_d = d.join(reps, "doc_id", "left_semi")

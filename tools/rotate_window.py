@@ -81,6 +81,11 @@ def family_tags(registry, names):
 
 
 def propose(window, registry, attested, include, n_rotate, min_green, exclude=()):
+    # a typo'd --exclude would otherwise silently UN-pin the flagship
+    # it was meant to protect (contrast --include, which validates)
+    bad_excl = [n for n in exclude if n not in window]
+    if bad_excl:
+        raise SystemExit(f"--exclude names not in the current window: {bad_excl}")
     oracle_names = [n for n, s in registry.items() if s.oracle is not None]
     never = [n for n in oracle_names if n not in attested and n not in window]
 

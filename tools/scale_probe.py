@@ -142,7 +142,10 @@ def main() -> None:
     reps = 1
     if "--reps" in argv:
         i = argv.index("--reps")
-        reps = max(1, int(argv[i + 1]))
+        try:
+            reps = max(1, int(argv[i + 1]))
+        except (IndexError, ValueError):
+            raise SystemExit("usage: --reps N  (N = positive integer)")
         del argv[i:i + 2]
     r = int(argv[0]) if argv else 10
     probe = argv[1:] or PROBE_QUERIES
