@@ -209,16 +209,21 @@ def jaccard_sql_from(src: str) -> str:
 _JACCARD_SQL = jaccard_sql_from("sh")
 
 
-def _exact_dup_parts(d: DataFrame, tau: float):
+def _exact_dup_parts(d: DataFrame, tau: float, pair_fn=None):
     """Shared machinery of the exact-duplicate quotient (r12): returns
     ``(m, gn, rp, alive)`` where ``m`` = (doc_id, rid) member→rep map
     over byte-identical texts, ``gn`` = (rid, gn) group sizes, ``rp``
-    = REPRESENTATIVE-level Jaccard pairs ≥ tau over the rep shingle
-    index — capped with the FULL-corpus df (each shingle's true df is
-    Σ group-size over the rep index, so exactly the shingles the
-    uncollapsed plan drops are dropped) — and ``alive`` = (rid) reps
-    with ≥ 1 surviving post-cap shingle (the membership rule for
-    intra-group jaccard-1 edges)."""
+    = REPRESENTATIVE-level pairs ≥ tau over the rep shingle index —
+    by default exact Jaccard (:func:`jaccard_pairs`); r14 generalizes
+    with ``pair_fn(sh_capped, tau)`` so candidate-generation variants
+    whose keys are CONTENT functions (dd3's minhash band buckets)
+    quotient through the same machinery — capped with the FULL-corpus
+    df (each shingle's true df is Σ group-size over the rep index, so
+    exactly the shingles the uncollapsed plan drops are dropped) —
+    and ``alive`` = (rid) reps with ≥ 1 surviving post-cap shingle
+    (the membership rule for intra-group jaccard-1 edges; identical
+    for the minhash path, where a doc has a signature iff its capped
+    shingle set is non-empty)."""
     m = pin(
         d.select("doc_id", F.md5(F.col("text")).alias("gk"))
         .withColumn("rid", F.min("doc_id").over(Window.partitionBy("gk")))
@@ -249,12 +254,12 @@ def _exact_dup_parts(d: DataFrame, tau: float):
         .select("shingle")
     )
     sh_capped = pin(sh_r.join(F.broadcast(hot), "shingle", "left_anti"))
-    rp = jaccard_pairs(sh_capped, tau)
+    rp = (pair_fn or jaccard_pairs)(sh_capped, tau)
     alive = sh_capped.select(F.col("doc_id").alias("rid")).distinct()
     return m, gn, rp, alive
 
 
-def jaccard_pairs_collapsed(d: DataFrame, tau: float) -> DataFrame:
+def jaccard_pairs_collapsed(d: DataFrame, tau: float, pair_fn=None) -> DataFrame:
     """Full-contract Jaccard pairs — output identical to
     ``jaccard_pairs(shingle_table_of(d), tau)`` — computed through the
     exact-duplicate quotient (r12; dd5's collapse applied to the
@@ -275,8 +280,12 @@ def jaccard_pairs_collapsed(d: DataFrame, tau: float) -> DataFrame:
     tokens and ≥ 1 surviving (post-cap) shingle, the same membership
     rule the direct plan applies. Under a k-way duplicated corpus the
     join/compute mass drops ~k² while only the unavoidable
-    output-sized expansion remains."""
-    m, _, rp, alive = _exact_dup_parts(d, tau)
+    output-sized expansion remains.
+
+    ``pair_fn`` (r14): swap the representative-level pair kernel —
+    dd3 passes the minhash-LSH candidate+verify pipeline; band keys
+    are content functions, so the expansion argument is unchanged."""
+    m, _, rp, alive = _exact_dup_parts(d, tau, pair_fn=pair_fn)
     pa = m.select(F.col("rid").alias("doc_a"), F.col("doc_id").alias("ma"))
     pb = m.select(F.col("rid").alias("doc_b"), F.col("doc_id").alias("mb"))
     cross = (
@@ -462,11 +471,26 @@ def minhash_bands(doc_sets: DataFrame) -> DataFrame:
         "(universal hashing over one md5 per shingle — one expensive "
         "hash, 32 cheap ones) → 8×4 banded bucket join → candidate "
         "pairs → exact-Jaccard verify ≥ 0.7. The 100 TB fuzzy-dedup "
-        "workhorse: cost is O(corpus) + O(candidates), never O(n²).",
+        "workhorse: cost is O(corpus) + O(candidates), never O(n²). "
+        "r14: rides the exact-duplicate quotient "
+        "(jaccard_pairs_collapsed with the minhash pipeline as the "
+        "rep-level pair kernel) — signatures and band keys are "
+        "content functions, so signature build + band join + verify "
+        "run once per DISTINCT text and qualifying rep pairs expand "
+        "to member pairs (intra-group pairs carry jaccard 1.0, "
+        "membership = non-empty capped shingle set = has a "
+        "signature, identical to the uncollapsed plan). Under a "
+        "k-way duplicate crawl the bucket-join mass drops ~k²; "
+        "value-identical output pinned by "
+        "test_minhash_collapsed_matches_direct + the DuckDB oracle "
+        "(which still computes the full uncollapsed pipeline).",
     tags=("dedup", "bench"),
 )
 def dd3_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs_of(shingle_table(spark, sf_dir))
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs_collapsed(
+        d, JACCARD_TAU, pair_fn=lambda sh, tau: minhash_lsh_pairs_of(sh)
+    )
 
 
 def minhash_lsh_pairs_of(sh: DataFrame) -> DataFrame:
@@ -640,11 +664,52 @@ _SIMHASH_SQL = simhash_sql_from("documents")
         "fingerprint; 4×15-bit banded join (pigeonhole: hamming ≤ 3 ⇒ "
         "some band equal, so banding loses nothing) then exact hamming "
         "filter. Fingerprinting is one groupBy; candidate join is "
-        "equi-join on band value — no all-pairs scan.",
+        "equi-join on band value — no all-pairs scan. r14: rides the "
+        "exact-duplicate quotient — the fingerprint is a pure content "
+        "function (token hashes + counts, no corpus statistics), so "
+        "fingerprint build + band join run once per DISTINCT text; "
+        "cross-group rep pairs expand to member pairs with the rep "
+        "hamming, and every m≥2 group self-pairs at hamming 0 "
+        "(identical text ⇒ identical fingerprint ⇒ every band equal — "
+        "the uncollapsed plan emits exactly those rows; EVERY doc "
+        "gets a fingerprint, split() yields ≥1 token, so membership "
+        "is unconditional, unlike the shingle family's alive rule). "
+        "Value-identical pinned by test_simhash_collapsed_matches_"
+        "direct + the DuckDB oracle (full uncollapsed pipeline).",
     tags=("dedup",),
 )
 def dd4_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_pairs_of(load_table(spark, sf_dir, "documents"))
+    d = load_table(spark, sf_dir, "documents")
+    m = pin(
+        d.select("doc_id", F.md5(F.col("text")).alias("gk"))
+        .withColumn("rid", F.min("doc_id").over(Window.partitionBy("gk")))
+        .select("doc_id", "rid")
+    )
+    rep_d = d.join(
+        m.filter(F.col("doc_id") == F.col("rid")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    rp = simhash_pairs_of(rep_d)
+    pa = m.select(F.col("rid").alias("doc_a"), F.col("doc_id").alias("ma"))
+    pb = m.select(F.col("rid").alias("doc_b"), F.col("doc_id").alias("mb"))
+    cross = (
+        rp.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            "hamming",
+        )
+    )
+    ia = m.select("rid", F.col("doc_id").alias("doc_a"))
+    ib = m.select("rid", F.col("doc_id").alias("doc_b"))
+    intra = (
+        ia.join(ib, "rid")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(0).cast("int").alias("hamming"))
+    )
+    return cross.unionByName(intra)
 
 
 def simhash_pairs_of(d: DataFrame) -> DataFrame:

@@ -101,6 +101,61 @@ def test_rep_capped_shingles_matches_full_restrict(spark):
     spark.catalog.clearCache()
 
 
+def test_minhash_collapsed_matches_direct(spark):
+    """r14: dd3's minhash-LSH pipeline through the exact-dup quotient
+    (jaccard_pairs_collapsed with pair_fn=minhash pipeline) must equal
+    the uncollapsed run over the full corpus — same candidate buckets
+    (band keys are content functions), same verified pairs, same
+    jaccard values, intra-dup pairs at 1.0 with the has-a-signature
+    membership rule (the >DF_CAP group must self-pair in NEITHER)."""
+    from reduction_dask_spark.caching import release_pinned
+    from reduction_dask_spark.operators.dedup import (
+        JACCARD_TAU,
+        jaccard_pairs_collapsed,
+        minhash_lsh_pairs_of,
+        shingle_table_of,
+    )
+
+    d = _corpus(spark)
+    want = sorted(
+        map(tuple, minhash_lsh_pairs_of(shingle_table_of(d)).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            jaccard_pairs_collapsed(
+                d, JACCARD_TAU, pair_fn=lambda sh, tau: minhash_lsh_pairs_of(sh)
+            ).collect(),
+        )
+    )
+    assert len(want) >= 10  # dup groups expanded through the LSH path
+    assert got == want
+    release_pinned()
+    spark.catalog.clearCache()
+
+
+def test_simhash_collapsed_matches_direct(spark, tmp_path):
+    """r14: dd4 (now quotient-executed) must equal the uncollapsed
+    simhash run over the full corpus — fingerprints are content
+    functions, every doc gets one (membership unconditional), intra
+    pairs at hamming 0. Drives the REGISTERED operator against a temp
+    parquet dir so the test covers dd4's actual body."""
+    from reduction_dask_spark.caching import release_pinned
+    from reduction_dask_spark.operators.dedup import (
+        dd4_simhash_dedup,
+        simhash_pairs_of,
+    )
+
+    d = _corpus(spark)
+    want = sorted(map(tuple, simhash_pairs_of(d).collect()))
+    d.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = sorted(map(tuple, dd4_simhash_dedup(spark, str(tmp_path)).collect()))
+    assert len(want) >= 10
+    assert got == want
+    release_pinned()
+    spark.catalog.clearCache()
+
+
 def test_triangle_quotient_matches_direct(spark):
     from reduction_dask_spark.caching import release_pinned
     from reduction_dask_spark.operators.graph import triangle_counts_of
