@@ -17,11 +17,21 @@ load are recorded in the output JSON so every committed reading is
 self-describing (r7 verdict item 4).
 
 r14 (r13 verdict item 2): per-QUERY bands too — `query_bands` maps
-each name to {min, median, max} over its reps, because this host has
-shown 4× single-query swings on identical code (pipe5 7.7→30.9 s);
-a total-level band cannot bound noise per row, so each row now
-carries its own. `queries` stays the min (the headline value) for
-artifact continuity.
+each name to its rep spread, because this host has shown 4×
+single-query swings on identical code (pipe5 7.7→30.9 s); a
+total-level band cannot bound noise per row, so each row now carries
+its own. `queries` stays the min (the headline value) for artifact
+continuity.
+
+r15 (r14 verdict item 3): the emitted line is COMPACTED so it fits
+the driver's 2000-char tail-capture window (BENCH_r14.json came back
+front-truncated with "parsed": null): `queries` values round to 2
+decimals, per-query bands become the parallel arrays `qmed`/`qmax`
+aligned with the key order of `queries` (min is the `queries` value —
+no duplication), `band` becomes [min, median, max]. The full verbose
+reading (3-decimal, name-keyed raw rep samples) is written to
+BENCH_LOCAL.json next to this script as a committed belt-and-braces
+twin.
 """
 
 from __future__ import annotations
@@ -161,38 +171,40 @@ def main() -> None:
     # three-run numbers. min-of-reps stays the headline value.
     import statistics
 
-    band = {
-        "min": total,
-        "median": round(sum(statistics.median(s) for s in rep_samples.values()), 3),
-        "max": round(sum(s[-1] for s in rep_samples.values()), 3),
-    }
+    band = [
+        total,
+        round(sum(statistics.median(s) for s in rep_samples.values()), 2),
+        round(sum(s[-1] for s in rep_samples.values()), 2),
+    ]
     # per-query bands (r13 verdict item 2): every row self-describes
     # its rep spread so per-query artifact deltas are interpretable
-    # under this host's multi-x single-query noise.
-    query_bands = {
-        n: {
-            "min": round(s[0], 3),
-            "median": round(statistics.median(s), 3),
-            "max": round(s[-1], 3),
-        }
-        for n, s in rep_samples.items()
+    # under this host's multi-x single-query noise. Compact form
+    # (r14 verdict item 3): qmed/qmax are parallel arrays in the key
+    # order of `queries` — min is the `queries` value itself.
+    ordered = list(timings)
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: round(timings[n], 2) for n in ordered},
+        "band": band,
+        "qmed": [round(statistics.median(rep_samples[n]), 2) for n in ordered],
+        "qmax": [round(rep_samples[n][-1], 2) for n in ordered],
+        "sf": sf,
+        "reps": reps,
+        "load_1min_at_start": round(load_at_start, 2),
+        "loaded_run": load_at_start > LOAD_CEILING,
     }
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "band": band,
-                "query_bands": query_bands,
-                "sf": sf,
-                "reps": reps,
-                "load_1min_at_start": round(load_at_start, 2),
-                "loaded_run": load_at_start > LOAD_CEILING,
-            }
-        )
+    # verbose local twin: full precision + raw sorted rep samples, so
+    # the committed repo carries the self-contained reading even if a
+    # future driver capture truncates again.
+    verbose = dict(payload)
+    verbose["queries"] = timings
+    verbose["rep_samples"] = {n: [round(x, 3) for x in s] for n, s in rep_samples.items()}
+    (Path(__file__).resolve().parent / "BENCH_LOCAL.json").write_text(
+        json.dumps(verbose, indent=1) + "\n"
     )
+    print(json.dumps(payload, separators=(",", ":")))
     spark.stop()
 
 

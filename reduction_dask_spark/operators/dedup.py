@@ -286,6 +286,27 @@ def jaccard_pairs_collapsed(d: DataFrame, tau: float, pair_fn=None) -> DataFrame
     dd3 passes the minhash-LSH candidate+verify pipeline; band keys
     are content functions, so the expansion argument is unchanged."""
     m, _, rp, alive = _exact_dup_parts(d, tau, pair_fn=pair_fn)
+    return expand_rep_pairs(m, rp, "jaccard", F.lit(1.0), alive=alive)
+
+
+def expand_rep_pairs(
+    m: DataFrame,
+    rp: DataFrame,
+    score_col: str,
+    intra_score,
+    alive: DataFrame | None = None,
+) -> DataFrame:
+    """Shared member-pair expansion of the exact-duplicate quotient
+    (r15, factored from jaccard_pairs_collapsed + dd4's inline copy so
+    quotient fixes apply to every kernel): ``m`` = (doc_id, rid)
+    member→rep map, ``rp`` = rep-level pairs carrying ``score_col``.
+    Cross-group rep pairs expand to member pairs with the rep score;
+    every m≥2 group additionally self-pairs at ``intra_score`` (the
+    identical-text score: jaccard 1.0, hamming 0). ``alive`` restricts
+    intra membership to reps the kernel would emit at all (the shingle
+    family's non-empty-capped-set rule); pass None when every doc
+    fingerprints (dd4). Only output-sized joins — the quotient's whole
+    point is that the expensive kernel already ran on reps only."""
     pa = m.select(F.col("rid").alias("doc_a"), F.col("doc_id").alias("ma"))
     pb = m.select(F.col("rid").alias("doc_b"), F.col("doc_id").alias("mb"))
     cross = (
@@ -294,16 +315,16 @@ def jaccard_pairs_collapsed(d: DataFrame, tau: float, pair_fn=None) -> DataFrame
         .select(
             F.least("ma", "mb").alias("doc_a"),
             F.greatest("ma", "mb").alias("doc_b"),
-            "jaccard",
+            score_col,
         )
     )
-    members_alive = m.join(alive, "rid")
-    ia = members_alive.select("rid", F.col("doc_id").alias("doc_a"))
-    ib = members_alive.select("rid", F.col("doc_id").alias("doc_b"))
+    members = m.join(alive, "rid") if alive is not None else m
+    ia = members.select("rid", F.col("doc_id").alias("doc_a"))
+    ib = members.select("rid", F.col("doc_id").alias("doc_b"))
     intra = (
         ia.join(ib, "rid")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
+        .select("doc_a", "doc_b", intra_score.alias(score_col))
     )
     return cross.unionByName(intra)
 
@@ -488,17 +509,19 @@ def minhash_bands(doc_sets: DataFrame) -> DataFrame:
 )
 def dd3_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs_collapsed(
-        d, JACCARD_TAU, pair_fn=lambda sh, tau: minhash_lsh_pairs_of(sh)
-    )
+    return jaccard_pairs_collapsed(d, JACCARD_TAU, pair_fn=minhash_lsh_pairs_of)
 
 
-def minhash_lsh_pairs_of(sh: DataFrame) -> DataFrame:
+def minhash_lsh_pairs_of(sh: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
     """dd3's full signature → band-bucket → exact-verify pipeline over
     an arbitrary (doc_id, shingle) relation — deval1 points it at the
     exact-dup-representative slice of the full-corpus-capped index
     (band keys are content functions, so the rep run is an exact
-    quotient of the full run)."""
+    quotient of the full run). ``tau`` is the verify threshold (r15,
+    r14 ADVICE: previously hard-coded, so a pair_fn caller passing a
+    different tau silently got 0.7; now threaded — dd3 passes the
+    function itself as the kernel and tau flows through
+    jaccard_pairs_collapsed)."""
     # ONE collect of the inverted index into per-doc shingle arrays
     # feeds the signature build AND the verify stage — the persisted
     # relation is |docs| rows of arrays, and the band build + verify
@@ -537,7 +560,7 @@ def minhash_lsh_pairs_of(sh: DataFrame) -> DataFrame:
         ninter.cast("double") / (F.size("sa") + F.size("sb") - ninter), 6
     )
     return verified.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= JACCARD_TAU
+        F.col("jaccard") >= tau
     )
 
 
@@ -671,15 +694,22 @@ _SIMHASH_SQL = simhash_sql_from("documents")
         "cross-group rep pairs expand to member pairs with the rep "
         "hamming, and every m≥2 group self-pairs at hamming 0 "
         "(identical text ⇒ identical fingerprint ⇒ every band equal — "
-        "the uncollapsed plan emits exactly those rows; EVERY doc "
-        "gets a fingerprint, split() yields ≥1 token, so membership "
-        "is unconditional, unlike the shingle family's alive rule). "
+        "the uncollapsed plan emits exactly those rows; every "
+        "NON-NULL doc gets a fingerprint, split() yields ≥1 token, so "
+        "membership is unconditional after the explicit NULL-text "
+        "filter — r15 — unlike the shingle family's alive rule). "
         "Value-identical pinned by test_simhash_collapsed_matches_"
         "direct + the DuckDB oracle (full uncollapsed pipeline).",
     tags=("dedup",),
 )
 def dd4_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # NULL-text guard (r15, r14 ADVICE): the uncollapsed plan drops
+    # NULL-text docs (split(NULL) explodes to nothing → no fingerprint),
+    # and md5(NULL) would otherwise glue ALL null-text docs into one
+    # phantom exact group self-pairing at hamming 0 — so the member map
+    # only admits non-null texts. (The shingle family doesn't need this:
+    # its `alive` rule already excludes shingle-less reps from intra.)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     m = pin(
         d.select("doc_id", F.md5(F.col("text")).alias("gk"))
         .withColumn("rid", F.min("doc_id").over(Window.partitionBy("gk")))
@@ -691,25 +721,9 @@ def dd4_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     rp = simhash_pairs_of(rep_d)
-    pa = m.select(F.col("rid").alias("doc_a"), F.col("doc_id").alias("ma"))
-    pb = m.select(F.col("rid").alias("doc_b"), F.col("doc_id").alias("mb"))
-    cross = (
-        rp.join(pa, "doc_a")
-        .join(pb, "doc_b")
-        .select(
-            F.least("ma", "mb").alias("doc_a"),
-            F.greatest("ma", "mb").alias("doc_b"),
-            "hamming",
-        )
-    )
-    ia = m.select("rid", F.col("doc_id").alias("doc_a"))
-    ib = m.select("rid", F.col("doc_id").alias("doc_b"))
-    intra = (
-        ia.join(ib, "rid")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.lit(0).cast("int").alias("hamming"))
-    )
-    return cross.unionByName(intra)
+    # every non-null doc fingerprints (split() yields >= 1 token), so
+    # intra membership is unconditional — alive=None
+    return expand_rep_pairs(m, rp, "hamming", F.lit(0).cast("int"), alive=None)
 
 
 def simhash_pairs_of(d: DataFrame) -> DataFrame:

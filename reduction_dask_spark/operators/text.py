@@ -19,7 +19,7 @@ from pyspark.sql.window import Window
 from ..functions import md5i, md5i_sql, phash_sql
 from ..caching import barrier, pin
 from ..registry import query
-from ..sources import load_table
+from ..sources import load_table, parquet_row_count
 
 STOPWORDS = ("a", "the")
 _STOP_SQL = "('a', 'the')"
@@ -2169,16 +2169,18 @@ def dsir1_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # STORAGE, not shuffle; ×100 probe rows in SCALING.md. r13
     # ADVICE: the per-occurrence pin grows with TOKEN count, so past
     # a corpus-size threshold it would evict other caches / spill —
-    # above DSIR_PIN_MAX_DOCS docs (env SPARK_GRAFT_DSIR_PIN_MAX_DOCS;
-    # one cheap parquet-count to decide) the pin downgrades to
-    # recompute: both consumers re-run the scan-bound explode+hash
-    # pass instead, trading one extra corpus scan for zero cache
-    # pressure — the right trade exactly when the corpus is huge.
+    # above DSIR_PIN_MAX_DOCS docs (env SPARK_GRAFT_DSIR_PIN_MAX_DOCS)
+    # the pin downgrades to recompute: both consumers re-run the
+    # scan-bound explode+hash pass instead, trading one extra corpus
+    # scan for zero cache pressure — the right trade exactly when the
+    # corpus is huge. r15 (r14 verdict item 6): the decision reads the
+    # parquet FOOTER row count (cached per sf_dir) instead of running
+    # an eager d.count() job inside the timed region every invocation.
     feats = (
         d.select("doc_id", "lang", F.explode(F.concat(w, bigrams)).alias("f"))
         .select("doc_id", "lang", (md5i(F.col("f")) % DSIR_BUCKETS).alias("bucket"))
     )
-    if d.count() <= DSIR_PIN_MAX_DOCS:
+    if parquet_row_count(sf_dir, "documents") <= DSIR_PIN_MAX_DOCS:
         feats = pin(feats)
     bs = feats.groupBy("bucket").agg(
         F.count("*").alias("rc"),

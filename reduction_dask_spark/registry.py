@@ -81,8 +81,16 @@ def query(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, 
 # j7/st2/dd13/dc3/dd11b/pipe2/pipe5/f17/ts4) — pipe3/pipe4, the two
 # heaviest funnel compositions, are PINNED via the tool's new
 # --exclude (the r13 judge asked the funnel family to stay in-window
-# beyond the min-green guard; pipe1 remains too).  Registration order
-# is an import-order artifact, so we
+# beyond the min-green guard; pipe1 remains too).  r15: executed the
+# SCHEDULE's TPC-H first half WIDENED to 13 per the r14 verdict item 5
+# (more long-green veterans exist than the 12/round cadence assumes):
+# q2/q3/q4/q5/q7/q8/q10/q12/q13/q14 + bf1_bloom_prune_join +
+# j11_null_safe_join + q11_important_stock pulled forward from the r16
+# batch (13/13 compare PASS at sf0.01, ROTATION_r15.log — which now
+# carries EVERY per-name PASS line, r14 verdict item 4); OUT thirteen
+# 3-4-round-green veterans (scd2/mw4/q9/q21/gr4/sem1/an2/pit1/ndcg1/
+# kll1/lsplit1/dsir1/auc1); pipe1/pipe3/pipe4 stay PINNED via
+# --exclude.  Registration order is an import-order artifact, so we
 # pin an explicit priority window: every SURVEY.md §2-mandated oracle query
 # (projection/feature/join/agg/window/order/set/cv/metric families, the
 # distance kernels, the dedup/similarity/text flagships, the curation
@@ -95,26 +103,13 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "pipe3_span_excision",
     "pipe4_gated_funnel",
     "f2_onehot_pivot",
-    "q9_product_type_profit",
-    "q21_suppliers_kept_waiting",
-    "gr4_star_components",
-    "sem1_semantic_dedup",
-    "an2_funnel_conversion",
     "o2_topk_per_group",
     "c1_kfold_era_assignment",
-    "pit1_point_in_time_join",
     "m1_spearman_by_era",
-    "ndcg1_ann_quality",
-    "kll1_quantile_sketch_rollup",
     "d2_pairwise_spearman",
-    "lsplit1_leakage_safe_split",
-    "dsir1_importance_resample",
-    "auc1_roc_auc",
     "rec1_hierarchy_closure",
     "pipe1_corpus_curation",
     "sk2_salted_join",
-    "scd2_type2_history",
-    "mw4_doremi_mixture",
     "wsamp1_weighted_sample",
     "dd2_shingle_jaccard",
     "dd7_domain_dedup_stats",
@@ -140,6 +135,19 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "unpivot1_melt_measures",
     "f15_grouped_quantiles",
     "j9_interval_overlap_join",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q12_ship_delay_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "bf1_bloom_prune_join",
+    "j11_null_safe_join",
+    "q11_important_stock",
 )
 
 

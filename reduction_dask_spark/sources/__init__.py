@@ -13,6 +13,8 @@ whose filters/projections Catalyst pushes into the parquet footers.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..session import ensure_engine_confs
@@ -72,6 +74,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+@functools.lru_cache(maxsize=256)
+def parquet_row_count(sf_dir: str, name: str) -> int:
+    """Table row count from parquet FOOTER metadata — zero Spark jobs
+    (r15, r14 verdict item 6: dsir1's pin-vs-recompute gate used to run
+    an eager ``d.count()`` inside the timed region on every
+    invocation). Footers carry exact row counts, so this is the same
+    number a count() job would return for an unfiltered scan; cached
+    per (sf_dir, table) because the testdata is immutable within a
+    session. Handles both single-file and directory-of-parts layouts."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    path = Path(sf_dir) / f"{name}.parquet"
+    if path.is_dir():
+        return sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in sorted(path.rglob("*.parquet"))
+        )
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

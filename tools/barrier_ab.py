@@ -27,7 +27,6 @@ from __future__ import annotations
 import os
 import subprocess
 import sys
-import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
@@ -47,18 +46,21 @@ DEFAULT_QUERIES = [
     "dsir1_importance_resample",
 ]
 
+# parameters arrive via argv (r14 ADVICE: the old str.format template
+# would break the day someone adds a literal brace to the child code)
 CHILD = r"""
 import sys, time
-sys.path.insert(0, {repo!r})
+repo, sf_dir, name = sys.argv[1:4]
+sys.path.insert(0, repo)
 import __spark_entry__ as e
 from reduction_dask_spark.session import get_spark
 from reduction_dask_spark.caching import release_pinned
 
 spark = get_spark("barrier_ab")
 qs = e.queries()
-qs["m1_spearman_by_era"](spark, {sf_dir!r}).collect()  # warm-up
+qs["m1_spearman_by_era"](spark, sf_dir).collect()  # warm-up
 t0 = time.perf_counter()
-qs[{name!r}](spark, {sf_dir!r}).write.mode("overwrite").format("noop").save()
+qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
 print("ELAPSED", time.perf_counter() - t0, flush=True)
 release_pinned()
 spark.stop()
@@ -70,7 +72,7 @@ def run_one(name: str, sf_dir: str, mode: str) -> float:
     env["SPARK_GRAFT_BARRIER"] = mode
     env["PYTHONPATH"] = str(REPO)
     r = subprocess.run(
-        [sys.executable, "-c", CHILD.format(repo=str(REPO), sf_dir=sf_dir, name=name)],
+        [sys.executable, "-c", CHILD, str(REPO), sf_dir, name],
         capture_output=True,
         text=True,
         env=env,

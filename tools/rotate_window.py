@@ -147,8 +147,13 @@ def verify(ins) -> None:
         capture_output=True,
         text=True,
     )
-    tail = "\n".join(r.stdout.strip().splitlines()[-3:])
-    print(tail)
+    # log EVERY per-name verdict line plus the summary (r14 verdict
+    # item: ROTATION_r14.log carried only 1 of 12 PASS lines because
+    # this used to tail the last 3 lines of compare.py output)
+    lines = r.stdout.strip().splitlines()
+    for ln in lines:
+        if re.match(r"^(PASS|FAIL|SKIP|\d+ pass)", ln):
+            print(ln)
     # anchored match: '290 pass, 0 fail' must not satisfy '0 pass, 0 fail'
     ok = re.search(rf"^{len(ins)} pass, 0 fail", r.stdout, re.MULTILINE)
     if r.returncode != 0 or not ok:
