@@ -137,9 +137,14 @@ def test_minhash_collapsed_matches_direct(spark):
 def test_simhash_collapsed_matches_direct(spark, tmp_path):
     """r14: dd4 (now quotient-executed) must equal the uncollapsed
     simhash run over the full corpus — fingerprints are content
-    functions, every doc gets one (membership unconditional), intra
-    pairs at hamming 0. Drives the REGISTERED operator against a temp
-    parquet dir so the test covers dd4's actual body."""
+    functions, every non-null doc gets one (membership unconditional
+    after the NULL filter), intra pairs at hamming 0. Drives the
+    REGISTERED operator against a temp parquet dir so the test covers
+    dd4's actual body. r15 (r14 ADVICE): the corpus gains THREE
+    NULL-text docs — the uncollapsed plan drops them (split(NULL)
+    explodes to nothing, no fingerprint), while md5(NULL) would glue
+    them into one phantom exact group self-pairing at hamming 0 if
+    dd4 didn't filter them; this pins the fix."""
     from reduction_dask_spark.caching import release_pinned
     from reduction_dask_spark.operators.dedup import (
         dd4_simhash_dedup,
@@ -147,6 +152,11 @@ def test_simhash_collapsed_matches_direct(spark, tmp_path):
     )
 
     d = _corpus(spark)
+    top = d.agg(F.max("doc_id")).collect()[0][0]
+    nulls = spark.createDataFrame(
+        [(top + 1 + i, None) for i in range(3)], "doc_id long, text string"
+    )
+    d = d.unionByName(nulls)
     want = sorted(map(tuple, simhash_pairs_of(d).collect()))
     d.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     got = sorted(map(tuple, dd4_simhash_dedup(spark, str(tmp_path)).collect()))

@@ -492,3 +492,19 @@ def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
     orig_sum = ev.filter(F.col("day") == target).agg(F.sum("value")).first()[0]
     new_sum = after.filter(F.col("day") == target).agg(F.sum("value")).first()[0]
     assert abs(new_sum - 2 * orig_sum) < 1e-6
+
+
+def test_parquet_row_count_matches_spark(spark, tmp_path):
+    """r15 (r14 verdict item 6): the footer-metadata row count that
+    gates dsir1's pin downgrade must equal the count() a Spark job
+    returns — for the single-file testdata layout AND a
+    directory-of-parts layout written by Spark itself."""
+    from reduction_dask_spark.sources import parquet_row_count
+
+    want = load_table(spark, SF_SMALL, "documents").count()
+    assert parquet_row_count(SF_SMALL, "documents") == want
+
+    # directory-of-parts layout
+    out = str(tmp_path / "docs.parquet")
+    spark.range(0, 1000, numPartitions=7).toDF("doc_id").write.parquet(out)
+    assert parquet_row_count(str(tmp_path), "docs") == 1000
