@@ -26,12 +26,12 @@ continuity.
 r15 (r14 verdict item 3): the emitted line is COMPACTED so it fits
 the driver's 2000-char tail-capture window (BENCH_r14.json came back
 front-truncated with "parsed": null): `queries` values round to 2
-decimals, per-query bands become the parallel arrays `qmed`/`qmax`
-aligned with the key order of `queries` (min is the `queries` value —
-no duplication), `band` becomes [min, median, max]. The full verbose
-reading (3-decimal, name-keyed raw rep samples) is written to
-BENCH_LOCAL.json next to this script as a committed belt-and-braces
-twin.
+decimals, `band` becomes the total's [min, median, max] triple, and
+PER-QUERY bands move out of the line entirely — they live name-keyed
+at 3-decimal precision (plus the raw sorted rep samples) in
+BENCH_LOCAL.json next to this script, written AFTER the contract line
+prints so a twin-write failure can't lose the reading, and committed
+each round as the belt-and-braces artifact.
 """
 
 from __future__ import annotations
@@ -176,35 +176,50 @@ def main() -> None:
         round(sum(statistics.median(s) for s in rep_samples.values()), 2),
         round(sum(s[-1] for s in rep_samples.values()), 2),
     ]
-    # per-query bands (r13 verdict item 2): every row self-describes
-    # its rep spread so per-query artifact deltas are interpretable
-    # under this host's multi-x single-query noise. Compact form
-    # (r14 verdict item 3): qmed/qmax are parallel arrays in the key
-    # order of `queries` — min is the `queries` value itself.
-    ordered = list(timings)
+    # The compact line carries the contract fields + the TOTAL band
+    # only; per-query bands (r13 verdict item 2) live name-keyed at
+    # full precision in the committed BENCH_LOCAL.json twin — a
+    # name-keyed map of 30 bands would overflow the 2000-char tail
+    # window, and a parallel array would depend on JSON object order
+    # that normalizing consumers don't preserve.
     payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": {n: round(timings[n], 2) for n in ordered},
+        "queries": {n: round(v, 2) for n, v in timings.items()},
         "band": band,
-        "qmed": [round(statistics.median(rep_samples[n]), 2) for n in ordered],
-        "qmax": [round(rep_samples[n][-1], 2) for n in ordered],
         "sf": sf,
         "reps": reps,
         "load_1min_at_start": round(load_at_start, 2),
         "loaded_run": load_at_start > LOAD_CEILING,
     }
+    # the driver-contract line goes out FIRST — if the verbose-twin
+    # write below fails (permissions, disk full), the measured reading
+    # must already be on stdout, not lost with the process
+    print(json.dumps(payload, separators=(",", ":")), flush=True)
     # verbose local twin: full precision + raw sorted rep samples, so
     # the committed repo carries the self-contained reading even if a
-    # future driver capture truncates again.
-    verbose = dict(payload)
-    verbose["queries"] = timings
-    verbose["rep_samples"] = {n: [round(x, 3) for x in s] for n, s in rep_samples.items()}
-    (Path(__file__).resolve().parent / "BENCH_LOCAL.json").write_text(
-        json.dumps(verbose, indent=1) + "\n"
-    )
-    print(json.dumps(payload, separators=(",", ":")))
+    # future driver capture truncates again. Best-effort by design.
+    try:
+        verbose = dict(payload)
+        verbose["queries"] = timings
+        verbose["band"] = {
+            "min": total,
+            "median": round(sum(statistics.median(s) for s in rep_samples.values()), 3),
+            "max": round(sum(s[-1] for s in rep_samples.values()), 3),
+        }
+        verbose["qb"] = {
+            n: [round(statistics.median(s), 3), round(s[-1], 3)]
+            for n, s in rep_samples.items()
+        }
+        verbose["rep_samples"] = {
+            n: [round(x, 3) for x in s] for n, s in rep_samples.items()
+        }
+        (Path(__file__).resolve().parent / "BENCH_LOCAL.json").write_text(
+            json.dumps(verbose, indent=1) + "\n"
+        )
+    except OSError as exc:
+        print(f"bench: BENCH_LOCAL.json write failed: {exc!r}", file=sys.stderr)
     spark.stop()
 
 

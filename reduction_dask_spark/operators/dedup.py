@@ -224,11 +224,7 @@ def _exact_dup_parts(d: DataFrame, tau: float, pair_fn=None):
     (the membership rule for intra-group jaccard-1 edges; identical
     for the minhash path, where a doc has a signature iff its capped
     shingle set is non-empty)."""
-    m = pin(
-        d.select("doc_id", F.md5(F.col("text")).alias("gk"))
-        .withColumn("rid", F.min("doc_id").over(Window.partitionBy("gk")))
-        .select("doc_id", "rid")
-    )
+    m = exact_member_map(d)
     gn = m.groupBy("rid").agg(F.count("*").alias("gn"))
     rep_docs = d.join(
         m.filter(F.col("doc_id") == F.col("rid")).select("doc_id"),
@@ -287,6 +283,21 @@ def jaccard_pairs_collapsed(d: DataFrame, tau: float, pair_fn=None) -> DataFrame
     are content functions, so the expansion argument is unchanged."""
     m, _, rp, alive = _exact_dup_parts(d, tau, pair_fn=pair_fn)
     return expand_rep_pairs(m, rp, "jaccard", F.lit(1.0), alive=alive)
+
+
+def exact_member_map(d: DataFrame) -> DataFrame:
+    """(doc_id, rid) member→representative map over byte-identical
+    texts — rid = min doc_id of the md5(text) group. Factored (r15)
+    so the quotient kernels share ONE definition; pinned because both
+    the rep restriction and the expansion joins consume it. Callers
+    whose kernel emits docs unconditionally (dd4) must pre-filter NULL
+    texts: md5(NULL) is NULL and the window would glue every NULL-text
+    doc into one phantom group."""
+    return pin(
+        d.select("doc_id", F.md5(F.col("text")).alias("gk"))
+        .withColumn("rid", F.min("doc_id").over(Window.partitionBy("gk")))
+        .select("doc_id", "rid")
+    )
 
 
 def expand_rep_pairs(
@@ -710,11 +721,7 @@ def dd4_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only admits non-null texts. (The shingle family doesn't need this:
     # its `alive` rule already excludes shingle-less reps from intra.)
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    m = pin(
-        d.select("doc_id", F.md5(F.col("text")).alias("gk"))
-        .withColumn("rid", F.min("doc_id").over(Window.partitionBy("gk")))
-        .select("doc_id", "rid")
-    )
+    m = exact_member_map(d)
     rep_d = d.join(
         m.filter(F.col("doc_id") == F.col("rid")).select("doc_id"),
         "doc_id",

@@ -2175,12 +2175,18 @@ def dsir1_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan for zero cache pressure — the right trade exactly when the
     # corpus is huge. r15 (r14 verdict item 6): the decision reads the
     # parquet FOOTER row count (cached per sf_dir) instead of running
-    # an eager d.count() job inside the timed region every invocation.
+    # an eager d.count() job inside the timed region every invocation;
+    # non-local sf_dir URIs (hdfs://, s3a://) fall back to the count()
+    # job — correctness of the gate beats saving one job there.
     feats = (
         d.select("doc_id", "lang", F.explode(F.concat(w, bigrams)).alias("f"))
         .select("doc_id", "lang", (md5i(F.col("f")) % DSIR_BUCKETS).alias("bucket"))
     )
-    if parquet_row_count(sf_dir, "documents") <= DSIR_PIN_MAX_DOCS:
+    try:
+        n_docs = parquet_row_count(sf_dir, "documents")
+    except (OSError, ValueError):  # pyarrow raises ArrowInvalid (ValueError) on URIs
+        n_docs = d.count()
+    if n_docs <= DSIR_PIN_MAX_DOCS:
         feats = pin(feats)
     bs = feats.groupBy("bucket").agg(
         F.count("*").alias("rc"),

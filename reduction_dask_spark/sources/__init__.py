@@ -84,17 +84,29 @@ def parquet_row_count(sf_dir: str, name: str) -> int:
     invocation). Footers carry exact row counts, so this is the same
     number a count() job would return for an unfiltered scan; cached
     per (sf_dir, table) because the testdata is immutable within a
-    session. Handles both single-file and directory-of-parts layouts."""
+    session. Handles both single-file and directory-of-parts layouts,
+    skipping hidden/_temporary entries the way Spark's reader does
+    (a crashed write's _temporary parts must not inflate the count).
+    LOCAL paths only — raises for URIs Spark could read but pyarrow's
+    local Path can't (hdfs://, s3a://); callers gating an optimization
+    should catch and fall back to a count() job."""
     from pathlib import Path
 
     import pyarrow.parquet as pq
 
     path = Path(sf_dir) / f"{name}.parquet"
     if path.is_dir():
-        return sum(
-            pq.ParquetFile(p).metadata.num_rows
+        parts = [
+            p
             for p in sorted(path.rglob("*.parquet"))
-        )
+            # Spark's hiddenFileFilter: any path component starting
+            # with '_' or '.' is invisible to the reader
+            if not any(
+                seg.startswith(("_", "."))
+                for seg in p.relative_to(path).parts
+            )
+        ]
+        return sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
     return pq.ParquetFile(path).metadata.num_rows
 
 

@@ -157,6 +157,13 @@ def verify(ins) -> None:
     # anchored match: '290 pass, 0 fail' must not satisfy '0 pass, 0 fail'
     ok = re.search(rf"^{len(ins)} pass, 0 fail", r.stdout, re.MULTILINE)
     if r.returncode != 0 or not ok:
+        # a compare.py crash produces zero PASS/FAIL lines — surface
+        # the raw tails so the failure is diagnosable from the log
+        print(f"compare.py rc={r.returncode}; raw stdout tail:")
+        print("\n".join(lines[-5:]))
+        if r.stderr.strip():
+            print("stderr tail:")
+            print("\n".join(r.stderr.strip().splitlines()[-10:]))
         raise SystemExit("pre-verification FAILED — window not rewritten")
 
 
