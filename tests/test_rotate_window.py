@@ -139,3 +139,38 @@ def test_insufficient_family_safe_outs_fails_loudly():
     attested = {"w_beta": 9, "w_gamma": 9}
     with pytest.raises(SystemExit):
         propose(window, reg, attested, ["new_alpha", "new_delta"], 2, 2)
+
+
+def test_verify_logs_all_pass_lines_and_crash_diagnostics(monkeypatch, capsys):
+    """r15 (r14 verdict item 4 + self-review): verify() must print
+    EVERY per-name PASS/FAIL line (ROTATION_r14.log carried 1 of 12),
+    and when compare.py crashes without verdict lines it must surface
+    the raw stdout/stderr tails instead of exiting silently."""
+    import subprocess
+
+    import tools.rotate_window as rw
+
+    class R:
+        def __init__(self, rc, out, err=""):
+            self.returncode, self.stdout, self.stderr = rc, out, err
+
+    # happy path: every PASS line + the summary reaches stdout
+    ok_out = "\n".join(
+        ["noise header", "PASS a (1 rows, 0.1s)", "PASS b (2 rows, 0.2s)",
+         "", "2 pass, 0 fail, 0 rows-only"]
+    )
+    monkeypatch.setattr(rw.subprocess, "run", lambda *a, **k: R(0, ok_out))
+    rw.verify(["a", "b"])
+    out = capsys.readouterr().out
+    assert "PASS a" in out and "PASS b" in out and "2 pass, 0 fail" in out
+
+    # crash path: no PASS/FAIL lines at all -> stderr tail surfaced
+    monkeypatch.setattr(
+        rw.subprocess,
+        "run",
+        lambda *a, **k: R(1, "partial junk", "Traceback: boom\nImportError: x"),
+    )
+    with pytest.raises(SystemExit):
+        rw.verify(["a", "b"])
+    out = capsys.readouterr().out
+    assert "rc=1" in out and "ImportError: x" in out
