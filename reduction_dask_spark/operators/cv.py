@@ -174,7 +174,19 @@ _DEFAULT_GRID = {
 
 @query(
     "c2_lhs_param_table",
-    oracle=None,  # driver-side generator; rows-only check (SURVEY §2.9 C2 = N)
+    # r15 rows-only→oracle conversion: the sampler is PURE INTEGER
+    # arithmetic (multiplicative-hash stream over the sorted-axis
+    # grid), so DuckDB reproduces it exactly — the literals mirror
+    # lhs_param_table's h = (i*2654435761 + (j+1)*40503 + seed) with
+    # seed 42 and j indexing sorted(_DEFAULT_GRID) = [max_depth,
+    # min_samples_leaf, n_estimators]
+    oracle="""
+        SELECT CAST(i AS BIGINT) AS param_id,
+               CAST(([3,5,8,13])[CAST((i + (i*2654435761 + 1*40503 + 42) % 1000003) % 4 AS INTEGER) + 1] AS BIGINT) AS max_depth,
+               CAST(([1,5,10])[CAST((i + (i*2654435761 + 2*40503 + 42) % 1000003) % 3 AS INTEGER) + 1] AS BIGINT) AS min_samples_leaf,
+               CAST(([100,250,500,1000])[CAST((i + (i*2654435761 + 3*40503 + 42) % 1000003) % 4 AS INTEGER) + 1] AS BIGINT) AS n_estimators
+        FROM range(12) t(i)
+    """,
     doc="C2 LHS_RandomizedSearch param table (utils.py:89-129).",
     tags=("cv", "tuning"),
 )

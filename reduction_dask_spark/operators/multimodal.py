@@ -118,7 +118,24 @@ def mm2_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm3_frame_sample",
-    oracle=None,  # rows-only; byte-slice framing is a decode stand-in
+    # r15 rows-only→oracle conversion: the payload is encode(text)
+    # and frames are byte slices, both expressible in DuckDB. BLOBs
+    # have no substring there, so the slice runs on the hex encoding
+    # (2 chars per byte — byte-exact for ANY input, not just ASCII)
+    # and unhex()es back to BLOB. Mirrors blob_table's kind rule
+    # (video = doc_id % 3 == 2) and FRAME_STRIDE/N_FRAMES = 64/4.
+    oracle="""
+        WITH vids AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS nb
+            FROM documents WHERE doc_id % 3 = 2
+        )
+        SELECT v.doc_id,
+               CAST(i AS INTEGER) AS frame_idx,
+               unhex(substring(v.hx, CAST(i*128 + 1 AS BIGINT), 128)) AS frame
+        FROM vids v, range(4) t(i)
+        WHERE i*64 < v.nb
+    """,
     doc="mm3 frame sampling: one payload row → N frame rows (stride "
         "byte-slices standing in for video frames). The explode-shaped "
         "mapInPandas pattern — output cardinality > input, schema "
@@ -165,7 +182,43 @@ def _fake_resize(payload: bytes, out_bytes: int = THUMB_BYTES) -> bytes:
 
 @query(
     "mm4_resize_thumbnail",
-    oracle=None,  # rows-only; byte-subsample resize is a codec stand-in
+    # r15 rows-only→oracle conversion: _fake_resize's evenly-strided
+    # byte subsample is np.linspace(0, nb-1, 32) truncated to int64 —
+    # reproducible in SQL as trunc(k*((nb-1)/31.0)) (same IEEE double
+    # ops) EXCEPT the endpoint, which numpy pins to exactly nb-1
+    # (linspace sets y[-1] = stop), hence the k = 31 CASE. Byte
+    # extraction/assembly rides the hex trick (2 chars per byte,
+    # byte-exact for any payload; BLOBs have no substring/concat-agg
+    # in DuckDB). kind rule: image = doc_id % 3 == 0.
+    oracle="""
+        WITH imgs AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS nb
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        sel AS (
+            SELECT i.doc_id, i.nb, k,
+                   substring(i.hx, 2*(CASE WHEN k = 31 THEN i.nb - 1
+                       ELSE CAST(trunc(k * ((i.nb - 1) / 31.0)) AS BIGINT)
+                   END) + 1, 2) AS hb
+            FROM imgs i, range(32) t(k) WHERE i.nb > 32
+        ),
+        big AS (
+            SELECT doc_id, unhex(string_agg(hb, '' ORDER BY k)) AS thumb,
+                   CAST(32 AS BIGINT) AS thumb_bytes, max(nb) AS orig_bytes
+            FROM sel GROUP BY doc_id
+        ),
+        small AS (
+            SELECT doc_id, unhex(hx) AS thumb, CAST(nb AS BIGINT) AS thumb_bytes,
+                   nb AS orig_bytes
+            FROM imgs WHERE nb <= 32
+        )
+        SELECT doc_id, thumb, thumb_bytes, CAST(orig_bytes AS BIGINT) AS orig_bytes
+        FROM big
+        UNION ALL
+        SELECT doc_id, thumb, thumb_bytes, CAST(orig_bytes AS BIGINT) AS orig_bytes
+        FROM small
+    """,
     doc="mm4 resize/thumbnail via mapInPandas: binary in → smaller "
         "binary out plus updated size metadata, image rows only "
         "(metadata filter prunes before any byte is touched). The "

@@ -31,6 +31,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("float64")
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
+        elif df[c].dtype == object:
+            # binary columns: Spark's toPandas yields bytearray (unhashable
+            # — sort_values factorization crashes), DuckDB yields bytes;
+            # normalize both to bytes so binary oracles compare (r15, mm3)
+            df[c] = df[c].map(
+                lambda v: bytes(v) if isinstance(v, (bytearray, memoryview)) else v
+            )
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
