@@ -302,7 +302,7 @@ def kcore_weighted(nodes: DataFrame, edges: DataFrame, k: int) -> DataFrame:
 
 @query(
     "gr3_kcore",
-    oracle=None,  # fixpoint peeling — rows-only + exact python parity test
+    oracle=None,  # assigned post-registration: _gr3_oracle() below (r15)
     doc=f"gr3 {KCORE_K}-core extraction on the verified near-dup graph: "
         "iteratively peel nodes with degree < k until stable — the "
         "k-core separates genuinely clustered duplicate neighborhoods "
@@ -319,9 +319,11 @@ def kcore_weighted(nodes: DataFrame, edges: DataFrame, k: int) -> DataFrame:
         "is still computed on the FULL corpus so pair semantics are "
         "unchanged). Per round: one weighted-degree aggregate + two "
         "semi-joins, localCheckpoint-truncated; driver state is one "
-        "scalar per round. No SQL oracle (aggregate-over-recursive-"
-        "term is outside recursive CTE semantics); pinned by exact "
-        "python peeling parity on the UNCOLLAPSED graph in tests.",
+        "scalar per round. Oracle (r15): DuckDB permits correlated "
+        "aggregates over the recursive term, so the EXACT integer "
+        "peel runs as a recursive CTE on the UNCOLLAPSED graph "
+        "(_gr3_oracle below); python peeling parity in tests pins "
+        "the quotient equivalence independently.",
     tags=("graph", "dedup"),
 )
 def gr3_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -356,9 +358,57 @@ def gr3_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gr3_oracle() -> str:
+    """r15 rows-only→oracle conversion: the doc claimed k-core peeling
+    is outside recursive-CTE semantics, but DuckDB permits correlated
+    aggregate subqueries over the recursive term, and the peel is
+    INTEGER-exact (degrees are counts). The oracle peels the
+    UNCOLLAPSED near-dup graph directly (gr2's shingle/Jaccard CTEs),
+    which is exactly what gr3's weighted rep-quotient computes — the
+    same equivalence the python parity test pins. Each recursive step
+    advances the survivors of one simultaneous peel round; the EXISTS
+    guard stops the recursion at the first stable round (emitting
+    nothing, so `alive`'s max-rnd layer IS the fixpoint — unless that
+    last layer died wholesale, which the final deg >= k filter
+    handles: a stable layer passes it untouched, a wholesale-dead
+    layer is swept empty)."""
+    from .dedup import JACCARD_TAU, SHINGLE_SQL, _JACCARD_SQL
+
+    return f"""
+        WITH RECURSIVE {SHINGLE_SQL}, {_JACCARD_SQL},
+        e AS (
+            SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= {JACCARD_TAU}
+            UNION ALL
+            SELECT doc_b, doc_a FROM jac WHERE jaccard >= {JACCARD_TAU}
+        ),
+        alive(id, rnd) AS (
+            SELECT DISTINCT doc_id, 0 FROM sh
+            UNION ALL
+            SELECT a.id, a.rnd + 1
+            FROM alive a
+            WHERE (SELECT count(*) FROM e JOIN alive a2 ON a2.id = e.dst
+                   WHERE e.src = a.id) >= {KCORE_K}
+              AND EXISTS (
+                  SELECT 1 FROM alive x
+                  WHERE (SELECT count(*) FROM e JOIN alive a3 ON a3.id = e.dst
+                         WHERE e.src = x.id) < {KCORE_K})
+        ),
+        last AS (SELECT id FROM alive WHERE rnd = (SELECT max(rnd) FROM alive)),
+        core AS (
+            SELECT l.id,
+                   (SELECT count(*) FROM e JOIN last l2 ON l2.id = e.dst
+                    WHERE e.src = l.id) AS deg
+            FROM last l
+        )
+        SELECT id AS doc_id, CAST(deg AS BIGINT) AS deg
+        FROM core WHERE deg >= {KCORE_K}
+    """
+
+
 from ..registry import REGISTRY as _REG  # noqa: E402
 
 _REG["gr2_triangle_count"].oracle = _gr2_oracle()
+_REG["gr3_kcore"].oracle = _gr3_oracle()
 
 
 # ---------------------------------------------------------------- gr4

@@ -89,7 +89,34 @@ def mm1_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm2_feature_extract",
-    oracle=None,  # pandas-UDF decode path; rows-only + unit test vs numpy
+    # r15 rows-only→oracle conversion: the fake decoder is a 16-bin
+    # byte histogram over encode(text), and bin index = the byte's
+    # HIGH HEX NIBBLE (bin width 16), so counts fall out of pure
+    # string ops on hex(payload): strip low nibbles with one regexp,
+    # then count each hex digit via length-minus-replace. Features
+    # are count/total — integer rationals, bit-exact in both engines.
+    # Empty payloads keep np.histogram's unnormalized zeros.
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   regexp_replace(hex(encode(text)), '(.).', '\\1', 'g') AS hs,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS nb
+            FROM documents
+        )
+        SELECT doc_id, kind,
+               CASE WHEN nb = 0
+                    THEN list_transform(range(16), b -> 0.0)
+                    ELSE list_transform(range(16), b ->
+                         (nb - length(replace(hs,
+                              substring('0123456789ABCDEF',
+                                        CAST(b + 1 AS BIGINT), 1),
+                              '')))::DOUBLE / nb)
+               END AS features
+        FROM d
+    """,
     doc="mm2 decode + feature-extract via mapInPandas: Arrow-batched "
         "binary in, fixed-width float vector out. At scale this is the "
         "GPU-adjacent stage — partition-parallel, no shuffle; the "
@@ -358,7 +385,7 @@ MM6_TAU = 0.0  # alignment threshold on the standardized score
 
 @query(
     "mm6_crossmodal_alignment",
-    oracle=None,  # media features come from the pandas-UDF decode path
+    oracle=None,  # assigned post-registration: _mm6_oracle() below (r15)
     doc="mm6 cross-modal alignment filtering — the CLIP-score shape "
         "that curates paired image/text corpora (LAION's central "
         "filter: drop pairs whose image and caption embeddings don't "
@@ -371,8 +398,9 @@ MM6_TAU = 0.0  # alignment threshold on the standardized score
         "Plan: one mapInPandas decode pass, one broadcast matmul "
         "expression per row, one equi-join on the pair key, one "
         "moment aggregate — no shuffle beyond the pair join at any "
-        "scale. Output: (doc_id, align_z, keep); rows-only (the "
-        "decode is python) + numpy end-to-end parity test.",
+        "scale. Output: (doc_id, align_z, keep); exact DuckDB oracle "
+        "(_mm6_oracle: left-fold dot products replicated by "
+        "list_reduce) + numpy end-to-end parity test.",
     tags=("multimodal", "similarity", "pipeline"),
 )
 def mm6_crossmodal_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -420,3 +448,98 @@ def mm6_crossmodal_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(((F.col("cos") - F.col("mu")) / F.col("sd")), 6).alias("align_z"),
         (((F.col("cos") - F.col("mu")) / F.col("sd")) > MM6_TAU).alias("keep"),
     )
+
+
+def _mm6_oracle() -> str:
+    """r15 rows-only→oracle conversion: mm6 is pure Spark-SQL
+    expression work on top of mm2's (now oracle-covered) features —
+    every dot product is a LEFT FOLD (F.aggregate), replicated
+    bit-for-bit by list_reduce over the same element order, and the
+    projection matrix is a deterministic md5-derived literal baked
+    into the SQL (repr() doubles round-trip exactly through DuckDB's
+    DECIMAL→DOUBLE literal path). The corpus moments (avg/stddev_samp)
+    are the one non-structural piece — exact-equality is pinned
+    empirically at all three scales by tools/compare.py, like every
+    float-sum oracle in this registry."""
+    import hashlib
+
+    dim_out = 64
+    proj_lit = "[" + ",".join(
+        "["
+        + ",".join(
+            repr(
+                (
+                    int.from_bytes(
+                        hashlib.md5(f"mm6:{i}:{j}".encode()).digest()[:4], "big"
+                    )
+                    % 2001
+                    - 1000
+                )
+                / 1000.0
+            )
+            for j in range(dim_out)
+        )
+        + "]"
+        for i in range(N_FEAT)
+    ) + "]"
+    fold = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        "list_transform(range({n}), i -> {a}[i + 1] * {b}[i + 1])), "
+        "(acc, x) -> acc + x)"
+    )
+    dot_mv_tv = fold.format(n=dim_out, a="mv", b="tv")
+    dot_mv_mv = fold.format(n=dim_out, a="mv", b="mv")
+    dot_tv_tv = fold.format(n=dim_out, a="tv", b="tv")
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                   regexp_replace(hex(encode(text)), '(.).', '\\1', 'g') AS hs,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS nb
+            FROM documents
+        ), feats AS (
+            SELECT doc_id,
+                   CASE WHEN nb = 0
+                        THEN list_transform(range({N_FEAT}), b -> 0.0::DOUBLE)
+                        ELSE list_transform(range({N_FEAT}), b ->
+                             (nb - length(replace(hs,
+                                  substring('0123456789ABCDEF',
+                                            CAST(b + 1 AS BIGINT), 1),
+                                  '')))::DOUBLE / nb)
+                   END AS features
+            FROM d
+        ), pm AS (SELECT {proj_lit}::DOUBLE[][] AS p),
+        projected AS (
+            SELECT doc_id,
+                   list_transform(range({dim_out}), j ->
+                       list_reduce(
+                           list_prepend(0.0::DOUBLE,
+                               list_transform(range({N_FEAT}), i ->
+                                   features[i + 1] * p[i + 1][j + 1])),
+                           (acc, x) -> acc + x)) AS mv
+            FROM feats, pm
+        ),
+        joined AS (
+            SELECT pr.doc_id,
+                   {dot_mv_tv}
+                   / (sqrt({dot_mv_mv}) * sqrt({dot_tv_tv})) AS cos
+            FROM projected pr
+            JOIN (SELECT vec_id AS doc_id,
+                         list_transform(embedding, x -> x::DOUBLE) AS tv
+                  FROM embeddings) e USING (doc_id)
+        ),
+        z AS (
+            SELECT doc_id, cos,
+                   avg(cos) OVER () AS mu,
+                   stddev_samp(cos) OVER () AS sd
+            FROM joined
+        )
+        SELECT doc_id,
+               round((cos - mu) / sd, 6) AS align_z,
+               ((cos - mu) / sd) > {MM6_TAU} AS keep
+        FROM z
+    """
+
+
+from ..registry import REGISTRY as _REG  # noqa: E402
+
+_REG["mm6_crossmodal_alignment"].oracle = _mm6_oracle()

@@ -35,6 +35,7 @@ from ..ml import (
 )
 from ..registry import query
 from .cv import kfold_era
+from .text import _STOP_SQL
 
 FIT_ROWS = 200
 N_COMPONENTS = 2
@@ -1198,7 +1199,71 @@ def t8_distributed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "iso1_isotonic_calibration",
-    oracle=None,  # iterative pool-adjacent-violators fit; numpy PAV parity test
+    # EXACT oracle despite the iterative MLlib fit (r15): labels are
+    # 0/1 and weights 1, so every PAV pool mean is a small-integer
+    # rational K/N — representable-and-ordered exactly in doubles
+    # (distinct rationals with N <= corpus size differ by >= 1/N^2,
+    # far above ulp), so the minimax characterization
+    #   fitted(i) = max_{a<=i} min_{b>=i} mean(labels[a..b])
+    # computed from integer prefix sums reproduces MLlib's pooled
+    # averages bit-for-bit, and MLlib's (boundary, prediction) output
+    # is the first+last point of each equal-fitted run (verified
+    # bit-exact incl. unrounded boundaries at sf0.001/0.01/0.1).
+    # O(m^2) pairs over m = distinct scores (2228 at sf0.1) — an
+    # oracle-side cost only; the engine path stays one-pass PAV.
+    oracle=f"""
+        WITH d AS (
+            SELECT string_split(text, ' ') AS toks,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents
+        ), s AS (
+            SELECT least(1.0, len(toks) / 50.0)
+                   * (1.0 - len(list_filter(toks, t -> t IN {_STOP_SQL}))::DOUBLE / len(toks))
+                   * (len(list_distinct(toks))::DOUBLE / len(toks)) AS x,
+                   y
+            FROM d
+        ), g AS (
+            SELECT x, sum(y) AS k, count(*) AS n FROM s GROUP BY x
+        ), r AS (
+            SELECT x,
+                   row_number() OVER (ORDER BY x) AS i,
+                   sum(k) OVER (ORDER BY x) AS pk,
+                   sum(n) OVER (ORDER BY x) AS pn,
+                   k, n
+            FROM g
+        ), pair AS (
+            -- mean(a..b) from integer prefix sums, for every a <= b
+            SELECT a.i AS a, b.i AS i,
+                   (b.pk - a.pk + a.k)::DOUBLE / (b.pn - a.pn + a.n) AS mean_ab
+            FROM r a JOIN r b ON b.i >= a.i
+        ), rmin AS (
+            -- running min per a over descending b = min over b>=i of mean(a..b)
+            SELECT a, i,
+                   min(mean_ab) OVER (PARTITION BY a ORDER BY i DESC) AS mn
+            FROM pair
+        ), fit AS (
+            SELECT i, max(mn) AS fitted FROM rmin GROUP BY i
+        ), runs AS (
+            SELECT r.i, r.x, f.fitted,
+                   CASE WHEN lag(f.fitted) OVER (ORDER BY r.i)
+                        IS DISTINCT FROM f.fitted THEN 1 ELSE 0 END AS brk
+            FROM r JOIN fit f USING (i)
+        ), blocks AS (
+            SELECT x, fitted, sum(brk) OVER (ORDER BY i) AS blk FROM runs
+        ), edges AS (
+            SELECT blk, any_value(fitted) AS fitted,
+                   min(x) AS x_first, max(x) AS x_last, count(*) AS cnt
+            FROM blocks GROUP BY blk
+        ), emit AS (
+            SELECT x_first AS boundary, fitted FROM edges
+            UNION ALL
+            SELECT x_last, fitted FROM edges WHERE cnt > 1
+        )
+        SELECT CAST(row_number() OVER (ORDER BY boundary) - 1 AS INTEGER) AS step,
+               boundary,
+               round(fitted, 6) AS calibrated
+        FROM emit
+    """,
     doc="iso1 monotone (isotonic) calibration: fit the least-squares "
         "non-decreasing map from the t2 quality score to the "
         "P(lang='en') label over the whole corpus with MLlib's "

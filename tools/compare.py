@@ -34,9 +34,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         elif df[c].dtype == object:
             # binary columns: Spark's toPandas yields bytearray (unhashable
             # — sort_values factorization crashes), DuckDB yields bytes;
-            # normalize both to bytes so binary oracles compare (r15, mm3)
+            # normalize both to bytes so binary oracles compare (r15, mm3).
+            # array columns: Spark yields ndarray/list, DuckDB ndarray —
+            # normalize to tuples (hashable, exact elementwise ==) so
+            # array-valued oracles compare (r15, mm2)
             df[c] = df[c].map(
-                lambda v: bytes(v) if isinstance(v, (bytearray, memoryview)) else v
+                lambda v: bytes(v)
+                if isinstance(v, (bytearray, memoryview))
+                else tuple(v)
+                if isinstance(v, (list, np.ndarray))
+                else v
             )
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
@@ -69,14 +76,38 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as e
-    from reduction_dask_spark.session import get_spark
 
-    spark = get_spark("compare")
+    if vanilla:
+        # driver-shaped session: bare local[N] builder, none of
+        # get_spark's confs — proves each query passes in the session
+        # the driver actually builds (ensure_engine_confs at the
+        # source layer is the only thing allowed to touch confs)
+        import os
+
+        from pyspark.sql import SparkSession
+
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or min(
+            os.cpu_count() or 4, 32
+        )
+        spark = (
+            SparkSession.builder.master(f"local[{cpus}]")
+            .appName("compare-vanilla")
+            .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        from reduction_dask_spark.session import get_spark
+
+        spark = get_spark("compare")
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem events documents embeddings").split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
