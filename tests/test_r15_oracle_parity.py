@@ -1,0 +1,254 @@
+"""Adversarial-corpus parity for the late-r15 oracle conversions.
+
+tests/test_oracle.py already pins every oracle against DuckDB on the
+shipped sf0.001 corpus; these tests drive the FOUR late-r15
+conversions (iso1, gr3, mm2, mm6) against synthetic corpora that hit
+the branches the shipped testdata never reaches:
+
+- gr3's recursive peel: a near-dup PATH whose final peel round kills
+  every remaining node at once (the EXISTS nobody-died guard ends the
+  recursion with a non-empty last layer that the final deg>=k sweep
+  must empty), plus the clique/capped/short-doc shapes.
+- iso1's minimax PAV: tied scores carrying MIXED labels (fractional
+  tie-aggregated pool values — the weighted merge path), a constant
+  label (one global pool -> exactly first+last emission), and a
+  single distinct score (m=1 -> single-row model).
+- mm2's hex-nibble histogram: empty payloads (np.histogram's
+  unnormalized zeros), multi-byte UTF-8 (bytes > 0x7f), and texts
+  spanning many nibble bins.
+- mm6's fold-replication: end-to-end over synthetic float32
+  embeddings (the array<float> -> double widening both engines share).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from tools.compare import compare
+
+
+def _run_both(spark, tmp_path, name, tables):
+    """Write `tables` (name -> Spark DF) as parquet under tmp_path,
+    run the REGISTERED query and its REGISTERED oracle on them, and
+    assert exact canon equality. Returns the Spark pandas frame."""
+    from reduction_dask_spark.caching import release_pinned
+    from reduction_dask_spark.registry import REGISTRY, load_all_operators
+
+    load_all_operators()
+
+    for t, df in tables.items():
+        df.write.mode("overwrite").parquet(str(tmp_path / f"{t}.parquet"))
+    try:
+        sdf = REGISTRY[name].fn(spark, str(tmp_path)).toPandas()
+    finally:
+        release_pinned()
+        spark.catalog.clearCache()
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet/*.parquet'"
+        )
+    ddf = con.execute(REGISTRY[name].oracle).fetchdf()
+    errs = compare(name, sdf, ddf)
+    assert not errs, f"{name}: {errs}"
+    return sdf
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+# ---------------------------------------------------------------- gr3
+
+class TestGr3OracleParity:
+    def test_cliques_capped_and_dead_pair(self, spark, tmp_path):
+        """Dup cliques (mult 3 and 5 survive at k=2; mult 2 is a bare
+        edge that dies in round 0), a >DF_CAP hot group whose shingles
+        are capped away (not graph nodes at all), and a <K_SHINGLE doc
+        (no shingles)."""
+        from reduction_dask_spark.operators.dedup import DF_CAP
+
+        rows, doc_id = [], 0
+        for text, mult in (
+            ("alpha beta gamma delta epsilon zeta eta theta iota kappa", 3),
+            ("one two three four five six seven eight nine ten", 5),
+            ("lonely pair of duplicated documents that touch nothing else", 2),
+            ("short doc", 4),
+        ):
+            for _ in range(mult):
+                rows.append((doc_id, text, "en"))
+                doc_id += 1
+        hot = "hot boiler plate sentence repeated across the whole crawl forever"
+        for _ in range(DF_CAP + 20):
+            rows.append((doc_id, hot, "en"))
+            doc_id += 1
+        sdf = _run_both(
+            spark, tmp_path, "gr3_kcore", {"documents": _docs(spark, rows)}
+        )
+        # the mult-3 clique (deg 2) and mult-5 clique (deg 4) survive;
+        # the pair, the short docs and the capped hot group do not
+        assert len(sdf) == 8
+        assert sorted(sdf.deg) == [2, 2, 2, 4, 4, 4, 4, 4]
+
+    def test_wholesale_death_path(self, spark, tmp_path):
+        """A jaccard path t-u-v: endpoints die in round 0, then u dies
+        ALONE in round 1 — the recursion's last layer is {u}, and only
+        the final deg>=k sweep turns that into the true empty core."""
+        from reduction_dask_spark.operators.dedup import (
+            JACCARD_TAU,
+            K_SHINGLE,
+            jaccard_pairs,
+            shingle_table_of,
+        )
+
+        n = 20
+        s = n - K_SHINGLE + 1
+        j = next(
+            jj
+            for jj in range(1, s)
+            if (s - jj) / (s + jj) >= JACCARD_TAU
+            and (s - jj - 1) / (s + jj + 1) < JACCARD_TAU
+        )
+        base = [f"tok{i}" for i in range(n)]
+        t = " ".join(base)
+        u = " ".join(base[:-1] + ["endX"])
+        v = " ".join([f"alt{i}" for i in range(j)] + base[j:-1] + ["endX"])
+        rows = [(0, t, "en"), (1, u, "en"), (2, v, "en"),
+                (3, "totally unrelated filler words nothing shared here at all", "en")]
+        d = _docs(spark, rows)
+        got_pairs = sorted(
+            (r.doc_a, r.doc_b)
+            for r in jaccard_pairs(shingle_table_of(d), JACCARD_TAU).collect()
+        )
+        assert got_pairs == [(0, 1), (1, 2)]  # a genuine path, no chord
+        sdf = _run_both(
+            spark, tmp_path, "gr3_kcore", {"documents": d}
+        )
+        assert len(sdf) == 0
+
+
+# ---------------------------------------------------------------- iso1
+
+class TestIso1OracleParity:
+    def test_mixed_labels_on_tied_scores(self, spark, tmp_path):
+        """Identical texts (= identical scores) carrying DIFFERENT
+        langs: MLlib tie-aggregates them to a fractional weighted
+        label before PAV — the K/N-rational merge path."""
+        texts = [
+            "a the a the a the",                       # stopword-heavy
+            "alpha beta gamma delta epsilon zeta",     # diverse
+            "alpha alpha alpha alpha",                 # repetitive
+            "one two three four five six seven eight nine ten eleven"
+            " twelve thirteen fourteen",               # long
+            "a b",                                     # short
+        ]
+        rows, doc_id = [], 0
+        # per text: a mixed bag of en/xx so tie-aggregated labels are
+        # fractions like 2/3, and pool merges are forced by making
+        # higher scores carry LOWER label means
+        langs = [
+            ["en", "en", "xx"],
+            ["en", "xx", "xx"],
+            ["xx", "en"],
+            ["xx", "xx", "xx"],
+            ["en"],
+        ]
+        for text, ls in zip(texts, langs):
+            for lang in ls:
+                rows.append((doc_id, text, lang))
+                doc_id += 1
+        sdf = _run_both(
+            spark, tmp_path, "iso1_isotonic_calibration",
+            {"documents": _docs(spark, rows)},
+        )
+        assert len(sdf) >= 2
+        assert (sdf.calibrated.diff().dropna() >= 0).all()
+
+    def test_constant_label_single_pool(self, spark, tmp_path):
+        rows = [
+            (i, t, "en")
+            for i, t in enumerate(
+                [
+                    "alpha beta gamma delta",
+                    "one two three four five six",
+                    "a the a the",
+                    "unique words everywhere around",
+                ]
+            )
+        ]
+        sdf = _run_both(
+            spark, tmp_path, "iso1_isotonic_calibration",
+            {"documents": _docs(spark, rows)},
+        )
+        # one global pool at 1.0 -> exactly first+last boundary rows
+        assert len(sdf) == 2
+        assert set(sdf.calibrated) == {1.0}
+
+    def test_single_distinct_score(self, spark, tmp_path):
+        rows = [(0, "alpha beta gamma delta", "en"),
+                (1, "alpha beta gamma delta", "xx")]
+        sdf = _run_both(
+            spark, tmp_path, "iso1_isotonic_calibration",
+            {"documents": _docs(spark, rows)},
+        )
+        assert len(sdf) == 1
+        assert list(sdf.calibrated) == [0.5]
+
+
+# ---------------------------------------------------------------- mm2
+
+class TestMm2OracleParity:
+    def test_byte_classes(self, spark, tmp_path):
+        rows = [
+            (0, "", "en"),                      # empty payload: zeros
+            (1, "hello world", "en"),           # plain ASCII
+            (2, "héllo wörld ÿ", "en"),    # 2-byte UTF-8 (>0x7f)
+            (3, "数据 管道 \U0001f600", "en"),    # 3- and 4-byte UTF-8
+            (4, "\t\n !~", "en"),               # low-bin control bytes
+        ]
+        sdf = _run_both(
+            spark, tmp_path, "mm2_feature_extract",
+            {"documents": _docs(spark, rows)},
+        )
+        assert len(sdf) == 5
+        feats = {r.doc_id: list(r.features) for r in sdf.itertuples()}
+        assert feats[0] == [0.0] * 16          # histogram of nothing
+        assert all(abs(sum(v) - 1.0) < 1e-12 for k, v in feats.items() if k)
+
+
+# ---------------------------------------------------------------- mm6
+
+class TestMm6OracleParity:
+    def test_end_to_end_alignment(self, spark, tmp_path):
+        docs = _docs(
+            spark,
+            [
+                (i, t, "en")
+                for i, t in enumerate(
+                    [
+                        "alpha beta gamma delta epsilon",
+                        "one two three four five six seven",
+                        "hello world again and again",
+                        "数据 管道 multibyte mix",
+                        "a the a the a",
+                        "totally different content here",
+                    ]
+                )
+            ],
+        )
+        emb_rows = [
+            (i, [((i * 31 + k * 7) % 13 - 6) / 5.0 for k in range(64)])
+            for i in range(6)
+        ]
+        emb = spark.createDataFrame(
+            emb_rows, "vec_id long, embedding array<float>"
+        )
+        sdf = _run_both(
+            spark, tmp_path, "mm6_crossmodal_alignment",
+            {"documents": docs, "embeddings": emb},
+        )
+        assert len(sdf) == 6
+        assert sdf.keep.isin([True, False]).all()
