@@ -31,7 +31,7 @@ from ..functions import md5h60, md5h60_sql, md5i, md5i_sql, phash, phash_sql
 from ..caching import pin
 from ..registry import query
 from ..sources import load_table
-from .text import normalized_fingerprint
+from .text import QUALITY_OF_TOKS_SQL, normalized_fingerprint
 
 K_SHINGLE = 3
 DF_CAP = 100          # drop shingles appearing in more docs than this
@@ -1195,9 +1195,7 @@ def dd9_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         q AS (
             SELECT doc_id,
-                   least(1.0, len(toks) / 50.0)
-                   * (1.0 - len(list_filter(toks, x -> x IN ('a', 'the')))::DOUBLE / len(toks))
-                   * (len(list_distinct(toks))::DOUBLE / len(toks)) AS quality
+                   {QUALITY_OF_TOKS_SQL} AS quality
             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         ),
         lab AS (

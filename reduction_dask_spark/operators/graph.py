@@ -372,10 +372,19 @@ def _gr3_oracle() -> str:
     last layer died wholesale, which the final deg >= k filter
     handles: a stable layer passes it untouched, a wholesale-dead
     layer is swept empty)."""
-    from .dedup import JACCARD_TAU, SHINGLE_SQL, _JACCARD_SQL
+    from .dedup import JACCARD_TAU, _JACCARD_SQL, shingle_sql_from
 
+    # sh is MATERIALIZED: it is referenced by jac's self-join, the
+    # alive base case, and (transitively through e) two correlated
+    # aggregates inside EVERY peel round — without the hint DuckDB
+    # inlines the whole shingle chain per reference per round (the
+    # pipe1-oracle lesson, dedup.py). e deliberately NOT materialized:
+    # on DuckDB 1.0.0, hinting BOTH sh and e makes the recursive step
+    # silently produce zero rows (each hint alone is fine — verified
+    # in tests/test_r15_oracle_parity.py's wholesale-death corpus).
     return f"""
-        WITH RECURSIVE {SHINGLE_SQL}, {_JACCARD_SQL},
+        WITH RECURSIVE {shingle_sql_from("documents", materialized=True)},
+        {_JACCARD_SQL},
         e AS (
             SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= {JACCARD_TAU}
             UNION ALL

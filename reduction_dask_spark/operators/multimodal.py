@@ -29,6 +29,66 @@ from ..sources import load_table
 N_FEAT = 16          # fake feature-vector width (byte-histogram bins)
 FRAME_STRIDE = 64    # bytes per sampled "frame"
 N_FRAMES = 4
+MM6_DIM_OUT = 64     # mm6 projection width = text-embedding dim
+
+
+def _mm6_projection() -> list[list[float]]:
+    """Deterministic md5-derived N_FEAT×MM6_DIM_OUT alignment head:
+    P[i][j] = (md5i('mm6:i:j') % 2001 - 1000)/1000. SINGLE source of
+    truth — mm6's Spark expression builds F.lit()s from it and
+    _mm6_oracle() reprs it into the SQL, so engine and oracle cannot
+    desynchronize."""
+    import hashlib
+
+    return [
+        [
+            (
+                int.from_bytes(
+                    hashlib.md5(f"mm6:{i}:{j}".encode()).digest()[:4], "big"
+                )
+                % 2001
+                - 1000
+            )
+            / 1000.0
+            for j in range(MM6_DIM_OUT)
+        ]
+        for i in range(N_FEAT)
+    ]
+
+
+MM6_PROJ = _mm6_projection()
+
+# mm2's feature CTEs (d, feats) — the hex-nibble histogram SQL shared
+# VERBATIM by mm2's oracle and _mm6_oracle(), so the decode stand-in
+# has exactly one SQL twin. The fake decoder is a 16-bin byte
+# histogram over encode(text) and bin index = the byte's HIGH HEX
+# NIBBLE (bin width 16), so per-bin counts are pure string ops on
+# hex(payload): strip low nibbles with one regexp, then count each
+# hex digit via length-minus-replace. Features are count/total —
+# integer rationals, bit-exact in both engines. Empty payloads keep
+# np.histogram's unnormalized zeros.
+MM2_FEATURES_SQL = f"""
+        d AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   regexp_replace(hex(encode(text)), '(.).', '\\1', 'g') AS hs,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS nb
+            FROM documents
+        ), feats AS (
+            SELECT doc_id, kind,
+                   CASE WHEN nb = 0
+                        THEN list_transform(range({N_FEAT}), b -> 0.0::DOUBLE)
+                        ELSE list_transform(range({N_FEAT}), b ->
+                             (nb - length(replace(hs,
+                                  substring('0123456789ABCDEF',
+                                            CAST(b + 1 AS BIGINT), 1),
+                                  '')))::DOUBLE / nb)
+                   END AS features
+            FROM d
+        )
+"""
 
 
 def blob_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,34 +149,9 @@ def mm1_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm2_feature_extract",
-    # r15 rows-only→oracle conversion: the fake decoder is a 16-bin
-    # byte histogram over encode(text), and bin index = the byte's
-    # HIGH HEX NIBBLE (bin width 16), so counts fall out of pure
-    # string ops on hex(payload): strip low nibbles with one regexp,
-    # then count each hex digit via length-minus-replace. Features
-    # are count/total — integer rationals, bit-exact in both engines.
-    # Empty payloads keep np.histogram's unnormalized zeros.
-    oracle="""
-        WITH d AS (
-            SELECT doc_id,
-                   CASE WHEN doc_id % 3 = 0 THEN 'image'
-                        WHEN doc_id % 3 = 1 THEN 'audio'
-                        ELSE 'video' END AS kind,
-                   regexp_replace(hex(encode(text)), '(.).', '\\1', 'g') AS hs,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS nb
-            FROM documents
-        )
-        SELECT doc_id, kind,
-               CASE WHEN nb = 0
-                    THEN list_transform(range(16), b -> 0.0)
-                    ELSE list_transform(range(16), b ->
-                         (nb - length(replace(hs,
-                              substring('0123456789ABCDEF',
-                                        CAST(b + 1 AS BIGINT), 1),
-                              '')))::DOUBLE / nb)
-               END AS features
-        FROM d
-    """,
+    # r15 rows-only→oracle conversion — see MM2_FEATURES_SQL above
+    # (the hex-nibble histogram SQL shared with _mm6_oracle)
+    oracle=f"WITH {MM2_FEATURES_SQL} SELECT doc_id, kind, features FROM feats",
     doc="mm2 decode + feature-extract via mapInPandas: Arrow-batched "
         "binary in, fixed-width float vector out. At scale this is the "
         "GPU-adjacent stage — partition-parallel, no shuffle; the "
@@ -411,16 +446,8 @@ def mm6_crossmodal_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("tv"),
     )
-    dim_out = 64
-    # deterministic projection P[i][j] = (md5i('mm6:i:j') % 2001 - 1000)/1000
-    proj = [
-        [
-            (int.from_bytes(__import__("hashlib").md5(f"mm6:{i}:{j}".encode()).digest()[:4], "big") % 2001 - 1000)
-            / 1000.0
-            for j in range(dim_out)
-        ]
-        for i in range(N_FEAT)
-    ]
+    dim_out = MM6_DIM_OUT
+    proj = MM6_PROJ  # single source of truth, shared with _mm6_oracle
     pcols = F.array(*[
         F.aggregate(
             F.zip_with(
@@ -460,28 +487,20 @@ def _mm6_oracle() -> str:
     DECIMAL→DOUBLE literal path). The corpus moments (avg/stddev_samp)
     are the one non-structural piece — exact-equality is pinned
     empirically at all three scales by tools/compare.py, like every
-    float-sum oracle in this registry."""
-    import hashlib
-
-    dim_out = 64
-    proj_lit = "[" + ",".join(
+    float-sum oracle in this registry. Features come from the SHARED
+    MM2_FEATURES_SQL fragment and the matrix from the shared MM6_PROJ
+    constant (r15 review: one definition each, no drift). A cos is
+    emitted only for {MM6_DIM_OUT}-dim embeddings — Spark's zip_with
+    NULL-pads mismatched lengths into a NULL cos, mirrored by the
+    len(tv) guard."""
+    dim_out = MM6_DIM_OUT
+    proj_lit = (
         "["
         + ",".join(
-            repr(
-                (
-                    int.from_bytes(
-                        hashlib.md5(f"mm6:{i}:{j}".encode()).digest()[:4], "big"
-                    )
-                    % 2001
-                    - 1000
-                )
-                / 1000.0
-            )
-            for j in range(dim_out)
+            "[" + ",".join(repr(v) for v in row) + "]" for row in MM6_PROJ
         )
         + "]"
-        for i in range(N_FEAT)
-    ) + "]"
+    )
     fold = (
         "list_reduce(list_prepend(0.0::DOUBLE, "
         "list_transform(range({n}), i -> {a}[i + 1] * {b}[i + 1])), "
@@ -491,23 +510,8 @@ def _mm6_oracle() -> str:
     dot_mv_mv = fold.format(n=dim_out, a="mv", b="mv")
     dot_tv_tv = fold.format(n=dim_out, a="tv", b="tv")
     return f"""
-        WITH d AS (
-            SELECT doc_id,
-                   regexp_replace(hex(encode(text)), '(.).', '\\1', 'g') AS hs,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS nb
-            FROM documents
-        ), feats AS (
-            SELECT doc_id,
-                   CASE WHEN nb = 0
-                        THEN list_transform(range({N_FEAT}), b -> 0.0::DOUBLE)
-                        ELSE list_transform(range({N_FEAT}), b ->
-                             (nb - length(replace(hs,
-                                  substring('0123456789ABCDEF',
-                                            CAST(b + 1 AS BIGINT), 1),
-                                  '')))::DOUBLE / nb)
-                   END AS features
-            FROM d
-        ), pm AS (SELECT {proj_lit}::DOUBLE[][] AS p),
+        WITH {MM2_FEATURES_SQL},
+        pm AS (SELECT {proj_lit}::DOUBLE[][] AS p),
         projected AS (
             SELECT doc_id,
                    list_transform(range({dim_out}), j ->
@@ -520,8 +524,10 @@ def _mm6_oracle() -> str:
         ),
         joined AS (
             SELECT pr.doc_id,
-                   {dot_mv_tv}
-                   / (sqrt({dot_mv_mv}) * sqrt({dot_tv_tv})) AS cos
+                   CASE WHEN len(tv) = {dim_out} THEN
+                       {dot_mv_tv}
+                       / (sqrt({dot_mv_mv}) * sqrt({dot_tv_tv}))
+                   END AS cos
             FROM projected pr
             JOIN (SELECT vec_id AS doc_id,
                          list_transform(embedding, x -> x::DOUBLE) AS tv

@@ -250,12 +250,11 @@ def _funnel_sql(quality_pred: str | None = None) -> str:
         REP_DUP5_PCT,
         REP_TOP2_PCT,
         REP_TOP3_PCT,
+        QUALITY_OF_TOKS_SQL,
         _STOP_SQL,
     )
 
-    qp = quality_pred or f"""least(1.0, len(toks) / 50.0)
-              * (1.0 - len(list_filter(toks, x -> x IN ('a', 'the')))::DOUBLE / len(toks))
-              * (len(list_distinct(toks))::DOUBLE / len(toks)) >= {QUALITY_TAU}"""
+    qp = quality_pred or f"{QUALITY_OF_TOKS_SQL} >= {QUALITY_TAU}"
 
     return f"""
     WITH

@@ -35,7 +35,7 @@ from ..ml import (
 )
 from ..registry import query
 from .cv import kfold_era
-from .text import _STOP_SQL
+from .text import QUALITY_OF_TOKS_SQL
 
 FIT_ROWS = 200
 N_COMPONENTS = 2
@@ -1217,9 +1217,7 @@ def t8_distributed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
             FROM documents
         ), s AS (
-            SELECT least(1.0, len(toks) / 50.0)
-                   * (1.0 - len(list_filter(toks, t -> t IN {_STOP_SQL}))::DOUBLE / len(toks))
-                   * (len(list_distinct(toks))::DOUBLE / len(toks)) AS x,
+            SELECT {QUALITY_OF_TOKS_SQL} AS x,
                    y
             FROM d
         ), g AS (
@@ -1307,10 +1305,14 @@ def iso1_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = [float(b) for b in model.boundaries]
     preds = [float(p) for p in model.predictions]
     spark_ = spark
+    # round via F.round (HALF_UP), not python round() (half-to-even):
+    # pool means are rationals that CAN be dyadic (1/128 = 0.0078125
+    # ends on an exact decimal half at 6 places), and the DuckDB
+    # oracle's round() is half-away — F.round matches it there
     return spark_.createDataFrame(
-        [(i, b, round(p, 6)) for i, (b, p) in enumerate(zip(bounds, preds))],
+        [(i, b, p) for i, (b, p) in enumerate(zip(bounds, preds))],
         "step int, boundary double, calibrated double",
-    )
+    ).select("step", "boundary", F.round("calibrated", 6).alias("calibrated"))
 
 
 # ---------------------------------------------------------------- log1

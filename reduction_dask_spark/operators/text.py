@@ -24,6 +24,20 @@ from ..sources import load_table, parquet_row_count
 STOPWORDS = ("a", "the")
 _STOP_SQL = "('a', 'the')"
 
+# Canonical DuckDB twin of the t2 quality heuristic over a `toks`
+# list column (length-capped × non-stopword × type/token diversity).
+# Import THIS instead of re-typing the expression — iso1's PAV
+# calibration, dedup's curriculum oracle, the funnel oracles and the
+# cur1 sampler all score with it, and bit-exactness of those oracles
+# depends on every copy matching the Spark-side expression (r15
+# review: one definition, no drift). t2's own oracle (below) keeps
+# its component-column form for its output schema — keep in sync.
+QUALITY_OF_TOKS_SQL = (
+    "least(1.0, len(toks) / 50.0)"
+    f" * (1.0 - len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE / len(toks))"
+    " * (len(list_distinct(toks))::DOUBLE / len(toks))"
+)
+
 
 def tokens(col: Column) -> Column:
     return F.split(col, " ")
@@ -1385,9 +1399,7 @@ _CUR_VALUES_SQL = ", ".join(f"('{p}', {d}, {r!r})" for p, d, r in CUR_RATES)
             SELECT doc_id, string_split(text, ' ') AS toks FROM documents
         ), s AS (
             SELECT doc_id,
-                   round(least(1.0, len(toks) / 50.0)
-                         * (1.0 - len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE / len(toks))
-                         * (len(list_distinct(toks))::DOUBLE / len(toks)), 6) AS quality
+                   round({QUALITY_OF_TOKS_SQL}, 6) AS quality
             FROM d
         ), r AS (
             SELECT doc_id,

@@ -187,6 +187,20 @@ class TestIso1OracleParity:
         assert len(sdf) == 2
         assert set(sdf.calibrated) == {1.0}
 
+    def test_dyadic_half_pool_mean_rounds_identically(self, spark, tmp_path):
+        """Pool mean 1/128 = 0.0078125 ends on an EXACT decimal half at
+        6 places: python round() (half-to-even) says 0.007812, DuckDB
+        round() (half-away) says 0.007813. iso1 must round via F.round
+        (HALF_UP, = DuckDB) — this corpus would catch a regression to
+        python-side rounding."""
+        rows = [(i, "alpha beta gamma delta", "en" if i == 0 else "xx")
+                for i in range(128)]
+        sdf = _run_both(
+            spark, tmp_path, "iso1_isotonic_calibration",
+            {"documents": _docs(spark, rows)},
+        )
+        assert list(sdf.calibrated) == [0.007813]
+
     def test_single_distinct_score(self, spark, tmp_path):
         rows = [(0, "alpha beta gamma delta", "en"),
                 (1, "alpha beta gamma delta", "xx")]

@@ -36,15 +36,25 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             # — sort_values factorization crashes), DuckDB yields bytes;
             # normalize both to bytes so binary oracles compare (r15, mm3).
             # array columns: Spark yields ndarray/list, DuckDB ndarray —
-            # normalize to tuples (hashable, exact elementwise ==) so
-            # array-valued oracles compare (r15, mm2)
-            df[c] = df[c].map(
-                lambda v: bytes(v)
-                if isinstance(v, (bytearray, memoryview))
-                else tuple(v)
-                if isinstance(v, (list, np.ndarray))
-                else v
-            )
+            # normalize to tuples so array-valued oracles sort/compare
+            # (r15, mm2); float elements become their repr strings so
+            # identical NaNs compare equal (NaN != NaN would otherwise
+            # fail every such row) and tuple sorting never sees NaN's
+            # incoherent ordering. repr round-trips doubles exactly, so
+            # this stays bit-strict.
+            def _cell(v):
+                if isinstance(v, (bytearray, memoryview)):
+                    return bytes(v)
+                if isinstance(v, (list, np.ndarray)):
+                    return tuple(
+                        repr(float(x))
+                        if isinstance(x, (float, np.floating))
+                        else x
+                        for x in v
+                    )
+                return v
+
+            df[c] = df[c].map(_cell)
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
