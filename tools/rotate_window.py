@@ -80,6 +80,17 @@ def family_tags(registry, names):
     return tags
 
 
+# Array-returning oracle queries (r15 conversions): the LOCAL gate
+# (tools/compare.py canon) handles array columns, but the DRIVER's own
+# value-hash has never seen one — hold these out of auto-fill until a
+# deliberate --include rotation proves the driver side (or stringify
+# their outputs first, a6's array_join convention). ROADMAP carries
+# the same caveat.
+ARRAY_OUTPUT_HOLDBACK = frozenset(
+    {"mm2_feature_extract", "mm6_crossmodal_alignment"}
+)
+
+
 def propose(window, registry, attested, include, n_rotate, min_green, exclude=()):
     # a typo'd --exclude would otherwise silently UN-pin the flagship
     # it was meant to protect (contrast --include, which validates)
@@ -87,7 +98,15 @@ def propose(window, registry, attested, include, n_rotate, min_green, exclude=()
     if bad_excl:
         raise SystemExit(f"--exclude names not in the current window: {bad_excl}")
     oracle_names = [n for n, s in registry.items() if s.oracle is not None]
-    never = [n for n in oracle_names if n not in attested and n not in window]
+    never = [
+        n
+        for n in oracle_names
+        if n not in attested
+        and n not in window
+        # held-back names stay rotation-eligible ONLY by explicit
+        # --include (which re-validates against `never` below)
+        and (n not in ARRAY_OUTPUT_HOLDBACK or n in include)
+    ]
 
     ins = [n for n in include if n in never]
     bad = [n for n in include if n not in never]
