@@ -147,18 +147,10 @@ def mm1_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blob_table(spark, sf_dir).select("doc_id", "kind", "n_bytes")
 
 
-@query(
-    "mm2_feature_extract",
-    # r15 rows-only→oracle conversion — see MM2_FEATURES_SQL above
-    # (the hex-nibble histogram SQL shared with _mm6_oracle)
-    oracle=f"WITH {MM2_FEATURES_SQL} SELECT doc_id, kind, features FROM feats",
-    doc="mm2 decode + feature-extract via mapInPandas: Arrow-batched "
-        "binary in, fixed-width float vector out. At scale this is the "
-        "GPU-adjacent stage — partition-parallel, no shuffle; the "
-        "decoder is per-batch vectorized Python.",
-    tags=("multimodal",),
-)
-def mm2_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm2_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, kind, features array<double>) — the array-native decode +
+    feature-extract pass consumed by mm6's projection matmul (and any
+    API user who wants the vector whole)."""
     blobs = blob_table(spark, sf_dir)
     decode = DECODERS["fake"]
 
@@ -175,6 +167,38 @@ def mm2_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return blobs.mapInPandas(
         extract, schema="doc_id bigint, kind string, features array<double>"
+    )
+
+
+@query(
+    "mm2_feature_extract",
+    # r15 rows-only→oracle conversion — see MM2_FEATURES_SQL above
+    # (the hex-nibble histogram SQL shared with _mm6_oracle). The
+    # registered output exposes the fixed 16-dim vector as 16 scalar
+    # DOUBLE columns (f0..f15) rather than one array column: scalar
+    # columns are individually prunable at the parquet scan when a
+    # consumer selects a feature subset, and every downstream value
+    # gate (driver value-hash included) handles flat doubles natively
+    # — array-valued outputs were the one shape the driver's hash had
+    # never seen (ROADMAP r15 caveat, now moot for this query).
+    oracle=(
+        f"WITH {MM2_FEATURES_SQL} SELECT doc_id, kind, "
+        + ", ".join(f"features[{i + 1}] AS f{i}" for i in range(N_FEAT))
+        + " FROM feats"
+    ),
+    doc="mm2 decode + feature-extract via mapInPandas: Arrow-batched "
+        "binary in, fixed-width float vector out (one scalar column "
+        "per feature dim). At scale this is the GPU-adjacent stage — "
+        "partition-parallel, no shuffle; the decoder is per-batch "
+        "vectorized Python.",
+    tags=("multimodal",),
+)
+def mm2_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = mm2_feature_vectors(spark, sf_dir)
+    return vecs.select(
+        "doc_id",
+        "kind",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(N_FEAT)],
     )
 
 
@@ -441,7 +465,7 @@ MM6_TAU = 0.0  # alignment threshold on the standardized score
 def mm6_crossmodal_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import load_table
 
-    feats = mm2_feature_extract(spark, sf_dir).select("doc_id", "features")
+    feats = mm2_feature_vectors(spark, sf_dir).select("doc_id", "features")
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("tv"),

@@ -228,7 +228,8 @@ class TestMm2OracleParity:
             {"documents": _docs(spark, rows)},
         )
         assert len(sdf) == 5
-        feats = {r.doc_id: list(r.features) for r in sdf.itertuples()}
+        fcols = [f"f{i}" for i in range(16)]
+        feats = {r.doc_id: [getattr(r, c) for c in fcols] for r in sdf.itertuples()}
         assert feats[0] == [0.0] * 16          # histogram of nothing
         assert all(abs(sum(v) - 1.0) < 1e-12 for k, v in feats.items() if k)
 

@@ -98,10 +98,12 @@ def test_mm2_feature_extract_matches_numpy(spark):
     from reduction_dask_spark.operators.multimodal import N_FEAT, _fake_decode, mm2_feature_extract
 
     pdf = mm2_feature_extract(spark, SF_SMALL).toPandas().set_index("doc_id")
+    fcols = [f"f{i}" for i in range(N_FEAT)]
+    assert list(pdf.columns) == ["kind", *fcols]  # wide scalar layout
     docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text").toPandas()
     for _, row in docs.head(20).iterrows():
         expected = _fake_decode(row["text"].encode("utf-8"))
-        got = np.array(pdf.loc[row["doc_id"], "features"])
+        got = pdf.loc[row["doc_id"], fcols].to_numpy(dtype=np.float64)
         np.testing.assert_allclose(got, expected, atol=1e-12)
         assert len(got) == N_FEAT
         assert abs(got.sum() - 1.0) < 1e-9  # normalized histogram

@@ -80,15 +80,16 @@ def family_tags(registry, names):
     return tags
 
 
-# Array-returning oracle queries (r15 conversions): the LOCAL gate
-# (tools/compare.py canon) handles array columns, but the DRIVER's own
-# value-hash has never seen one — hold these out of auto-fill until a
-# deliberate --include rotation proves the driver side (or stringify
-# their outputs first, a6's array_join convention). ROADMAP carries
-# the same caveat.
-ARRAY_OUTPUT_HOLDBACK = frozenset(
-    {"mm2_feature_extract", "mm6_crossmodal_alignment"}
-)
+# Array-returning oracle queries: the LOCAL gate (tools/compare.py
+# canon) handles array columns, but the DRIVER's own value-hash has
+# never seen one — hold such names out of auto-fill until a deliberate
+# --include rotation proves the driver side. Currently EMPTY: the two
+# r15 candidates left the set late in r15 — mm2's registered output
+# was reshaped to 16 scalar f0..f15 columns (prunable AND hashable),
+# and mm6 always returned scalars (doc_id, align_z, keep); only its
+# INTERMEDIATES are arrays, which no gate ever hashes. The mechanism
+# stays for any future array-returning registration.
+ARRAY_OUTPUT_HOLDBACK: frozenset[str] = frozenset()
 
 
 def propose(window, registry, attested, include, n_rotate, min_green, exclude=()):
