@@ -202,33 +202,9 @@ def mm2_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "mm3_frame_sample",
-    # r15 rows-only→oracle conversion: the payload is encode(text)
-    # and frames are byte slices, both expressible in DuckDB. BLOBs
-    # have no substring there, so the slice runs on the hex encoding
-    # (2 chars per byte — byte-exact for ANY input, not just ASCII)
-    # and unhex()es back to BLOB. Mirrors blob_table's kind rule
-    # (video = doc_id % 3 == 2) and FRAME_STRIDE/N_FRAMES = 64/4.
-    oracle="""
-        WITH vids AS (
-            SELECT doc_id, hex(encode(text)) AS hx,
-                   octet_length(encode(text)) AS nb
-            FROM documents WHERE doc_id % 3 = 2
-        )
-        SELECT v.doc_id,
-               CAST(i AS INTEGER) AS frame_idx,
-               unhex(substring(v.hx, CAST(i*128 + 1 AS BIGINT), 128)) AS frame
-        FROM vids v, range(4) t(i)
-        WHERE i*64 < v.nb
-    """,
-    doc="mm3 frame sampling: one payload row → N frame rows (stride "
-        "byte-slices standing in for video frames). The explode-shaped "
-        "mapInPandas pattern — output cardinality > input, schema "
-        "(doc_id, frame_idx, frame) — used by any video pipeline.",
-    tags=("multimodal",),
-)
-def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm3_frame_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, frame_idx, frame binary) — the binary-native frame
+    sampler a video pipeline consumes directly."""
     blobs = blob_table(spark, sf_dir).filter(F.col("kind") == "video")
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -250,6 +226,44 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blobs.mapInPandas(frames, schema="doc_id bigint, frame_idx int, frame binary")
 
 
+@query(
+    "mm3_frame_sample",
+    # r15 rows-only→oracle conversion: the payload is encode(text)
+    # and frames are byte slices, both expressible in DuckDB. BLOBs
+    # have no substring there, so the slice runs on the hex encoding
+    # (2 chars per byte — byte-exact for ANY input, not just ASCII).
+    # The registered output carries the frame as that HEX WITNESS
+    # (frame_hex) rather than a BLOB: byte-exact and losslessly
+    # invertible (unhex), but a flat string every value gate — the
+    # driver's hash included — handles natively; binary outputs were,
+    # like arrays, a shape the driver's hash has never seen
+    # (mm3_frame_bytes keeps the binary form for API use). Mirrors
+    # blob_table's kind rule (video = doc_id % 3 == 2) and
+    # FRAME_STRIDE/N_FRAMES = 64/4.
+    oracle="""
+        WITH vids AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS nb
+            FROM documents WHERE doc_id % 3 = 2
+        )
+        SELECT v.doc_id,
+               CAST(i AS INTEGER) AS frame_idx,
+               substring(v.hx, CAST(i*128 + 1 AS BIGINT), 128) AS frame_hex
+        FROM vids v, range(4) t(i)
+        WHERE i*64 < v.nb
+    """,
+    doc="mm3 frame sampling: one payload row → N frame rows (stride "
+        "byte-slices standing in for video frames). The explode-shaped "
+        "mapInPandas pattern — output cardinality > input, schema "
+        "(doc_id, frame_idx, frame) — used by any video pipeline.",
+    tags=("multimodal",),
+)
+def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm3_frame_bytes(spark, sf_dir).select(
+        "doc_id", "frame_idx", F.hex("frame").alias("frame_hex")
+    )
+
+
 # --------------------------------------------------------------- resize
 
 THUMB_BYTES = 32     # fake thumbnail size (byte-subsample stand-in)
@@ -266,55 +280,9 @@ def _fake_resize(payload: bytes, out_bytes: int = THUMB_BYTES) -> bytes:
     return bytes(raw[idx])
 
 
-@query(
-    "mm4_resize_thumbnail",
-    # r15 rows-only→oracle conversion: _fake_resize's evenly-strided
-    # byte subsample is np.linspace(0, nb-1, 32) truncated to int64 —
-    # reproducible in SQL as trunc(k*((nb-1)/31.0)) (same IEEE double
-    # ops) EXCEPT the endpoint, which numpy pins to exactly nb-1
-    # (linspace sets y[-1] = stop), hence the k = 31 CASE. Byte
-    # extraction/assembly rides the hex trick (2 chars per byte,
-    # byte-exact for any payload; BLOBs have no substring/concat-agg
-    # in DuckDB). kind rule: image = doc_id % 3 == 0.
-    oracle="""
-        WITH imgs AS (
-            SELECT doc_id, hex(encode(text)) AS hx,
-                   octet_length(encode(text)) AS nb
-            FROM documents WHERE doc_id % 3 = 0
-        ),
-        sel AS (
-            SELECT i.doc_id, i.nb, k,
-                   substring(i.hx, 2*(CASE WHEN k = 31 THEN i.nb - 1
-                       ELSE CAST(trunc(k * ((i.nb - 1) / 31.0)) AS BIGINT)
-                   END) + 1, 2) AS hb
-            FROM imgs i, range(32) t(k) WHERE i.nb > 32
-        ),
-        big AS (
-            SELECT doc_id, unhex(string_agg(hb, '' ORDER BY k)) AS thumb,
-                   CAST(32 AS BIGINT) AS thumb_bytes, max(nb) AS orig_bytes
-            FROM sel GROUP BY doc_id
-        ),
-        small AS (
-            SELECT doc_id, unhex(hx) AS thumb, CAST(nb AS BIGINT) AS thumb_bytes,
-                   nb AS orig_bytes
-            FROM imgs WHERE nb <= 32
-        )
-        SELECT doc_id, thumb, thumb_bytes, CAST(orig_bytes AS BIGINT) AS orig_bytes
-        FROM big
-        UNION ALL
-        SELECT doc_id, thumb, thumb_bytes, CAST(orig_bytes AS BIGINT) AS orig_bytes
-        FROM small
-    """,
-    doc="mm4 resize/thumbnail via mapInPandas: binary in → smaller "
-        "binary out plus updated size metadata, image rows only "
-        "(metadata filter prunes before any byte is touched). The "
-        "payload-rewriting pattern every image pipeline needs — "
-        "partition-parallel, no shuffle, output strictly smaller than "
-        "input so the stage SHRINKS the dataset (at 100 TB the "
-        "thumbnail sink is ~out/in of the source bytes).",
-    tags=("multimodal",),
-)
-def mm4_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm4_thumbnail_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, thumb binary, thumb_bytes, orig_bytes) — the
+    binary-native resize pass an image pipeline sinks directly."""
     blobs = blob_table(spark, sf_dir).filter(F.col("kind") == "image")
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -332,6 +300,68 @@ def mm4_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blobs.mapInPandas(
         resize,
         schema="doc_id bigint, thumb binary, thumb_bytes bigint, orig_bytes bigint",
+    )
+
+
+@query(
+    "mm4_resize_thumbnail",
+    # r15 rows-only→oracle conversion: _fake_resize's evenly-strided
+    # byte subsample is np.linspace(0, nb-1, 32) truncated to int64 —
+    # reproducible in SQL as trunc(k*((nb-1)/31.0)) (same IEEE double
+    # ops) EXCEPT the endpoint, which numpy pins to exactly nb-1
+    # (linspace sets y[-1] = stop), hence the k = 31 CASE. Byte
+    # extraction/assembly rides the hex trick (2 chars per byte,
+    # byte-exact for any payload; BLOBs have no substring/concat-agg
+    # in DuckDB), and the registered output keeps the thumbnail as
+    # that HEX WITNESS (thumb_hex) — byte-exact, losslessly
+    # invertible, and a flat string the driver's value-hash handles
+    # natively, unlike BLOBs which it has never seen
+    # (mm4_thumbnail_bytes keeps the binary form for API use).
+    # kind rule: image = doc_id % 3 == 0.
+    oracle="""
+        WITH imgs AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS nb
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        sel AS (
+            SELECT i.doc_id, i.nb, k,
+                   substring(i.hx, 2*(CASE WHEN k = 31 THEN i.nb - 1
+                       ELSE CAST(trunc(k * ((i.nb - 1) / 31.0)) AS BIGINT)
+                   END) + 1, 2) AS hb
+            FROM imgs i, range(32) t(k) WHERE i.nb > 32
+        ),
+        big AS (
+            SELECT doc_id, string_agg(hb, '' ORDER BY k) AS thumb_hex,
+                   CAST(32 AS BIGINT) AS thumb_bytes, max(nb) AS orig_bytes
+            FROM sel GROUP BY doc_id
+        ),
+        small AS (
+            SELECT doc_id, hx AS thumb_hex, CAST(nb AS BIGINT) AS thumb_bytes,
+                   nb AS orig_bytes
+            FROM imgs WHERE nb <= 32
+        )
+        SELECT doc_id, thumb_hex, thumb_bytes, CAST(orig_bytes AS BIGINT) AS orig_bytes
+        FROM big
+        UNION ALL
+        SELECT doc_id, thumb_hex, thumb_bytes, CAST(orig_bytes AS BIGINT) AS orig_bytes
+        FROM small
+    """,
+    doc="mm4 resize/thumbnail via mapInPandas: binary in → smaller "
+        "binary out plus updated size metadata, image rows only "
+        "(metadata filter prunes before any byte is touched). The "
+        "payload-rewriting pattern every image pipeline needs — "
+        "partition-parallel, no shuffle, output strictly smaller than "
+        "input so the stage SHRINKS the dataset (at 100 TB the "
+        "thumbnail sink is ~out/in of the source bytes).",
+    tags=("multimodal",),
+)
+def mm4_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm4_thumbnail_bytes(spark, sf_dir).select(
+        "doc_id",
+        F.hex("thumb").alias("thumb_hex"),
+        "thumb_bytes",
+        "orig_bytes",
     )
 
 

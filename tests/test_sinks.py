@@ -110,13 +110,26 @@ def test_mm2_feature_extract_matches_numpy(spark):
 
 
 def test_mm3_frame_sample_shapes(spark):
-    from reduction_dask_spark.operators.multimodal import FRAME_STRIDE, mm3_frame_sample
+    from reduction_dask_spark.operators.multimodal import (
+        FRAME_STRIDE,
+        mm3_frame_bytes,
+        mm3_frame_sample,
+    )
 
-    pdf = mm3_frame_sample(spark, SF_SMALL).toPandas()
+    pdf = mm3_frame_bytes(spark, SF_SMALL).toPandas()
     assert (pdf["frame_idx"] >= 0).all() and (pdf["frame_idx"] < 4).all()
     assert pdf["frame"].map(len).max() <= FRAME_STRIDE
     # one payload expands to multiple frame rows
     assert pdf.groupby("doc_id").size().max() > 1
+    # the registered hex witness is exactly the bytes, hex-encoded
+    hx = mm3_frame_sample(spark, SF_SMALL).toPandas()
+    key = ["doc_id", "frame_idx"]
+    merged = pdf.merge(hx, on=key)
+    assert len(merged) == len(pdf) == len(hx)
+    assert (
+        merged["frame"].map(lambda b: bytes(b).hex().upper())
+        == merged["frame_hex"]
+    ).all()
 
 
 def test_mm4_resize_matches_numpy(spark):
@@ -124,9 +137,10 @@ def test_mm4_resize_matches_numpy(spark):
         THUMB_BYTES,
         _fake_resize,
         mm4_resize_thumbnail,
+        mm4_thumbnail_bytes,
     )
 
-    pdf = mm4_resize_thumbnail(spark, SF_SMALL).toPandas().set_index("doc_id")
+    pdf = mm4_thumbnail_bytes(spark, SF_SMALL).toPandas().set_index("doc_id")
     assert (pdf["thumb_bytes"] <= THUMB_BYTES).all()
     assert (pdf["thumb_bytes"] <= pdf["orig_bytes"]).all()
     assert (pdf.index % 3 == 0).all()  # image rows only
@@ -135,6 +149,14 @@ def test_mm4_resize_matches_numpy(spark):
     for _, row in docs.head(10).iterrows():
         expected = _fake_resize(row["text"].encode("utf-8"))
         assert bytes(pdf.loc[row["doc_id"], "thumb"]) == expected
+    # the registered hex witness is exactly the bytes, hex-encoded
+    hx = mm4_resize_thumbnail(spark, SF_SMALL).toPandas().set_index("doc_id")
+    assert len(hx) == len(pdf)
+    joined = pdf.join(hx, rsuffix="_hx")
+    assert (
+        joined["thumb"].map(lambda b: bytes(b).hex().upper())
+        == joined["thumb_hex"]
+    ).all()
 
 
 def test_a10_approx_within_tolerance(spark):
