@@ -254,8 +254,11 @@ def mm3_frame_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="mm3 frame sampling: one payload row → N frame rows (stride "
         "byte-slices standing in for video frames). The explode-shaped "
-        "mapInPandas pattern — output cardinality > input, schema "
-        "(doc_id, frame_idx, frame) — used by any video pipeline.",
+        "mapInPandas pattern — output cardinality > input — used by "
+        "any video pipeline. Registered schema: (doc_id, frame_idx, "
+        "frame_hex) where frame_hex is the frame bytes hex-encoded; "
+        "mm3_frame_bytes returns the binary (doc_id, frame_idx, "
+        "frame) form.",
     tags=("multimodal",),
 )
 def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -353,7 +356,11 @@ def mm4_thumbnail_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload-rewriting pattern every image pipeline needs — "
         "partition-parallel, no shuffle, output strictly smaller than "
         "input so the stage SHRINKS the dataset (at 100 TB the "
-        "thumbnail sink is ~out/in of the source bytes).",
+        "thumbnail sink is ~out/in of the source bytes). Registered "
+        "schema: (doc_id, thumb_hex, thumb_bytes, orig_bytes) with "
+        "thumb_hex the thumbnail bytes hex-encoded (thumb_bytes still "
+        "counts BYTES, half the hex length); mm4_thumbnail_bytes "
+        "returns the binary thumb form.",
     tags=("multimodal",),
 )
 def mm4_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -493,8 +500,6 @@ MM6_TAU = 0.0  # alignment threshold on the standardized score
     tags=("multimodal", "similarity", "pipeline"),
 )
 def mm6_crossmodal_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources import load_table
-
     feats = mm2_feature_vectors(spark, sf_dir).select("doc_id", "features")
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"),
