@@ -1,8 +1,9 @@
 """Adversarial-corpus parity for the late-r15 oracle conversions.
 
 tests/test_oracle.py already pins every oracle against DuckDB on the
-shipped sf0.001 corpus; these tests drive the FOUR late-r15
-conversions (iso1, gr3, mm2, mm6) against synthetic corpora that hit
+shipped sf0.001 corpus; these tests drive the late-r15 conversions
+(iso1, gr3, mm2, mm6 — plus mm3/mm4, added when their registered
+outputs became hex witnesses) against synthetic corpora that hit
 the branches the shipped testdata never reaches:
 
 - gr3's recursive peel: a near-dup PATH whose final peel round kills
@@ -18,6 +19,10 @@ the branches the shipped testdata never reaches:
   spanning many nibble bins.
 - mm6's fold-replication: end-to-end over synthetic float32
   embeddings (the array<float> -> double widening both engines share).
+- mm3's frame slicing: empty/one-stride/stride+1/capped payloads and
+  multibyte codepoints STRADDLING the 64-byte frame boundary.
+- mm4's resize: both branches (<= / > THUMB_BYTES), empty and 1-byte
+  payloads, and the np.linspace y[-1] = stop endpoint pin.
 """
 
 from __future__ import annotations
@@ -214,7 +219,77 @@ class TestIso1OracleParity:
 
 # ---------------------------------------------------------------- mm2
 
-class TestMm2OracleParity:
+class TestMm3OracleParity:
+    def test_frame_boundaries_and_multibyte(self, spark, tmp_path):
+        """Byte-slice frames at every boundary class: empty payload
+        (no frames at all — the doc vanishes from the output), shorter
+        than one frame (one partial frame), exactly one/two frame
+        strides (no empty trailing frame — i*64 < nb must be strict),
+        a stride+1 payload (1-byte trailing frame), a long payload
+        (N_FRAMES cap binds), and multibyte UTF-8 whose codepoints
+        STRADDLE the 64-byte frame boundary (the hex slice is
+        byte-exact even mid-codepoint). doc_id % 3 == 2 selects video."""
+        rows = [
+            (2, "", "en"),                       # nb=0: zero frames
+            (5, "x" * 10, "en"),                 # partial first frame
+            (8, "y" * 64, "en"),                 # exactly one stride
+            (11, "z" * 128, "en"),               # exactly two strides
+            (14, "w" * 129, "en"),               # 1-byte third frame
+            (17, "v" * 500, "en"),               # N_FRAMES cap (4)
+            (20, "é" * 63, "en"),                # 126 bytes, boundary mid-codepoint
+            (23, "数据" * 40, "en"),              # 3-byte codepoints across frames
+            (1, "not a video row " * 10, "en"),  # audio: excluded
+        ]
+        sdf = _run_both(
+            spark, tmp_path, "mm3_frame_sample",
+            {"documents": _docs(spark, rows)},
+        )
+        got = {(r.doc_id, r.frame_idx): r.frame_hex for r in sdf.itertuples()}
+        assert 2 not in {d for d, _ in got}          # empty payload: no rows
+        assert 1 not in {d for d, _ in got}          # non-video excluded
+        assert len([k for k in got if k[0] == 5]) == 1
+        assert len([k for k in got if k[0] == 8]) == 1    # no empty 2nd frame
+        assert len([k for k in got if k[0] == 11]) == 2
+        assert len([k for k in got if k[0] == 14]) == 3
+        assert got[(14, 2)] == "77"                  # the 1-byte tail frame
+        assert len([k for k in got if k[0] == 17]) == 4   # cap binds
+        # frames re-concatenate to the payload prefix, mid-codepoint cuts included
+        payload = ("é" * 63).encode("utf-8").hex().upper()
+        joined = "".join(got[(20, i)] for i in range(2))
+        assert joined == payload[: len(joined)] and len(got[(20, 0)]) == 128
+
+
+class TestMm4OracleParity:
+    def test_resize_branches_and_endpoint(self, spark, tmp_path):
+        """Both resize branches and the linspace endpoint pin: empty
+        payload (small branch, empty thumb), 1 byte, exactly
+        THUMB_BYTES (small branch keeps all bytes), THUMB_BYTES+1
+        (first strided subsample — the k=31 endpoint CASE must pick
+        byte nb-1 exactly), a long payload, and multibyte UTF-8.
+        doc_id % 3 == 0 selects image."""
+        rows = [
+            (0, "", "en"),                       # nb=0: empty thumb
+            (3, "a", "en"),                      # single byte
+            (6, "b" * 32, "en"),                 # exactly THUMB_BYTES
+            (9, "c" * 33, "en"),                 # first strided case
+            (12, "d" * 200 + "Z", "en"),         # endpoint must be 'Z'
+            (15, "é" * 100, "en"),               # 200 bytes multibyte
+            (2, "not an image row " * 5, "en"),  # video: excluded
+        ]
+        sdf = _run_both(
+            spark, tmp_path, "mm4_resize_thumbnail",
+            {"documents": _docs(spark, rows)},
+        )
+        got = {r.doc_id: r for r in sdf.itertuples()}
+        assert set(got) == {0, 3, 6, 9, 12, 15}
+        assert got[0].thumb_hex == "" and got[0].thumb_bytes == 0
+        assert got[3].thumb_hex == "61" and got[3].thumb_bytes == 1
+        assert got[6].thumb_hex == ("62" * 32) and got[6].thumb_bytes == 32
+        assert got[9].thumb_bytes == 32 and got[9].orig_bytes == 33
+        # linspace pins y[-1] = stop: the last sampled byte is the
+        # payload's LAST byte, not the truncation of 31*(nb-1)/31
+        assert got[12].thumb_hex[-2:] == "5A"    # 'Z'
+        assert got[12].thumb_bytes == 32 and got[12].orig_bytes == 201
     def test_byte_classes(self, spark, tmp_path):
         rows = [
             (0, "", "en"),                      # empty payload: zeros
