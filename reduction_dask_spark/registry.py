@@ -104,32 +104,14 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "pipe4_gated_funnel",
     "f2_onehot_pivot",
     "o2_topk_per_group",
-    "c1_kfold_era_assignment",
     "m1_spearman_by_era",
     "d2_pairwise_spearman",
     "rec1_hierarchy_closure",
     "pipe1_corpus_curation",
     "sk2_salted_join",
     "wsamp1_weighted_sample",
-    "dd2_shingle_jaccard",
-    "dd7_domain_dedup_stats",
-    "gr2_triangle_count",
-    "dd5_embedding_neardup",
-    "dd2b_containment_pairs",
-    "deval1_dedup_quality",
-    "wnw1_winnow_fingerprints",
     "rs2_kmv_overlap",
-    "ts5_cusum_changepoint",
-    "srv1_kaplan_meier",
-    "cdc2_changelog_apply",
     "zo1_zorder_curve",
-    "st4_stateful_user_totals",
-    "st6_transform_with_state",
-    "st6b_tws_list_state",
-    "st8_foreach_batch_sink",
-    "st9_stream_static_enrich",
-    "st10_stream_incremental_dedup",
-    "st11_stream_quantile_sketch",
     "st12_custom_source_stream",
     "st13_stream_drift_psi",
     "unpivot1_melt_measures",
@@ -148,6 +130,24 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "bf1_bloom_prune_join",
     "j11_null_safe_join",
     "q11_important_stock",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_dominant_supplier",
+    "q22_dormant_customers",
+    "j8_asof_forward_tolerance",
+    "f10_json_extract",
+    "f11_datetime_extract",
+    "f13_null_semantics",
+    "c2_lhs_param_table",
+    "mm3_frame_sample",
+    "mm4_resize_thumbnail",
+    "iso1_isotonic_calibration",
+    "gr3_kcore",
+    "mm2_feature_extract",
+    "mm6_crossmodal_alignment",
 )
 
 
