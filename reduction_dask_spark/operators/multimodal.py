@@ -521,12 +521,16 @@ def mm6_crossmodal_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     projected = feats.select("doc_id", pcols.alias("mv"))
     dot = lambda a, b: F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    # zero-norm guard (r15 ADVICE): an empty payload yields an all-zero
+    # feature vector, making cos 0/0 — Spark would emit NaN but DuckDB
+    # NULLs division by zero, so the engines would diverge ON THE MOMENTS
+    # (Spark avg propagates NaN, DuckDB avg skips NULL). NULL the cos in
+    # BOTH engines instead: NULL rows are moment-excluded identically and
+    # surface as NULL align_z/keep.
+    denom = F.sqrt(dot(F.col("mv"), F.col("mv"))) * F.sqrt(dot(F.col("tv"), F.col("tv")))
     joined = projected.join(emb, "doc_id").select(
         "doc_id",
-        (
-            dot(F.col("mv"), F.col("tv"))
-            / (F.sqrt(dot(F.col("mv"), F.col("mv"))) * F.sqrt(dot(F.col("tv"), F.col("tv"))))
-        ).alias("cos"),
+        F.when(denom != 0.0, dot(F.col("mv"), F.col("tv")) / denom).alias("cos"),
     )
     mo = joined.agg(F.avg("cos").alias("mu"), F.stddev_samp("cos").alias("sd"))
     return joined.crossJoin(F.broadcast(mo)).select(
@@ -551,7 +555,10 @@ def _mm6_oracle() -> str:
     constant (r15 review: one definition each, no drift). A cos is
     emitted only for {MM6_DIM_OUT}-dim embeddings — Spark's zip_with
     NULL-pads mismatched lengths into a NULL cos, mirrored by the
-    len(tv) guard."""
+    len(tv) guard — and only for nonzero-norm vectors on BOTH sides
+    (0/0 would be NaN in Spark but NULL in DuckDB, and the NaN would
+    poison Spark's corpus moments while DuckDB's avg skipped the NULL;
+    both engines now NULL the cos, which the moments skip identically)."""
     dim_out = MM6_DIM_OUT
     proj_lit = (
         "["
@@ -583,7 +590,8 @@ def _mm6_oracle() -> str:
         ),
         joined AS (
             SELECT pr.doc_id,
-                   CASE WHEN len(tv) = {dim_out} THEN
+                   CASE WHEN len(tv) = {dim_out}
+                             AND {dot_mv_mv} > 0 AND {dot_tv_tv} > 0 THEN
                        {dot_mv_tv}
                        / (sqrt({dot_mv_mv}) * sqrt({dot_tv_tv}))
                    END AS cos

@@ -217,7 +217,7 @@ class TestIso1OracleParity:
         assert list(sdf.calibrated) == [0.5]
 
 
-# ---------------------------------------------------------------- mm2
+# ---------------------------------------------------------------- mm3
 
 class TestMm3OracleParity:
     def test_frame_boundaries_and_multibyte(self, spark, tmp_path):
@@ -259,6 +259,8 @@ class TestMm3OracleParity:
         assert joined == payload[: len(joined)] and len(got[(20, 0)]) == 128
 
 
+# ---------------------------------------------------------------- mm4
+
 class TestMm4OracleParity:
     def test_resize_branches_and_endpoint(self, spark, tmp_path):
         """Both resize branches and the linspace endpoint pin: empty
@@ -290,6 +292,11 @@ class TestMm4OracleParity:
         # payload's LAST byte, not the truncation of 31*(nb-1)/31
         assert got[12].thumb_hex[-2:] == "5A"    # 'Z'
         assert got[12].thumb_bytes == 32 and got[12].orig_bytes == 201
+
+
+# ---------------------------------------------------------------- mm2
+
+class TestMm2OracleParity:
     def test_byte_classes(self, spark, tmp_path):
         rows = [
             (0, "", "en"),                      # empty payload: zeros
@@ -325,13 +332,20 @@ class TestMm6OracleParity:
                         "数据 管道 multibyte mix",
                         "a the a the a",
                         "totally different content here",
+                        # empty payload (r15 ADVICE): all-zero mm2
+                        # feature vector -> zero-norm cos. Without the
+                        # NULL-guard Spark would NaN (0/0) and poison
+                        # the corpus moments while DuckDB NULLed the
+                        # division and SKIPPED the row in avg/stddev —
+                        # this row pins the guarded parity.
+                        "",
                     ]
                 )
             ],
         )
         emb_rows = [
             (i, [((i * 31 + k * 7) % 13 - 6) / 5.0 for k in range(64)])
-            for i in range(6)
+            for i in range(7)
         ]
         emb = spark.createDataFrame(
             emb_rows, "vec_id long, embedding array<float>"
@@ -340,5 +354,10 @@ class TestMm6OracleParity:
             spark, tmp_path, "mm6_crossmodal_alignment",
             {"documents": docs, "embeddings": emb},
         )
-        assert len(sdf) == 6
-        assert sdf.keep.isin([True, False]).all()
+        assert len(sdf) == 7
+        by_id = sdf.set_index("doc_id")
+        # the empty-text doc surfaces with NULL align_z/keep (not NaN
+        # moments corrupting every OTHER row) in both engines
+        assert by_id.loc[6].isna().all()
+        ok = sdf[sdf.doc_id != 6]
+        assert ok.keep.isin([True, False]).all() and ok.align_z.notna().all()
