@@ -1211,6 +1211,13 @@ def t8_distributed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit-exact incl. unrounded boundaries at sf0.001/0.01/0.1).
     # O(m^2) pairs over m = distinct scores (2228 at sf0.1) — an
     # oracle-side cost only; the engine path stays one-pass PAV.
+    # ORACLE SCALE CEILING (r15 ADVICE): m grows roughly with corpus
+    # size, so the pair CTE is ~2.5M rows at sf0.1 but would be
+    # ~2.5e8+ at sf1 — this oracle is certified for the committed
+    # gate scales (<= sf0.1, tools/certify.py). If a larger-sf gate
+    # is ever added, swap the minimax pair CTE for a sequential PAV
+    # via recursive CTE (pool-merge per step, same integer rationals)
+    # before running it there.
     oracle=f"""
         WITH d AS (
             SELECT string_split(text, ' ') AS toks,

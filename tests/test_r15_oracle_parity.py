@@ -68,6 +68,27 @@ def _docs(spark, rows):
 
 # ---------------------------------------------------------------- gr3
 
+# The gr3 oracle's materialization-hint choice (MATERIALIZED sh, plain
+# e) is pinned to this DuckDB release: on 1.0.0, hinting BOTH makes the
+# recursive peel silently return zero rows (graph.py:_gr3_oracle). The
+# wholesale-death test below is the behavioral canary — it runs every
+# pytest session, so a DuckDB upgrade that flips the quirk fails THERE
+# (unpeeled-graph mismatch). This pin turns that failure into a
+# diagnosis: if it trips first, re-adjudicate the hint choice before
+# blaming the engine.
+GATE_DUCKDB_VERSION = "1.0.0"
+
+
+def test_duckdb_gate_version_pinned():
+    assert duckdb.__version__ == GATE_DUCKDB_VERSION, (
+        f"DuckDB {duckdb.__version__} != pinned {GATE_DUCKDB_VERSION}: the "
+        "gr3 oracle's materialization hints are version-sensitive — re-run "
+        "TestGr3OracleParity (esp. test_wholesale_death_path), re-verify "
+        "the hint adjudication in operators/graph.py:_gr3_oracle, then "
+        "bump this pin."
+    )
+
+
 class TestGr3OracleParity:
     def test_cliques_capped_and_dead_pair(self, spark, tmp_path):
         """Dup cliques (mult 3 and 5 survive at k=2; mult 2 is a bare

@@ -35,6 +35,15 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
+# GATE SCALE CEILING: the compare steps top out at sf0.1 by design.
+# Two oracles are certified only up to that scale — iso1's minimax
+# pair CTE is O(m^2) in distinct quality scores (~2.5M pairs at
+# sf0.1, quadratic blow-up beyond; see the iso1 note in
+# operators/reduction.py), and gr3's materialization hint choice is
+# pinned to the DuckDB version (tests/test_r15_oracle_parity.py
+# carries the version pin + wholesale-death canary). Adding an sf1+
+# step requires reworking iso1's oracle to a sequential recursive-CTE
+# PAV first.
 STEPS: dict[str, list[str]] = {
     "sf0.001": [sys.executable, "tools/compare.py", "/root/testdata/sf0.001"],
     "sf0.01": [sys.executable, "tools/compare.py", "/root/testdata/sf0.01"],
