@@ -29,9 +29,12 @@ front-truncated with "parsed": null): `queries` values round to 2
 decimals, `band` becomes the total's [min, median, max] triple, and
 PER-QUERY bands move out of the line entirely — they live name-keyed
 at 3-decimal precision (plus the raw sorted rep samples) in
-BENCH_LOCAL.json next to this script, written AFTER the contract line
-prints so a twin-write failure can't lose the reading, and committed
-each round as the belt-and-braces artifact.
+an untracked BENCH_LOCAL_LATEST.json twin next to this script
+(override with BENCH_TWIN_PATH), written AFTER the contract line
+prints so a twin-write failure can't lose the reading. At round close
+the builder copies the attested reading to a committed
+BENCH_LOCAL_r{N}.json — driver re-runs no longer dirty the tree or
+shadow the committed artifact (r15 verdict item 4).
 """
 
 from __future__ import annotations
@@ -215,11 +218,19 @@ def main() -> None:
         verbose["rep_samples"] = {
             n: [round(x, 3) for x in s] for n, s in rep_samples.items()
         }
-        (Path(__file__).resolve().parent / "BENCH_LOCAL.json").write_text(
-            json.dumps(verbose, indent=1) + "\n"
+        # UNTRACKED by default (r15 verdict item 4): the old tracked
+        # BENCH_LOCAL.json meant every driver bench run dirtied the
+        # working tree and shadowed the builder's committed attested
+        # run. The per-round committed twin is now an explicit copy
+        # (BENCH_LOCAL_r{N}.json) made at round close; set
+        # BENCH_TWIN_PATH to redirect.
+        twin = os.environ.get(
+            "BENCH_TWIN_PATH",
+            str(Path(__file__).resolve().parent / "BENCH_LOCAL_LATEST.json"),
         )
+        Path(twin).write_text(json.dumps(verbose, indent=1) + "\n")
     except OSError as exc:
-        print(f"bench: BENCH_LOCAL.json write failed: {exc!r}", file=sys.stderr)
+        print(f"bench: twin write failed: {exc!r}", file=sys.stderr)
     spark.stop()
 
 
