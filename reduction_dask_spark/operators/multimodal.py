@@ -115,6 +115,30 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return (hist / total if total else hist).astype(np.float64)
 
 
+def _fake_decode_batch(payloads: "pd.Series") -> np.ndarray:
+    """Whole-batch twin of :func:`_fake_decode` (r15 verdict item 5:
+    mm2's ×10 probe was the constant-factor outlier of the reshaped
+    group). One pass over the batch's concatenated bytes instead of a
+    per-document ``np.histogram`` call: bins are exactly the high
+    nibble (256/{N_FEAT} = 16 bytes per bin, right edge exclusive
+    below 256 — byte>>4 lands in the same bin np.histogram picks), so
+    a single ``np.add.at`` scatter over (doc, byte>>4) reproduces the
+    per-doc counts INTEGER-exactly, and counts/total divides to the
+    bit-identical float64 features. Parity pinned against the scalar
+    decoder in tests (test_r15_oracle_parity + test_sinks)."""
+    n = len(payloads)
+    lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
+    counts = np.zeros((n, N_FEAT), dtype=np.int64)
+    if lens.sum():
+        arr = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+        doc_idx = np.repeat(np.arange(n), lens)
+        np.add.at(counts, (doc_idx, arr >> 4), 1)
+    totals = np.where(lens == 0, 1, lens).astype(np.float64)
+    feats = counts / totals[:, None]
+    # empty payloads keep np.histogram's unnormalized zeros
+    return feats
+
+
 def _real_decode(payload: bytes) -> np.ndarray:
     raise NotImplementedError(
         "real media decode requires PIL/librosa/pyav — not in this "
@@ -156,7 +180,10 @@ def mm2_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = np.stack([decode(bytes(p)) for p in pdf["payload"]])
+            if decode is _fake_decode:  # vectorized whole-batch twin
+                feats = _fake_decode_batch(pdf["payload"])
+            else:  # a real codec decodes row-at-a-time by nature
+                feats = np.stack([decode(bytes(p)) for p in pdf["payload"]])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

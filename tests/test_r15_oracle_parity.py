@@ -318,6 +318,35 @@ class TestMm4OracleParity:
 # ---------------------------------------------------------------- mm2
 
 class TestMm2OracleParity:
+    def test_batch_decoder_bit_parity(self):
+        """The r16 vectorized whole-batch decoder must reproduce the
+        scalar _fake_decode BIT-exactly: same integer counts (high
+        nibble == np.histogram's 16-bin assignment for every byte
+        value 0..255), same float64 division, same unnormalized zeros
+        for empty payloads."""
+        import numpy as np
+        import pandas as pd
+
+        from reduction_dask_spark.operators.multimodal import (
+            _fake_decode,
+            _fake_decode_batch,
+        )
+
+        payloads = [
+            b"",                                # unnormalized zeros
+            bytes(range(256)),                  # every bin boundary
+            b"\x00", b"\x0f", b"\x10", b"\xff", # bin-edge singletons
+            "é数据\U0001f600".encode(),          # multibyte UTF-8
+            bytes((i * 37) % 256 for i in range(1000)),
+        ]
+        batch = _fake_decode_batch(pd.Series(payloads))
+        for i, p in enumerate(payloads):
+            assert np.array_equal(batch[i], _fake_decode(p)), i
+        # all-empty batch: the concatenated-buffer branch is skipped
+        assert np.array_equal(
+            _fake_decode_batch(pd.Series([b"", b""])), np.zeros((2, 16))
+        )
+
     def test_byte_classes(self, spark, tmp_path):
         rows = [
             (0, "", "en"),                      # empty payload: zeros
