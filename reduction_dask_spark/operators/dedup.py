@@ -608,7 +608,17 @@ def dd3b_minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", shingles_of_tokens(F.col("toks")).alias("shingles"))
     )
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
-    feats = tf.transform(docs)
+    # pin() is a CORRECTNESS barrier here, not just reuse (r16, found
+    # by the adversarial-corpus suite): on a corpus containing a
+    # DUPLICATED shingle-less doc (< K_SHINGLE tokens), Catalyst's
+    # InferFiltersFromConstraints derives isnotnull/size predicates
+    # over the composed MinHash-UDF expression and pushes them into
+    # the same scan-side Filter as the token-count guard, where they
+    # evaluate on UNFILTERED rows — and MLlib's hashFunction throws
+    # "Must have at least 1 non zero entry" on the empty vector. The
+    # InMemoryRelation stops the derived predicates below the filter;
+    # the fit + self-join reuse makes the cache free anyway.
+    feats = pin(tf.transform(docs))
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 1.0 - JACCARD_TAU, distCol="dist")
