@@ -176,14 +176,26 @@ def t3_lang_id_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
     )
-    counts = (
+    counts = pin(
         tf.join(d.select("doc_id", "lang"), "doc_id")
         .groupBy("lang", "tok")
         .agg(F.sum("tf").alias("n_lt"))
     )
     lang_tot = counts.groupBy("lang").agg(F.sum("n_lt").alias("n_l"))
-    vocab = tf.agg(F.countDistinct("tok").alias("v"))
-    nd = tf.groupBy("doc_id").agg(F.sum("tf").alias("n_doc"))
+    # r16 (guide §2.3/§2.4): V = |distinct tok| read off the already-
+    # aggregated counts relation (counts partitions every tf token by
+    # (lang, tok), so its distinct toks are exactly tf's) instead of a
+    # second countDistinct pass over the corpus-sized tf — the distinct
+    # now scans |langs|·|V| model rows, not the token stream.
+    vocab = counts.agg(F.countDistinct("tok").alias("v"))
+    # r16 (guide §2.4 — remove shuffles outright): N_d is the document
+    # token count, a per-row expression on the scan (split always
+    # yields ≥1 element, and explode drops NULL-text rows — filter
+    # matches that), replacing a full groupBy-doc_id aggregation over
+    # tf. Long cast mirrors sum(tf)'s type.
+    nd = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_doc")
+    )
     matched = (
         tf.join(counts, "tok")
         .groupBy("doc_id", "lang")
@@ -203,12 +215,17 @@ def t3_lang_id_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
-    return (
-        scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("lang").alias("pred_lang"))
+    # r16 (guide §2.3 — aggregate before you shuffle): argmax as a
+    # hash aggregate with map-side partial aggregation instead of the
+    # row_number window (shuffle + per-partition SORT of every
+    # (doc, lang) score row). min of the (−score, lang) struct is
+    # lexicographic: highest score first, ties by ascending lang —
+    # exactly the window's (score DESC, lang ASC) first row. Scores
+    # are 6dp-rounded doubles, so the comparison is deterministic.
+    best = scores.groupBy("doc_id").agg(
+        F.min(F.struct((-F.col("score")).alias("ns"), F.col("lang").alias("lang"))).alias("b")
     )
+    return best.select("doc_id", F.col("b.lang").alias("pred_lang"))
 
 
 # ---------------------------------------------------------------- T4
@@ -1650,87 +1667,186 @@ def _gram_col(toks: Column, k: int) -> Column:
     return out
 
 
+def _max_run_count(sorted_hashes: Column) -> Column:
+    """Largest multiplicity of any value in a SORTED array — one O(n)
+    fold (0 for an empty array, NULL for a NULL array): the per-row
+    twin of ``groupBy(gram).count() → max(count)``."""
+    run_now = lambda a, x: F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+    return F.aggregate(
+        sorted_hashes,
+        F.struct(
+            F.lit(None).cast("long").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            run_now(a, x).alias("run"),
+            F.greatest(a["best"], run_now(a, x)).alias("best"),
+        ),
+        lambda a: a["best"],
+    )
+
+
+def with_rep_flags(
+    df: DataFrame, toks: str, n: str, gate: str | None = None
+) -> DataFrame:
+    """Append the Gopher A1.2 repetition flags (f_top2, f_top3,
+    f_dup5 — int 0/1) computed PER ROW from the ``toks`` array column.
+
+    r16 optimization (guide §2.4 — remove shuffles outright): the
+    repetition rules are per-document statistics, so the former
+    explode → pinned (doc_id, p, g2, g3, g5) stream → two two-level
+    groupBy aggregations + a count≥2 join + a lag window → three
+    joins back pipeline (4 shuffles of a gram stream that is ~24
+    bytes × every token position, plus a pinned cache of the same)
+    collapses into pure array expressions inside the ONE scan that
+    already holds the token array:
+
+    - max k-gram multiplicity = sort the xxhash64'd gram array, max
+      run length by one O(n) fold (``_max_run_count``);
+    - duplicated-5-gram positional coverage = sort (hash, pos) pairs,
+      mark positions whose hash equals a sorted neighbor (the exact
+      count≥2 membership), then the same first=5 / min(Δp, 5)
+      successor fold over the ascending marked positions the lag
+      window computed.
+
+    Values are bit-identical to the stream form (same xxhash64
+    fingerprints, same integer thresholds; pinned by the planted-doc
+    pytest). At 100 TB this removes the funnel's widest shuffle
+    entirely — per-doc O(len·log len) sort work replaces it, done
+    where the tokens already sit, embarrassingly parallel at scan.
+    Per-doc work is bounded by document length exactly as the old
+    per-(doc, gram) reduce was.
+
+    ``gate`` (boolean column name): compute the gram arrays only when
+    the gate holds (CASE short-circuit; the downstream layers see
+    NULL and propagate it) — rows failing the gate still emit flags
+    0, matching the stream form's left-join + fill(0). Layered
+    selects keep each expensive array computed once (CollapseProject
+    does not inline a non-cheap alias referenced more than once).
+
+    Per-row constants (measured at sf0.1, single scan task): gram
+    fingerprints are HASH-CHAINED — h_k[i] = xxhash64(h_{k-1}[i],
+    tok[i+k-1]) — so no k-gram string is ever materialized (the
+    concat_ws + hash form cost ~2× more); sorting uses sort_array
+    (native ordering) rather than array_sort (interpreted comparator
+    lambda). Chained hashes equal iff the underlying token windows
+    are equal (modulo 64-bit collisions — the same sketch tradeoff
+    the stream form took)."""
+    g = F.col(gate) if gate is not None else None
+
+    def gated(c: Column) -> Column:
+        return F.when(g, c) if gate is not None else c
+
+    t = F.col(toks)
+    nt = F.size(t)
+
+    def chain(prev: Column, k: int) -> Column:
+        # extend (k-1)-gram hashes with token k: aligned slices so no
+        # zip_with null-padding can fabricate a phantom gram
+        ln = F.greatest(nt - (k - 1), F.lit(0))
+        return F.zip_with(
+            F.slice(prev, 1, ln), F.slice(t, k, ln), lambda a, b: F.xxhash64(a, b)
+        )
+
+    ln2 = F.greatest(nt - 1, F.lit(0))
+    l1 = df.withColumn(
+        "_g2",
+        gated(
+            F.zip_with(
+                F.slice(t, 1, ln2), F.slice(t, 2, ln2), lambda a, b: F.xxhash64(a, b)
+            )
+        ),
+    )
+    l1b = l1.withColumns(
+        {"_s2": F.sort_array(F.col("_g2")), "_g3": chain(F.col("_g2"), 3)}
+    ).drop("_g2")
+    l1c = l1b.withColumns(
+        {
+            "_maxc2": _max_run_count(F.col("_s2")),
+            "_s3": F.sort_array(F.col("_g3")),
+            "_g4": chain(F.col("_g3"), 4),
+        }
+    ).drop("_s2", "_g3")
+    l1d = l1c.withColumns(
+        {"_maxc3": _max_run_count(F.col("_s3")), "_g5": chain(F.col("_g4"), 5)}
+    ).drop("_s3", "_g4")
+    l2 = l1d.withColumn(
+        # (hash, pos) sorted lexicographically: equal hashes adjacent
+        "_zs",
+        F.sort_array(
+            F.transform(
+                F.col("_g5"), lambda x, i: F.struct(x.alias("h"), i.alias("p"))
+            )
+        ),
+    ).drop("_g5")
+    n5m1 = F.greatest(F.size("_zs") - 1, F.lit(0))
+    # _eq[i] = (zs[i].h == zs[i+1].h); materialized once, read twice
+    l3 = l2.withColumn(
+        "_eq",
+        F.zip_with(
+            F.slice("_zs", 1, n5m1),
+            F.slice("_zs", 2, n5m1),
+            lambda a, b: a["h"] == b["h"],
+        ),
+    )
+    # marked = positions whose hash occurs ≥ 2 times in the doc
+    marked = F.zip_with(
+        F.col("_zs"),
+        F.zip_with(
+            F.concat(F.array(F.lit(False)), F.col("_eq")),
+            F.concat(F.col("_eq"), F.array(F.lit(False))),
+            lambda a, b: a | b,
+        ),
+        lambda s, m: F.when(m, s["p"]),
+    )
+    l4 = l3.withColumn(
+        "_rep_pos", F.array_sort(F.filter(marked, lambda x: x.isNotNull()))
+    ).drop("_zs", "_eq")
+    # positional-union coverage: 5 for the first repeated position,
+    # min(Δp, 5) per successor — the lag-window fold, now per row
+    cov5 = F.aggregate(
+        F.col("_rep_pos"),
+        F.struct(F.lit(None).cast("int").alias("prev"), F.lit(0).cast("long").alias("tot")),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            (
+                a["tot"]
+                + F.when(a["prev"].isNull(), F.lit(5)).otherwise(
+                    F.least(x - a["prev"], F.lit(5))
+                )
+            ).alias("tot"),
+        ),
+        lambda a: a["tot"],
+    )
+    l5 = l4.withColumn("_cov5", cov5).drop("_rep_pos")
+    nn = F.col(n)
+    # integer cross-multiplication — no float threshold flake; NULL
+    # maxc/cov (gated-off or NULL-text rows) falls to otherwise(0)
+    return l5.withColumns(
+        {
+            "f_top2": F.when(200 * F.col("_maxc2") > REP_TOP2_PCT * nn, 1).otherwise(0),
+            "f_top3": F.when(300 * F.col("_maxc3") > REP_TOP3_PCT * nn, 1).otherwise(0),
+            "f_dup5": F.when(100 * F.col("_cov5") > REP_DUP5_PCT * nn, 1).otherwise(0),
+        }
+    ).drop("_maxc2", "_maxc3", "_cov5")
+
+
 def repetition_flags_of(d: DataFrame) -> DataFrame:
     """Per-document Gopher repetition-rule fail flags (f_top2, f_top3,
     f_dup5) from a (doc_id, text) relation — rep1's aggregation runs
     on top; the fixture test plants repetitious documents here.
 
-    ONE corpus scan, ONE explode: the 2/3/5-gram arrays are built
-    array-side in a single select and arrays_zip'ed (shorter arrays
-    null-pad to the longest, so a position carries its 2-gram and
-    whatever higher grams start there), then one posexplode produces
-    the shared (doc_id, p, g2, g3, g5) stream pinned for its four
-    consumers — the r6 version re-exploded the corpus per gram order
-    (3 scans), the round's highest non-baseline ×10 ratio.
-
-    The stream carries xxhash64 FINGERPRINTS of the grams, not the
-    gram strings (an r8 fix: 5-gram strings averaged ~30 bytes each,
-    tripling the pinned cache and every groupBy's shuffle width at
-    ×10 — three 8-byte longs cache and shuffle ~4× smaller and
-    hash-compare instead of string-compare). Repetition flags only
-    need per-doc gram COUNTS, so a 64-bit within-doc collision —
-    birthday-bounded ≪ 1e-9 at any real document length — is the
-    standard sketch tradeoff, same as the dedup family's md5h60."""
+    r16: ONE corpus scan, ZERO explodes, ZERO shuffles — the flags are
+    per-row array folds (:func:`with_rep_flags`). The pre-r16 stream
+    form (posexplode → pinned gram stream → 4 shuffles + 3 joins) is
+    value-identical but shuffled ~24 bytes per token position; the
+    per-row form moves nothing and computes where the tokens sit."""
     toks = tokens(F.col("text"))
     base = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
-    zipped = F.arrays_zip(
-        _gram_col(F.col("toks"), 2).alias("g2"),
-        _gram_col(F.col("toks"), 3).alias("g3"),
-        _gram_col(F.col("toks"), 5).alias("g5"),
-    )
-
-    def hashed(c: str) -> Column:
-        # xxhash64 hashes null as the bare seed, not null — guard so
-        # the pad nulls from arrays_zip stay null in the stream
-        g = F.col(f"s.{c}")
-        return F.when(g.isNotNull(), F.xxhash64(g)).alias(c)
-
-    stream = pin(
-        base.select("doc_id", F.posexplode(zipped).alias("p", "s"))
-        .select("doc_id", "p", hashed("g2"), hashed("g3"), hashed("g5"))
-    )
-
-    def top_frac(col: str, alias: str) -> DataFrame:
-        return (
-            stream.filter(F.col(col).isNotNull())
-            .groupBy("doc_id", col)
-            .agg(F.count("*").alias("c"))
-            .groupBy("doc_id")
-            .agg(F.max("c").alias(alias))
-        )
-
-    g5 = stream.filter(F.col("g5").isNotNull()).select("doc_id", "p", F.col("g5").alias("g"))
-    c5 = g5.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
-    # positional-union coverage WITHOUT the 5× explode + distinct the
-    # r7 version paid (its ×10 hot spot): the union of equal-length
-    # intervals [p, p+4] sorted by start is 5 for the first + min(Δp,
-    # 5) per successor — one lag window over only the REPEATED
-    # positions (≤ n rows, usually far fewer) replaces a ≤ 5n-row
-    # exploded distinct shuffle
-    rep_pos = g5.join(c5.filter(F.col("c") >= 2), ["doc_id", "g"]).select("doc_id", "p")
-    wseq = Window.partitionBy("doc_id").orderBy("p")
-    gap = F.col("p") - F.lag("p").over(wseq)
-    cov5 = (
-        rep_pos.select(
-            "doc_id",
-            F.when(gap.isNull(), F.lit(5)).otherwise(F.least(gap, F.lit(5))).alias("inc"),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("inc").alias("cov5"))
-    )
-    j = (
-        base.select("doc_id", "n")
-        .join(top_frac("g2", "maxc2"), "doc_id", "left")
-        .join(top_frac("g3", "maxc3"), "doc_id", "left")
-        .join(cov5, "doc_id", "left")
-        .na.fill({"maxc2": 0, "maxc3": 0, "cov5": 0})
-    )
-    # integer cross-multiplication — no float threshold flake
-    return j.select(
-        "doc_id",
-        F.when(200 * F.col("maxc2") > REP_TOP2_PCT * F.col("n"), 1).otherwise(0).alias("f_top2"),
-        F.when(300 * F.col("maxc3") > REP_TOP3_PCT * F.col("n"), 1).otherwise(0).alias("f_top3"),
-        F.when(100 * F.col("cov5") > REP_DUP5_PCT * F.col("n"), 1).otherwise(0).alias("f_dup5"),
+    return with_rep_flags(base, "toks", "n").select(
+        "doc_id", "f_top2", "f_top3", "f_dup5"
     )
 
 
