@@ -51,6 +51,24 @@ LAM = 1.0
 SEED = 42
 
 
+def _mda_block(feats: np.ndarray, preds: np.ndarray, fold: int, era: int,
+               vec_id: np.ndarray, y: np.ndarray) -> pd.DataFrame:
+    """Assemble the (d+1)·n MDA rows as ONE DataFrame from a stacked
+    prediction block (r16, guide §4.2: the former one-DataFrame-per-
+    feature + concat built 65 frames per group — pure Python/pandas
+    overhead; the values and their downstream grouping are order-
+    insensitive and unchanged)."""
+    n = len(y)
+    return pd.DataFrame({
+        "feature": np.repeat(feats, n),
+        "fold": fold,
+        "era": era,
+        "vec_id": np.tile(vec_id, len(feats)),
+        "y": np.tile(y, len(feats)),
+        "pred": preds.ravel(),
+    })
+
+
 def _mda_mapper(models: dict[int, np.ndarray], seed: int):
     def fn(key, pdf):
         fold, era = int(key[0]), int(key[1])
@@ -59,16 +77,16 @@ def _mda_mapper(models: dict[int, np.ndarray], seed: int):
         y = pdf["y"].to_numpy(dtype=np.float64)
         vec_id = pdf["vec_id"].to_numpy()
         base = coef[0] + X @ coef[1:]
-        out = [pd.DataFrame({"feature": -1, "fold": fold, "era": era,
-                             "vec_id": vec_id, "y": y, "pred": base})]
-        for f in range(X.shape[1]):
+        n, d = X.shape
+        feats = np.arange(-1, d)
+        preds = np.empty((d + 1, n))
+        preds[0] = base
+        for f in range(d):
             rng = np.random.default_rng((seed * 1_000_003 + fold * 10_007 + era * 101 + f) % 2**32)
-            perm = rng.permutation(len(X))
+            perm = rng.permutation(n)
             # only feature f moves: pred_shuf = base + w_f·(x_f[perm] − x_f)
-            shuf = base + coef[1 + f] * (X[perm, f] - X[:, f])
-            out.append(pd.DataFrame({"feature": f, "fold": fold, "era": era,
-                                     "vec_id": vec_id, "y": y, "pred": shuf}))
-        return pd.concat(out, ignore_index=True)
+            preds[1 + f] = base + coef[1 + f] * (X[perm, f] - X[:, f])
+        return _mda_block(feats, preds, fold, era, vec_id, y)
 
     return fn
 
@@ -147,18 +165,18 @@ def _mda_gbt_mapper(models: dict[int, list], seed: int):
         y = pdf["y"].to_numpy(dtype=np.float64)
         vec_id = pdf["vec_id"].to_numpy()
         base = predict_stumps(stumps, X)
-        out = [pd.DataFrame({"feature": -1, "fold": fold, "era": era,
-                             "vec_id": vec_id, "y": y, "pred": base})]
-        for f in range(X.shape[1]):
+        n, d = X.shape
+        feats = np.arange(-1, d)
+        preds = np.empty((d + 1, n))
+        preds[0] = base
+        for f in range(d):
             rng = np.random.default_rng((seed * 1_000_003 + fold * 10_007 + era * 101 + f) % 2**32)
-            perm = rng.permutation(len(X))
+            perm = rng.permutation(n)
             if by_f.get(f):
-                shuf = base - col_pred(by_f[f], X[:, f]) + col_pred(by_f[f], X[perm, f])
+                preds[1 + f] = base - col_pred(by_f[f], X[:, f]) + col_pred(by_f[f], X[perm, f])
             else:
-                shuf = base
-            out.append(pd.DataFrame({"feature": f, "fold": fold, "era": era,
-                                     "vec_id": vec_id, "y": y, "pred": shuf}))
-        return pd.concat(out, ignore_index=True)
+                preds[1 + f] = base
+        return _mda_block(feats, preds, fold, era, vec_id, y)
 
     return fn
 

@@ -15,7 +15,7 @@ from pyspark.sql.window import Window
 
 from ..caching import barrier
 from ..registry import query
-from ..sources import load_table
+from ..sources import load_table, spread_scan
 from .dedup import (
     BENCH_MOD,
     DECON_MIN_SHARED,
@@ -49,14 +49,19 @@ def _flags_through_near(
     replacing the heuristic quality score as the first stage — the
     trained-classifier gate; docs absent from the gate fail closed.
 
-    Single-pass design: the quality AND Gopher-rule expressions share
-    ONE token-array scan; the repetition gram stream runs only over
-    Gopher survivors; the fingerprint groupBy and the (expensive)
-    Jaccard pair join each run exactly ONCE on their shrunken inputs;
-    stages compose as flag conjunctions — vs the naive
-    per-stage-subquery funnel that re-executes the whole upstream
-    chain for every stage count. At 100 TB that difference is the
-    job."""
+    Single-pass design (tightened r16): the quality, Gopher-rule AND
+    repetition expressions all share ONE token-array scan — the
+    repetition flags are per-row array folds (text.with_rep_flags,
+    gated on gopher_ok so only survivors pay the gram work), so the
+    former second corpus scan + exploded gram stream + its shuffle
+    aggregations are gone entirely; the fingerprint window and the
+    (expensive) Jaccard pair join each run exactly ONCE on their
+    shrunken inputs; stages compose as flag conjunctions — vs the
+    naive per-stage-subquery funnel that re-executes the whole
+    upstream chain for every stage count. At 100 TB that difference
+    is the job. Funnel head = one scan + one fp-window shuffle + one
+    barrier (was: two barriers, two scans, a pinned gram stream, 4
+    gram shuffles and 3 joins)."""
     from .text import (
         GQ_ALPHA_DEN,
         GQ_ALPHA_NUM,
@@ -66,10 +71,15 @@ def _flags_through_near(
         GQ_MWL_HI,
         GQ_MWL_LO,
         STOPWORDS,
-        repetition_flags_of,
+        with_rep_flags,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    # spread_scan: the whole funnel inherits this relation's
+    # partitioning through its broadcast joins — one guard here keeps
+    # the token scan, the shingle explode AND the span anchor index
+    # parallel when the input is a single unsplittable row group
+    # (no-op at scale; see sources.spread_scan)
+    d = spread_scan(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     # Gopher A1.1 rules (gq1's integer-cross-multiplied expressions)
@@ -114,44 +124,35 @@ def _flags_through_near(
         base = d.join(gate, "doc_id", "left")
         q_ok = F.coalesce(F.col("_cls_ok"), F.lit(False))
 
-    # barriered (eager localCheckpoint — see caching.barrier): the
-    # token-expression scan is the funnel's most expensive per-row
-    # work and THREE later branches (rep survivor semi-join, keeper
-    # window, exact-survivor shingle source) read it; a lazy pin
-    # dedup'd execution (15.2 s -> 6 s at sf0.1) but left the full
-    # lineage in every downstream plan — the r11 profile showed the
-    # funnel compositions paying 6-9 s of DRIVER plan-building on
-    # those embedded trees, flat across sf
-    staged = barrier(
-        base.select(
-            "doc_id", "lang",
-            normalized_fingerprint(F.col("text")).alias("fp"),
-            q_ok.alias("q_ok"),
-            (q_ok & gq_pass).alias("gopher_ok"),
-        )
-    )
-
-    # Gopher A1.2 repetition rules (rep1's gram stream) over GOPHER
-    # SURVIVORS only — the gram explode is the funnel's widest
-    # intermediate, so it runs on the already-shrunken corpus
-    rep_src = d.join(
-        staged.filter("gopher_ok").select("doc_id"), "doc_id", "left_semi"
-    ).select("doc_id", "text")
-    rep_pass = repetition_flags_of(rep_src).select(
-        "doc_id",
-        ((F.col("f_top2") + F.col("f_top3") + F.col("f_dup5")) == 0).alias("_rep_pass"),
-    )
-    flagged = staged.join(rep_pass, "doc_id", "left").withColumn(
-        "rep_ok", F.col("gopher_ok") & F.coalesce("_rep_pass", F.lit(False))
-    )
+    # ONE scan computes every per-row stage (r16): quality + Gopher
+    # A1.1 + the A1.2 repetition flags — the latter as per-row array
+    # folds gated on gopher_ok (text.with_rep_flags: only survivors
+    # pay the gram hashing/sorts, exactly the set the old gram stream
+    # ran on; CASE short-circuit skips the rest). when/otherwise
+    # normalizes a NULL gopher_ok (NULL text) to false, matching the
+    # old semi-join + coalesce(false) algebra bit-for-bit.
+    staged = base.select(
+        "doc_id", "lang",
+        normalized_fingerprint(F.col("text")).alias("fp"),
+        q_ok.alias("q_ok"),
+        (q_ok & gq_pass).alias("gopher_ok"),
+        toks.alias("_toks"),
+    ).withColumn("_n", F.size("_toks"))
+    staged = with_rep_flags(staged, "_toks", "_n", gate="gopher_ok")
+    staged = staged.withColumn(
+        "rep_ok",
+        F.when(
+            F.col("gopher_ok")
+            & ((F.col("f_top2") + F.col("f_top3") + F.col("f_dup5")) == 0),
+            F.lit(True),
+        ).otherwise(F.lit(False)),
+    ).select("doc_id", "lang", "fp", "q_ok", "gopher_ok", "rep_ok")
 
     # exact dedup: survivor = smallest doc_id per fingerprint among
     # repetition survivors. A window-min over fp (one shuffle, no
-    # self-join) — the groupBy+join-back formulation re-executed the
-    # rep gram stream on the build side. NULL algebra: if no rep
-    # survivor shares the fp, the conditional min is NULL and
-    # rep_ok=false & NULL = false.
-    flagged = flagged.withColumn(
+    # self-join). NULL algebra: if no rep survivor shares the fp, the
+    # conditional min is NULL and rep_ok=false & NULL = false.
+    flagged = staged.withColumn(
         "exact_ok",
         F.col("rep_ok")
         & (
@@ -161,9 +162,16 @@ def _flags_through_near(
             )
         ),
     )
-    # barriered: doc_id + boolean flags only (KB-scale); the near-dup,
-    # decontamination, and final-select branches each read it, and the
-    # upstream side embeds the whole repetition gram stream
+    # barriered (eager localCheckpoint — see caching.barrier): doc_id
+    # + boolean flags only (KB-scale); the near-dup, decontamination,
+    # and final-select branches each read it, and the upstream side
+    # embeds the whole token-expression scan — a lazy pin dedup'd
+    # execution (15.2 s -> 6 s at sf0.1) but left the full lineage in
+    # every downstream plan: the r11 profile showed the funnel
+    # compositions paying 6-9 s of DRIVER plan-building on those
+    # embedded trees, flat across sf. r16 collapsed the former
+    # staged/flagged barrier pair into this one (the gram stream the
+    # first barrier isolated no longer exists).
     flagged = barrier(
         flagged.select(
             "doc_id", "lang", "q_ok", "gopher_ok", "rep_ok", "exact_ok"

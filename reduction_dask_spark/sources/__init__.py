@@ -76,6 +76,31 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def spread_scan(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Input-parallelism guard for heavy per-row expression work over
+    a scan (r16; guide §2.5's unsplittable-input remedy): when the
+    scan yields FEWER partitions than the cluster's parallelism — a
+    small single-row-group parquet file cannot split, so tens of
+    cores sit idle while one task pays all the per-row compute, and
+    every broadcast-join consumer downstream inherits that single
+    partition — hash-repartition on ``key`` so per-row work uses
+    every core. Decision is derived from the actual scan layout, not
+    a constant: at 100 TB the scan has far more splits than cores and
+    this returns ``df`` unchanged (zero added exchanges). The
+    repartition is by a deterministic key, never round-robin
+    (SPARK-38388 retry hazard + sort-before-repartition cost), and
+    uses an explicit partition count so AQE cannot coalesce the tiny
+    exchange back down to one partition (which would undo the spread
+    exactly where it matters). Branches sharing the returned
+    DataFrame reuse ONE exchange (ReusedExchange), so the cost at
+    small scale is a single KB-size shuffle."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key))
+
+
 @functools.lru_cache(maxsize=256)
 def parquet_row_count(sf_dir: str, name: str) -> int:
     """Table row count from parquet FOOTER metadata — zero Spark jobs
