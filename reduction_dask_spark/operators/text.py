@@ -19,7 +19,7 @@ from pyspark.sql.window import Window
 from ..functions import md5i, md5i_sql, phash_sql
 from ..caching import barrier, pin
 from ..registry import query
-from ..sources import load_table, parquet_row_count
+from ..sources import load_table, parquet_row_count, spread_scan
 
 STOPWORDS = ("a", "the")
 _STOP_SQL = "('a', 'the')"
@@ -1933,7 +1933,10 @@ def repetition_flags_of(d: DataFrame) -> DataFrame:
     tags=("text", "pipeline"),
 )
 def rep1_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f = repetition_flags_of(load_table(spark, sf_dir, "documents"))
+    # spread_scan (r16): the per-row gram folds are the whole query;
+    # on a single-row-group input they would run in ONE scan task
+    # (no-op at scale — see sources.spread_scan)
+    f = repetition_flags_of(spread_scan(load_table(spark, sf_dir, "documents")))
     t = f.withColumn("nf", F.col("f_top2") + F.col("f_top3") + F.col("f_dup5"))
     # ONE pass over the flags (the gram joins run once), then the
     # 1-row aggregate is exploded to the per-rule attribution shape
