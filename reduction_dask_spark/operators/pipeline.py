@@ -456,13 +456,32 @@ def _export_manifest(kept: DataFrame) -> DataFrame:
         "seq_id",
         F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / PACK_BUDGET),
     )
+    # n_seqs = COUNT(DISTINCT seq_id), computed as a sum of sequence-
+    # START flags instead of a distinct aggregate (r16, guide §2.3/
+    # §2.4): prefix sums of non-negative n_tok are non-decreasing, so
+    # seq_id is non-decreasing along the window order and equal values
+    # are contiguous — a lag over the SAME window spec (no extra
+    # shuffle, no extra sort; one window pass computes both) marks
+    # each first-of-run exactly once. The old countDistinct planned an
+    # Expand + second aggregation exchange over the whole kept
+    # relation — corpus-sized at 100 TB; the flag is one column and
+    # folds into the existing map-side aggregation.
+    wrow = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    seqs = seqs.withColumn(
+        "_seq_start",
+        F.when(
+            F.lag("seq_id").over(wrow).isNull()
+            | (F.col("seq_id") != F.lag("seq_id").over(wrow)),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long"),
+    )
+    n_seqs = F.sum("_seq_start")
     return seqs.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("n_tokens"),
-        F.countDistinct("seq_id").alias("n_seqs"),
+        n_seqs.alias("n_seqs"),
         F.round(
-            F.sum("n_tok")
-            / (F.countDistinct("seq_id") * F.lit(float(PACK_BUDGET))),
+            F.sum("n_tok") / (n_seqs * F.lit(float(PACK_BUDGET))),
             6,
         ).alias("fill_frac"),
     )
