@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from ..caching import barrier
+from ..caching import barrier, pin
 from ..registry import query
 from ..sources import load_table, spread_scan
 from .dedup import (
@@ -34,6 +34,23 @@ from .text import normalized_fingerprint
 
 QUALITY_TAU = 0.3
 KEEP_LANGS = ("en", "de", "fr", "es")
+
+
+def _head_hub(df: DataFrame) -> DataFrame:
+    """Materialization strategy for the funnel head's two reuse hubs
+    (the flag relation and the survivor shingle index) — r17 barrier-
+    merge experiment (VERDICT item 1): ``barrier`` (default) runs one
+    eager localCheckpoint job per hub; ``pin`` replaces both with lazy
+    persists so the whole head collapses into the near_ids barrier's
+    ONE eager job (fewer materialization points, but re-opens the r11
+    AQE cache race and embeds the head lineage in every downstream
+    plan). Env-switched so tools/ab_fresh.py can price both modes on
+    the same tree; the default stays the committed behavior."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_FUNNEL_HEAD") == "pin":
+        return pin(df)
+    return barrier(df)
 
 
 def _flags_through_near(
@@ -172,7 +189,7 @@ def _flags_through_near(
     # embedded trees, flat across sf. r16 collapsed the former
     # staged/flagged barrier pair into this one (the gram stream the
     # first barrier isolated no longer exists).
-    flagged = barrier(
+    flagged = _head_hub(
         flagged.select(
             "doc_id", "lang", "q_ok", "gopher_ok", "rep_ok", "exact_ok"
         )
@@ -191,7 +208,7 @@ def _flags_through_near(
     )
     # barriered: candidate generation and pipe1's decontam branch both
     # read the survivor shingle index
-    sh_surv = barrier(shingle_table_of(surv))
+    sh_surv = _head_hub(shingle_table_of(surv))
     pairs = jaccard_pairs(sh_surv, tau=JACCARD_TAU)
     drop = pairs.select(F.col("doc_b").alias("doc_id"), F.lit(True).alias("is_dup")).distinct()
     flagged = flagged.join(drop, "doc_id", "left").select(
@@ -445,7 +462,17 @@ def _export_manifest(kept: DataFrame) -> DataFrame:
     """pipe2's export half over any (doc_id, n_tok, skey) relation:
     shard by the shuffle key, per-shard greedy running-budget packing,
     one manifest row per shard — factored (r10) so pipe5 can export
-    the span-excised token counts through the identical math."""
+    the span-excised token counts through the identical math.
+
+    Preconditions (r16 ADVICE — the lag-flag n_seqs below equals
+    COUNT(DISTINCT seq_id) only under them): ``n_tok`` must be
+    NON-NEGATIVE (prefix sums of non-negative deltas make seq_id
+    non-decreasing along the window order, so equal values are
+    contiguous) and ``(skey, doc_id)`` must be unique per shard (a
+    duplicate key would make the window order ambiguous). Both hold
+    for every current caller (n_tok is a token count; doc_id is a
+    key); a caller violating them would silently diverge from the
+    oracle's count(DISTINCT)."""
     sharded = kept.withColumn("shard", F.col("skey") % EXPORT_SHARDS)
     w = (
         Window.partitionBy("shard")

@@ -1711,9 +1711,13 @@ def with_rep_flags(
       successor fold over the ascending marked positions the lag
       window computed.
 
-    Values are bit-identical to the stream form (same xxhash64
-    fingerprints, same integer thresholds; pinned by the planted-doc
-    pytest). At 100 TB this removes the funnel's widest shuffle
+    Flag values equal the stream form's: the counts are equivalent
+    under a DIFFERENT 64-bit fingerprint family (hash-chained
+    h_k = xxhash64(h_{k-1}, tok) here vs xxhash64(gram string) in the
+    stream form — same collision class, but the hash VALUES are not
+    compatible with pre-r16 artifacts), and the integer thresholds are
+    identical; pinned by the planted-doc pytest. At 100 TB this
+    removes the funnel's widest shuffle
     entirely — per-doc O(len·log len) sort work replaces it, done
     where the tokens already sit, embarrassingly parallel at scan.
     Per-doc work is bounded by document length exactly as the old

@@ -93,7 +93,20 @@ def spread_scan(df: DataFrame, key: str = "doc_id") -> DataFrame:
     exchange back down to one partition (which would undo the spread
     exactly where it matters). Branches sharing the returned
     DataFrame reuse ONE exchange (ReusedExchange), so the cost at
-    small scale is a single KB-size shuffle."""
+    small scale is a single KB-size shuffle.
+
+    Requirements and costs (r16 ADVICE): ``key`` must exist in ``df``
+    (validated here so a bad caller fails at call site, not at use)
+    and must be HIGH-CARDINALITY — the spread hashes it into
+    ``defaultParallelism`` partitions, so a low-cardinality key would
+    leave most of them empty. Probing the partition count goes
+    through ``df.rdd`` (one driver-side DataFrame→RDD plan
+    conversion per call — cheap for scan-rooted inputs, which is the
+    only place this guard belongs; do not wrap deep plans in it)."""
+    if key not in df.columns:
+        raise ValueError(
+            f"spread_scan key {key!r} not in DataFrame columns {df.columns}"
+        )
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

@@ -171,3 +171,37 @@ def test_jsonl_stream_writer_exactly_once_via_manifests(spark, tmp_path):
                     got.add(json.loads(line)["event_id"])
     want = {r["event_id"] for r in load_table(spark, sf, "events").select("event_id").collect()}
     assert got == want
+
+
+# ---------------------------------------------------------- spread_scan
+
+
+def test_spread_scan_validates_key(spark):
+    """r17 (r16 ADVICE item 2): a missing key column fails AT CALL
+    SITE with a ValueError naming the key, not at use with an
+    AnalysisException deep in a funnel plan."""
+    import pytest as _pytest
+
+    from reduction_dask_spark.sources import spread_scan
+
+    df = spark.range(10).withColumnRenamed("id", "not_doc_id")
+    with _pytest.raises(ValueError, match="doc_id"):
+        spread_scan(df)
+
+
+def test_spread_scan_spreads_single_partition_and_preserves_rows(spark):
+    """A 1-partition input spreads to defaultParallelism partitions;
+    an input already at/above that parallelism is returned unchanged
+    (the scale no-op guarantee); row multiset is preserved."""
+    from pyspark.sql import functions as F
+
+    from reduction_dask_spark.sources import spread_scan
+
+    target = spark.sparkContext.defaultParallelism
+    one = spark.range(1000).select(F.col("id").alias("doc_id")).coalesce(1)
+    spread = spread_scan(one)
+    assert spread.rdd.getNumPartitions() == target
+    assert sorted(r["doc_id"] for r in spread.collect()) == list(range(1000))
+
+    wide = spark.range(1000).select(F.col("id").alias("doc_id")).repartition(target)
+    assert spread_scan(wide) is wide
