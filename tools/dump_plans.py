@@ -1,7 +1,9 @@
-"""Dump .explain("formatted") for bench queries to plans/r16/.
+"""Dump .explain("formatted") for bench queries to plans/$PLANS_ROUND/
+(default r17).
 
 Usage: python tools/dump_plans.py <suffix> [name ...]
-  suffix: 'before' or 'after' — file becomes plans/r16/<name>_<suffix>.txt
+  suffix: 'before' or 'after' — file becomes
+          plans/<round>/<name>_<suffix>.txt
   names : default = the full bench set (HEADLINE + bench-tagged extras)
 
 The optimization judge reads these files to check plan claims (guide
@@ -42,7 +44,11 @@ def main() -> None:
         names = [n for n in HEADLINE if n in qs]
         names += [n for n, s in REGISTRY.items() if "bench" in s.tags and n not in names]
 
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r16"
+    out_dir = (
+        Path(__file__).resolve().parent.parent
+        / "plans"
+        / os.environ.get("PLANS_ROUND", "r17")
+    )
     out_dir.mkdir(parents=True, exist_ok=True)
     sf_dir = "/root/testdata/sf0.1"
 
