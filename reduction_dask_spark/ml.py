@@ -206,59 +206,105 @@ def feature_bounds(df: DataFrame, dim: int = DIM) -> tuple[np.ndarray, np.ndarra
     return mn, np.where(mx > mn, mx, mn + 1.0)
 
 
-def _gbt_hist_mapper(
-    models: dict[int, list], mn: np.ndarray, mx: np.ndarray, n_bins: int
-):
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        folds = sorted(models)
-        k, d = len(folds), len(mn)
+def _gbt_bins_expr(mn: np.ndarray, mx: np.ndarray, n_bins: int):
+    """The histogram bin index as a JVM array expression over the
+    ``features`` column — the SAME IEEE-double arithmetic, in the same
+    order, as the numpy form ``clip(((X - mn) / (mx - mn) * n_bins)
+    .astype(int64), 0, n_bins - 1)`` (both truncate toward zero on a
+    non-negative value, so cast == floor == astype here). Computing
+    bins JVM-side means each boosting round ships (fold, y, bins) —
+    ~74 bytes/row as Arrow int8 lists — instead of the 65-double
+    feature array (~530 bytes/row), and the Python side never pays
+    the object-array ``np.stack`` again (r17, guide §2.3 narrower
+    types + §4.1 pass only the columns the function needs)."""
+    mn_arr = F.array(*[F.lit(float(v)) for v in mn])
+    rng_arr = F.array(*[F.lit(float(hi - lo)) for lo, hi in zip(mn, mx)])
+    shifted = F.zip_with("features", mn_arr, lambda x, lo: x - lo)
+    return F.zip_with(
+        shifted,
+        rng_arr,
+        lambda xm, r: F.greatest(
+            F.least((xm / r * F.lit(float(n_bins))).cast("long"), F.lit(n_bins - 1)),
+            F.lit(0),
+        ).cast("tinyint"),
+    )
+
+
+def _gbt_hist_mapper_arrow(bin_models: dict[int, list], n_bins: int, d: int):
+    """Per-partition (fold, y, bins) → nonzero histogram cells.
+
+    r17 form of the boosting histogram pass (guide §4.2): input
+    arrives as Arrow record batches whose ``bins`` column is a
+    list<int8> of fixed length d, so the whole batch reshapes from
+    the flat values buffer with zero per-row Python. Stumps apply by
+    BIN index (``bin <= b``): thresholds sit exactly on bin
+    boundaries, so this is the same branch decision as ``x <= thr``
+    (proven equal on the fitted models by
+    tests/test_ml.py::test_gbt_hist_fit_matches_numpy, whose numpy
+    reference still predicts from raw X) and the leaf values are the
+    same floats, added in the same row order — sr/cnt sums are
+    bit-identical to the pre-r17 pandas mapper."""
+
+    def fn(batches):
+        import pyarrow as pa
+
+        folds = sorted(bin_models)
+        k = len(folds)
         sr = np.zeros((k, d, n_bins))
         cnt = np.zeros((k, d, n_bins))
         offsets = np.arange(d, dtype=np.int64) * n_bins
         seen = False
-        for pdf in batches:
+        for rb in batches:
             seen = True
-            X = np.stack(pdf["features"].to_numpy()).astype(np.float64)
-            y = pdf["y"].to_numpy(dtype=np.float64)
-            fold = pdf["fold"].to_numpy()
-            bins = ((X - mn) / (mx - mn) * n_bins).astype(np.int64)
-            np.clip(bins, 0, n_bins - 1, out=bins)
+            fold = rb.column(0).to_numpy(zero_copy_only=False)
+            y = rb.column(1).to_numpy(zero_copy_only=False)
+            flat = np.asarray(rb.column(2).flatten())
+            if flat.size != len(y) * d:  # ragged row — never true for
+                raise ValueError("bins rows are not fixed-length")  # fixed-width features
+            B = flat.reshape(len(y), d).astype(np.int64, copy=False)
             for mi, m in enumerate(folds):
                 mask = fold != m  # leave-one-fold-out training rows
                 if not mask.any():
                     continue
-                resid = y[mask] - predict_stumps(models[m], X[mask])
+                pred = np.zeros(len(y))
+                for f, b, vl, vr in bin_models[m]:
+                    pred += np.where(B[:, f] <= b, vl, vr)
+                resid = (y - pred)[mask]
                 # ONE d·n_bins bincount per fold instead of d calls
                 # (r16, guide §4.2): offset each feature's bins into a
                 # disjoint range; row-major ravel keeps each bin's
                 # float accumulation in row order, so the sums are
                 # bit-identical to the per-feature form
-                flat = (bins[mask] + offsets).ravel()
+                flatidx = (B[mask] + offsets).ravel()
                 sr[mi] += np.bincount(
-                    flat, weights=np.repeat(resid, d), minlength=d * n_bins
+                    flatidx, weights=np.repeat(resid, d), minlength=d * n_bins
                 ).reshape(d, n_bins)
-                cnt[mi] += np.bincount(flat, minlength=d * n_bins).reshape(d, n_bins)
+                cnt[mi] += np.bincount(flatidx, minlength=d * n_bins).reshape(d, n_bins)
         if seen:
             mi, fi, bi = np.nonzero(cnt)
-            yield pd.DataFrame(
-                {
-                    "fold": [folds[i] for i in mi],
-                    "feature": fi,
-                    "bin": bi,
-                    "sr": sr[mi, fi, bi],
-                    "cnt": cnt[mi, fi, bi],
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.asarray([folds[i] for i in mi], dtype=np.int32)),
+                    pa.array(fi.astype(np.int32)),
+                    pa.array(bi.astype(np.int32)),
+                    pa.array(sr[mi, fi, bi]),
+                    pa.array(cnt[mi, fi, bi]),
+                ],
+                names=["fold", "feature", "bin", "sr", "cnt"],
             )
 
     return fn
 
 
-def _best_stump(
+def _best_stump_with_bin(
     hist: np.ndarray, counts: np.ndarray, mn: np.ndarray, mx: np.ndarray, lr: float
-) -> tuple[int, float, float, float]:
+) -> tuple[int, int, float, float, float]:
     """Pick the (feature, boundary) stump maximizing SSE reduction
     Σl²/nl + Σr²/nr from a (d, B) residual-sum/count histogram; leaves
-    predict lr × mean residual."""
+    predict lr × mean residual. Returns (f, b, thr, vl, vr) — ``b`` is
+    the boundary's bin index (``x <= thr`` ⟺ ``bin(x) <= b``, since
+    thr IS the upper edge of bin b), which the Arrow histogram mapper
+    applies stumps by."""
     d, B = hist.shape
     sl = np.cumsum(hist, axis=1)[:, :-1]       # left sums at each boundary
     cl = np.cumsum(counts, axis=1)[:, :-1]
@@ -271,7 +317,17 @@ def _best_stump(
     thr = float(mn[f] + (b + 1) * (mx[f] - mn[f]) / B)
     vl = float(lr * sl[f, b] / cl[f, b]) if cl[f, b] > 0 else 0.0
     vr = float(lr * srt[f, b] / crt[f, b]) if crt[f, b] > 0 else 0.0
-    return int(f), thr, vl, vr
+    return int(f), int(b), thr, vl, vr
+
+
+def _best_stump(
+    hist: np.ndarray, counts: np.ndarray, mn: np.ndarray, mx: np.ndarray, lr: float
+) -> tuple[int, float, float, float]:
+    """(f, thr, vl, vr) form of :func:`_best_stump_with_bin` — the
+    model contract every consumer (predict_stumps, stump_frame,
+    tree-SHAP, the MDA mappers) scores with raw feature values."""
+    f, _b, thr, vl, vr = _best_stump_with_bin(hist, counts, mn, mx, lr)
+    return f, thr, vl, vr
 
 
 def fit_gbt_fold_models(
@@ -284,26 +340,67 @@ def fit_gbt_fold_models(
 ) -> dict[int, list[tuple[int, float, float, float]]]:
     """Leave-one-fold-out GBT-stump ensembles, all folds per pass.
 
-    ``df`` must carry (features, y, fold). Returns {fold: stumps}."""
+    ``df`` must carry (features, y, fold). Returns {fold: stumps}.
+
+    r17 (guide §2.3/§4.1/§4.2): every boosting round used to ship the
+    whole 65-double feature array to Python and re-stack it; the bin
+    index is all the histogram needs, it never changes across rounds,
+    and it is 8× narrower — so rounds now scan a (fold, y, bins)
+    projection where ``bins`` is a JVM tinyint-array expression
+    (:func:`_gbt_bins_expr`) and the Arrow mapper reshapes the flat
+    int8 buffer with zero per-row Python. Fitted models are
+    bit-identical (same histograms — see _gbt_hist_mapper_arrow — and
+    the shared stump chooser)."""
     mn, mx = feature_bounds(df, dim)
+    # pinned: the bin projection never changes across rounds, and the
+    # 65-element zip_with/cast chain is the expensive part of the
+    # round scan — compute it once, let rounds 2..T read the ~80 B/row
+    # cache (sequential actions, so no AQE cache race here)
+    from .caching import pin
+
+    fit_in = pin(
+        df.select(
+            F.col("fold").cast("int").alias("fold"),
+            F.col("y").cast("double").alias("y"),
+            _gbt_bins_expr(mn, mx, n_bins).alias("bins"),
+        )
+    )
     models: dict[int, list] = {m: [] for m in range(k)}
+    bin_models: dict[int, list] = {m: [] for m in range(k)}
+    # Partial-combine placement (guide §2.4 remove shuffles / §5 keep
+    # the driver light, balanced per round): each task emits at most
+    # k·d·B nonzero cells, so the DRIVER-side combine is bounded by
+    # tasks × k·d·B rows per round. With few tasks that is a few MB —
+    # collecting the partials directly saves one Exchange + one stage
+    # per boosting round (12 rounds = 12 exchanges at sf0.1, where the
+    # rounds are pure job overhead). With many tasks (any real
+    # cluster scan) the partial volume is unbounded at the driver, so
+    # the map-side-combined groupBy merges first and the driver reads
+    # k·d·B rows. The switch derives from the actual partition count,
+    # not a local constant — same pattern as sources.spread_scan.
+    collect_partials = fit_in.rdd.getNumPartitions() <= 256
     for _ in range(n_rounds):
-        rows = df.mapInPandas(
-            _gbt_hist_mapper(models, mn, mx, n_bins),
+        rows = fit_in.mapInArrow(
+            _gbt_hist_mapper_arrow(bin_models, n_bins, dim),
             schema="fold int, feature int, bin int, sr double, cnt double",
         )
-        pdf = (
-            rows.groupBy("fold", "feature", "bin")
-            .agg(F.sum("sr").alias("sr"), F.sum("cnt").alias("cnt"))
-            .toPandas()
-        )
+        if not collect_partials:
+            rows = rows.groupBy("fold", "feature", "bin").agg(
+                F.sum("sr").alias("sr"), F.sum("cnt").alias("cnt")
+            )
+        pdf = rows.toPandas()
         for m in models:
             sub = pdf[pdf["fold"] == m]
             hist = np.zeros((dim, n_bins))
             counts = np.zeros((dim, n_bins))
-            hist[sub["feature"], sub["bin"]] = sub["sr"]
-            counts[sub["feature"], sub["bin"]] = sub["cnt"]
-            models[m].append(_best_stump(hist, counts, mn, mx, lr))
+            # accumulate (duplicates arrive per task on the partials
+            # path; the groupBy path has pre-merged them) in collect
+            # order — deterministic: partitions come back in order
+            np.add.at(hist, (sub["feature"].to_numpy(), sub["bin"].to_numpy()), sub["sr"].to_numpy())
+            np.add.at(counts, (sub["feature"].to_numpy(), sub["bin"].to_numpy()), sub["cnt"].to_numpy())
+            f, b, thr, vl, vr = _best_stump_with_bin(hist, counts, mn, mx, lr)
+            models[m].append((f, thr, vl, vr))
+            bin_models[m].append((f, b, vl, vr))
     return models
 
 

@@ -63,35 +63,45 @@ def main() -> None:
             GBT_BINS,
             GBT_LR,
             GBT_ROUNDS,
-            _best_stump,
-            _gbt_hist_mapper,
+            _best_stump_with_bin,
+            _gbt_bins_expr,
+            _gbt_hist_mapper_arrow,
         )
         from pyspark.sql import functions as F
 
         tb0 = time.perf_counter()
         mn, mx = feature_bounds(df, DIM)
         tb1 = time.perf_counter()
+        fit_in = df.select(
+            F.col("fold").cast("int").alias("fold"),
+            F.col("y").cast("double").alias("y"),
+            _gbt_bins_expr(mn, mx, GBT_BINS).alias("bins"),
+        )
         models: dict[int, list] = {m: [] for m in range(K_FOLDS)}
+        bin_models: dict[int, list] = {m: [] for m in range(K_FOLDS)}
+        collect_partials = fit_in.rdd.getNumPartitions() <= 256
         round_times = []
         for _ in range(GBT_ROUNDS):
             r0 = time.perf_counter()
-            rows = df.mapInPandas(
-                _gbt_hist_mapper(models, mn, mx, GBT_BINS),
+            rows = fit_in.mapInArrow(
+                _gbt_hist_mapper_arrow(bin_models, GBT_BINS, DIM),
                 schema="fold int, feature int, bin int, sr double, cnt double",
             )
-            pdf = (
-                rows.groupBy("fold", "feature", "bin")
-                .agg(F.sum("sr").alias("sr"), F.sum("cnt").alias("cnt"))
-                .toPandas()
-            )
+            if not collect_partials:
+                rows = rows.groupBy("fold", "feature", "bin").agg(
+                    F.sum("sr").alias("sr"), F.sum("cnt").alias("cnt")
+                )
+            pdf = rows.toPandas()
             r1 = time.perf_counter()
             for m in models:
                 sub = pdf[pdf["fold"] == m]
                 hist = np.zeros((DIM, GBT_BINS))
                 counts = np.zeros((DIM, GBT_BINS))
-                hist[sub["feature"], sub["bin"]] = sub["sr"]
-                counts[sub["feature"], sub["bin"]] = sub["cnt"]
-                models[m].append(_best_stump(hist, counts, mn, mx, GBT_LR))
+                np.add.at(hist, (sub["feature"].to_numpy(), sub["bin"].to_numpy()), sub["sr"].to_numpy())
+                np.add.at(counts, (sub["feature"].to_numpy(), sub["bin"].to_numpy()), sub["cnt"].to_numpy())
+                f, b, thr, vl, vr = _best_stump_with_bin(hist, counts, mn, mx, GBT_LR)
+                models[m].append((f, thr, vl, vr))
+                bin_models[m].append((f, b, vl, vr))
             r2 = time.perf_counter()
             round_times.append((r1 - r0, r2 - r1))
         t2 = time.perf_counter()
