@@ -115,21 +115,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "st12_custom_source_stream",
     "st13_stream_drift_psi",
     "unpivot1_melt_measures",
-    "f15_grouped_quantiles",
-    "j9_interval_overlap_join",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q12_ship_delay_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "bf1_bloom_prune_join",
-    "j11_null_safe_join",
-    "q11_important_stock",
     "q15_top_supplier",
     "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
@@ -148,6 +133,21 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "gr3_kcore",
     "mm2_feature_extract",
     "mm6_crossmodal_alignment",
+    "u1_scalar_pandas_udf",
+    "u2_grouped_agg_pandas_udf",
+    "u3_map_in_arrow",
+    "u4_python_udtf",
+    "t3_lang_id_naive_bayes",
+    "pipe2_export_manifest",
+    "pipe5_clean_export",
+    "pr1_global_pct_rank",
+    "w4_sessionize_batch",
+    "w5_session_window_builtin",
+    "w7_trailing_range_window",
+    "w9_first_last_nth",
+    "f12_string_funcs",
+    "f14_variant_extract",
+    "rep1_repetition_rules",
 )
 
 
