@@ -443,35 +443,69 @@ def doc_shingle_sets(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("ss"))
 
 
+def _minhash_sigs_arrow(batches):
+    """(doc_id, ss) Arrow batches → (doc_id, sigs[32]) — the r17 form
+    of the signature build (guide §4.2: hand whole batches to
+    vectorized native code). The ragged shingle lists flatten to one
+    int64 buffer + segment starts, each seed's universal hash is one
+    vectorized expression over the flat buffer, and the per-doc min is
+    ``np.minimum.reduceat`` — no per-row Python, no (doc × seed) row
+    explosion. Arithmetic is exact int64 (hs < 2^31, ×65 < 2^38), so
+    signatures equal the JVM/DuckDB form bit-for-bit."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for rb in batches:
+        doc_id = rb.column(0)
+        ss = rb.column(1)
+        n = len(doc_id)
+        if n == 0:
+            continue
+        lengths = pc.list_value_length(ss).to_numpy(zero_copy_only=False).astype(np.int64)
+        if (lengths <= 0).any():
+            # doc_shingle_sets groups always carry >= 1 shingle; an
+            # empty list would silently corrupt reduceat segments
+            raise ValueError("minhash over an empty shingle set")
+        flat = np.asarray(ss.flatten())
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=starts[1:])
+        hs = flat % MERSENNE
+        sigs = np.empty((n, N_HASHES), dtype=np.int64)
+        for s in range(N_HASHES):
+            v = (hs * (s * 2 + 3) + s * 40503 + 1) % MERSENNE
+            sigs[:, s] = np.minimum.reduceat(v, starts)
+        yield pa.RecordBatch.from_arrays(
+            [
+                doc_id,
+                pa.ListArray.from_arrays(
+                    pa.array(np.arange(0, (n + 1) * N_HASHES, N_HASHES, dtype=np.int32)),
+                    pa.array(sigs.ravel()),
+                ),
+            ],
+            names=["doc_id", "sigs"],
+        )
+
+
 def minhash_bands(doc_sets: DataFrame) -> DataFrame:
     """(doc_id, band, bkey) LSH band keys from universal-hash minhash
     over :func:`doc_shingle_sets` output.
 
     Shape matters at scale: the shingle hashes are gathered into ONE
     per-doc array (a single shuffle of |corpus shingles| rows) and the
-    32 minhashes are then `array_min(transform(...))` EXPRESSIONS —
-    whole-stage-codegen JVM array math, no (doc × seed) row explosion
-    through a shuffle (a naive task-per-(doc,seed) plan moves 32× the
-    data; the reference would scatter exactly that way)."""
-    # shingle is already a portable 60-bit hash; fold to the universal-
-    # hash domain (mod p) instead of re-hashing through md5
-    doc_hashes = doc_sets.select(
-        "doc_id", F.transform(F.col("ss"), lambda x: x % MERSENNE).alias("hs")
-    )
+    32 minhashes are computed batch-wide in numpy inside a mapInArrow
+    kernel (r17 — the nested-HOF JVM expression form evaluated its
+    lambdas per element without codegen and was the suite's most
+    CPU-bound stage; the vectorized kernel computes the identical
+    int64 arithmetic over the flat Arrow buffer, see
+    :func:`_minhash_sigs_arrow`). No (doc × seed) row explosion
+    through a shuffle in either form (a naive task-per-(doc,seed)
+    plan moves 32× the data; the reference would scatter exactly
+    that way)."""
     r = N_HASHES // N_BANDS
-
-    # All 32 signatures as ONE nested-HOF expression (seed array →
-    # per-seed array_min over the hash array) instead of 32 unrolled
-    # transform columns: same JVM loop, ~1/30th the generated code —
-    # first-run codegen dropped from ~7 s to well under 1 s at sf0.1.
-    seeds = F.array(*[F.lit(s) for s in range(N_HASHES)])
-    sigs = F.transform(
-        seeds,
-        lambda s: F.array_min(
-            F.transform(F.col("hs"), lambda x: (x * (s * 2 + 3) + s * 40503 + 1) % MERSENNE)
-        ),
+    sig = doc_sets.select("doc_id", "ss").mapInArrow(
+        _minhash_sigs_arrow, schema="doc_id bigint, sigs array<bigint>"
     )
-    sig = doc_hashes.select("doc_id", sigs.alias("sigs"))
     # band key = the r-signature slice ITSELF (array<bigint> join key):
     # equality is identical to the oracle's joined-string key (the
     # string form is injective on int sequences) but the join hashes/
