@@ -126,13 +126,32 @@ def main() -> None:
 
     names += [n for n, s in REGISTRY.items() if "bench" in s.tags and n not in names]
 
-    # warm-up: JVM, parquet footers, shuffle machinery — plus the two
-    # lazily-initialized pools several headline queries pay for on
-    # first use: the Python/Arrow worker pool (pandas UDFs) and the
-    # broadcast-exchange thread pool. Generic machinery only; the
-    # measured query plans themselves are NOT pre-run.
-    qs["m1_spearman_by_era"](spark, sf_dir).collect()
-    from pyspark.sql.functions import col, pandas_udf
+    # warm-up: JVM, parquet footers/file listing for every input
+    # table, and the scan/exchange/window/aggregate codegen paths —
+    # plus the two lazily-initialized pools several headline queries
+    # pay for on first use: the Python/Arrow worker pool (pandas
+    # UDFs) and the broadcast-exchange thread pool. Generic machinery
+    # only; the measured query plans themselves are NOT pre-run.
+    # r17 (r16 verdict item 5/7): the warm-up used to collect
+    # m1_spearman_by_era — a HEADLINE query — which mildly flattered
+    # its own bench row; it is now a synthetic non-headline job that
+    # exercises the same machinery (shuffle, window, corr aggregate)
+    # plus a footer read of every table. Symmetric across queries;
+    # per-query JIT is absorbed by min-of-reps as before.
+    from reduction_dask_spark.sources import TABLES, load_table
+
+    for _t in TABLES:
+        load_table(spark, sf_dir, _t).count()
+    from pyspark.sql.functions import col, corr, pandas_udf, row_number
+    from pyspark.sql.window import Window as _W
+
+    _warm_df = spark.range(200_000, numPartitions=32).select(
+        (col("id") % 97).alias("k"), col("id").cast("double").alias("v")
+    )
+    _warm_df = _warm_df.withColumn(
+        "r", row_number().over(_W.partitionBy("k").orderBy("v"))
+    )
+    _warm_df.groupBy("k").agg(corr("v", "r")).collect()
 
     _warm = pandas_udf(lambda v: v * 1.0, "double")
     spark.range(256, numPartitions=32).select(_warm(col("id").cast("double"))).collect()
